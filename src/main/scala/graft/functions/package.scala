@@ -1,0 +1,129 @@
+package graft
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+/** graft's column-expression library: deterministic aggregates, text
+  * shingling, MinHash/SimHash signatures, and vector math — all built
+  * from `org.apache.spark.sql.functions` primitives (hash, transform,
+  * aggregate, zip_with) so every operator stays inside whole-stage
+  * codegen; no UDFs anywhere in a hot path.
+  */
+package object functions {
+
+  // ---------------------------------------------------------------- decimal
+  /** Double aggregation is order-dependent, and Spark's partial (map-side)
+    * aggregation sums partitions in nondeterministic order — results would
+    * drift run-to-run and never hash-match another engine. Summing exact
+    * decimals instead is associative, so the result is identical regardless
+    * of partitioning, then cast back to double. */
+  def dec(c: Column): Column = c.cast(DecimalType(38, 6))
+
+  /** Exact-decimal SUM, returned as double. */
+  def dsum(c: Column): Column = sum(dec(c)).cast("double")
+
+  /** Exact-decimal AVG as double: decimal sum first, one double division.
+    * (Dividing decimals directly has engine-specific scale rules; dividing
+    * two exact numbers in IEEE double does not.) */
+  def davg(c: Column): Column = dsum(c) / count(c)
+
+  // ------------------------------------------------------------------- text
+  /** Lowercase word tokens; `[^a-z0-9]+` keeps the tokenizer identical
+    * across regex engines (Java here, RE2 in oracles). */
+  def wordTokens(c: Column): Column =
+    filter(split(lower(c), "[^a-z0-9]+"), w => w =!= "")
+
+  /** Distinct word n-gram shingles ("a b c") from a token array. */
+  def shingles(tokens: Column, n: Int): Column = {
+    val grams = transform(
+      sequence(lit(0), size(tokens) - n),
+      i => concat_ws(" ", slice(tokens, i + 1, lit(n))))
+    array_distinct(when(size(tokens) >= n, grams).otherwise(array()))
+  }
+
+  /** Whitespace token count (as BIGINT for oracle parity). Trim-first
+    * instead of filtering empties with a lambda: higher-order functions
+    * are CodegenFallback and would break whole-stage codegen in the text
+    * hot path (split/size/trim all codegen). */
+  def wsTokenCount(c: Column): Column = {
+    val trimmed = trim(c)
+    when(length(trimmed) === 0, lit(0L))
+      .otherwise(size(split(trimmed, "\\s+")).cast("long"))
+  }
+
+  // ---------------------------------------------------------------- minhash
+  /** Base 31-bit hash per shingle; computed once, then k affine re-hashes
+    * derive the signature (standard universal-hashing MinHash — one pass
+    * over the shingles instead of k). 31-bit base × 31-bit coefficients
+    * keeps every product under 2^62: no long overflow, so the expression
+    * is legal under Spark 4's default ANSI mode. */
+  def minhashBase(shingleArr: Column): Column =
+    transform(shingleArr, s => xxhash64(s).bitwiseAND(lit(0x7FFFFFFFL)))
+
+  /** Deterministic affine coefficients (a odd in [1,2^31), b in [0,2^31))
+    * for the k MinHash permutations. */
+  def minhashCoeffs(k: Int, seed: Long = 0x5eedL): Array[(Long, Long)] = {
+    val rnd = new scala.util.Random(seed)
+    Array.fill(k)((
+      (rnd.nextInt(Int.MaxValue - 1).toLong + 1L) | 1L,
+      rnd.nextInt(Int.MaxValue).toLong))
+  }
+
+  /** k-element MinHash signature from the base-hash array. The modulus
+    * is essential, not decorative: without it `a*h + b` (a > 0) is
+    * monotonic in h, so every "permutation" would pick the same argmin
+    * element and the k hashes collapse into one. Reducing mod a prime
+    * (2^31 - 1, Mersenne) makes each (a,b) a genuinely different
+    * permutation of the hash space. */
+  val minhashPrime = 2147483647L
+
+  def minhashSignature(base: Column, k: Int): Column = {
+    val sig = minhashCoeffs(k).map { case (a, b) =>
+      array_min(transform(base, h => pmod(h * lit(a) + lit(b), lit(minhashPrime))))
+    }
+    array(sig.toIndexedSeq: _*)
+  }
+
+  /** LSH band keys: the signature is cut into `bands` rows of
+    * `rowsPerBand`, each band hashed to one bucket key. Documents sharing
+    * any band bucket become candidate pairs — this is what turns O(n^2)
+    * all-pairs comparison into per-bucket joins at 100 TB. */
+  def minhashBands(sig: Column, bands: Int, rowsPerBand: Int): Column = {
+    val keys = (0 until bands).map { b =>
+      hash(lit(b), slice(sig, b * rowsPerBand + 1, rowsPerBand))
+    }
+    array(keys: _*)
+  }
+
+  /** 63-bit SimHash over a token/shingle hash array: per-bit majority vote
+    * of the element hashes, folded to a single long. 63 bits (not 64) so
+    * the fold never overflows a signed long — ANSI-mode safe. Pure SQL
+    * higher-order functions (the `expr` form is needed because
+    * `shiftright`'s Scala binding only takes literal shift amounts). */
+  def simhash64(baseHashCol: String): Column = expr(
+    s"""aggregate(sequence(62, 0, -1), 0L, (acc, b) -> acc * 2L +
+       |  (CASE WHEN aggregate($baseHashCol, 0,
+       |     (a, h) -> a + (CASE WHEN (shiftright(h, b) & 1) = 1 THEN 1 ELSE -1 END)) >= 0
+       |   THEN 1L ELSE 0L END))""".stripMargin)
+
+  /** Hamming distance between two 64-bit fingerprints. */
+  def hamming64(a: Column, b: Column): Column = bit_count(a.bitwiseXOR(b))
+
+  // ---------------------------------------------------------------- vectors
+  /** Cast a float vector to double (all math in double for cross-engine
+    * reproducibility). */
+  def vecD(c: Column): Column = transform(c, x => x.cast("double"))
+
+  /** Sequential-fold dot product — same left-to-right order every engine
+    * uses for a simple loop, so results are bit-identical. */
+  def dotProduct(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, v) => acc + v)
+
+  def l2Norm(a: Column): Column = sqrt(dotProduct(a, a))
+
+  /** Cosine similarity with precomputed norms (norms are computed once per
+    * row before any join, not once per pair). */
+  def cosineWithNorms(dot: Column, normA: Column, normB: Column): Column =
+    dot / (normA * normB)
+}

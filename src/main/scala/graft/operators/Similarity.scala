@@ -1,0 +1,87 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import graft.functions._
+
+/** Similarity search over embedding columns: brute-force cosine top-k
+  * (the exactness baseline) and random-hyperplane LSH-bucketed ANN (the
+  * scale path).
+  *
+  * At 100 TB of vectors brute force is O(Q·N) dot products with an N-way
+  * shuffle of the corpus per query batch — the LSH variant bounds each
+  * query's candidate set to its buckets, turning the join into a
+  * hash-partitioned bucket join whose cost tracks bucket occupancy, not
+  * corpus size. Both paths precompute norms once per row (never per
+  * pair), and the top-k is a per-query window over the bucket join — no
+  * global sort, no driver collect. */
+object Similarity {
+
+  /** Normalise to (vec_id, v: array<double>, norm). */
+  def prepared(emb: DataFrame, idCol: String = "vec_id",
+               vecCol: String = "embedding"): DataFrame =
+    emb.select(col(idCol).as("vec_id"), vecD(col(vecCol)).as("v"))
+      .withColumn("norm", l2Norm(col("v")))
+
+  /** Brute-force cosine top-k for the query rows selected by `isQuery`.
+    * Rank is over the 6-dp-rounded similarity with id tie-break, which
+    * makes the ordering reproducible across engines and runs. */
+  def knnBrute(emb: DataFrame, isQuery: Column, k: Int = 10): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val e = prepared(emb)
+    val q = e.where(isQuery)
+      .select(col("vec_id").as("q_id"), col("v").as("qv"), col("norm").as("qnorm"))
+    val scored = broadcast(q).join(e, col("q_id") =!= col("vec_id"))
+      .withColumn("cos_sim", round(
+        cosineWithNorms(dotProduct(col("qv"), col("v")), col("qnorm"), col("norm")), 6))
+    val w = Window.partitionBy("q_id").orderBy(col("cos_sim").desc, col("vec_id"))
+    scored.withColumn("rank", row_number().over(w).cast("long"))
+      .where(col("rank") <= k)
+      .select(col("q_id"), col("vec_id").as("n_id"), col("rank"), col("cos_sim"))
+  }
+
+  /** (vec_id, v, norm) -> one row per (table_idx, bucket). The bucket is
+    * the integer formed by the sign bits of the hyperplane projections. */
+  def lshBuckets(e: DataFrame, vecCol: String, dim: Int = 64,
+                 tables: Int = 4, bitsPerTable: Int = 6,
+                 seed: Long = 0x517eL): DataFrame = {
+    val rnd = new scala.util.Random(seed)
+    val planes: Seq[Seq[Array[Double]]] =
+      Seq.fill(tables)(Seq.fill(bitsPerTable)(Array.fill(dim)(rnd.nextGaussian())))
+    val bucketCols = planes.map { tablePlanes =>
+      tablePlanes.zipWithIndex.map { case (p, i) =>
+        when(dotProduct(col(vecCol), typedlit(p)) >= 0, 1 << i).otherwise(0)
+      }.reduce(_ + _)
+    }
+    e.select(col("*"),
+      posexplode(array(bucketCols: _*)).as(Seq("table_idx", "bucket")))
+  }
+
+  /** LSH-bucketed approximate top-k: candidates = corpus vectors sharing
+    * any (table, bucket) with the query; exact cosine re-rank within the
+    * candidate set. Recall is tunable via tables × bits (more tables =
+    * higher recall, more candidates). */
+  def knnLsh(emb: DataFrame, isQuery: Column, k: Int = 10,
+             tables: Int = 8, bitsPerTable: Int = 4): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val e = prepared(emb)
+    val buckets = lshBuckets(e, "v", tables = tables, bitsPerTable = bitsPerTable)
+    val qb = buckets.where(isQuery)
+      .select(col("vec_id").as("q_id"), col("table_idx"), col("bucket"))
+    // Candidate ids first (cheap distinct on ids), vectors joined back once.
+    val candIds = qb.join(buckets.select("vec_id", "table_idx", "bucket"),
+        Seq("table_idx", "bucket"))
+      .where(col("q_id") =!= col("vec_id"))
+      .select("q_id", "vec_id")
+      .distinct()
+    val scored = candIds
+      .join(e.select(col("vec_id").as("q_id"), col("v").as("qv"), col("norm").as("qnorm")), "q_id")
+      .join(e, "vec_id")
+      .withColumn("cos_sim", round(
+        cosineWithNorms(dotProduct(col("qv"), col("v")), col("qnorm"), col("norm")), 6))
+    val w = Window.partitionBy("q_id").orderBy(col("cos_sim").desc, col("vec_id"))
+    scored.withColumn("rank", row_number().over(w).cast("long"))
+      .where(col("rank") <= k)
+      .select(col("q_id"), col("vec_id").as("n_id"), col("rank"), col("cos_sim"))
+  }
+}

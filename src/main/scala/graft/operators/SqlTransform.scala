@@ -1,0 +1,53 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+import scala.collection.mutable
+
+/** SQL transformation over a staged input view.
+  *
+  * Reference: src/pipeline/transformation/sql_transformer.py:49
+  * (`transform` stages the DataFrame as table `input_data` and runs
+  * arbitrary SQL), :160 (in-memory variant), :218
+  * (`register_query_version`). The Spark-native equivalent is a temp view
+  * + `spark.sql` — which means the "arbitrary SQL" is planned by Catalyst
+  * like any native query: filters in the SQL text reach the parquet scan,
+  * joins get broadcast/shuffle selection, nothing is interpreted row-wise.
+  */
+class SqlTransform(spark: SparkSession) {
+  private val registry = mutable.Map[(String, Int), String]()
+
+  /** Stage `df` as `viewName` (default `input_data`, matching the
+    * reference's staging table) and run `sql` against it. */
+  def transform(df: DataFrame, sql: String, viewName: String = "input_data"): DataFrame = {
+    df.createOrReplaceTempView(viewName)
+    spark.sql(sql)
+  }
+
+  /** Stage several inputs at once (multi-table SQL). */
+  def transformAll(inputs: Map[String, DataFrame], sql: String): DataFrame = {
+    inputs.foreach { case (name, df) => df.createOrReplaceTempView(name) }
+    spark.sql(sql)
+  }
+
+  // ---- versioned query registry (reference sql_transformer.py:218) ----
+  def registerQueryVersion(queryId: String, version: Int, sql: String): Unit =
+    registry((queryId, version)) = sql
+
+  def getQuery(queryId: String, version: Int): Option[String] =
+    registry.get((queryId, version))
+
+  def latestVersion(queryId: String): Option[Int] = {
+    val vs = registry.keys.collect { case (id, v) if id == queryId => v }
+    if (vs.nonEmpty) Some(vs.max) else None
+  }
+
+  def transformVersioned(df: DataFrame, queryId: String,
+                         version: Option[Int] = None): DataFrame = {
+    val v = version.orElse(latestVersion(queryId))
+      .getOrElse(throw new NoSuchElementException(s"no versions for $queryId"))
+    val sql = getQuery(queryId, v)
+      .getOrElse(throw new NoSuchElementException(s"no query $queryId v$v"))
+    transform(df, sql)
+  }
+}

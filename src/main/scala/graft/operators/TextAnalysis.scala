@@ -1,0 +1,92 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import graft.functions._
+
+/** Text-analysis operators for LLM training-data pipelines: token
+  * counting, quality scoring, language ID, fingerprinting.
+  *
+  * All pure `functions._` column expressions (regexp counting, length
+  * arithmetic, md5) — whole-stage codegen end to end, no UDFs, so a
+  * 100 TB documents scan bottlenecks on parquet IO, not on the scoring.
+  * Regex patterns restrict themselves to syntax with identical semantics
+  * in Java regex (Spark) and RE2 (the DuckDB oracle): character classes,
+  * alternation of same-length-class alternatives, `\b` boundaries.
+  */
+object TextAnalysis {
+
+  /** Whitespace token count + a BPE-ish regex token count (letter runs,
+    * single digits, single punctuation — the GPT-2 pre-tokenizer shape). */
+  val bpeishPattern = "[A-Za-z]+|[0-9]|[^A-Za-z0-9\\s]"
+
+  def tokenCounts(docs: DataFrame, textCol: String = "text"): DataFrame =
+    docs.withColumn("ws_tokens", wsTokenCount(col(textCol)))
+      .withColumn("bpe_tokens",
+        size(regexp_extract_all(col(textCol), lit(bpeishPattern), lit(0))).cast("long"))
+      .withColumn("n_chars_calc", length(col(textCol)).cast("long"))
+
+  val enStopwords = "\\b(the|and|of|to|a|in|is|it|that|for)\\b"
+
+  /** Quality scoring from length / character-class / stopword ratios.
+    * Formula kept to a fixed sequence of double ops so the score is
+    * bit-reproducible across engines. */
+  def qualityScore(docs: DataFrame, textCol: String = "text"): DataFrame = {
+    val text = col(textCol)
+    val n = length(text).cast("long")
+    val alpha = n - length(regexp_replace(text, "[A-Za-z]", "")).cast("long")
+    val digits = n - length(regexp_replace(text, "[0-9]", "")).cast("long")
+    val ws = n - length(regexp_replace(text, "\\s", "")).cast("long")
+    val punct = n - alpha - digits - ws
+    val toks = wsTokenCount(text)
+    val stops = size(regexp_extract_all(lower(text), lit(enStopwords))).cast("long")
+    docs
+      .withColumn("n_chars_calc", n)
+      .withColumn("n_tokens", toks)
+      .withColumn("alpha_ratio", round(alpha / n, 6))
+      .withColumn("punct_ratio", round(punct / n, 6))
+      .withColumn("stopword_ratio", round(stops / toks, 6))
+      .withColumn("quality_score", round(
+        lit(0.4) * least(lit(1.0), toks / lit(100.0)) +
+          lit(0.3) * (alpha / n) +
+          lit(0.2) * (lit(1.0) - punct / n) +
+          lit(0.1) * least(lit(1.0), stops / toks * lit(5.0)), 6))
+  }
+
+  /** Stopword / script heuristic language ID. CJK script presence wins
+    * outright; otherwise argmax of per-language stopword hit counts with
+    * a deterministic tie-break order (en > de > fr > es). */
+  val langStopwords: Seq[(String, String)] = Seq(
+    "en" -> "\\b(the|and|of|to|is|in|that|it|for|on)\\b",
+    "de" -> "\\b(der|die|das|und|ist|nicht|mit|ein|zu|den)\\b",
+    "fr" -> "\\b(le|la|les|et|est|dans|pour|que|une|des)\\b",
+    "es" -> "\\b(el|los|las|es|en|que|por|con|para|una)\\b")
+
+  def languageId(docs: DataFrame, textCol: String = "text"): DataFrame = {
+    val lowered = lower(col(textCol))
+    val counts = langStopwords.map { case (l, pat) =>
+      l -> size(regexp_extract_all(lowered, lit(pat))).cast("long")
+    }
+    val Seq(en, de, fr, es) = counts.map(_._2)
+    val cjk = size(regexp_extract_all(col(textCol), lit("[\\u4e00-\\u9fff]"), lit(0))).cast("long")
+    val langExpr = when(cjk > 0, "zh")
+      .when(en === 0 && de === 0 && fr === 0 && es === 0, "unknown")
+      .when(en >= de && en >= fr && en >= es, "en")
+      .when(de >= fr && de >= es, "de")
+      .when(fr >= es, "fr")
+      .otherwise("es")
+    counts.foldLeft(docs) { case (df, (l, c)) => df.withColumn(s"cnt_$l", c) }
+      .withColumn("cnt_cjk", cjk)
+      .withColumn("lang_pred", langExpr)
+  }
+
+  /** Content fingerprints: exact (md5 of the raw text) and structural
+    * (min-md5 over distinct word 5-gram shingles — a 1-permutation
+    * MinHash, stable under whitespace/reordering-free edits). */
+  def fingerprints(docs: DataFrame, textCol: String = "text"): DataFrame = {
+    val sh = shingles(wordTokens(col(textCol)), 5)
+    docs.withColumn("content_md5", md5(col(textCol)))
+      .withColumn("shingle_sig", array_min(transform(sh, s => md5(s))))
+      .withColumn("n_shingles", size(sh).cast("long"))
+  }
+}

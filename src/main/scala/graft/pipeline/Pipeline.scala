@@ -1,0 +1,132 @@
+package graft.pipeline
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions.expr
+import org.json4s._
+import org.json4s.jackson.JsonMethods
+import graft.operators.{CodeTransform, ConfigTransform, SqlTransform}
+import graft.sinks.BatchWriter
+import graft.sources.Ingestor
+
+/** JSON pipeline spec -> executed ingest -> transform -> persist chain.
+  *
+  * Reference: src/pipeline/workers/tasks.py:354 (`run_pipeline` chains
+  * ingestion/transformation/persistence with per-stage stats). The Spark
+  * re-expression keeps every stage a *plan builder*: transform stages
+  * compose one Catalyst plan, so a 3-stage spec executes as a single
+  * optimised job (filter pushed to scan, one shuffle for the agg, write),
+  * not three materialised hops like the pandas original.
+  *
+  * Spec shape:
+  * {{{
+  * { "ingestion":      { "path": "...", "format": "parquet",
+  *                       "columns": [...], "predicate": "SQL expr" },
+  *   "transformation": [ { "type": "config", "config": {...} },
+  *                       { "type": "sql", "query": "SELECT ... FROM input_data" } ],
+  *   "persistence":    { "path": "...", "strategy": "append"|"insert"|"replace"|"upsert",
+  *                       "keys": [...] } }
+  * }}}
+  */
+object Pipeline {
+
+  case class StageStats(stage: String, rows: Long, durationMs: Long)
+  case class RunResult(output: DataFrame, stats: Seq[StageStats],
+                       writeStats: Option[BatchWriter.WriteStats],
+                       skippedIdempotent: Boolean = false)
+
+  def runJson(spark: SparkSession, specJson: String,
+              ledger: Option[IdempotencyLedger] = None): RunResult =
+    run(spark, JsonMethods.parse(specJson), specJson, ledger)
+
+  def run(spark: SparkSession, spec: JValue, rawSpec: String,
+          ledger: Option[IdempotencyLedger] = None): RunResult = {
+    // Idempotent-run gate (reference tasks.py consults IdempotencyManager
+    // before executing; key = SHA-256 of the full spec payload).
+    val key = ledger.map(l => l.keyFor(Map("pipeline_spec" -> rawSpec)))
+    ledger.foreach { l =>
+      if (!l.checkAndSet(key.get, "running")) {
+        return RunResult(spark.emptyDataFrame, Nil, None, skippedIdempotent = true)
+      }
+    }
+
+    var stats = Vector.empty[StageStats]
+    def timed[T](stage: String)(f: => (T, Long)): T = {
+      val t0 = System.nanoTime()
+      val (v, rows) = f
+      stats :+= StageStats(stage, rows, (System.nanoTime() - t0) / 1000000)
+      v
+    }
+
+    // ---- ingestion ----
+    val ing = spec \ "ingestion"
+    val JString(path) = (ing \ "path"): @unchecked
+    val format = ing \ "format" match { case JString(f) => f; case _ => "parquet" }
+    val columns = ing \ "columns" match {
+      case JArray(cs) => cs.collect { case JString(c) => c }
+      case _          => Nil
+    }
+    val predicate = ing \ "predicate" match {
+      case JString(p) => Some(expr(p))
+      case _          => None
+    }
+    val ingested = timed("ingestion") {
+      val df =
+        if (format == "parquet" && path.endsWith("events.parquet"))
+          Ingestor.events(spark, path.stripSuffix("/events.parquet"))
+        else Ingestor.read(spark, path, format,
+          columns = columns, predicate = predicate)
+      (df, -1L) // row counts deferred: counting here would force an extra scan
+    }
+
+    // ---- transformation ----
+    val transformed = timed("transformation") {
+      val steps = spec \ "transformation" match {
+        case JArray(ts) => ts
+        case JNothing   => Nil
+        case t          => List(t)
+      }
+      val out = steps.foldLeft(ingested) { (df, step) =>
+        step \ "type" match {
+          case JString("sql") =>
+            val JString(q) = (step \ "query"): @unchecked
+            new SqlTransform(spark).transform(df, q)
+          case JString("config") =>
+            new ConfigTransform(step \ "config").apply(df)
+          case JString("code") =>
+            val JString(name) = (step \ "name"): @unchecked
+            Pipeline.codeRegistry.transformNamed(df, name)
+          case other => throw new IllegalArgumentException(s"unknown transform type: $other")
+        }
+      }
+      (out, -1L)
+    }
+
+    // ---- persistence ----
+    val per = spec \ "persistence"
+    val writeStats = per match {
+      case JNothing => None
+      case p =>
+        val JString(outPath) = (p \ "path"): @unchecked
+        val strategy = p \ "strategy" match {
+          case JString("insert")  => BatchWriter.Insert
+          case JString("replace") => BatchWriter.Replace
+          case JString("upsert") =>
+            val JArray(ks) = (p \ "keys"): @unchecked
+            BatchWriter.Upsert(ks.collect { case JString(k) => k })
+          case _ => BatchWriter.Append
+        }
+        val ws = timed("persistence") {
+          val s = BatchWriter.write(transformed, outPath, strategy)
+          (s, s.rowsWritten)
+        }
+        Some(ws)
+    }
+
+    ledger.foreach(l => { l.clear(key.get); l.checkAndSet(key.get, "done") })
+    RunResult(transformed, stats, writeStats)
+  }
+
+  /** Shared registry for `{"type":"code","name":...}` stages; callers
+    * register `DataFrame => DataFrame` functions before running specs. */
+  val codeRegistry = new CodeTransform
+}

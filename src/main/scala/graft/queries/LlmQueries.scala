@@ -1,0 +1,179 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.operators.{Dedup, Multimodal, Similarity, TextAnalysis}
+import graft.sources.Ingestor
+
+/** SURVEY §2.4 LLM-training-data operators over `documents` /
+  * `embeddings`. Oracles are ground-truth computations (all-pairs where
+  * the Spark side uses LSH candidates — candidate generation must not
+  * lose a true pair, which is itself part of what's verified). */
+object LlmQueries {
+
+  private def docs(s: SparkSession, d: String) = Ingestor.table(s, d, "documents")
+  private def emb(s: SparkSession, d: String) = Ingestor.table(s, d, "embeddings")
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "dedup_exact" -> ((s, d) =>
+      Dedup.exact(docs(s, d)).orderBy("keep_id")),
+
+    // rows-only: murmur/xxhash bucket keys aren't reproducible in SQL
+    "dedup_minhash" -> ((s, d) =>
+      Dedup.minhashCandidates(docs(s, d)).orderBy("a_id", "b_id")),
+
+    "dedup_simhash" -> ((s, d) =>
+      Dedup.simhashNearDups(docs(s, d), maxHamming = 3).orderBy("a_id", "b_id")),
+
+    // LSH candidates + exact verify vs all-pairs ground truth oracle
+    "dedup_jaccard" -> ((s, d) =>
+      Dedup.minhashNearDups(docs(s, d), threshold = 0.8).orderBy("a_id", "b_id")),
+
+    "dedup_embedding" -> ((s, d) =>
+      Dedup.embeddingNearDups(emb(s, d), threshold = 0.45).orderBy("a_id", "b_id")),
+
+    "knn_brute" -> ((s, d) =>
+      Similarity.knnBrute(emb(s, d), col("vec_id") < 10, k = 10)
+        .orderBy("q_id", "rank")),
+
+    // rows-only: hyperplane projections not replicated in SQL
+    "knn_lsh" -> ((s, d) =>
+      Similarity.knnLsh(emb(s, d), col("vec_id") < 10, k = 10)
+        .orderBy("q_id", "rank")),
+
+    "text_tokens" -> ((s, d) =>
+      TextAnalysis.tokenCounts(docs(s, d))
+        .select("doc_id", "ws_tokens", "bpe_tokens", "n_chars_calc")
+        .orderBy("doc_id")),
+
+    "text_quality" -> ((s, d) =>
+      TextAnalysis.qualityScore(docs(s, d))
+        .select("doc_id", "n_chars_calc", "n_tokens", "alpha_ratio",
+          "punct_ratio", "stopword_ratio", "quality_score")
+        .orderBy("doc_id")),
+
+    "text_langid" -> ((s, d) =>
+      TextAnalysis.languageId(docs(s, d))
+        .select("doc_id", "cnt_en", "cnt_de", "cnt_fr", "cnt_es", "cnt_cjk", "lang_pred")
+        .orderBy("doc_id")),
+
+    "text_fingerprint" -> ((s, d) =>
+      TextAnalysis.fingerprints(docs(s, d))
+        .select("doc_id", "content_md5", "shingle_sig", "n_shingles")
+        .orderBy("doc_id")),
+
+    "multimodal_meta" -> ((s, d) =>
+      Multimodal.withMedia(docs(s, d))
+        .select(col("doc_id"), col("meta.format").as("format"),
+          col("meta.n_bytes").as("n_bytes"), col("meta.width").as("width"),
+          col("meta.height").as("height"), md5(col("content")).as("content_md5"))
+        .orderBy("doc_id")),
+  )
+
+  val oracles: Map[String, String] = Map(
+    "dedup_exact" ->
+      """SELECT MIN(doc_id) AS keep_id, md5(text) AS fingerprint, COUNT(*) AS dup_count
+        |FROM documents GROUP BY md5(text) ORDER BY keep_id""".stripMargin,
+
+    "dedup_jaccard" ->
+      """WITH t AS (SELECT doc_id,
+        |   [x for x in regexp_split_to_array(lower(text), '[^a-z0-9]+') if x <> ''] AS w
+        |  FROM documents),
+        | g AS (SELECT doc_id,
+        |   list_distinct([w[i] || ' ' || w[i+1] || ' ' || w[i+2] for i in range(1, len(w) - 1)]) AS s
+        |  FROM t WHERE len(w) >= 3),
+        | p AS (SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+        |   round(CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
+        |         / len(list_distinct(list_concat(a.s, b.s))), 6) AS jaccard
+        |  FROM g a, g b WHERE a.doc_id < b.doc_id)
+        |SELECT a_id, b_id, jaccard FROM p WHERE jaccard >= 0.8
+        |ORDER BY a_id, b_id""".stripMargin,
+
+    "dedup_embedding" ->
+      """WITH e AS (SELECT vec_id, [CAST(x AS DOUBLE) for x in embedding] AS v FROM embeddings),
+        | n AS (SELECT vec_id, v, sqrt(list_sum([y*y for y in v])) AS norm FROM e),
+        | p AS (SELECT a.vec_id AS a_id, b.vec_id AS b_id,
+        |   round(list_sum([a.v[i] * b.v[i] for i in range(1, len(a.v) + 1)])
+        |         / (a.norm * b.norm), 6) AS cosine
+        |  FROM n a, n b WHERE a.vec_id < b.vec_id)
+        |SELECT a_id, b_id, cosine FROM p WHERE cosine >= 0.45
+        |ORDER BY a_id, b_id""".stripMargin,
+
+    "knn_brute" ->
+      """WITH e AS (SELECT vec_id, [CAST(x AS DOUBLE) for x in embedding] AS v FROM embeddings),
+        | n AS (SELECT vec_id, v, sqrt(list_sum([y*y for y in v])) AS norm FROM e),
+        | q AS (SELECT vec_id AS q_id, v AS qv, norm AS qnorm FROM n WHERE vec_id < 10),
+        | s AS (SELECT q.q_id, n.vec_id AS n_id,
+        |   round(list_sum([q.qv[i] * n.v[i] for i in range(1, len(q.qv) + 1)])
+        |         / (q.qnorm * n.norm), 6) AS cos_sim
+        |  FROM q, n WHERE q.q_id != n.vec_id),
+        | r AS (SELECT q_id, n_id, cos_sim,
+        |   CAST(row_number() OVER (PARTITION BY q_id ORDER BY cos_sim DESC, n_id) AS BIGINT) AS rank
+        |  FROM s)
+        |SELECT q_id, n_id, rank, cos_sim FROM r WHERE rank <= 10
+        |ORDER BY q_id, rank""".stripMargin,
+
+    "text_tokens" ->
+      """SELECT doc_id,
+        | CAST(len([x for x in regexp_split_to_array(text, '\s+') if x <> '']) AS BIGINT) AS ws_tokens,
+        | CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]|[^A-Za-z0-9\s]')) AS BIGINT) AS bpe_tokens,
+        | CAST(length(text) AS BIGINT) AS n_chars_calc
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "text_quality" ->
+      """WITH b AS (SELECT doc_id,
+        |  CAST(length(text) AS BIGINT) AS n,
+        |  CAST(length(text) - length(regexp_replace(text, '[A-Za-z]', '', 'g')) AS BIGINT) AS alpha,
+        |  CAST(length(text) - length(regexp_replace(text, '[0-9]', '', 'g')) AS BIGINT) AS digits,
+        |  CAST(length(text) - length(regexp_replace(text, '\s', '', 'g')) AS BIGINT) AS ws,
+        |  CAST(len([x for x in regexp_split_to_array(text, '\s+') if x <> '']) AS BIGINT) AS toks,
+        |  CAST(len(regexp_extract_all(lower(text), '\b(the|and|of|to|a|in|is|it|that|for)\b')) AS BIGINT) AS stops
+        | FROM documents)
+        |SELECT doc_id, n AS n_chars_calc, toks AS n_tokens,
+        | round(alpha / n, 6) AS alpha_ratio,
+        | round((n - alpha - digits - ws) / n, 6) AS punct_ratio,
+        | round(stops / toks, 6) AS stopword_ratio,
+        | round(0.4 * least(1.0, toks / 100.0) + 0.3 * (alpha / n)
+        |   + 0.2 * (1.0 - (n - alpha - digits - ws) / n)
+        |   + 0.1 * least(1.0, stops / toks * 5.0), 6) AS quality_score
+        |FROM b ORDER BY doc_id""".stripMargin,
+
+    "text_langid" ->
+      """WITH c AS (SELECT doc_id,
+        |  CAST(len(regexp_extract_all(lower(text), '\b(the|and|of|to|is|in|that|it|for|on)\b')) AS BIGINT) AS cnt_en,
+        |  CAST(len(regexp_extract_all(lower(text), '\b(der|die|das|und|ist|nicht|mit|ein|zu|den)\b')) AS BIGINT) AS cnt_de,
+        |  CAST(len(regexp_extract_all(lower(text), '\b(le|la|les|et|est|dans|pour|que|une|des)\b')) AS BIGINT) AS cnt_fr,
+        |  CAST(len(regexp_extract_all(lower(text), '\b(el|los|las|es|en|que|por|con|para|una)\b')) AS BIGINT) AS cnt_es,
+        |  CAST(len(regexp_extract_all(text, '[\x{4e00}-\x{9fff}]')) AS BIGINT) AS cnt_cjk
+        | FROM documents)
+        |SELECT doc_id, cnt_en, cnt_de, cnt_fr, cnt_es, cnt_cjk,
+        | CASE WHEN cnt_cjk > 0 THEN 'zh'
+        |  WHEN cnt_en = 0 AND cnt_de = 0 AND cnt_fr = 0 AND cnt_es = 0 THEN 'unknown'
+        |  WHEN cnt_en >= cnt_de AND cnt_en >= cnt_fr AND cnt_en >= cnt_es THEN 'en'
+        |  WHEN cnt_de >= cnt_fr AND cnt_de >= cnt_es THEN 'de'
+        |  WHEN cnt_fr >= cnt_es THEN 'fr' ELSE 'es' END AS lang_pred
+        |FROM c ORDER BY doc_id""".stripMargin,
+
+    "text_fingerprint" ->
+      """WITH t AS (SELECT doc_id, text,
+        |   [x for x in regexp_split_to_array(lower(text), '[^a-z0-9]+') if x <> ''] AS w
+        |  FROM documents),
+        | g AS (SELECT doc_id, text,
+        |   list_distinct([w[i] || ' ' || w[i+1] || ' ' || w[i+2] || ' ' || w[i+3] || ' ' || w[i+4]
+        |                  for i in range(1, len(w) - 3)]) AS s
+        |  FROM t)
+        |SELECT doc_id, md5(text) AS content_md5,
+        | list_aggregate([md5(x) for x in s], 'min') AS shingle_sig,
+        | CAST(len(s) AS BIGINT) AS n_shingles
+        |FROM g ORDER BY doc_id""".stripMargin,
+
+    "multimodal_meta" ->
+      """SELECT doc_id,
+        | CASE WHEN doc_id % 3 = 0 THEN 'jpeg' WHEN doc_id % 3 = 1 THEN 'png' ELSE 'webp' END AS format,
+        | CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+        | CAST(64 + (doc_id % 8) * 32 AS BIGINT) AS width,
+        | CAST(64 + (doc_id % 5) * 48 AS BIGINT) AS height,
+        | md5(text) AS content_md5
+        |FROM documents ORDER BY doc_id""".stripMargin,
+  )
+}

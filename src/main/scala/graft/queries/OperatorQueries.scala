@@ -1,0 +1,217 @@
+package graft.queries
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.operators.{CodeTransform, ConfigTransform, SchemaEvolution, SqlTransform}
+import graft.pipeline.Pipeline
+import graft.sinks.BatchWriter
+import graft.sources.Ingestor
+import graft.functions.dsum
+
+/** SURVEY §2.2 + §2.3 operator queries: each exercises one transformation
+  * / ingestion / persistence operator end-to-end against the oracle. */
+object OperatorQueries {
+
+  private def t(s: SparkSession, dir: String, n: String): DataFrame =
+    Ingestor.table(s, dir, n)
+
+  private val configFullJson =
+    """{
+      | "select": ["c_custkey", "c_name", "c_acctbal", "c_mktsegment", "c_nationkey"],
+      | "rename": {"c_mktsegment": "segment"},
+      | "filter": {
+      |   "c_acctbal": {">": 500.0, "<=": 9000.0},
+      |   "segment": {"in": ["BUILDING", "MACHINERY", "AUTOMOBILE"]},
+      |   "c_name": {"contains": "1"}
+      | },
+      | "add_columns": {
+      |   "bal_x2": "c_acctbal * 2",
+      |   "tier": "CASE WHEN c_acctbal > 5000 THEN 'GOLD' ELSE 'STD' END",
+      |   "src": "config_pipeline"
+      | },
+      | "drop_columns": ["c_nationkey"],
+      | "transformations": [
+      |   {"type": "apply", "column": "c_name", "function": "upper"},
+      |   {"type": "map", "column": "segment",
+      |    "mapping": {"BUILDING": "B", "MACHINERY": "M", "AUTOMOBILE": "A"}}
+      | ]
+      |}""".stripMargin
+
+  private val configAggJson =
+    """{
+      | "filter": {"o_orderstatus": {"!=": "P"}},
+      | "aggregations": {
+      |   "group_by": ["o_orderpriority", "o_orderstatus"],
+      |   "aggregate": {
+      |     "total": "SUM(o_totalprice)",
+      |     "avg": "AVG(o_totalprice)",
+      |     "n": "COUNT(o_custkey)",
+      |     "lo": "MIN(o_totalprice)",
+      |     "hi": "MAX(o_totalprice)",
+      |     "cnt_all": "COUNT(*)"
+      |   }
+      | }
+      |}""".stripMargin
+
+  private val sqlTransformQuery =
+    """SELECT l_returnflag, COUNT(*) AS n,
+      | CAST(SUM(CAST(l_quantity AS DECIMAL(38,6))) AS DOUBLE) AS qty
+      |FROM input_data WHERE l_discount > 0.02
+      |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "config_full" -> ((s, d) => {
+      ConfigTransform.fromJson(configFullJson)(t(s, d, "customer"))
+        .orderBy("c_custkey")
+    }),
+
+    "config_agg" -> ((s, d) => {
+      ConfigTransform.fromJson(configAggJson)(t(s, d, "orders"))
+        .orderBy("o_orderpriority", "o_orderstatus")
+    }),
+
+    "sql_transform" -> ((s, d) => {
+      val st = new SqlTransform(s)
+      st.registerQueryVersion("flag_qty", 1, sqlTransformQuery)
+      st.transformVersioned(t(s, d, "lineitem"), "flag_qty")
+    }),
+
+    "code_transform" -> ((s, d) => {
+      val ct = new CodeTransform
+      ct.register("band_orders", 1, df =>
+        df.withColumn("price_band",
+            when(col("o_totalprice") >= 300000.0, "H")
+              .when(col("o_totalprice") >= 100000.0, "M")
+              .otherwise("L"))
+          .groupBy("price_band")
+          .agg(count(lit(1)).as("n_orders"), dsum(col("o_totalprice")).as("total")))
+      ct.transformNamed(t(s, d, "orders"), "band_orders").orderBy("price_band")
+    }),
+
+    "schema_evolve" -> ((s, d) => {
+      import org.apache.spark.sql.types._
+      import SchemaEvolution.ColumnSpec
+      val declared = Seq(
+        ColumnSpec("c_custkey", LongType, nullable = false),
+        ColumnSpec("c_name", StringType),
+        ColumnSpec("c_acctbal", DoubleType),
+        ColumnSpec("c_nationkey", LongType),
+        ColumnSpec("loyalty_tier", StringType, default = Some("STANDARD")),
+        ColumnSpec("signup_source", StringType))
+      SchemaEvolution.evolve(t(s, d, "customer"), declared, dropExtra = true)
+        .orderBy("c_custkey")
+    }),
+
+    "ingest_pushdown" -> ((s, d) => {
+      Ingestor.read(s, s"$d/lineitem.parquet",
+          columns = Seq("l_orderkey", "l_partkey", "l_quantity", "l_shipdate"),
+          predicate = Some(col("l_quantity") >= 45 &&
+            col("l_shipdate") > lit("2000-06-01").cast("timestamp")))
+        .orderBy("l_orderkey", "l_partkey", "l_quantity", "l_shipdate")
+    }),
+
+    "upsert_merge" -> ((s, d) => {
+      val orders = t(s, d, "orders")
+      val tbl = Files.createTempDirectory("graft_upsert").toString + "/orders_tbl"
+      BatchWriter.write(orders, tbl, BatchWriter.Replace)
+      val delta = orders.where(col("o_orderkey") % 10 === 0)
+        .select(col("o_orderkey"), col("o_custkey"),
+          lit("X").as("o_orderstatus"),
+          (col("o_totalprice") * 2).as("o_totalprice"),
+          col("o_orderdate"), col("o_orderpriority"))
+      BatchWriter.write(delta, tbl, BatchWriter.Upsert(Seq("o_orderkey")))
+      s.read.parquet(tbl).orderBy("o_orderkey")
+    }),
+
+    "pipeline_e2e" -> ((s, d) => {
+      val out = Files.createTempDirectory("graft_pipe").toString + "/agg_out"
+      val spec =
+        s"""{
+           | "ingestion": {"path": "$d/orders.parquet", "format": "parquet",
+           |   "columns": ["o_custkey", "o_orderstatus", "o_totalprice", "o_orderpriority"],
+           |   "predicate": "o_orderstatus = 'O'"},
+           | "transformation": [
+           |   {"type": "config", "config": {"aggregations": {
+           |     "group_by": ["o_orderpriority"],
+           |     "aggregate": {"spend": "SUM(o_totalprice)", "n_cust": "COUNT(o_custkey)"}}}}
+           | ],
+           | "persistence": {"path": "$out", "strategy": "append"}
+           |}""".stripMargin
+      Pipeline.runJson(s, spec)
+      s.read.parquet(out).orderBy("o_orderpriority")
+    }),
+  )
+
+  val oracles: Map[String, String] = Map(
+    "config_full" ->
+      """SELECT c_custkey, upper(c_name) AS c_name, c_acctbal,
+        | CASE segment WHEN 'BUILDING' THEN 'B' WHEN 'MACHINERY' THEN 'M'
+        |   WHEN 'AUTOMOBILE' THEN 'A' ELSE NULL END AS segment,
+        | c_acctbal * 2 AS bal_x2,
+        | CASE WHEN c_acctbal > 5000 THEN 'GOLD' ELSE 'STD' END AS tier,
+        | 'config_pipeline' AS src
+        |FROM (SELECT c_custkey, c_name, c_acctbal, c_mktsegment AS segment FROM customer)
+        |WHERE c_acctbal > 500.0 AND c_acctbal <= 9000.0
+        |  AND segment IN ('BUILDING', 'MACHINERY', 'AUTOMOBILE')
+        |  AND c_name LIKE '%1%'
+        |ORDER BY c_custkey""".stripMargin,
+
+    "config_agg" ->
+      """SELECT o_orderpriority, o_orderstatus,
+        | CAST(SUM(CAST(o_totalprice AS DECIMAL(38,6))) AS DOUBLE) AS o_totalprice_sum,
+        | CAST(SUM(CAST(o_totalprice AS DECIMAL(38,6))) AS DOUBLE)/COUNT(o_totalprice) AS o_totalprice_mean,
+        | COUNT(o_custkey) AS o_custkey_count,
+        | MIN(o_totalprice) AS o_totalprice_min,
+        | MAX(o_totalprice) AS o_totalprice_max,
+        | COUNT(*) AS cnt_all
+        |FROM orders WHERE o_orderstatus != 'P'
+        |GROUP BY o_orderpriority, o_orderstatus
+        |ORDER BY o_orderpriority, o_orderstatus""".stripMargin,
+
+    "sql_transform" ->
+      """SELECT l_returnflag, COUNT(*) AS n,
+        | CAST(SUM(CAST(l_quantity AS DECIMAL(38,6))) AS DOUBLE) AS qty
+        |FROM lineitem WHERE l_discount > 0.02
+        |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+
+    "code_transform" ->
+      """SELECT CASE WHEN o_totalprice >= 300000.0 THEN 'H'
+        |   WHEN o_totalprice >= 100000.0 THEN 'M' ELSE 'L' END AS price_band,
+        | COUNT(*) AS n_orders,
+        | CAST(SUM(CAST(o_totalprice AS DECIMAL(38,6))) AS DOUBLE) AS total
+        |FROM orders GROUP BY 1 ORDER BY price_band""".stripMargin,
+
+    "schema_evolve" ->
+      """SELECT c_custkey, c_name, c_acctbal,
+        | CAST(c_nationkey AS BIGINT) AS c_nationkey,
+        | 'STANDARD' AS loyalty_tier,
+        | CAST(NULL AS VARCHAR) AS signup_source
+        |FROM customer ORDER BY c_custkey""".stripMargin,
+
+    "ingest_pushdown" ->
+      """SELECT l_orderkey, l_partkey, l_quantity, l_shipdate
+        |FROM lineitem
+        |WHERE l_quantity >= 45 AND l_shipdate > TIMESTAMP '2000-06-01'
+        |ORDER BY l_orderkey, l_partkey, l_quantity, l_shipdate""".stripMargin,
+
+    "upsert_merge" ->
+      """WITH delta AS (
+        | SELECT o_orderkey, o_custkey, 'X' AS o_orderstatus,
+        |  o_totalprice * 2 AS o_totalprice, o_orderdate, o_orderpriority
+        | FROM orders WHERE o_orderkey % 10 = 0)
+        |SELECT * FROM delta
+        |UNION ALL
+        |SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice, o_orderdate, o_orderpriority
+        |FROM orders o WHERE NOT EXISTS (SELECT 1 FROM delta d WHERE d.o_orderkey = o.o_orderkey)
+        |ORDER BY o_orderkey""".stripMargin,
+
+    "pipeline_e2e" ->
+      """SELECT o_orderpriority,
+        | CAST(SUM(CAST(o_totalprice AS DECIMAL(38,6))) AS DOUBLE) AS o_totalprice_sum,
+        | COUNT(o_custkey) AS o_custkey_count
+        |FROM orders WHERE o_orderstatus = 'O'
+        |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
+  )
+}

@@ -1,0 +1,421 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.functions._
+import graft.sources.Ingestor
+
+/** SURVEY §2.1 relational/query-engine core.
+  *
+  * The reference executes these shapes through its SQLTransformer
+  * (reference: src/pipeline/transformation/sql_transformer.py:49) —
+  * arbitrary SQL over a staged DataFrame. Here each query is a declarative
+  * DataFrame plan, so Catalyst performs pushdown / pruning / join
+  * selection, and each carries a DuckDB oracle for the correctness gate.
+  *
+  * Float determinism: every SUM/AVG of a double column goes through
+  * [[graft.functions.dsum]]/[[davg]] (exact decimal accumulate, double
+  * result) so values are partitioning-independent and hash-match DuckDB.
+  * Every computed integer is cast to BIGINT to match DuckDB's wider types.
+  * Every query ends in a deterministic ORDER BY.
+  */
+object Relational {
+
+  private def t(s: SparkSession, dir: String, n: String): DataFrame =
+    Ingestor.table(s, dir, n)
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q1_pricing_summary" -> ((s, d) => {
+      t(s, d, "lineitem")
+        .where(col("l_shipdate") <= lit("2000-09-02").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+          dsum(col("l_quantity")).as("sum_qty"),
+          dsum(col("l_extendedprice")).as("sum_base_price"),
+          dsum(col("l_extendedprice") * (lit(1) - col("l_discount"))).as("sum_disc_price"),
+          dsum(col("l_extendedprice") * (lit(1) - col("l_discount")) * (lit(1) + col("l_tax"))).as("sum_charge"),
+          davg(col("l_quantity")).as("avg_qty"),
+          davg(col("l_extendedprice")).as("avg_price"),
+          davg(col("l_discount")).as("avg_disc"),
+          count(lit(1)).as("count_order"))
+        .orderBy("l_returnflag", "l_linestatus")
+    }),
+
+    "q3_shipping_priority" -> ((s, d) => {
+      // Dim-side (filtered customer) broadcasts; lineitem never shuffles
+      // for the join, only for the final aggregation.
+      val cust = t(s, d, "customer").where(col("c_mktsegment") === "BUILDING")
+      val ord = t(s, d, "orders").where(col("o_orderdate") < lit("1998-03-15").cast("timestamp"))
+      val li = t(s, d, "lineitem").where(col("l_shipdate") > lit("1998-03-15").cast("timestamp"))
+      li.join(ord, col("l_orderkey") === col("o_orderkey"))
+        .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
+        .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(dsum(col("l_extendedprice") * (lit(1) - col("l_discount"))).as("revenue"))
+        .select("l_orderkey", "revenue", "o_orderdate", "o_orderpriority")
+        .orderBy(col("revenue").desc, col("o_orderdate"), col("l_orderkey"))
+        .limit(10)
+    }),
+
+    "q5_local_supplier" -> ((s, d) => {
+      val region = t(s, d, "region").where(col("r_name") === "ASIA")
+      val ord = t(s, d, "orders").where(
+        col("o_orderdate") >= lit("1996-01-01").cast("timestamp") &&
+          col("o_orderdate") < lit("1997-01-01").cast("timestamp"))
+      t(s, d, "lineitem")
+        .join(ord, col("l_orderkey") === col("o_orderkey"))
+        .join(broadcast(t(s, d, "supplier")), col("l_suppkey") === col("s_suppkey"))
+        .join(broadcast(t(s, d, "customer")),
+          col("o_custkey") === col("c_custkey") && col("c_nationkey") === col("s_nationkey"))
+        .join(broadcast(t(s, d, "nation")), col("s_nationkey") === col("n_nationkey"))
+        .join(broadcast(region), col("n_regionkey") === col("r_regionkey"))
+        .groupBy("n_name")
+        .agg(dsum(col("l_extendedprice") * (lit(1) - col("l_discount"))).as("revenue"))
+        .orderBy(col("revenue").desc, col("n_name"))
+    }),
+
+    "q_filter_ops" -> ((s, d) => {
+      t(s, d, "part")
+        .where(col("p_size") > 10 && col("p_size") <= 40 &&
+          col("p_retailprice") >= 920.0 && col("p_retailprice") < 980.0 &&
+          col("p_brand") =!= "Brand#5" &&
+          col("p_type").isin("ECONOMY", "SMALL", "PROMO") &&
+          !col("p_brand").isin("Brand#11", "Brand#12") &&
+          col("p_name").contains("gear") &&
+          col("p_name").isNotNull)
+        .select("p_partkey", "p_name", "p_brand", "p_type", "p_size", "p_retailprice")
+        .orderBy("p_partkey")
+    }),
+
+    "q_agg_funcs" -> ((s, d) => {
+      t(s, d, "orders")
+        .groupBy("o_orderpriority")
+        .agg(
+          count(lit(1)).as("n_orders"),
+          countDistinct(col("o_custkey")).as("n_custs"),
+          dsum(col("o_totalprice")).as("sum_price"),
+          davg(col("o_totalprice")).as("avg_price"),
+          min(col("o_totalprice")).as("min_price"),
+          max(col("o_totalprice")).as("max_price"),
+          min(col("o_orderdate")).as("first_order"),
+          max(col("o_orderdate")).as("last_order"))
+        .orderBy("o_orderpriority")
+    }),
+
+    "q_global_agg" -> ((s, d) => {
+      t(s, d, "lineitem").agg(
+        count(lit(1)).as("n_rows"),
+        countDistinct(col("l_suppkey")).as("n_supps"),
+        dsum(col("l_quantity")).as("sum_qty"),
+        davg(col("l_extendedprice")).as("avg_price"),
+        min(col("l_extendedprice")).as("min_price"),
+        max(col("l_extendedprice")).as("max_price"))
+    }),
+
+    "q_semi_join" -> ((s, d) => {
+      val ord2k = t(s, d, "orders").where(
+        col("o_orderdate") >= lit("2000-01-01").cast("timestamp") &&
+          col("o_orderdate") < lit("2001-01-01").cast("timestamp"))
+      t(s, d, "customer")
+        .join(ord2k, col("c_custkey") === col("o_custkey"), "left_semi")
+        .select("c_custkey", "c_name", "c_mktsegment")
+        .orderBy("c_custkey")
+    }),
+
+    "q_anti_join" -> ((s, d) => {
+      t(s, d, "customer")
+        .join(t(s, d, "orders"), col("c_custkey") === col("o_custkey"), "left_anti")
+        .select("c_custkey", "c_name", "c_acctbal")
+        .orderBy("c_custkey")
+    }),
+
+    "q_window_running" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy("o_custkey").orderBy(col("o_orderdate"), col("o_orderkey"))
+      t(s, d, "orders")
+        .where(col("o_custkey") < 200)
+        .select(
+          col("o_custkey"), col("o_orderkey"), col("o_orderdate"), col("o_totalprice"),
+          row_number().over(w).cast("long").as("order_seq"),
+          sum(dec(col("o_totalprice"))).over(w).cast("double").as("running_spend"),
+          lag(col("o_totalprice"), 1).over(w).as("prev_price"),
+          rank().over(Window.partitionBy("o_custkey").orderBy(col("o_totalprice").desc, col("o_orderkey")))
+            .cast("long").as("price_rank"))
+        .orderBy("o_custkey", "order_seq")
+    }),
+
+    "q_topn_per_group" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy("o_custkey").orderBy(col("o_totalprice").desc, col("o_orderkey"))
+      t(s, d, "orders")
+        .withColumn("rn", row_number().over(w))
+        .where(col("rn") <= 3)
+        .select(col("o_custkey"), col("rn").cast("long").as("rn"),
+          col("o_orderkey"), col("o_totalprice"))
+        .orderBy("o_custkey", "rn")
+    }),
+
+    "q_distinct_custs" -> ((s, d) => {
+      t(s, d, "orders")
+        .select("o_custkey", "o_orderstatus").distinct()
+        .orderBy("o_custkey", "o_orderstatus")
+    }),
+
+    "q_set_ops" -> ((s, d) => {
+      val big = t(s, d, "orders").where(col("o_totalprice") > 400000.0)
+        .select("o_custkey").distinct()
+      val building = t(s, d, "customer").where(col("c_mktsegment") === "BUILDING")
+        .select(col("c_custkey").as("o_custkey"))
+      big.intersect(building).withColumn("op", lit("both"))
+        .unionByName(big.except(building).withColumn("op", lit("big_only")))
+        .unionByName(big.union(building).distinct().withColumn("op", lit("either")))
+        .select(col("op"), col("o_custkey").as("custkey"))
+        .orderBy("op", "custkey")
+    }),
+
+    "q_conditional_pivot" -> ((s, d) => {
+      t(s, d, "orders")
+        .groupBy("o_orderpriority")
+        .agg(
+          dsum(when(col("o_orderstatus") === "O", col("o_totalprice")).otherwise(lit(0.0))).as("open_total"),
+          dsum(when(col("o_orderstatus") === "F", col("o_totalprice")).otherwise(lit(0.0))).as("filled_total"),
+          sum(when(col("o_orderstatus") === "P", 1L).otherwise(0L)).as("pending_cnt"))
+        .orderBy("o_orderpriority")
+    }),
+
+    "q_rollup" -> ((s, d) => {
+      t(s, d, "orders")
+        .rollup("o_orderstatus", "o_orderpriority")
+        .agg(count(lit(1)).as("n_orders"), dsum(col("o_totalprice")).as("total"))
+        .orderBy(col("o_orderstatus").asc_nulls_first, col("o_orderpriority").asc_nulls_first)
+    }),
+
+    "q_string_funcs" -> ((s, d) => {
+      t(s, d, "part")
+        .where(col("p_partkey") < 500)
+        .select(
+          col("p_partkey"),
+          upper(col("p_name")).as("name_upper"),
+          lower(col("p_brand")).as("brand_lower"),
+          substring(col("p_name"), 1, 5).as("name_pfx"),
+          concat(col("p_brand"), lit("-"), col("p_type")).as("brand_type"),
+          length(col("p_name")).cast("long").as("name_len"),
+          trim(concat(lit("  "), col("p_name"), lit("  "))).as("name_trim"),
+          regexp_replace(col("p_name"), "[aeiou]", "").as("name_novowel"),
+          regexp_extract(col("p_name"), "^([a-z]+)", 1).as("first_word"),
+          lpad(col("p_partkey").cast("string"), 8, "0").as("key_padded"))
+        .orderBy("p_partkey")
+    }),
+
+    "q_date_funcs" -> ((s, d) => {
+      t(s, d, "orders")
+        .where(col("o_orderkey") < 2000)
+        .select(
+          col("o_orderkey"), col("o_orderdate"),
+          year(col("o_orderdate")).cast("long").as("yr"),
+          month(col("o_orderdate")).cast("long").as("mo"),
+          dayofmonth(col("o_orderdate")).cast("long").as("dom"),
+          (dayofweek(col("o_orderdate"))).cast("long").as("dow"),
+          date_trunc("month", col("o_orderdate")).as("month_start"),
+          datediff(lit("2000-01-01").cast("date"), col("o_orderdate")).cast("long").as("days_to_y2k"),
+          (col("o_orderdate") + expr("INTERVAL 30 DAYS")).as("plus_30d"))
+        .orderBy("o_orderkey")
+    }),
+
+    // Correlated EXISTS + scalar subquery: expressed through Spark SQL
+    // (the engine's SqlTransform surface) — Catalyst rewrites the EXISTS
+    // to a semi join and the scalar subquery to a broadcast single-row plan.
+    "q_exists_subquery" -> ((s, d) => {
+      Seq("customer", "orders").foreach(n => t(s, d, n).createOrReplaceTempView(n))
+      s.sql(
+        """SELECT c.c_custkey, c.c_name, c.c_acctbal
+          |FROM customer c
+          |WHERE EXISTS (
+          |  SELECT 1 FROM orders o
+          |  WHERE o.o_custkey = c.c_custkey
+          |    AND o.o_totalprice > (SELECT CAST(SUM(CAST(o_totalprice AS DECIMAL(38,6))) AS DOUBLE)
+          |                                 / COUNT(*) * 3.0 FROM orders))
+          |ORDER BY c.c_custkey""".stripMargin)
+    }),
+
+    "q_having" -> ((s, d) => {
+      t(s, d, "orders")
+        .groupBy("o_custkey")
+        .agg(count(lit(1)).as("n_orders"), dsum(col("o_totalprice")).as("spend"))
+        .where(col("n_orders") >= 15)
+        .orderBy("o_custkey")
+    }),
+  )
+
+  val oracles: Map[String, String] = Map(
+    "q1_pricing_summary" ->
+      """SELECT l_returnflag, l_linestatus,
+        | CAST(SUM(CAST(l_quantity AS DECIMAL(38,6))) AS DOUBLE) AS sum_qty,
+        | CAST(SUM(CAST(l_extendedprice AS DECIMAL(38,6))) AS DOUBLE) AS sum_base_price,
+        | CAST(SUM(CAST(l_extendedprice*(1-l_discount) AS DECIMAL(38,6))) AS DOUBLE) AS sum_disc_price,
+        | CAST(SUM(CAST(l_extendedprice*(1-l_discount)*(1+l_tax) AS DECIMAL(38,6))) AS DOUBLE) AS sum_charge,
+        | CAST(SUM(CAST(l_quantity AS DECIMAL(38,6))) AS DOUBLE)/COUNT(l_quantity) AS avg_qty,
+        | CAST(SUM(CAST(l_extendedprice AS DECIMAL(38,6))) AS DOUBLE)/COUNT(l_extendedprice) AS avg_price,
+        | CAST(SUM(CAST(l_discount AS DECIMAL(38,6))) AS DOUBLE)/COUNT(l_discount) AS avg_disc,
+        | COUNT(*) AS count_order
+        |FROM lineitem
+        |WHERE l_shipdate <= TIMESTAMP '2000-09-02'
+        |GROUP BY l_returnflag, l_linestatus
+        |ORDER BY l_returnflag, l_linestatus""".stripMargin,
+
+    "q3_shipping_priority" ->
+      """SELECT l_orderkey,
+        | CAST(SUM(CAST(l_extendedprice*(1-l_discount) AS DECIMAL(38,6))) AS DOUBLE) AS revenue,
+        | o_orderdate, o_orderpriority
+        |FROM customer JOIN orders ON c_custkey = o_custkey
+        | JOIN lineitem ON l_orderkey = o_orderkey
+        |WHERE c_mktsegment = 'BUILDING'
+        |  AND o_orderdate < TIMESTAMP '1998-03-15'
+        |  AND l_shipdate > TIMESTAMP '1998-03-15'
+        |GROUP BY l_orderkey, o_orderdate, o_orderpriority
+        |ORDER BY revenue DESC, o_orderdate, l_orderkey
+        |LIMIT 10""".stripMargin,
+
+    "q5_local_supplier" ->
+      """SELECT n_name,
+        | CAST(SUM(CAST(l_extendedprice*(1-l_discount) AS DECIMAL(38,6))) AS DOUBLE) AS revenue
+        |FROM customer, orders, lineitem, supplier, nation, region
+        |WHERE c_custkey = o_custkey AND l_orderkey = o_orderkey
+        |  AND l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+        |  AND s_nationkey = n_nationkey AND n_regionkey = r_regionkey
+        |  AND r_name = 'ASIA'
+        |  AND o_orderdate >= TIMESTAMP '1996-01-01'
+        |  AND o_orderdate < TIMESTAMP '1997-01-01'
+        |GROUP BY n_name
+        |ORDER BY revenue DESC, n_name""".stripMargin,
+
+    "q_filter_ops" ->
+      """SELECT p_partkey, p_name, p_brand, p_type, p_size, p_retailprice
+        |FROM part
+        |WHERE p_size > 10 AND p_size <= 40
+        |  AND p_retailprice >= 920.0 AND p_retailprice < 980.0
+        |  AND p_brand != 'Brand#5'
+        |  AND p_type IN ('ECONOMY','SMALL','PROMO')
+        |  AND p_brand NOT IN ('Brand#11','Brand#12')
+        |  AND p_name LIKE '%gear%'
+        |  AND p_name IS NOT NULL
+        |ORDER BY p_partkey""".stripMargin,
+
+    "q_agg_funcs" ->
+      """SELECT o_orderpriority,
+        | COUNT(*) AS n_orders,
+        | COUNT(DISTINCT o_custkey) AS n_custs,
+        | CAST(SUM(CAST(o_totalprice AS DECIMAL(38,6))) AS DOUBLE) AS sum_price,
+        | CAST(SUM(CAST(o_totalprice AS DECIMAL(38,6))) AS DOUBLE)/COUNT(o_totalprice) AS avg_price,
+        | MIN(o_totalprice) AS min_price,
+        | MAX(o_totalprice) AS max_price,
+        | MIN(o_orderdate) AS first_order,
+        | MAX(o_orderdate) AS last_order
+        |FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
+
+    "q_global_agg" ->
+      """SELECT COUNT(*) AS n_rows,
+        | COUNT(DISTINCT l_suppkey) AS n_supps,
+        | CAST(SUM(CAST(l_quantity AS DECIMAL(38,6))) AS DOUBLE) AS sum_qty,
+        | CAST(SUM(CAST(l_extendedprice AS DECIMAL(38,6))) AS DOUBLE)/COUNT(l_extendedprice) AS avg_price,
+        | MIN(l_extendedprice) AS min_price,
+        | MAX(l_extendedprice) AS max_price
+        |FROM lineitem""".stripMargin,
+
+    "q_semi_join" ->
+      """SELECT c_custkey, c_name, c_mktsegment FROM customer c
+        |WHERE EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey
+        |  AND o.o_orderdate >= TIMESTAMP '2000-01-01' AND o.o_orderdate < TIMESTAMP '2001-01-01')
+        |ORDER BY c_custkey""".stripMargin,
+
+    "q_anti_join" ->
+      """SELECT c_custkey, c_name, c_acctbal FROM customer c
+        |WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+        |ORDER BY c_custkey""".stripMargin,
+
+    "q_window_running" ->
+      """SELECT o_custkey, o_orderkey, o_orderdate, o_totalprice,
+        | CAST(row_number() OVER w AS BIGINT) AS order_seq,
+        | CAST(SUM(CAST(o_totalprice AS DECIMAL(38,6))) OVER w AS DOUBLE) AS running_spend,
+        | lag(o_totalprice, 1) OVER w AS prev_price,
+        | CAST(rank() OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey) AS BIGINT) AS price_rank
+        |FROM orders
+        |WHERE o_custkey < 200
+        |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+        |ORDER BY o_custkey, order_seq""".stripMargin,
+
+    "q_topn_per_group" ->
+      """SELECT o_custkey, CAST(rn AS BIGINT) AS rn, o_orderkey, o_totalprice FROM (
+        | SELECT o_custkey, o_orderkey, o_totalprice,
+        |  row_number() OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey) AS rn
+        | FROM orders)
+        |WHERE rn <= 3 ORDER BY o_custkey, rn""".stripMargin,
+
+    "q_distinct_custs" ->
+      """SELECT DISTINCT o_custkey, o_orderstatus FROM orders
+        |ORDER BY o_custkey, o_orderstatus""".stripMargin,
+
+    "q_set_ops" ->
+      """WITH big AS (SELECT DISTINCT o_custkey FROM orders WHERE o_totalprice > 400000.0),
+        | building AS (SELECT c_custkey AS o_custkey FROM customer WHERE c_mktsegment = 'BUILDING')
+        |SELECT 'both' AS op, o_custkey AS custkey FROM (SELECT * FROM big INTERSECT SELECT * FROM building)
+        |UNION ALL
+        |SELECT 'big_only' AS op, o_custkey AS custkey FROM (SELECT * FROM big EXCEPT SELECT * FROM building)
+        |UNION ALL
+        |SELECT 'either' AS op, o_custkey AS custkey
+        |  FROM (SELECT DISTINCT o_custkey FROM (SELECT * FROM big UNION ALL SELECT * FROM building))
+        |ORDER BY op, custkey""".stripMargin,
+
+    "q_conditional_pivot" ->
+      """SELECT o_orderpriority,
+        | CAST(SUM(CAST(CASE WHEN o_orderstatus = 'O' THEN o_totalprice ELSE 0.0 END AS DECIMAL(38,6))) AS DOUBLE) AS open_total,
+        | CAST(SUM(CAST(CASE WHEN o_orderstatus = 'F' THEN o_totalprice ELSE 0.0 END AS DECIMAL(38,6))) AS DOUBLE) AS filled_total,
+        | CAST(SUM(CASE WHEN o_orderstatus = 'P' THEN 1 ELSE 0 END) AS BIGINT) AS pending_cnt
+        |FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
+
+    "q_rollup" ->
+      """SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n_orders,
+        | CAST(SUM(CAST(o_totalprice AS DECIMAL(38,6))) AS DOUBLE) AS total
+        |FROM orders GROUP BY ROLLUP (o_orderstatus, o_orderpriority)
+        |ORDER BY o_orderstatus NULLS FIRST, o_orderpriority NULLS FIRST""".stripMargin,
+
+    "q_string_funcs" ->
+      """SELECT p_partkey,
+        | upper(p_name) AS name_upper,
+        | lower(p_brand) AS brand_lower,
+        | substr(p_name, 1, 5) AS name_pfx,
+        | p_brand || '-' || p_type AS brand_type,
+        | CAST(length(p_name) AS BIGINT) AS name_len,
+        | trim('  ' || p_name || '  ') AS name_trim,
+        | regexp_replace(p_name, '[aeiou]', '', 'g') AS name_novowel,
+        | regexp_extract(p_name, '^([a-z]+)', 1) AS first_word,
+        | lpad(CAST(p_partkey AS VARCHAR), 8, '0') AS key_padded
+        |FROM part WHERE p_partkey < 500 ORDER BY p_partkey""".stripMargin,
+
+    "q_date_funcs" ->
+      """SELECT o_orderkey, o_orderdate,
+        | CAST(year(o_orderdate) AS BIGINT) AS yr,
+        | CAST(month(o_orderdate) AS BIGINT) AS mo,
+        | CAST(day(o_orderdate) AS BIGINT) AS dom,
+        | CAST(dayofweek(o_orderdate) + 1 AS BIGINT) AS dow,
+        | date_trunc('month', o_orderdate) AS month_start,
+        | CAST(datediff('day', o_orderdate, TIMESTAMP '2000-01-01') AS BIGINT) AS days_to_y2k,
+        | o_orderdate + INTERVAL 30 DAY AS plus_30d
+        |FROM orders WHERE o_orderkey < 2000 ORDER BY o_orderkey""".stripMargin,
+
+    "q_exists_subquery" ->
+      """SELECT c.c_custkey, c.c_name, c.c_acctbal
+        |FROM customer c
+        |WHERE EXISTS (
+        |  SELECT 1 FROM orders o
+        |  WHERE o.o_custkey = c.c_custkey
+        |    AND o.o_totalprice > (SELECT CAST(SUM(CAST(o_totalprice AS DECIMAL(38,6))) AS DOUBLE)
+        |                                 / COUNT(*) * 3.0 FROM orders))
+        |ORDER BY c.c_custkey""".stripMargin,
+
+    "q_having" ->
+      """SELECT o_custkey, COUNT(*) AS n_orders,
+        | CAST(SUM(CAST(o_totalprice AS DECIMAL(38,6))) AS DOUBLE) AS spend
+        |FROM orders GROUP BY o_custkey HAVING COUNT(*) >= 15
+        |ORDER BY o_custkey""".stripMargin,
+  )
+}

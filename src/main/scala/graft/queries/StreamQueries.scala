@@ -1,0 +1,45 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.sources.Ingestor
+import graft.streaming.EventStream
+
+/** SURVEY §2.5: streaming transforms, verified through their
+  * batch-equivalent plans (Structured Streaming's batch/stream unification
+  * means the SAME transform function runs under `readStream` — the
+  * streaming-mode execution is covered by the MemoryStream specs). */
+object StreamQueries {
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "stream_window" -> ((s, d) =>
+      EventStream.windowedAgg(Ingestor.events(s, d))
+        .orderBy("window_start", "event_type")),
+
+    "sessionize" -> ((s, d) =>
+      EventStream.sessionize(Ingestor.events(s, d))
+        .orderBy("user_id", "session_id")),
+  )
+
+  val oracles: Map[String, String] = Map(
+    "stream_window" ->
+      """SELECT date_trunc('hour', CAST(ts AS TIMESTAMP)) AS window_start, event_type,
+        | COUNT(*) AS n_events,
+        | CAST(SUM(CAST(value AS DECIMAL(38,6))) AS DOUBLE) AS sum_value
+        |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    "sessionize" ->
+      """WITH e AS (SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, event_id FROM events),
+        | m AS (SELECT user_id, ts, event_id,
+        |   CASE WHEN lag(ts) OVER w IS NULL OR ts - lag(ts) OVER w > INTERVAL 30 MINUTE
+        |        THEN 1 ELSE 0 END AS new_s
+        |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+        | s AS (SELECT user_id, ts,
+        |   CAST(SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS BIGINT) AS session_id
+        |  FROM m)
+        |SELECT user_id, session_id, MIN(ts) AS session_start, MAX(ts) AS session_end,
+        | COUNT(*) AS n_events
+        |FROM s GROUP BY user_id, session_id
+        |ORDER BY user_id, session_id""".stripMargin,
+  )
+}

@@ -1,0 +1,86 @@
+package graft.sinks
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Batch persistence with write strategies + write stats.
+  *
+  * Reference: src/pipeline/persistence/batch_writer.py:26-35
+  * (`WriteStrategy` INSERT/UPSERT/REPLACE/APPEND), `_write_upsert` :230,
+  * write stats :507. Target here is parquet table directories instead of
+  * PostgreSQL tables; the strategy semantics are preserved:
+  *
+  *  - INSERT  : create a new table, fail if it already exists;
+  *  - APPEND  : add rows to an existing (or new) table;
+  *  - REPLACE : truncate-and-load (atomic directory overwrite);
+  *  - UPSERT  : key-merge — incoming rows win, non-matching existing
+  *              rows survive.
+  *
+  * UPSERT at scale: the reference deletes+inserts row-at-a-time inside a
+  * transaction; distributed, that's `delta UNION (existing ANTI JOIN
+  * delta)` — one shuffle on the merge keys (or none, if the delta is
+  * small enough to broadcast the anti join, which AQE decides at
+  * runtime). The merge is staged to a sibling directory and swapped in,
+  * so readers never observe a half-written table.
+  */
+object BatchWriter {
+
+  sealed trait Strategy
+  case object Insert extends Strategy
+  case object Append extends Strategy
+  case object Replace extends Strategy
+  case class Upsert(keys: Seq[String]) extends Strategy
+
+  case class WriteStats(path: String, strategy: String, rowsWritten: Long,
+                        durationMs: Long)
+
+  def write(df: DataFrame, path: String, strategy: Strategy): WriteStats = {
+    val t0 = System.nanoTime()
+    val spark = df.sparkSession
+    val rows = strategy match {
+      case Insert =>
+        df.write.mode("errorifexists").parquet(path)
+        count(spark, path)
+      case Append =>
+        df.write.mode("append").parquet(path)
+        count(spark, path)
+      case Replace =>
+        df.write.mode("overwrite").parquet(path)
+        count(spark, path)
+      case Upsert(keys) =>
+        upsert(df, path, keys)
+        count(spark, path)
+    }
+    WriteStats(path, strategy.getClass.getSimpleName.stripSuffix("$"),
+      rows, (System.nanoTime() - t0) / 1000000)
+  }
+
+  /** Distributed key-merge (reference `_write_upsert`, batch_writer.py:230):
+    * survivors = existing rows whose key is NOT in the delta (anti join),
+    * result = delta ∪ survivors. Staged write + directory swap because
+    * the merge reads the directory it replaces. */
+  private def upsert(delta: DataFrame, path: String, keys: Seq[String]): Unit = {
+    val spark = delta.sparkSession
+    val hconf = spark.sparkContext.hadoopConfiguration
+    val target = new Path(path)
+    val fs = target.getFileSystem(hconf)
+    if (!fs.exists(target)) {
+      delta.write.mode("errorifexists").parquet(path)
+      return
+    }
+    val existing = spark.read.parquet(path)
+    val survivors = existing.join(delta, keys, "left_anti")
+    val merged = delta.unionByName(survivors)
+    val staging = new Path(path + ".staging")
+    fs.delete(staging, true)
+    merged.write.mode("overwrite").parquet(staging.toString)
+    val backup = new Path(path + ".old")
+    fs.delete(backup, true)
+    fs.rename(target, backup)
+    fs.rename(staging, target)
+    fs.delete(backup, true)
+  }
+
+  private def count(spark: SparkSession, path: String): Long =
+    spark.read.parquet(path).count()
+}

@@ -1,0 +1,80 @@
+package graft.sources
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.StructType
+
+/** Batch ingestion, re-expressed Spark-first.
+  *
+  * The reference ingests with SQL queries + chunked pagination against a
+  * source database (reference: src/pipeline/ingestion/batch_ingestor.py:67
+  * `ingest`, :102 `ingest_batches`, :323 `_add_pagination`, :164 streaming
+  * generator). In Spark the same capabilities are native to the source API:
+  *  - pagination/chunking  -> file-split partitioned scans
+  *    (`spark.sql.files.maxPartitionBytes` is the chunk size; every
+  *    partition is read by an independent task — this is what makes a
+  *    100 TB scan parallel across 1000 executors);
+  *  - per-chunk streaming  -> lazy evaluation: nothing materialises on one
+  *    node, each operator consumes partitions as an iterator;
+  *  - WHERE-clause source filters -> predicate pushdown into the parquet
+  *    row-group reader (verified via `PushedFilters` in the plan);
+  *  - column selection -> parquet column pruning (`ReadSchema`).
+  */
+object Ingestor {
+  val tableNames: Seq[String] = Seq(
+    "region", "nation", "customer", "supplier", "part",
+    "orders", "lineitem", "events", "documents", "embeddings")
+
+  /** Read one of the standard test tables from `dir`. */
+  def table(spark: SparkSession, dir: String, name: String): DataFrame =
+    name match {
+      case "events" => events(spark, dir)
+      case n        => spark.read.parquet(s"$dir/$n.parquet")
+    }
+
+  /** `events` carries parquet TIMESTAMP(NANOS), which Spark's reader
+    * rejects outright ([PARQUET_TYPE_ILLEGAL]). Read the raw int64
+    * nanoseconds (legacy nanosAsLong) and truncate to microsecond
+    * precision — the same truncation DuckDB applies when casting
+    * TIMESTAMP_NS to TIMESTAMP, so both engines see identical instants. */
+  def events(spark: SparkSession, dir: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.read.parquet(s"$dir/events.parquet")
+      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+  }
+
+  /** Generic batch read with explicit projection + predicate, the Spark
+    * analogue of the reference's `ingest(query=...)`: both land in the
+    * scan itself (pruned ReadSchema + PushedFilters), so a 2-column query
+    * over a 100-column 100 TB table reads only those column chunks. */
+  def read(spark: SparkSession,
+           path: String,
+           format: String = "parquet",
+           schema: Option[StructType] = None,
+           options: Map[String, String] = Map.empty,
+           columns: Seq[String] = Nil,
+           predicate: Option[Column] = None): DataFrame = {
+    var r = spark.read.format(format).options(options)
+    schema.foreach(s => r = r.schema(s))
+    var df = r.load(path)
+    predicate.foreach(p => df = df.where(p))
+    if (columns.nonEmpty) df = df.select(columns.map(col): _*)
+    df
+  }
+
+  /** Chunked-read semantics (reference `ingest_batches`, batch_ingestor.py:102):
+    * in Spark a scan is already chunked by file splits; this controls the
+    * split size so each task's chunk fits executor memory, and optionally
+    * re-buckets by a key so downstream per-key work is co-located. */
+  def readChunked(spark: SparkSession,
+                  path: String,
+                  maxPartitionBytes: Long = 128L * 1024 * 1024,
+                  bucketBy: Option[(Column, Int)] = None): DataFrame = {
+    spark.conf.set("spark.sql.files.maxPartitionBytes", maxPartitionBytes.toString)
+    val df = spark.read.parquet(path)
+    bucketBy match {
+      case Some((key, n)) => df.repartition(n, key)
+      case None           => df
+    }
+  }
+}

@@ -1,0 +1,110 @@
+package graft.streaming
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+import graft.functions.dec
+
+/** Structured Streaming re-expression of the reference's async pipeline
+  * (the reference runs Celery workers draining a Redis queue —
+  * reference: src/pipeline/workers/tasks.py; in Spark the queue is the
+  * source, the worker pool is the executor set, and backpressure /
+  * exactly-once bookkeeping come from the engine).
+  *
+  * Each transform below is written against a generic DataFrame so the
+  * SAME code runs in batch (for the DuckDB-oracled correctness gate) and
+  * as a `readStream` plan — the batch/streaming unification is the point
+  * of Structured Streaming.
+  */
+object EventStream {
+
+  /** Hourly tumbling-window aggregation per event type. In streaming
+    * mode the 10-minute watermark bounds state: late events beyond it
+    * are dropped, so state size tracks (windows in flight × types), not
+    * stream length. */
+  def windowedAgg(events: DataFrame, watermark: Boolean = false): DataFrame = {
+    val in = if (watermark) events.withWatermark("ts", "10 minutes") else events
+    in.groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("n_events"),
+        sum(dec(col("value"))).cast("double").as("sum_value"))
+      .select(col("window.start").as("window_start"), col("event_type"),
+        col("n_events"), col("sum_value"))
+  }
+
+  /** Batch gap-based sessionization: a session breaks after `gapMinutes`
+    * of user inactivity. Two windows over (user, time) — no driver-side
+    * state, scales by hash-partitioning on user_id. */
+  def sessionize(events: DataFrame, gapMinutes: Int = 30): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+    val gapUs = gapMinutes * 60L * 1000000L
+    events
+      .select(col("user_id"), col("ts"), col("event_id"))
+      .withColumn("new_s",
+        when(lag(col("ts"), 1).over(w).isNull ||
+          unix_micros(col("ts")) - unix_micros(lag(col("ts"), 1).over(w)) > gapUs, 1L)
+          .otherwise(0L))
+      .withColumn("session_id", sum(col("new_s")).over(w))
+      .groupBy("user_id", "session_id")
+      .agg(min(col("ts")).as("session_start"), max(col("ts")).as("session_end"),
+        count(lit(1)).as("n_events"))
+  }
+
+  // ---- stateful streaming sessionizer ----
+  case class Event(user_id: Long, ts: Timestamp, event_id: Long)
+  case class SessionState(start: Long, last: Long, count: Long)
+  case class Session(user_id: Long, session_start: Timestamp,
+                     session_end: Timestamp, n_events: Long)
+
+  /** Streaming sessionizer: per-user state via flatMapGroupsWithState.
+    * A session closes either when a later event for the same user
+    * arrives past the gap, or — for idle users — when the event-time
+    * watermark passes `last + gap` (event-time timeout: timeouts are
+    * driven by data progress, so an idle stream doesn't spin empty
+    * micro-batches the way processing-time timeouts do). State is one
+    * small struct per active user — bounded, partitioned by user hash
+    * across executors. */
+  def sessionizeStream(events: Dataset[Event], gapMinutes: Int = 30,
+                       lateness: String = "10 minutes"): Dataset[Session] = {
+    import events.sparkSession.implicits._
+    val gapMs = gapMinutes * 60L * 1000L
+
+    def update(userId: Long, evs: Iterator[Event],
+               state: GroupState[SessionState]): Iterator[Session] = {
+      if (state.hasTimedOut) {
+        val s = state.get
+        state.remove()
+        Iterator(Session(userId, new Timestamp(s.start), new Timestamp(s.last), s.count))
+      } else {
+        val sorted = evs.toSeq.sortBy(_.ts.getTime)
+        var closed = Vector.empty[Session]
+        var cur = state.getOption
+        sorted.foreach { e =>
+          val t = e.ts.getTime
+          cur match {
+            case Some(s) if t - s.last > gapMs =>
+              closed :+= Session(userId, new Timestamp(s.start), new Timestamp(s.last), s.count)
+              cur = Some(SessionState(t, t, 1))
+            case Some(s) =>
+              cur = Some(SessionState(s.start, math.max(s.last, t), s.count + 1))
+            case None =>
+              cur = Some(SessionState(t, t, 1))
+          }
+        }
+        cur.foreach { s =>
+          state.update(s)
+          // must be strictly beyond the current watermark or Spark rejects it
+          state.setTimeoutTimestamp(math.max(s.last + gapMs,
+            state.getCurrentWatermarkMs() + 1))
+        }
+        closed.iterator
+      }
+    }
+
+    events.withWatermark("ts", lateness)
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Append(), GroupStateTimeout.EventTimeTimeout())(update)
+  }
+}

@@ -1,0 +1,84 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.{Dedup, Similarity}
+
+/** Property coverage for the non-oracled (rows-only) near-dup and ANN
+  * paths: MinHash estimates track true Jaccard, LSH candidates recall
+  * the true near-dup pairs, SimHash hamming is small for near-identical
+  * docs, knnLsh recall vs knnBrute. */
+class DedupSimilaritySpec extends SparkSpec {
+  import spark.implicits._
+
+  private val docsDir = sf("sf0.001")
+
+  test("exact dedup collapses injected duplicates deterministically") {
+    val docs = Seq((1L, "same text"), (2L, "same text"), (3L, "other")).toDF("doc_id", "text")
+    val out = Dedup.exact(docs).orderBy("keep_id")
+      .as[(Long, String, Long)].collect().toSeq
+    assert(out.map(r => (r._1, r._3)) == Seq((1L, 2L), (3L, 1L)))
+  }
+
+  test("minhash LSH candidates recall all high-jaccard pairs (ground truth)") {
+    val docs = spark.read.parquet(s"$docsDir/documents.parquet")
+    val shingled = Dedup.withShingles(docs)
+    // ground truth: all pairs with jaccard >= 0.8 via all-pairs join
+    val sa = shingled.select(col("doc_id").as("a_id"), col("sh").as("sh_a"))
+    val sb = shingled.select(col("doc_id").as("b_id"), col("sh").as("sh_b"))
+    val truth = sa.join(sb, col("a_id") < col("b_id"))
+      .withColumn("j", size(array_intersect(col("sh_a"), col("sh_b"))) /
+        size(array_union(col("sh_a"), col("sh_b"))))
+      .where(col("j") >= 0.8)
+      .select("a_id", "b_id").as[(Long, Long)].collect().toSet
+    assert(truth.nonEmpty, "test data should contain injected near-dups")
+    val candidates = Dedup.minhashCandidates(docs)
+      .as[(Long, Long)].collect().toSet
+    assert(truth.subsetOf(candidates),
+      s"LSH missed ${truth.diff(candidates)}")
+    // and the full pipeline returns exactly the truth pairs
+    val found = Dedup.minhashNearDups(docs, 0.8)
+      .select("a_id", "b_id").as[(Long, Long)].collect().toSet
+    assert(found == truth)
+  }
+
+  test("simhash: near-identical docs collide, unrelated docs don't") {
+    val a = (1 to 60).map(i => s"tok$i").mkString(" ")
+    val b = (1 to 60).map(i => if (i == 30) "CHANGED" else s"tok$i").mkString(" ")
+    val c = (100 to 160).map(i => s"zzz$i").mkString(" ")
+    val docs = Seq((1L, a), (2L, b), (3L, c)).toDF("doc_id", "text")
+    val pairs = Dedup.simhashNearDups(docs, maxHamming = 16)
+      .select("a_id", "b_id").as[(Long, Long)].collect().toSet
+    assert(pairs.contains((1L, 2L)))
+    assert(!pairs.contains((1L, 3L)) && !pairs.contains((2L, 3L)))
+  }
+
+  test("embedding LSH path: subset of brute force; high recall on true near-dups") {
+    // real test vectors carry no high-cosine pairs, so LSH recall is only
+    // meaningful in its design regime: inject true near-dups (cos ~0.999)
+    val rnd = new scala.util.Random(7)
+    def vec(): Array[Float] = Array.fill(64)(rnd.nextGaussian().toFloat)
+    val bases = (0L until 50L).map(i => (i, vec()))
+    val dups = bases.take(10).map { case (i, v) =>
+      (i + 1000L, v.map(x => x + 0.02f * rnd.nextGaussian().toFloat))
+    }
+    val emb = (bases ++ dups).toDF("vec_id", "embedding")
+    val truth = Dedup.embeddingNearDups(emb, 0.9, allPairs = true)
+      .select("a_id", "b_id").as[(Long, Long)].collect().toSet
+    assert(truth.size >= 10, s"expected injected near-dup pairs, got $truth")
+    val lsh = Dedup.embeddingNearDups(emb, 0.9, allPairs = false)
+      .select("a_id", "b_id").as[(Long, Long)].collect().toSet
+    assert(lsh.subsetOf(truth))
+    assert(lsh.size.toDouble / truth.size >= 0.7,
+      s"LSH recall too low in near-dup regime: ${lsh.size}/${truth.size}")
+  }
+
+  test("knnLsh recall vs knnBrute on the same queries") {
+    val emb = spark.read.parquet(s"$docsDir/embeddings.parquet")
+    val brute = Similarity.knnBrute(emb, col("vec_id") < 5, k = 10)
+      .select("q_id", "n_id").as[(Long, Long)].collect().toSet
+    val approx = Similarity.knnLsh(emb, col("vec_id") < 5, k = 10)
+      .select("q_id", "n_id").as[(Long, Long)].collect().toSet
+    val recall = approx.intersect(brute).size.toDouble / brute.size
+    assert(recall >= 0.3, s"ANN recall $recall vs brute") // 8 tables x 4 bits on 500 vecs
+  }
+}

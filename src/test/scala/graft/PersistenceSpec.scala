@@ -1,0 +1,105 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+import graft.sinks.BatchWriter
+import graft.pipeline.{IdempotencyLedger, Pipeline, Retry}
+
+/** BatchWriter strategies (reference tests/unit/test_batch_writer.py),
+  * idempotency ledger (test_idempotency.py), retry (test_retry.py), and
+  * the end-to-end pipeline flow (tests/integration/test_pipeline_flow.py). */
+class PersistenceSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def tmp(): String =
+    Files.createTempDirectory("graft_spec").toString + "/tbl"
+
+  private def base = Seq(
+    (1L, "a", 10.0), (2L, "b", 20.0), (3L, "c", 30.0),
+  ).toDF("k", "name", "v")
+
+  test("INSERT creates, second INSERT fails") {
+    val p = tmp()
+    val st = BatchWriter.write(base, p, BatchWriter.Insert)
+    assert(st.rowsWritten == 3)
+    intercept[Exception] { BatchWriter.write(base, p, BatchWriter.Insert) }
+  }
+
+  test("APPEND adds rows; REPLACE truncates") {
+    val p = tmp()
+    BatchWriter.write(base, p, BatchWriter.Append)
+    val st2 = BatchWriter.write(base, p, BatchWriter.Append)
+    assert(st2.rowsWritten == 6)
+    val st3 = BatchWriter.write(base, p, BatchWriter.Replace)
+    assert(st3.rowsWritten == 3)
+  }
+
+  test("UPSERT: delta wins on key, non-matching rows survive") {
+    val p = tmp()
+    BatchWriter.write(base, p, BatchWriter.Insert)
+    val delta = Seq((2L, "b2", 99.0), (4L, "d", 40.0)).toDF("k", "name", "v")
+    val st = BatchWriter.write(delta, p, BatchWriter.Upsert(Seq("k")))
+    assert(st.rowsWritten == 4)
+    val out = spark.read.parquet(p).orderBy("k")
+      .as[(Long, String, Double)].collect().toSeq
+    assert(out == Seq((1L, "a", 10.0), (2L, "b2", 99.0), (3L, "c", 30.0), (4L, "d", 40.0)))
+  }
+
+  test("UPSERT into empty path behaves as insert") {
+    val p = tmp()
+    val st = BatchWriter.write(base, p, BatchWriter.Upsert(Seq("k")))
+    assert(st.rowsWritten == 3)
+  }
+
+  test("idempotency: key deterministic + order-insensitive, CAS fires once") {
+    val led = new IdempotencyLedger(Files.createTempDirectory("graft_led").toString)
+    val k1 = led.keyFor(Map("a" -> "1", "b" -> "2"))
+    val k2 = led.keyFor(Map("b" -> "2", "a" -> "1"))
+    assert(k1 == k2 && k1.length == 64)
+    assert(led.checkAndSet(k1, "run1"))
+    assert(!led.checkAndSet(k1, "run2"))
+    assert(led.get(k1).contains("run1"))
+    led.clear(k1)
+    assert(led.checkAndSet(k1))
+  }
+
+  test("retry: recovers after transient failures, honors maxAttempts") {
+    var calls = 0
+    val delays = scala.collection.mutable.ArrayBuffer[Long]()
+    val r = Retry.withBackoff(maxAttempts = 4, baseDelayMs = 10, sleep = delays.+=(_)) {
+      calls += 1
+      if (calls < 3) throw new RuntimeException("transient")
+      "ok"
+    }
+    assert(r == "ok" && calls == 3)
+    assert(delays.toSeq == Seq(10L, 20L)) // exponential: base, base*2
+    calls = 0
+    intercept[RuntimeException] {
+      Retry.withBackoff(maxAttempts = 2, baseDelayMs = 1, sleep = _ => ()) {
+        calls += 1; throw new RuntimeException("always")
+      }
+    }
+    assert(calls == 2)
+  }
+
+  test("pipeline e2e: spec runs ingest->config->persist with stats; rerun skips") {
+    val out = tmp()
+    val led = new IdempotencyLedger(Files.createTempDirectory("graft_led2").toString)
+    val spec =
+      s"""{
+         | "ingestion": {"path": "${sf()}/orders.parquet",
+         |   "predicate": "o_orderstatus = 'O'"},
+         | "transformation": [{"type": "config", "config":
+         |   {"aggregations": {"group_by": ["o_orderpriority"],
+         |    "aggregate": {"n": "COUNT(*)"}}}}],
+         | "persistence": {"path": "$out", "strategy": "replace"}
+         |}""".stripMargin
+    val r1 = Pipeline.runJson(spark, spec, Some(led))
+    assert(!r1.skippedIdempotent)
+    assert(r1.writeStats.exists(_.rowsWritten == 5))
+    assert(r1.stats.map(_.stage) == Seq("ingestion", "transformation", "persistence"))
+    val r2 = Pipeline.runJson(spark, spec, Some(led))
+    assert(r2.skippedIdempotent)
+  }
+}

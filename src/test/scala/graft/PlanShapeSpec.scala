@@ -1,0 +1,49 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.execution.SparkPlan
+import graft.sources.Ingestor
+
+/** Scale-shape assertions: the plans the 100 TB story depends on —
+  * pushdown reaching the parquet scan, pruned read schemas, dimension
+  * joins broadcasting — verified on the real query plans, not by eye. */
+class PlanShapeSpec extends SparkSpec {
+
+  private def planString(df: org.apache.spark.sql.DataFrame): String =
+    df.queryExecution.executedPlan.toString
+
+  test("ingest_pushdown: predicate and projection reach the parquet scan") {
+    val df = Ingestor.read(spark, s"${sf("sf0.001")}/lineitem.parquet",
+      columns = Seq("l_orderkey", "l_quantity"),
+      predicate = Some(col("l_quantity") >= 45))
+    val scan = df.queryExecution.executedPlan.collectLeaves().head.toString
+    assert(scan.contains("PushedFilters: [IsNotNull(l_quantity), GreaterThanOrEqual(l_quantity,45.0)]"),
+      s"missing pushed filter in: $scan")
+    assert(scan.contains("ReadSchema: struct<l_orderkey:bigint,l_quantity:double>"),
+      s"unpruned read schema in: $scan")
+  }
+
+  test("q3: filtered dimension joins are broadcast, not shuffled") {
+    val df = queries.Relational.queries("q3_shipping_priority")(spark, sf("sf0.001"))
+    val plan = planString(df)
+    assert(plan.contains("BroadcastHashJoin"), s"no broadcast join in:\n$plan")
+  }
+
+  test("q1: aggregation is partial (map-side) before the shuffle") {
+    val df = queries.Relational.queries("q1_pricing_summary")(spark, sf("sf0.001"))
+    val plan = planString(df)
+    assert(plan.contains("HashAggregate"), plan)
+    // partial + final pair means map-side combine happened
+    assert("HashAggregate".r.findAllIn(plan).size >= 2, plan)
+  }
+
+  test("text analysis stays inside whole-stage codegen") {
+    import org.apache.spark.sql.execution.WholeStageCodegenExec
+    val df = operators.TextAnalysis.qualityScore(
+      spark.read.parquet(s"${sf("sf0.001")}/documents.parquet"))
+    val projInCodegen = df.queryExecution.executedPlan.collect {
+      case w: WholeStageCodegenExec => w.child.toString
+    }.exists(_.contains("Project"))
+    assert(projInCodegen, df.queryExecution.executedPlan.toString)
+  }
+}

@@ -1,0 +1,74 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.{Multimodal, TextAnalysis}
+
+class TextMultimodalSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("token counts on known strings") {
+    val docs = Seq(
+      (1L, "hello world, it's 42 degrees!"),
+      (2L, "   "),
+      (3L, "one-two")).toDF("doc_id", "text")
+    val out = TextAnalysis.tokenCounts(docs)
+      .select("doc_id", "ws_tokens", "bpe_tokens").orderBy("doc_id")
+      .as[(Long, Long, Long)].collect().toSeq
+    // "hello world, it's 42 degrees!": ws=5; bpe = hello|world|,|it|'|s|4|2|degrees|! = 10
+    assert(out(0) == ((1L, 5L, 10L)))
+    assert(out(1) == ((2L, 0L, 0L))) // whitespace-only
+    assert(out(2) == ((3L, 1L, 3L))) // one|-|two
+  }
+
+  test("quality score is bounded and penalises junk") {
+    val docs = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog and it is happy for a while"),
+      (2L, "@@@@ #### $$$$ %%%%")).toDF("doc_id", "text")
+    val out = TextAnalysis.qualityScore(docs)
+      .select("doc_id", "quality_score").orderBy("doc_id")
+      .as[(Long, Double)].collect().toMap
+    assert(out(1L) > out(2L))
+    out.values.foreach(s => assert(s >= 0.0 && s <= 1.0))
+  }
+
+  test("language id picks the stopword-dominant language, CJK wins outright") {
+    val docs = Seq(
+      (1L, "the cat and the dog is in the house"),
+      (2L, "der hund und die katze ist nicht mit der maus"),
+      (3L, "le chat est dans la maison pour le chien"),
+      (4L, "你好世界 some latin too"),
+      (5L, "xyzzy plugh qwerty")).toDF("doc_id", "text")
+    val out = TextAnalysis.languageId(docs)
+      .select("doc_id", "lang_pred").as[(Long, String)].collect().toMap
+    assert(out == Map(1L -> "en", 2L -> "de", 3L -> "fr", 4L -> "zh", 5L -> "unknown"))
+  }
+
+  test("fingerprints: identical text = identical md5 + shingle sig") {
+    val docs = Seq(
+      (1L, "a b c d e f g h"), (2L, "a b c d e f g h"), (3L, "totally different words here now ok"))
+      .toDF("doc_id", "text")
+    val out = TextAnalysis.fingerprints(docs)
+      .select("doc_id", "content_md5", "shingle_sig", "n_shingles")
+      .as[(Long, String, String, Long)].collect().sortBy(_._1)
+    assert(out(0)._2 == out(1)._2 && out(0)._3 == out(1)._3)
+    assert(out(0)._2 != out(2)._2)
+    assert(out(0)._4 == 4L) // 8 tokens -> 4 distinct 5-gram shingles
+  }
+
+  test("multimodal: media schema, deterministic features, frame sampling") {
+    val docs = Seq((6L, "hello world this is binary payload")).toDF("doc_id", "text")
+    val media = Multimodal.withMedia(docs)
+    assert(media.schema("content").dataType.typeName == "binary")
+    val meta = media.select("meta.format", "meta.n_bytes", "meta.width", "meta.height")
+      .as[(String, Long, Long, Long)].head()
+    assert(meta == (("jpeg", 34L, 64L + 6 % 8 * 32, 64L + 48L))) // doc_id=6: 6%3=0, 6%5=1
+    val f1 = Multimodal.extractFeatures(media).collect().head.features.toSeq
+    val f2 = Multimodal.extractFeatures(media).collect().head.features.toSeq
+    assert(f1 == f2 && f1.length == 32)
+    assert(math.abs(f1.sum - 1.0f) < 1e-5, "features normalised by byte count")
+    val frames = Multimodal.sampleFrames(media, frameBytes = 8, stride = 2).collect()
+    // 34 bytes -> frames 0..4; stride 2 keeps 0,2,4
+    assert(frames.map(_.frame_idx).toSeq.sorted == Seq(0, 2, 4))
+    assert(frames.find(_.frame_idx == 4).get.frame.length == 2) // 34 - 32 tail
+  }
+}
