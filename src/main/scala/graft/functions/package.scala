@@ -28,6 +28,17 @@ package object functions {
     * two exact numbers in IEEE double does not.) */
   def davg(c: Column): Column = dsum(c) / count(c)
 
+  // ----------------------------------------------------------- parallelism
+  /** Spread a frame across the session's parallelism iff it arrives in
+    * fewer partitions — the local/small-file case, where a single-row-group
+    * parquet file gives the whole downstream CPU-bound pipeline ONE task.
+    * At 100 TB the scan already has thousands of splits, so this is a
+    * no-op there and never adds a shuffle at scale. */
+  def spread(df: org.apache.spark.sql.DataFrame, key: Column): org.apache.spark.sql.DataFrame = {
+    val target = df.sparkSession.sparkContext.defaultParallelism
+    if (df.rdd.getNumPartitions < target) df.repartition(target, key) else df
+  }
+
   // ------------------------------------------------------------------- text
   /** Lowercase word tokens; `[^a-z0-9]+` keeps the tokenizer identical
     * across regex engines (Java here, RE2 in oracles). */
@@ -112,13 +123,17 @@ package object functions {
 
   // ---------------------------------------------------------------- vectors
   /** Cast a float vector to double (all math in double for cross-engine
-    * reproducibility). */
-  def vecD(c: Column): Column = transform(c, x => x.cast("double"))
+    * reproducibility). Plain Cast, not a transform() lambda — Cast is
+    * codegen'd, higher-order functions are not. */
+  def vecD(c: Column): Column = c.cast("array<double>")
 
-  /** Sequential-fold dot product — same left-to-right order every engine
-    * uses for a simple loop, so results are bit-identical. */
+  /** Dot product as a custom codegen'd Catalyst expression
+    * ([[graft.expressions.DoubleDotProduct]]): a tight primitive loop in
+    * generated code, sequential left-to-right accumulation — bit-identical
+    * to any engine's simple loop, ~50x faster than the interpreted
+    * aggregate(zip_with(...)) HOF chain it replaces. */
   def dotProduct(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, v) => acc + v)
+    graft.expressions.VectorExpressions.dotD(a, b)
 
   def l2Norm(a: Column): Column = sqrt(dotProduct(a, a))
 

@@ -27,10 +27,77 @@ object Dedup {
       .select("keep_id", "fingerprint", "dup_count")
 
   /** Docs + their distinct word-3-gram shingle sets (the unit both
-    * MinHash and exact Jaccard operate on). */
+    * MinHash and exact Jaccard operate on). Spread first: shingle
+    * construction is the CPU-heavy step and must not serialise on a
+    * single input split (see [[graft.functions.spread]]). */
   def withShingles(docs: DataFrame, n: Int = 3, idCol: String = "doc_id",
                    textCol: String = "text"): DataFrame =
-    docs.select(col(idCol), shingles(wordTokens(col(textCol)), n).as("sh"))
+    spread(docs, col(idCol))
+      .select(col(idCol), shingles(wordTokens(col(textCol)), n).as("sh"))
+
+  /** Stable 64-bit FNV-1a over a shingle's tokens (separator byte between
+    * tokens). Pure JVM arithmetic: deterministic across runs/executors. */
+  private[operators] def fnv1a(tokens: Array[String], from: Int, n: Int): Long = {
+    var h = -3750763034362895579L // FNV-1a 64 offset basis
+    var t = from
+    while (t < from + n) {
+      val s = tokens(t)
+      var i = 0
+      while (i < s.length) { h = (h ^ s.charAt(i)) * 1099511628211L; i += 1 }
+      h = (h ^ 0x1f) * 1099511628211L // token separator
+      t += 1
+    }
+    h
+  }
+
+  /** (id, shash: array<long>) — each doc's DISTINCT word-n-gram shingle
+    * set as sorted 64-bit hashes, built in one typed mapPartitions pass.
+    *
+    * Why not column expressions: shingle construction via
+    * transform(slice/concat_ws) lambdas is CodegenFallback — interpreted
+    * eval cost ~58µs/shingle dominated every near-dup operator (72
+    * core-seconds just to shingle 5k docs). The tight Scala loop here is
+    * ~500x cheaper and still fully distributed. Set SIZES are invariant
+    * under the (injective modulo ~2^-64 collisions) hash, so Jaccard on
+    * hash sets equals Jaccard on string sets — which is what the
+    * ground-truth oracle computes. Tokenization mirrors
+    * [[graft.functions.wordTokens]]: lowercase, split [^a-z0-9]+, drop
+    * empties. */
+  def shingleHashSets(docs: DataFrame, n: Int = 3, idCol: String = "doc_id",
+                      textCol: String = "text"): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    spread(docs, col(idCol)).select(col(idCol), col(textCol)).as[(Long, String)]
+      .mapPartitions { it =>
+        it.map { case (id, text) =>
+          val toks = text.toLowerCase(java.util.Locale.ROOT)
+            .split("[^a-z0-9]+").filter(_.nonEmpty)
+          val set = new scala.collection.mutable.HashSet[Long]
+          var i = 0
+          while (i + n <= toks.length) { set += fnv1a(toks, i, n); i += 1 }
+          (id, set.toArray.sorted)
+        }
+      }.toDF(idCol, "shash")
+  }
+
+  /** One row per (doc, shingle hash). */
+  private def shingleRows(docs: DataFrame, n: Int = 3, idCol: String = "doc_id",
+                          textCol: String = "text"): DataFrame =
+    shingleHashSets(docs, n, idCol, textCol)
+      .select(col(idCol), explode(col("shash")).as("h64"))
+
+  /** MinHash signature as k min-aggregate columns `mh_0..mh_{k-1}` per
+    * doc. 31-bit base hash x 31-bit affine coefficients mod 2^31-1 (see
+    * [[graft.functions.minhashSignature]] for why the mod is essential). */
+  def minhashSignatureTable(docs: DataFrame, k: Int = 128,
+                            idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    val hashed = shingleRows(docs, 3, idCol, textCol)
+      .select(col(idCol), col("h64").bitwiseAND(lit(0x7FFFFFFFL)).as("h"))
+    val mins = minhashCoeffs(k).zipWithIndex.map { case ((a, b), i) =>
+      min(pmod(col("h") * lit(a) + lit(b), lit(minhashPrime))).as(s"mh_$i")
+    }
+    hashed.groupBy(idCol).agg(mins.head, mins.tail.toIndexedSeq: _*)
+  }
 
   /** MinHash+LSH candidate pairs: signature of `k` hashes cut into
     * `bands` bands; documents sharing any band bucket pair up. Returns
@@ -43,24 +110,28 @@ object Dedup {
   def minhashCandidates(docs: DataFrame, k: Int = 128, bands: Int = 32,
                         idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
     val rows = k / bands
-    val sigs = withShingles(docs, 3, idCol, textCol)
-      .withColumn("base", minhashBase(col("sh")))
-      .withColumn("sig", minhashSignature(col("base"), k))
-      .select(col(idCol).as("id"), explode(minhashBands(col("sig"), bands, rows)).as("bucket"))
-    val a = sigs.as("a")
-    val b = sigs.as("b")
+    val sig = minhashSignatureTable(docs, k, idCol, textCol)
+    val bandCols = (0 until bands).map { bnd =>
+      hash(lit(bnd) +: (0 until rows).map(r => col(s"mh_${bnd * rows + r}")): _*)
+    }
+    val buckets = sig.select(col(idCol).as("id"),
+      explode(array(bandCols: _*)).as("bucket"))
+    val a = buckets.as("a")
+    val b = buckets.as("b")
     a.join(b, col("a.bucket") === col("b.bucket") && col("a.id") < col("b.id"))
       .select(col("a.id").as("a_id"), col("b.id").as("b_id"))
       .distinct()
   }
 
   /** Exact n-gram Jaccard verification over candidate pairs
-    * ((a_id, b_id) columns): joins the shingle sets back and computes
-    * |A∩B| / |A∪B|, rounded for cross-engine determinism. */
+    * ((a_id, b_id) columns): joins the shingle-hash sets back and
+    * computes |A∩B| / |A∪B| (set sizes are hash-invariant, so this
+    * equals the string-set Jaccard the ground-truth oracle computes),
+    * rounded for cross-engine determinism. */
   def jaccardVerify(candidates: DataFrame, shingled: DataFrame,
                     threshold: Double): DataFrame = {
-    val sa = shingled.select(col("doc_id").as("a_id"), col("sh").as("sh_a"))
-    val sb = shingled.select(col("doc_id").as("b_id"), col("sh").as("sh_b"))
+    val sa = shingled.select(col("doc_id").as("a_id"), col("shash").as("sh_a"))
+    val sb = shingled.select(col("doc_id").as("b_id"), col("shash").as("sh_b"))
     candidates
       .join(sa, "a_id").join(sb, "b_id")
       .withColumn("jaccard", round(
@@ -73,17 +144,27 @@ object Dedup {
   /** Full near-dup pipeline: LSH candidates -> exact Jaccard filter. */
   def minhashNearDups(docs: DataFrame, threshold: Double = 0.8,
                       k: Int = 128, bands: Int = 32): DataFrame =
-    jaccardVerify(minhashCandidates(docs, k, bands), withShingles(docs), threshold)
+    jaccardVerify(minhashCandidates(docs, k, bands), shingleHashSets(docs), threshold)
 
-  /** SimHash fingerprints (64-bit, over word-3-gram hashes). */
+  /** SimHash fingerprints (63-bit, over word-3-gram hashes): per-bit
+    * majority vote computed as 63 SUM aggregates over the exploded
+    * shingle hashes (codegen'd, map-side combined), folded to one long
+    * in a single projection. Full 64-bit element hashes (unlike the
+    * 31-bit minhash base): the vote samples bits 0..62. */
   def simhashed(docs: DataFrame, idCol: String = "doc_id",
-                textCol: String = "text"): DataFrame =
-    withShingles(docs, 3, idCol, textCol)
-      // full 64-bit hashes here (unlike the 31-bit minhash base): the
-      // simhash vote samples bits 0..62 of each element hash
-      .withColumn("base", transform(col("sh"), s => xxhash64(s)))
-      .withColumn("simhash", simhash64("base"))
-      .select(col(idCol), col("simhash"))
+                textCol: String = "text"): DataFrame = {
+    val hashed = shingleRows(docs, 3, idCol, textCol)
+      .select(col(idCol), col("h64").as("h"))
+    val votes = (0 until 63).map { b =>
+      sum(when(shiftright(col("h"), b).bitwiseAND(lit(1L)) === 1L, 1L).otherwise(-1L))
+        .as(s"bit_$b")
+    }
+    val fold = (0 until 63).map { b =>
+      when(col(s"bit_$b") >= 0, lit(1L << b)).otherwise(lit(0L))
+    }.reduce(_ + _)
+    hashed.groupBy(idCol).agg(votes.head, votes.tail: _*)
+      .select(col(idCol), fold.as("simhash"))
+  }
 
   /** SimHash near-dup candidates: 4 blocks of 16 bits; a pair differing
     * in ≤ maxHamming bits must agree on ≥1 whole block when
@@ -114,8 +195,7 @@ object Dedup {
     * the comparisons. */
   def embeddingNearDups(emb: DataFrame, threshold: Double,
                         allPairs: Boolean = true): DataFrame = {
-    val e = emb.select(col("vec_id"), vecD(col("embedding")).as("v"))
-      .withColumn("norm", l2Norm(col("v")))
+    val e = Similarity.prepared(emb)
     val aSide = e.select(col("vec_id").as("a_id"), col("v").as("av"), col("norm").as("anorm"))
     val bSide = e.select(col("vec_id").as("b_id"), col("v").as("bv"), col("norm").as("bnorm"))
     val pairs =

@@ -20,7 +20,8 @@ object Similarity {
   /** Normalise to (vec_id, v: array<double>, norm). */
   def prepared(emb: DataFrame, idCol: String = "vec_id",
                vecCol: String = "embedding"): DataFrame =
-    emb.select(col(idCol).as("vec_id"), vecD(col(vecCol)).as("v"))
+    spread(emb, col(idCol))
+      .select(col(idCol).as("vec_id"), vecD(col(vecCol)).as("v"))
       .withColumn("norm", l2Norm(col("v")))
 
   /** Brute-force cosine top-k for the query rows selected by `isQuery`.

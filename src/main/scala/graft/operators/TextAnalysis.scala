@@ -82,11 +82,18 @@ object TextAnalysis {
 
   /** Content fingerprints: exact (md5 of the raw text) and structural
     * (min-md5 over distinct word 5-gram shingles — a 1-permutation
-    * MinHash, stable under whitespace/reordering-free edits). */
+    * MinHash, stable under whitespace/reordering-free edits).
+    * Explode + min/count aggregation instead of per-row md5 lambdas:
+    * the md5 runs codegen'd per exploded row, and the aggregation
+    * combines map-side. Returns (doc_id, content_md5, shingle_sig,
+    * n_shingles); explode_outer keeps shingle-less docs (null sig). */
   def fingerprints(docs: DataFrame, textCol: String = "text"): DataFrame = {
     val sh = shingles(wordTokens(col(textCol)), 5)
-    docs.withColumn("content_md5", md5(col(textCol)))
-      .withColumn("shingle_sig", array_min(transform(sh, s => md5(s))))
-      .withColumn("n_shingles", size(sh).cast("long"))
+    spread(docs, col("doc_id"))
+      .select(col("doc_id"), md5(col(textCol)).as("content_md5"),
+        explode_outer(sh).as("s"))
+      .groupBy("doc_id", "content_md5")
+      .agg(min(md5(col("s"))).as("shingle_sig"),
+        count(col("s")).as("n_shingles"))
   }
 }
