@@ -1,0 +1,29 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.sources.Ingestor
+
+class IngestorSpec extends SparkSpec {
+
+  test("table loader reads every standard table; events gets µs timestamps") {
+    Ingestor.tableNames.foreach { n =>
+      val df = Ingestor.table(spark, sf(), n)
+      assert(df.count() > 0, s"$n empty")
+    }
+    val events = Ingestor.table(spark, sf(), "events")
+    assert(events.schema("ts").dataType.typeName == "timestamp")
+  }
+
+  test("readChunked controls split size and optional key bucketing") {
+    val df = Ingestor.readChunked(spark, s"${sf()}/orders.parquet",
+      maxPartitionBytes = 1024 * 1024,
+      bucketBy = Some((col("o_custkey"), 6)))
+    assert(df.rdd.getNumPartitions == 6)
+    assert(df.count() == 1500)
+    // same key lands in the same partition (co-location contract)
+    val parts = df.select(col("o_custkey"), spark_partition_id().as("p"))
+      .groupBy("o_custkey").agg(countDistinct(col("p")).as("n"))
+      .agg(max(col("n"))).head().getLong(0)
+    assert(parts == 1L)
+  }
+}

@@ -29,6 +29,13 @@ class PlanShapeSpec extends SparkSpec {
     assert(plan.contains("BroadcastHashJoin"), s"no broadcast join in:\n$plan")
   }
 
+  test("q5: all five dimension joins broadcast; no shuffle join on lineitem") {
+    val df = queries.Relational.queries("q5_local_supplier")(spark, sf("sf0.001"))
+    val plan = planString(df)
+    assert("BroadcastHashJoin".r.findAllIn(plan).size >= 4, s"expected broadcast star joins in:\n$plan")
+    assert(!plan.contains("SortMergeJoin"), s"fact table should not sort-merge:\n$plan")
+  }
+
   test("q1: aggregation is partial (map-side) before the shuffle") {
     val df = queries.Relational.queries("q1_pricing_summary")(spark, sf("sf0.001"))
     val plan = planString(df)
