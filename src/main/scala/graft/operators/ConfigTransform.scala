@@ -219,6 +219,17 @@ class ConfigRegistry {
   def register(id: String, version: Int, json: String): Unit =
     configs((id, version)) = JsonMethods.parse(json)
 
+  /** Derive version `toVersion` from an existing one by structural
+    * transformation (reference `migrate_config`, config_transformer.py:484
+    * — e.g. renaming a verb key or tightening a filter across a fleet of
+    * registered pipelines without re-authoring them). */
+  def migrate(id: String, fromVersion: Int, toVersion: Int)
+             (f: JValue => JValue): Unit = {
+    val base = configs.getOrElse((id, fromVersion),
+      throw new NoSuchElementException(s"no config $id v$fromVersion"))
+    configs((id, toVersion)) = f(base)
+  }
+
   def get(id: String, version: Int): Option[ConfigTransform] =
     configs.get((id, version)).map(new ConfigTransform(_))
 

@@ -1,20 +1,26 @@
 package graft.pipeline
 
 import java.nio.charset.StandardCharsets
-import java.nio.file.{Files, Path, Paths, StandardOpenOption}
 import java.security.MessageDigest
+
+import org.apache.hadoop.conf.Configuration
+import org.apache.hadoop.fs.{FileAlreadyExistsException, FileSystem, Path}
 
 /** Idempotent pipeline runs: SHA-256 key from a canonicalised payload +
   * a file-ledger check-and-set.
   *
   * Reference: src/pipeline/utils/idempotency.py:84 (`generate_key`),
   * :111-115 (SHA-256 over sorted payload), :223 (`check_and_set` via
-  * Redis SET NX). The Spark-native analogue of Redis SET NX is an atomic
-  * ledger-file create (CREATE_NEW) on shared storage — same
-  * compare-and-set semantics, no extra service. */
-class IdempotencyLedger(dir: String) {
-  private val root: Path = Paths.get(dir)
-  Files.createDirectories(root)
+  * Redis SET NX). The cluster-scale analogue of Redis SET NX is an
+  * exclusive ledger-file create on shared storage, which is why this
+  * speaks the Hadoop FileSystem API: point `dir` at `hdfs://...` and
+  * create-exclusive is atomic across a 1000-executor cluster's drivers;
+  * a bare local path gives the same semantics on one machine. (On
+  * eventually-consistent object stores use a real lock service instead.) */
+class IdempotencyLedger(dir: String, hadoopConf: Configuration = new Configuration()) {
+  private val root = new Path(dir)
+  private val fs: FileSystem = root.getFileSystem(hadoopConf)
+  fs.mkdirs(root)
 
   /** Deterministic key: SHA-256 over "k=v" pairs sorted by key
     * (reference canonicalises with sorted json, idempotency.py:111). */
@@ -33,18 +39,31 @@ class IdempotencyLedger(dir: String) {
     * `check_and_set`, idempotency.py:223). */
   def checkAndSet(key: String, value: String = ""): Boolean =
     try {
-      Files.write(root.resolve(key), value.getBytes(StandardCharsets.UTF_8),
-        StandardOpenOption.CREATE_NEW)
+      val out = fs.create(new Path(root, key), false) // overwrite=false -> exclusive
+      try out.write(value.getBytes(StandardCharsets.UTF_8))
+      finally out.close()
       true
     } catch {
-      case _: java.nio.file.FileAlreadyExistsException => false
+      case _: FileAlreadyExistsException => false
+      case _: org.apache.hadoop.fs.PathExistsException => false
+      case e: java.io.IOException if e.getMessage != null &&
+        e.getMessage.contains("already exists") => false
     }
 
-  def isSet(key: String): Boolean = Files.exists(root.resolve(key))
+  def isSet(key: String): Boolean = fs.exists(new Path(root, key))
 
-  def get(key: String): Option[String] =
-    if (isSet(key)) Some(new String(Files.readAllBytes(root.resolve(key)), StandardCharsets.UTF_8))
-    else None
+  def get(key: String): Option[String] = {
+    val p = new Path(root, key)
+    if (!fs.exists(p)) None
+    else {
+      val in = fs.open(p)
+      try {
+        val bytes = new java.io.ByteArrayOutputStream()
+        org.apache.hadoop.io.IOUtils.copyBytes(in, bytes, 4096, false)
+        Some(new String(bytes.toByteArray, StandardCharsets.UTF_8))
+      } finally in.close()
+    }
+  }
 
-  def clear(key: String): Unit = Files.deleteIfExists(root.resolve(key))
+  def clear(key: String): Unit = fs.delete(new Path(root, key), false)
 }

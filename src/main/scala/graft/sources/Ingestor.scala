@@ -62,6 +62,14 @@ object Ingestor {
     df
   }
 
+  /** Table introspection (reference `get_table_info`,
+    * batch_ingestor.py:375): column names/types/nullability plus row
+    * count, straight from parquet metadata + one count job. */
+  def describeTable(spark: SparkSession, path: String): (StructType, Long) = {
+    val df = spark.read.parquet(path)
+    (df.schema, df.count())
+  }
+
   /** Chunked-read semantics (reference `ingest_batches`, batch_ingestor.py:102):
     * in Spark a scan is already chunked by file splits; this controls the
     * split size so each task's chunk fits executor memory, and optionally

@@ -96,4 +96,17 @@ class ConfigTransformSpec extends SparkSpec {
     assert(reg.latest("t1").get(people).columns.toSeq == Seq("id", "name"))
     assert(reg.get("t1", 1).get(people).columns.toSeq == Seq("id"))
   }
+
+  test("config migration derives a new version structurally") {
+    import org.json4s._
+    val reg = new ConfigRegistry
+    reg.register("t2", 1, """{"filter": {"age": {">": 28}}}""")
+    reg.migrate("t2", 1, 2) { cfg =>
+      cfg merge JObject("select" -> JArray(List(JString("id"), JString("age"))))
+    }
+    val out = reg.get("t2", 2).get(people)
+    assert(out.columns.toSeq == Seq("id", "age"))
+    assert(out.count() == 2)
+    intercept[NoSuchElementException] { reg.migrate("ghost", 1, 2)(identity) }
+  }
 }
