@@ -1,0 +1,24 @@
+package graft
+
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
+import graft.expressions.DoubleDotProduct
+
+/** Session extension installing graft's native expressions into the SQL
+  * function registry, so `spark.sql("SELECT double_dot_product(a, b)")`
+  * works next to the built-ins. Enable with
+  * `.config("spark.sql.extensions", "graft.GraftExtensions")` or
+  * `Sessions.local()` — the Column API (`functions.dotProduct`) does not
+  * need it. */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(ext: SparkSessionExtensions): Unit = {
+    ext.injectFunction((
+      FunctionIdentifier("double_dot_product"),
+      new ExpressionInfo(classOf[DoubleDotProduct].getName, "double_dot_product"),
+      (args: Seq[Expression]) => {
+        require(args.length == 2, "double_dot_product(arrayA, arrayB) takes 2 arguments")
+        DoubleDotProduct(args.head, args(1))
+      }))
+  }
+}

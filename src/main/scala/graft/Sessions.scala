@@ -46,6 +46,7 @@ object Sessions {
       .master(s"local[$cores]")
       .appName(appName)
       .config("spark.sql.shuffle.partitions", cores.toString)
+      .config("spark.sql.extensions", "graft.GraftExtensions")
       .config("spark.ui.enabled", "false")
     tuning.foreach { case (k, v) => b.config(k, v) }
     tune(b.getOrCreate())

@@ -141,10 +141,33 @@ object Dedup {
       .select("a_id", "b_id", "jaccard")
   }
 
-  /** Full near-dup pipeline: LSH candidates -> exact Jaccard filter. */
+  /** Full near-dup pipeline: LSH candidates -> exact Jaccard filter.
+    * The shingle-set table is built once and feeds both the signature
+    * aggregation and the verify joins (plan-level reuse of the
+    * mapPartitions stage instead of three recomputations). */
   def minhashNearDups(docs: DataFrame, threshold: Double = 0.8,
-                      k: Int = 128, bands: Int = 32): DataFrame =
-    jaccardVerify(minhashCandidates(docs, k, bands), shingleHashSets(docs), threshold)
+                      k: Int = 128, bands: Int = 32): DataFrame = {
+    val sets = shingleHashSets(docs)
+    val rows = sets.select(col("doc_id"), explode(col("shash")).as("h64"))
+    val hashed = rows.select(col("doc_id"),
+      col("h64").bitwiseAND(lit(0x7FFFFFFFL)).as("h"))
+    val mins = minhashCoeffs(k).zipWithIndex.map { case ((a, b), i) =>
+      min(pmod(col("h") * lit(a) + lit(b), lit(minhashPrime))).as(s"mh_$i")
+    }
+    val sig = hashed.groupBy("doc_id").agg(mins.head, mins.tail.toIndexedSeq: _*)
+    val rowsPerBand = k / bands
+    val bandCols = (0 until bands).map { bnd =>
+      hash(lit(bnd) +: (0 until rowsPerBand).map(r => col(s"mh_${bnd * rowsPerBand + r}")): _*)
+    }
+    val buckets = sig.select(col("doc_id").as("id"),
+      explode(array(bandCols: _*)).as("bucket"))
+    val cand = buckets.as("a")
+      .join(buckets.as("b"),
+        col("a.bucket") === col("b.bucket") && col("a.id") < col("b.id"))
+      .select(col("a.id").as("a_id"), col("b.id").as("b_id"))
+      .distinct()
+    jaccardVerify(cand, sets, threshold)
+  }
 
   /** SimHash fingerprints (63-bit, over word-3-gram hashes): per-bit
     * majority vote computed as 63 SUM aggregates over the exploded

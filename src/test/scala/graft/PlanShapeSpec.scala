@@ -44,6 +44,15 @@ class PlanShapeSpec extends SparkSpec {
     assert("HashAggregate".r.findAllIn(plan).size >= 2, plan)
   }
 
+  test("double_dot_product registered as a SQL function via extensions") {
+    import spark.implicits._
+    Seq((Array(1.0, 2.0, 3.0), Array(4.0, 5.0, 6.0))).toDF("a", "b")
+      .createOrReplaceTempView("vec_pair")
+    val r = spark.sql("SELECT double_dot_product(a, b) AS d FROM vec_pair")
+      .as[Double].head()
+    assert(r == 32.0)
+  }
+
   test("text analysis stays inside whole-stage codegen") {
     import org.apache.spark.sql.execution.WholeStageCodegenExec
     val df = operators.TextAnalysis.qualityScore(
