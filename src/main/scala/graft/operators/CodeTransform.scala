@@ -25,9 +25,18 @@ class CodeTransform {
   def transformChain(df: DataFrame, fns: Seq[Fn]): DataFrame =
     fns.foldLeft(df)((acc, fn) => fn(acc))
 
+  private val history = mutable.ArrayBuffer[(String, Int, String)]()
+
   // ---- versioned registry (reference code_transformer.py:236) ----
-  def register(name: String, version: Int, fn: Fn): Unit =
+  def register(name: String, version: Int, fn: Fn, description: String = ""): Unit = {
     registry((name, version)) = fn
+    history += ((name, version, description))
+  }
+
+  /** Registration history, oldest first (reference
+    * `get_transformation_history`). */
+  def transformationHistory(name: String): Seq[(Int, String)] =
+    history.collect { case (n, v, d) if n == name => (v, d) }.toSeq
 
   def get(name: String, version: Int): Option[Fn] = registry.get((name, version))
 

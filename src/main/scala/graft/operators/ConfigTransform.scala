@@ -38,6 +38,12 @@ object ConfigTransform {
   def fromJson(json: String): ConfigTransform =
     new ConfigTransform(JsonMethods.parse(json))
 
+  /** Load a config from a JSON file (reference accepts dict | str | Path,
+    * config_transformer.py `_load_config`). */
+  def fromFile(path: String): ConfigTransform =
+    fromJson(new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(path)), java.nio.charset.StandardCharsets.UTF_8))
+
   private[operators] def jvalueToAny(v: JValue): Any = v match {
     case JInt(i)     => i.toLong
     case JLong(i)    => i

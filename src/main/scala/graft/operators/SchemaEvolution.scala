@@ -70,6 +70,26 @@ object SchemaEvolution {
     df.select(declaredCols ++ extraCols: _*)
   }
 
+  /** Structural diff between two schema versions (reference
+    * `compare_schemas`, schema_validator.py): added / removed / changed
+    * columns — the inputs to an evolution or migration decision. */
+  case class SchemaDiff(added: Seq[String], removed: Seq[String],
+                        changed: Seq[(String, String, String)])
+
+  def compareSchemas(from: Seq[ColumnSpec], to: Seq[ColumnSpec]): SchemaDiff = {
+    val f = from.map(s => s.name -> s).toMap
+    val t = to.map(s => s.name -> s).toMap
+    SchemaDiff(
+      added = to.map(_.name).filterNot(f.contains),
+      removed = from.map(_.name).filterNot(t.contains),
+      changed = to.flatMap { s =>
+        f.get(s.name).collect {
+          case old if old.dataType != s.dataType =>
+            (s.name, old.dataType.simpleString, s.dataType.simpleString)
+        }
+      })
+  }
+
   /** validate-then-coerce, the reference's `validate(..., strict=False)`
     * path: coerce what can be coerced, raise only on non-nullable
     * declared columns that are entirely absent with no default. */

@@ -16,12 +16,22 @@ import scala.collection.mutable
   */
 class SqlTransform(spark: SparkSession) {
   private val registry = mutable.Map[(String, Int), String]()
+  private val history = mutable.ArrayBuffer[(String, Int, String)]()
 
   /** Stage `df` as `viewName` (default `input_data`, matching the
     * reference's staging table) and run `sql` against it. */
   def transform(df: DataFrame, sql: String, viewName: String = "input_data"): DataFrame = {
     df.createOrReplaceTempView(viewName)
     spark.sql(sql)
+  }
+
+  /** Parameterized variant (reference `transform(query, parameters=...)`,
+    * sql_transformer.py): named parameters bind through Spark's native
+    * parameterized SQL — no string interpolation, no injection surface. */
+  def transformParams(df: DataFrame, sql: String, params: Map[String, Any],
+                      viewName: String = "input_data"): DataFrame = {
+    df.createOrReplaceTempView(viewName)
+    spark.sql(sql, params)
   }
 
   /** Stage several inputs at once (multi-table SQL). */
@@ -31,8 +41,16 @@ class SqlTransform(spark: SparkSession) {
   }
 
   // ---- versioned query registry (reference sql_transformer.py:218) ----
-  def registerQueryVersion(queryId: String, version: Int, sql: String): Unit =
+  def registerQueryVersion(queryId: String, version: Int, sql: String,
+                           description: String = ""): Unit = {
     registry((queryId, version)) = sql
+    history += ((queryId, version, description))
+  }
+
+  /** Registration history, oldest first (reference
+    * `get_transformation_history`). */
+  def transformationHistory(queryId: String): Seq[(Int, String)] =
+    history.collect { case (id, v, d) if id == queryId => (v, d) }.toSeq
 
   def getQuery(queryId: String, version: Int): Option[String] =
     registry.get((queryId, version))

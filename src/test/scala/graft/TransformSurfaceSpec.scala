@@ -1,0 +1,65 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import graft.operators._
+import graft.operators.SchemaEvolution.ColumnSpec
+
+/** Coverage mirroring the reference's remaining unit surface
+  * (tests/unit/test_sql_transformer.py, test_code_transformer.py,
+  * test_schema_validator.py `compare_schemas`, config-from-file,
+  * empty-input behavior). */
+class TransformSurfaceSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def people = Seq((1L, "alice", 30), (2L, "bob", 25)).toDF("id", "name", "age")
+
+  test("sql transform with named parameters") {
+    val st = new SqlTransform(spark)
+    val out = st.transformParams(people,
+      "SELECT id, name FROM input_data WHERE age > :min_age",
+      Map("min_age" -> 26))
+    assert(out.as[(Long, String)].collect().toSeq == Seq((1L, "alice")))
+  }
+
+  test("sql/code registries keep transformation history") {
+    val st = new SqlTransform(spark)
+    st.registerQueryVersion("q", 1, "SELECT 1", "initial")
+    st.registerQueryVersion("q", 2, "SELECT 2", "fixed bug")
+    assert(st.transformationHistory("q") == Seq((1, "initial"), (2, "fixed bug")))
+    val ct = new CodeTransform
+    ct.register("f", 1, identity, "v1")
+    assert(ct.transformationHistory("f") == Seq((1, "v1")))
+  }
+
+  test("config transform loads from a JSON file") {
+    val p = Files.createTempFile("graft_cfg", ".json")
+    Files.writeString(p, """{"select": ["id"]}""")
+    val out = ConfigTransform.fromFile(p.toString)(people)
+    assert(out.columns.toSeq == Seq("id"))
+  }
+
+  test("compare_schemas reports added/removed/changed") {
+    val v1 = Seq(ColumnSpec("id", LongType), ColumnSpec("name", StringType),
+      ColumnSpec("age", IntegerType))
+    val v2 = Seq(ColumnSpec("id", LongType), ColumnSpec("age", LongType),
+      ColumnSpec("tier", StringType))
+    val d = SchemaEvolution.compareSchemas(v1, v2)
+    assert(d.added == Seq("tier"))
+    assert(d.removed == Seq("name"))
+    assert(d.changed == Seq(("age", "int", "bigint")))
+  }
+
+  test("empty input flows through config/sql/code transforms") {
+    val empty = people.where(lit(false))
+    val cfg = ConfigTransform.fromJson(
+      """{"filter": {"age": {">": 0}}, "add_columns": {"x": "age * 2"}}""")(empty)
+    assert(cfg.count() == 0 && cfg.columns.contains("x"))
+    val sql = new SqlTransform(spark).transform(empty, "SELECT id FROM input_data")
+    assert(sql.count() == 0)
+    val code = new CodeTransform().transform(empty, df => df.select("id"))
+    assert(code.count() == 0)
+  }
+}
