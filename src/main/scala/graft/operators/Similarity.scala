@@ -58,6 +58,72 @@ object Similarity {
       posexplode(array(bucketCols: _*)).as(Seq("table_idx", "bucket")))
   }
 
+  /** IVF coarse quantizer: k centroids trained by a few Lloyd iterations
+    * executed as DataFrame aggregations (assign = argmax cosine against
+    * broadcast centroid literals; update = per-cluster per-dimension
+    * mean via posexplode + groupBy). Only the k x dim centroid matrix
+    * ever reaches the driver — the corpus itself stays distributed, so
+    * training scales to any corpus size. Deterministic: seeded by vec_id
+    * ordering, no RNG. */
+  def trainIvfCentroids(e: DataFrame, k: Int = 16, iterations: Int = 3,
+                        dim: Int = 64): Seq[Array[Double]] = {
+    import e.sparkSession.implicits._
+    // init: k evenly-spaced (by id rank) vectors — deterministic seeding
+    var centroids: Seq[Array[Double]] = e
+      .withColumn("rk", expr(s"ntile($k) OVER (ORDER BY vec_id)"))
+      .groupBy("rk").agg(first(col("v")).as("v"))
+      .orderBy("rk").select("v").as[Array[Double]].collect().toSeq
+    (0 until iterations).foreach { _ =>
+      val assigned = assignToCentroid(e, centroids)
+      val updated = assigned
+        .select(col("centroid_id"), posexplode(col("v")).as(Seq("d", "x")))
+        .groupBy("centroid_id", "d").agg(avg(col("x")).as("m"))
+        .groupBy("centroid_id").agg(array_sort(collect_list(struct(col("d"), col("m")))).as("dm"))
+        .select(col("centroid_id"), transform(col("dm"), s => s.getField("m")).as("c"))
+        .as[(Int, Array[Double])].collect().toMap
+      centroids = centroids.indices.map(i => updated.getOrElse(i, centroids(i)))
+    }
+    centroids
+  }
+
+  /** Nearest (or top-`nprobe`) centroid assignment via a greatest-of-k
+    * expression over broadcast centroid literals. */
+  private def centroidScores(vecCol: Column, centroids: Seq[Array[Double]]): Column =
+    array(centroids.zipWithIndex.map { case (c, i) =>
+      struct(dotProduct(vecCol, typedlit(c)).as("score"), lit(i).as("centroid_id"))
+    }: _*)
+
+  def assignToCentroid(e: DataFrame, centroids: Seq[Array[Double]]): DataFrame =
+    e.withColumn("centroid_id",
+      sort_array(centroidScores(col("v"), centroids), asc = false)
+        .getItem(0).getField("centroid_id"))
+
+  /** IVF ANN top-k: corpus partitioned into centroid cells; each query
+    * probes its `nprobe` nearest cells and brute-forces only those.
+    * Expected candidate fraction ~ nprobe/k of the corpus — at 100 TB
+    * the cell assignment is one narrow pass and the search joins
+    * hash-partition on centroid_id, so cost tracks cell occupancy. */
+  def knnIvf(emb: DataFrame, isQuery: Column, k: Int = 10,
+             centroidsK: Int = 16, nprobe: Int = 4): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val e = prepared(emb)
+    val centroids = trainIvfCentroids(e, centroidsK)
+    val corpus = assignToCentroid(e, centroids)
+    val probes = e.where(isQuery)
+      .withColumn("probe",
+        explode(slice(sort_array(centroidScores(col("v"), centroids), asc = false), 1, nprobe)))
+      .select(col("vec_id").as("q_id"), col("v").as("qv"), col("norm").as("qnorm"),
+        col("probe.centroid_id").as("centroid_id"))
+    val scored = probes.join(corpus, "centroid_id")
+      .where(col("q_id") =!= col("vec_id"))
+      .withColumn("cos_sim", round(
+        cosineWithNorms(dotProduct(col("qv"), col("v")), col("qnorm"), col("norm")), 6))
+    val w = Window.partitionBy("q_id").orderBy(col("cos_sim").desc, col("vec_id"))
+    scored.withColumn("rank", row_number().over(w).cast("long"))
+      .where(col("rank") <= k)
+      .select(col("q_id"), col("vec_id").as("n_id"), col("rank"), col("cos_sim"))
+  }
+
   /** LSH-bucketed approximate top-k: candidates = corpus vectors sharing
     * any (table, bucket) with the query; exact cosine re-rank within the
     * candidate set. Recall is tunable via tables × bits (more tables =

@@ -72,6 +72,18 @@ class DedupSimilaritySpec extends SparkSpec {
       s"LSH recall too low in near-dup regime: ${lsh.size}/${truth.size}")
   }
 
+  test("knnIvf recall vs knnBrute; candidates bounded by probed cells") {
+    val emb = spark.read.parquet(s"$docsDir/embeddings.parquet")
+    val brute = Similarity.knnBrute(emb, col("vec_id") < 5, k = 10)
+      .select("q_id", "n_id").as[(Long, Long)].collect().toSet
+    val ivf = Similarity.knnIvf(emb, col("vec_id") < 5, k = 10,
+      centroidsK = 8, nprobe = 4)
+      .select("q_id", "n_id").as[(Long, Long)].collect().toSet
+    val recall = ivf.intersect(brute).size.toDouble / brute.size
+    assert(recall >= 0.5, s"IVF recall $recall vs brute") // nprobe/k = half the cells
+    assert(ivf.size == brute.size) // still returns full top-k per query
+  }
+
   test("knnLsh recall vs knnBrute on the same queries") {
     val emb = spark.read.parquet(s"$docsDir/embeddings.parquet")
     val brute = Similarity.knnBrute(emb, col("vec_id") < 5, k = 10)
