@@ -32,43 +32,62 @@ object BatchWriter {
   case class Upsert(keys: Seq[String]) extends Strategy
 
   case class WriteStats(path: String, strategy: String, rowsWritten: Long,
-                        durationMs: Long)
+                        durationMs: Long, rowsInserted: Long = -1,
+                        rowsUpdated: Long = -1)
 
   def write(df: DataFrame, path: String, strategy: Strategy): WriteStats = {
     val t0 = System.nanoTime()
     val spark = df.sparkSession
-    val rows = strategy match {
+    val (total, ins, upd) = strategy match {
       case Insert =>
         df.write.mode("errorifexists").parquet(path)
-        count(spark, path)
+        (count(spark, path), -1L, -1L)
       case Append =>
         df.write.mode("append").parquet(path)
-        count(spark, path)
+        (count(spark, path), -1L, -1L)
       case Replace =>
         df.write.mode("overwrite").parquet(path)
-        count(spark, path)
+        (count(spark, path), -1L, -1L)
       case Upsert(keys) =>
-        upsert(df, path, keys)
-        count(spark, path)
+        // reference write stats split inserted vs updated (batch_writer.py:507)
+        val (i, u) = upsert(df, path, keys)
+        (count(spark, path), i, u)
     }
     WriteStats(path, strategy.getClass.getSimpleName.stripSuffix("$"),
-      rows, (System.nanoTime() - t0) / 1000000)
+      total, (System.nanoTime() - t0) / 1000000, ins, upd)
+  }
+
+  /** Bucketed table write: co-locates future joins/aggregations on
+    * `bucketCol` — two tables bucketed the same way join with NO
+    * exchange on either side, which at 100 TB removes the dominant cost
+    * of a fact-fact join. Bucketed layout requires the session catalog
+    * (`saveAsTable`), not a bare path. */
+  def writeBucketed(df: DataFrame, table: String, bucketCol: String,
+                    buckets: Int, sortCols: Seq[String] = Nil): Unit = {
+    var w = df.write.mode("overwrite").format("parquet")
+      .bucketBy(buckets, bucketCol)
+    if (sortCols.nonEmpty) w = w.sortBy(sortCols.head, sortCols.tail: _*)
+    w.saveAsTable(table)
   }
 
   /** Distributed key-merge (reference `_write_upsert`, batch_writer.py:230):
     * survivors = existing rows whose key is NOT in the delta (anti join),
     * result = delta ∪ survivors. Staged write + directory swap because
     * the merge reads the directory it replaces. */
-  private def upsert(delta: DataFrame, path: String, keys: Seq[String]): Unit = {
+  private def upsert(delta: DataFrame, path: String,
+                     keys: Seq[String]): (Long, Long) = {
     val spark = delta.sparkSession
     val hconf = spark.sparkContext.hadoopConfiguration
     val target = new Path(path)
     val fs = target.getFileSystem(hconf)
     if (!fs.exists(target)) {
       delta.write.mode("errorifexists").parquet(path)
-      return
+      return (delta.count(), 0L)
     }
     val existing = spark.read.parquet(path)
+    val updated = delta.join(existing.select(keys.map(org.apache.spark.sql.functions.col): _*)
+      .distinct(), keys, "left_semi").count()
+    val inserted = delta.count() - updated
     val survivors = existing.join(delta, keys, "left_anti")
     val merged = delta.unionByName(survivors)
     val staging = new Path(path + ".staging")
@@ -79,6 +98,7 @@ object BatchWriter {
     fs.rename(target, backup)
     fs.rename(staging, target)
     fs.delete(backup, true)
+    (inserted, updated)
   }
 
   private def count(spark: SparkSession, path: String): Long =

@@ -35,15 +35,40 @@ class PersistenceSpec extends SparkSpec {
     assert(st3.rowsWritten == 3)
   }
 
-  test("UPSERT: delta wins on key, non-matching rows survive") {
+  test("UPSERT: delta wins on key, non-matching rows survive; stats split ins/upd") {
     val p = tmp()
     BatchWriter.write(base, p, BatchWriter.Insert)
     val delta = Seq((2L, "b2", 99.0), (4L, "d", 40.0)).toDF("k", "name", "v")
     val st = BatchWriter.write(delta, p, BatchWriter.Upsert(Seq("k")))
     assert(st.rowsWritten == 4)
+    assert(st.rowsInserted == 1 && st.rowsUpdated == 1)
     val out = spark.read.parquet(p).orderBy("k")
       .as[(Long, String, Double)].collect().toSeq
     assert(out == Seq((1L, "a", 10.0), (2L, "b2", 99.0), (3L, "c", 30.0), (4L, "d", 40.0)))
+  }
+
+  test("bucketed tables join with no shuffle exchange on either side") {
+    val spark2 = spark
+    import spark2.implicits._
+    val facts = (0L until 1000L).map(i => (i % 50, i, i * 1.5)).toDF("custkey", "okey", "v")
+    val dims = (0L until 50L).map(i => (i, s"cust_$i")).toDF("custkey", "cname")
+    // in-memory catalog forgets tables across JVMs but their warehouse
+    // dirs survive -> LOCATION_ALREADY_EXISTS on recreate; clean both
+    Seq("b_facts", "b_dims").foreach { t =>
+      spark.sql(s"DROP TABLE IF EXISTS $t")
+      val loc = new java.io.File(s"spark-warehouse/$t")
+      if (loc.exists()) org.apache.commons.io.FileUtils.deleteDirectory(loc)
+    }
+    BatchWriter.writeBucketed(facts, "b_facts", "custkey", 8)
+    BatchWriter.writeBucketed(dims, "b_dims", "custkey", 8)
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1") // force non-broadcast
+      val joined = spark.table("b_facts").join(spark.table("b_dims"), "custkey")
+      val plan = joined.queryExecution.executedPlan.toString
+      assert(!plan.contains("Exchange"), s"bucketed join should be shuffle-free:\n$plan")
+      assert(joined.count() == 1000)
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
   }
 
   test("UPSERT into empty path behaves as insert") {
