@@ -14,6 +14,24 @@ class IngestorSpec extends SparkSpec {
     assert(events.schema("ts").dataType.typeName == "timestamp")
   }
 
+  test("csv and json sources read through the same API with schema + pushdown predicate") {
+    import org.apache.spark.sql.types._
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_src").toString
+    spark.read.parquet(s"${sf()}/region.parquet")
+      .write.option("header", "true").csv(s"$dir/csv")
+    spark.read.parquet(s"${sf()}/region.parquet").write.json(s"$dir/json")
+    val schema = StructType(Seq(
+      StructField("r_regionkey", IntegerType), StructField("r_name", StringType)))
+    val csv = Ingestor.read(spark, s"$dir/csv", format = "csv",
+      schema = Some(schema), options = Map("header" -> "true"),
+      columns = Seq("r_name"), predicate = Some(col("r_regionkey") > 2))
+    assert(csv.as[String].collect().toSet == Set("EUROPE", "MIDDLE EAST"))
+    val json = Ingestor.read(spark, s"$dir/json", format = "json",
+      schema = Some(schema), predicate = Some(col("r_name").startsWith("A")))
+    assert(json.count() == 3) // AFRICA, AMERICA, ASIA
+  }
+
   test("readChunked controls split size and optional key bucketing") {
     val df = Ingestor.readChunked(spark, s"${sf()}/orders.parquet",
       maxPartitionBytes = 1024 * 1024,

@@ -61,6 +61,29 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("stateful sessionizer closes idle sessions via event-time timeout") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[EventStream.Event]
+    val q = EventStream.sessionizeStream(mem.toDS(), gapMinutes = 30, lateness = "5 minutes")
+      .writeStream.format("memory").queryName("sessions_timeout")
+      .outputMode("append").start()
+    try {
+      mem.addData(EventStream.Event(1L, ts(0), 1L))
+      q.processAllAvailable()
+      // another user's much-later events push the watermark past
+      // user 1's last+gap -> user 1's session must close by timeout
+      mem.addData(EventStream.Event(2L, Timestamp.valueOf("2024-01-01 12:00:00"), 2L))
+      q.processAllAvailable()
+      mem.addData(EventStream.Event(2L, Timestamp.valueOf("2024-01-01 12:01:00"), 3L))
+      q.processAllAvailable()
+      val closed = spark.table("sessions_timeout")
+        .as[EventStream.Session].collect().toSeq
+        .filter(_.user_id == 1L)
+      assert(closed.map(s => (s.session_start, s.session_end, s.n_events)) ==
+        Seq((ts(0), ts(0), 1L)))
+    } finally q.stop()
+  }
+
   test("batch sessionize splits on gap and counts events") {
     val events = Seq(
       (1L, ts(0), 1L), (1L, ts(10), 2L), (1L, ts(50), 3L),
