@@ -10,6 +10,10 @@ libraryDependencies ++= Seq(
   "org.scalacheck" %% "scalacheck" % "1.18.0" % Test,
 )
 Test / fork := true
+// Suites share one SparkSession and some tests flip session confs
+// (broadcast threshold) that other suites' plan assertions read —
+// run suites sequentially to keep that deterministic.
+Test / parallelExecution := false
 run / fork := true
 // Pass forked-run output through untouched: sbt's logger otherwise
 // prefixes every stdout line with "[info] ", which breaks consumers

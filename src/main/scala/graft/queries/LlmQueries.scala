@@ -67,6 +67,12 @@ object LlmQueries {
         .select("doc_id", "content_md5", "shingle_sig", "n_shingles")
         .orderBy("doc_id")),
 
+    // rows-only: rolling-hash winnowing not expressible in the oracle SQL
+    "text_winnow" -> ((s, d) =>
+      TextAnalysis.winnowingFingerprints(docs(s, d))
+        .select(col("doc_id"), size(col("winnow_fp")).cast("long").as("n_fingerprints"))
+        .orderBy("doc_id")),
+
     "multimodal_meta" -> ((s, d) =>
       Multimodal.withMedia(docs(s, d))
         .select(col("doc_id"), col("meta.format").as("format"),

@@ -55,6 +55,23 @@ class TextMultimodalSpec extends SparkSpec {
     assert(out(0)._4 == 4L) // 8 tokens -> 4 distinct 5-gram shingles
   }
 
+  test("winnowing fingerprints overlap heavily for local edits, not for different docs") {
+    val a = "the quick brown fox jumps over the lazy dog while the band plays on and on"
+    val b = a.replace("lazy", "hazy") // one local edit
+    val c = "completely unrelated content talking about database engines and query plans"
+    val docs = Seq((1L, a), (2L, b), (3L, c)).toDF("doc_id", "text")
+    val fp = TextAnalysis.winnowingFingerprints(docs)
+      .as[(Long, Array[Long])].collect().toMap
+    def overlap(x: Array[Long], y: Array[Long]): Double =
+      x.toSet.intersect(y.toSet).size.toDouble / x.toSet.union(y.toSet).size
+    assert(overlap(fp(1L), fp(2L)) > 0.5, "local edit should preserve most fingerprints")
+    assert(overlap(fp(1L), fp(3L)) < 0.1, "unrelated docs should not collide")
+    // deterministic across runs
+    val fp2 = TextAnalysis.winnowingFingerprints(docs)
+      .as[(Long, Array[Long])].collect().toMap
+    assert(fp(1L).toSeq == fp2(1L).toSeq)
+  }
+
   test("multimodal: media schema, deterministic features, frame sampling") {
     val docs = Seq((6L, "hello world this is binary payload")).toDF("doc_id", "text")
     val media = Multimodal.withMedia(docs)
