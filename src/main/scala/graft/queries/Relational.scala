@@ -244,6 +244,25 @@ object Relational {
         .where(col("n_orders") >= 15)
         .orderBy("o_custkey")
     }),
+
+    "q_outer_join" -> ((s, d) => {
+      val big = t(s, d, "orders").where(col("o_totalprice") > 300000.0)
+        .groupBy(col("o_custkey").as("custkey"))
+        .agg(count(lit(1)).as("n_big_orders"))
+      val rich = t(s, d, "customer").where(col("c_acctbal") > 8000.0)
+        .select(col("c_custkey").as("custkey"), col("c_acctbal"))
+      big.join(rich, Seq("custkey"), "full_outer")
+        .orderBy("custkey")
+    }),
+
+    "q_json_funcs" -> ((s, d) => {
+      t(s, d, "events")
+        .where(col("event_id") < 2000)
+        .select(col("event_id"),
+          get_json_object(col("props"), "$.k").cast("long").as("prop_k"),
+          (get_json_object(col("props"), "$.k").cast("long") % 10).as("k_mod"))
+        .orderBy("event_id")
+    }),
   )
 
   val oracles: Map[String, String] = Map(
@@ -417,5 +436,24 @@ object Relational {
         | CAST(SUM(CAST(o_totalprice AS DECIMAL(38,6))) AS DOUBLE) AS spend
         |FROM orders GROUP BY o_custkey HAVING COUNT(*) >= 15
         |ORDER BY o_custkey""".stripMargin,
+
+    "q_outer_join" ->
+      """WITH big AS (
+        |  SELECT o_custkey AS custkey, COUNT(*) AS n_big_orders
+        |  FROM orders WHERE o_totalprice > 300000.0 GROUP BY o_custkey),
+        | rich AS (
+        |  SELECT c_custkey AS custkey, c_acctbal
+        |  FROM customer WHERE c_acctbal > 8000.0)
+        |SELECT COALESCE(big.custkey, rich.custkey) AS custkey,
+        |  n_big_orders, c_acctbal
+        |FROM big FULL JOIN rich ON big.custkey = rich.custkey
+        |ORDER BY custkey""".stripMargin,
+
+    "q_json_funcs" ->
+      """SELECT event_id,
+        | CAST(json_extract_string(props, '$.k') AS BIGINT) AS prop_k,
+        | CAST(json_extract_string(props, '$.k') AS BIGINT) % 10 AS k_mod
+        |FROM events WHERE event_id < 2000
+        |ORDER BY event_id""".stripMargin,
   )
 }
