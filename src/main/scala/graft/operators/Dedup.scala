@@ -169,6 +169,17 @@ object Dedup {
     jaccardVerify(cand, sets, threshold)
   }
 
+  /** The deduplicated corpus: drop every doc that near-duplicates a
+    * lower-id doc ("keep first" — for duplicate chains a>b>c this keeps
+    * the minimum id and drops the rest, since each non-minimum appears
+    * as some pair's b_id). One anti join against the pair table. */
+  def dropNearDups(docs: DataFrame, threshold: Double = 0.8,
+                   idCol: String = "doc_id"): DataFrame = {
+    val losers = minhashNearDups(docs, threshold)
+      .select(col("b_id").as(idCol)).distinct()
+    docs.join(losers, Seq(idCol), "left_anti")
+  }
+
   /** SimHash fingerprints (63-bit, over word-3-gram hashes): per-bit
     * majority vote computed as 63 SUM aggregates over the exploded
     * shingle hashes (codegen'd, map-side combined), folded to one long

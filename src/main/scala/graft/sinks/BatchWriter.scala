@@ -35,18 +35,27 @@ object BatchWriter {
                         durationMs: Long, rowsInserted: Long = -1,
                         rowsUpdated: Long = -1)
 
-  def write(df: DataFrame, path: String, strategy: Strategy): WriteStats = {
+  /** `partitionCols` lays the table out hive-style (dt=.../ dirs): at
+    * 100 TB this is what lets a date-ranged query scan one day instead
+    * of the whole table — the partition filter prunes directories before
+    * any IO (verified by `PartitionFilters` in the scan plan). */
+  def write(df: DataFrame, path: String, strategy: Strategy,
+            partitionCols: Seq[String] = Nil): WriteStats = {
     val t0 = System.nanoTime()
     val spark = df.sparkSession
+    def writer(mode: String) = {
+      val w = df.write.mode(mode)
+      (if (partitionCols.nonEmpty) w.partitionBy(partitionCols: _*) else w)
+    }
     val (total, ins, upd) = strategy match {
       case Insert =>
-        df.write.mode("errorifexists").parquet(path)
+        writer("errorifexists").parquet(path)
         (count(spark, path), -1L, -1L)
       case Append =>
-        df.write.mode("append").parquet(path)
+        writer("append").parquet(path)
         (count(spark, path), -1L, -1L)
       case Replace =>
-        df.write.mode("overwrite").parquet(path)
+        writer("overwrite").parquet(path)
         (count(spark, path), -1L, -1L)
       case Upsert(keys) =>
         // reference write stats split inserted vs updated (batch_writer.py:507)

@@ -41,6 +41,18 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(found == truth)
   }
 
+  test("dropNearDups keeps the lowest-id member of each duplicate group") {
+    val docs = spark.read.parquet(s"$docsDir/documents.parquet")
+    val pairs = Dedup.minhashNearDups(docs, 0.8)
+      .select("a_id", "b_id").as[(Long, Long)].collect()
+    assert(pairs.nonEmpty)
+    val kept = Dedup.dropNearDups(docs, 0.8).select("doc_id").as[Long].collect().toSet
+    pairs.foreach { case (a, b) =>
+      assert(!kept.contains(b), s"b_id $b should be dropped")
+    }
+    assert(kept.size == docs.count() - pairs.map(_._2).toSet.size)
+  }
+
   test("simhash: near-identical docs collide, unrelated docs don't") {
     val a = (1 to 60).map(i => s"tok$i").mkString(" ")
     val b = (1 to 60).map(i => if (i == 30) "CHANGED" else s"tok$i").mkString(" ")

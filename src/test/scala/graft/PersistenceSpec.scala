@@ -47,6 +47,18 @@ class PersistenceSpec extends SparkSpec {
     assert(out == Seq((1L, "a", 10.0), (2L, "b2", 99.0), (3L, "c", 30.0), (4L, "d", 40.0)))
   }
 
+  test("partitioned write: date-ranged read prunes partitions before IO") {
+    val p = tmp()
+    val orders = spark.read.parquet(s"${sf()}/orders.parquet")
+      .withColumn("yr", year(col("o_orderdate")))
+    BatchWriter.write(orders, p, BatchWriter.Replace, partitionCols = Seq("yr"))
+    val pruned = spark.read.parquet(p).where(col("yr") === 1997)
+    val scan = pruned.queryExecution.executedPlan.collectLeaves().head.toString
+    assert(scan.contains("PartitionFilters: [isnotnull(yr"),
+      s"partition filter missing from scan:\n$scan")
+    assert(pruned.count() == orders.where(col("yr") === 1997).count())
+  }
+
   test("bucketed tables join with no shuffle exchange on either side") {
     val spark2 = spark
     import spark2.implicits._
