@@ -2,6 +2,7 @@ package graft.queries
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+import graft.operators.AsOfJoin
 import graft.sources.Ingestor
 import graft.streaming.EventStream
 
@@ -19,6 +20,19 @@ object StreamQueries {
     "sessionize" -> ((s, d) =>
       EventStream.sessionize(Ingestor.events(s, d))
         .orderBy("user_id", "session_id")),
+
+    // purchase attribution: each purchase joined to the user's most
+    // recent signup at-or-before it (the as-of join Spark lacks natively)
+    "q_asof_join" -> ((s, d) => {
+      val ev = Ingestor.events(s, d)
+      val purchases = ev.where(col("event_type") === "purchase")
+        .select("event_id", "user_id", "ts", "value")
+      val signups = ev.where(col("event_type") === "signup")
+        .select(col("user_id"), col("ts").as("signup_ts"))
+      AsOfJoin.asOf(purchases, signups, key = "user_id",
+          leftTs = "ts", rightTs = "signup_ts", valueCols = Seq("signup_ts"))
+        .orderBy("event_id")
+    }),
   )
 
   val oracles: Map[String, String] = Map(
@@ -27,6 +41,14 @@ object StreamQueries {
         | COUNT(*) AS n_events,
         | CAST(SUM(CAST(value AS DECIMAL(38,6))) AS DOUBLE) AS sum_value
         |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    "q_asof_join" ->
+      """WITH e AS (SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts, value, event_type FROM events),
+        | p AS (SELECT event_id, user_id, ts, value FROM e WHERE event_type = 'purchase'),
+        | s AS (SELECT user_id, ts AS signup_ts FROM e WHERE event_type = 'signup')
+        |SELECT p.event_id, p.user_id, p.ts, p.value, s.signup_ts AS asof_signup_ts
+        |FROM p ASOF JOIN s ON p.user_id = s.user_id AND p.ts >= s.signup_ts
+        |ORDER BY p.event_id""".stripMargin,
 
     "sessionize" ->
       """WITH e AS (SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, event_id FROM events),
