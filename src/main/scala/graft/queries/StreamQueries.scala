@@ -2,7 +2,7 @@ package graft.queries
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import graft.operators.AsOfJoin
+import graft.operators.{AsOfJoin, RangeJoin}
 import graft.sources.Ingestor
 import graft.streaming.EventStream
 
@@ -33,6 +33,18 @@ object StreamQueries {
           leftTs = "ts", rightTs = "signup_ts", valueCols = Seq("signup_ts"))
         .orderBy("event_id")
     }),
+
+    // interval join: assign each event to its session's [start, end]
+    // window — banded equi-join, not a nested-loop range join
+    "q_range_join" -> ((s, d) => {
+      val ev = Ingestor.events(s, d)
+      val sessions = EventStream.sessionize(ev)
+      RangeJoin.bandedIntervalJoin(
+          ev.select("event_id", "user_id", "ts"), "ts",
+          sessions, "session_start", "session_end", key = "user_id")
+        .select("event_id", "user_id", "session_id")
+        .orderBy("event_id")
+    }),
   )
 
   val oracles: Map[String, String] = Map(
@@ -49,6 +61,22 @@ object StreamQueries {
         |SELECT p.event_id, p.user_id, p.ts, p.value, s.signup_ts AS asof_signup_ts
         |FROM p ASOF JOIN s ON p.user_id = s.user_id AND p.ts >= s.signup_ts
         |ORDER BY p.event_id""".stripMargin,
+
+    "q_range_join" ->
+      """WITH e AS (SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts FROM events),
+        | m AS (SELECT user_id, ts, event_id,
+        |   CASE WHEN lag(ts) OVER w IS NULL OR ts - lag(ts) OVER w > INTERVAL 30 MINUTE
+        |        THEN 1 ELSE 0 END AS new_s
+        |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+        | sess0 AS (SELECT user_id, ts,
+        |   CAST(SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS BIGINT) AS session_id
+        |  FROM m),
+        | sessions AS (SELECT user_id, session_id, MIN(ts) AS session_start, MAX(ts) AS session_end
+        |  FROM sess0 GROUP BY user_id, session_id)
+        |SELECT e.event_id, e.user_id, s.session_id
+        |FROM e JOIN sessions s
+        |  ON e.user_id = s.user_id AND e.ts BETWEEN s.session_start AND s.session_end
+        |ORDER BY e.event_id""".stripMargin,
 
     "sessionize" ->
       """WITH e AS (SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, event_id FROM events),
