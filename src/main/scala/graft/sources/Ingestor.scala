@@ -34,13 +34,19 @@ object Ingestor {
 
   /** `events` carries parquet TIMESTAMP(NANOS), which Spark's reader
     * rejects outright ([PARQUET_TYPE_ILLEGAL]). Read the raw int64
-    * nanoseconds (legacy nanosAsLong) and truncate to microsecond
-    * precision — the same truncation DuckDB applies when casting
-    * TIMESTAMP_NS to TIMESTAMP, so both engines see identical instants. */
+    * nanoseconds (legacy nanosAsLong) and floor to microsecond precision
+    * — floor (not truncate-toward-zero) matches DuckDB's TIMESTAMP_NS →
+    * TIMESTAMP cast for pre-epoch instants too. The result is cast to
+    * TIMESTAMP_NTZ: the source column is a naive (wall-clock) timestamp,
+    * and keeping it NTZ end-to-end means derived timestamps round-trip
+    * through parquet as naive values, exactly like every other engine
+    * reading the same files (session TZ is pinned to UTC, so the
+    * LTZ→NTZ cast is value-preserving). */
   def events(spark: SparkSession, dir: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     spark.read.parquet(s"$dir/events.parquet")
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      .withColumn("ts",
+        timestamp_micros(expr("(ts - pmod(ts, 1000L)) div 1000L")).cast("timestamp_ntz"))
   }
 
   /** Generic batch read with explicit projection + predicate, the Spark
