@@ -142,12 +142,19 @@ object Dedup {
   }
 
   /** Full near-dup pipeline: LSH candidates -> exact Jaccard filter.
-    * The shingle-set table is built once and feeds both the signature
-    * aggregation and the verify joins (plan-level reuse of the
-    * mapPartitions stage instead of three recomputations). */
+    * The shingle-set table feeds three consumers — the signature
+    * aggregation and both sides of the verify join — whose exchanges
+    * differ (partitioned on doc_id vs a_id vs b_id), so Catalyst's
+    * exchange reuse can't dedupe them. persist() runs the CPU-heavy
+    * mapPartitions stage once; the (tiny) verified pair table is then
+    * materialised eagerly via localCheckpoint so the shingle cache can be
+    * unpersisted before returning — nothing leaks into the caller's
+    * session, and at 100 TB the cache lives only for this pipeline and
+    * spills to disk rather than evicting neighbours. */
   def minhashNearDups(docs: DataFrame, threshold: Double = 0.8,
                       k: Int = 128, bands: Int = 32): DataFrame = {
     val sets = shingleHashSets(docs)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val rows = sets.select(col("doc_id"), explode(col("shash")).as("h64"))
     val hashed = rows.select(col("doc_id"),
       col("h64").bitwiseAND(lit(0x7FFFFFFFL)).as("h"))
@@ -166,7 +173,9 @@ object Dedup {
         col("a.bucket") === col("b.bucket") && col("a.id") < col("b.id"))
       .select(col("a.id").as("a_id"), col("b.id").as("b_id"))
       .distinct()
-    jaccardVerify(cand, sets, threshold)
+    val verified = jaccardVerify(cand, sets, threshold).localCheckpoint()
+    sets.unpersist(false)
+    verified
   }
 
   /** The deduplicated corpus: drop every doc that near-duplicates a

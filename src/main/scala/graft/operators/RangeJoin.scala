@@ -20,7 +20,9 @@ object RangeJoin {
                          right: DataFrame, startCol: String, endCol: String,
                          key: String, bandSeconds: Long = 3600): DataFrame = {
     val bandUs = bandSeconds * 1000000L
-    def bandOf(c: Column): Column = floor(unix_micros(c) / bandUs)
+    // cast-to-LTZ first so NTZ event times band too (session TZ is pinned
+    // to UTC, so the cast is value-preserving and deterministic)
+    def bandOf(c: Column): Column = floor(unix_micros(c.cast("timestamp")) / bandUs)
     val l = left.withColumn("__band", bandOf(col(leftTs)))
     val r = right.withColumn("__band",
       explode(sequence(bandOf(col(startCol)), bandOf(col(endCol)))))

@@ -68,11 +68,15 @@ object Similarity {
   def trainIvfCentroids(e: DataFrame, k: Int = 16, iterations: Int = 3,
                         dim: Int = 64): Seq[Array[Double]] = {
     import e.sparkSession.implicits._
-    // init: k evenly-spaced (by id rank) vectors — deterministic seeding
+    // init: the k rows with the smallest xxhash64(vec_id) — a deterministic
+    // pseudo-random sample. sort+limit compiles to TakeOrderedAndProject
+    // (per-partition top-k, driver merges k rows), so unlike a global
+    // window/ntile no partition ever holds the whole corpus; at 100 TB
+    // every task does an O(rows · log k) heap pass and ships k vectors.
     var centroids: Seq[Array[Double]] = e
-      .withColumn("rk", expr(s"ntile($k) OVER (ORDER BY vec_id)"))
-      .groupBy("rk").agg(first(col("v")).as("v"))
-      .orderBy("rk").select("v").as[Array[Double]].collect().toSeq
+      .orderBy(xxhash64(col("vec_id")), col("vec_id"))
+      .limit(k)
+      .select("v").as[Array[Double]].collect().toSeq
     (0 until iterations).foreach { _ =>
       val assigned = assignToCentroid(e, centroids)
       val updated = assigned

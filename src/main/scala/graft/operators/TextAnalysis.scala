@@ -80,13 +80,6 @@ object TextAnalysis {
       .withColumn("lang_pred", langExpr)
   }
 
-  /** Content fingerprints: exact (md5 of the raw text) and structural
-    * (min-md5 over distinct word 5-gram shingles — a 1-permutation
-    * MinHash, stable under whitespace/reordering-free edits).
-    * Explode + min/count aggregation instead of per-row md5 lambdas:
-    * the md5 runs codegen'd per exploded row, and the aggregation
-    * combines map-side. Returns (doc_id, content_md5, shingle_sig,
-    * n_shingles); explode_outer keeps shingle-less docs (null sig). */
   /** Winnowing fingerprints (Schleimer/Wilkerson/Aiken, SIGMOD'03 — the
     * MOSS algorithm): rolling Rabin-Karp hash over char k-grams, keep
     * the minimum hash of every w-hash window (rightmost on ties). The
@@ -135,13 +128,61 @@ object TextAnalysis {
       }.toDF("doc_id", "winnow_fp")
   }
 
+  /** Content fingerprints: exact (md5 of the raw text) and structural
+    * (min-md5 over distinct word 5-gram shingles — a 1-permutation
+    * MinHash, stable under whitespace/reordering-free edits). Returns
+    * (doc_id, content_md5, shingle_sig, n_shingles); shingle-less docs
+    * keep a null sig and count 0.
+    *
+    * One typed mapPartitions pass instead of the HOF
+    * shingles()+explode+agg chain: transform/slice/concat_ws lambdas are
+    * CodegenFallback (~58 µs per shingle interpreted — this one query was
+    * 26% of the whole bench), while the tight loop below tokenizes,
+    * shingles, and md5s each doc in-place with zero shuffle (the old path
+    * shuffled every exploded shingle to aggregate the min). min over
+    * lowercase-hex md5 strings is the same ordering Spark's `min(md5(s))`
+    * used, so the oracle hash is unchanged. Tokenization mirrors
+    * [[graft.functions.wordTokens]]: lowercase, split [^a-z0-9]+, drop
+    * empties. */
   def fingerprints(docs: DataFrame, textCol: String = "text"): DataFrame = {
-    val sh = shingles(wordTokens(col(textCol)), 5)
-    spread(docs, col("doc_id"))
-      .select(col("doc_id"), md5(col(textCol)).as("content_md5"),
-        explode_outer(sh).as("s"))
-      .groupBy("doc_id", "content_md5")
-      .agg(min(md5(col("s"))).as("shingle_sig"),
-        count(col("s")).as("n_shingles"))
+    val spark = docs.sparkSession
+    import spark.implicits._
+    spread(docs, col("doc_id")).select(col("doc_id"), col(textCol)).as[(Long, String)]
+      .mapPartitions { it =>
+        val md = java.security.MessageDigest.getInstance("MD5")
+        val hexDigits = "0123456789abcdef".toCharArray
+        def md5Hex(s: String): String = {
+          val bytes = md.digest(s.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+          val out = new Array[Char](32)
+          var i = 0
+          while (i < 16) {
+            out(2 * i) = hexDigits((bytes(i) >> 4) & 0xf)
+            out(2 * i + 1) = hexDigits(bytes(i) & 0xf)
+            i += 1
+          }
+          new String(out)
+        }
+        it.map { case (id, text) =>
+          val contentMd5 = md5Hex(text)
+          val toks = text.toLowerCase(java.util.Locale.ROOT)
+            .split("[^a-z0-9]+").filter(_.nonEmpty)
+          val n = 5
+          val seen = new scala.collection.mutable.HashSet[String]
+          var minSig: String = null
+          var i = 0
+          while (i + n <= toks.length) {
+            val sb = new java.lang.StringBuilder(toks(i))
+            var j = i + 1
+            while (j < i + n) { sb.append(' ').append(toks(j)); j += 1 }
+            val s = sb.toString
+            if (seen.add(s)) {
+              val h = md5Hex(s)
+              if (minSig == null || h.compareTo(minSig) < 0) minSig = h
+            }
+            i += 1
+          }
+          (id, contentMd5, minSig, seen.size.toLong)
+        }
+      }.toDF("doc_id", "content_md5", "shingle_sig", "n_shingles")
   }
 }

@@ -215,10 +215,11 @@ object Relational {
           month(col("o_orderdate")).cast("long").as("mo"),
           dayofmonth(col("o_orderdate")).cast("long").as("dom"),
           (dayofweek(col("o_orderdate"))).cast("long").as("dow"),
-          // computed timestamps stay NTZ (naive): date_trunc coerces its
-          // NTZ input to LTZ, which would round-trip through parquet as an
-          // instant-semantics column — a different type than every other
-          // engine's naive TIMESTAMP for the same expression
+          // computed timestamps stay NTZ (naive): date_trunc promotes its
+          // DATE input to a session-TZ (LTZ) timestamp, which would
+          // round-trip through parquet as an instant-semantics column — a
+          // different type than every other engine's naive TIMESTAMP for
+          // the same expression
           date_trunc("month", col("o_orderdate")).cast("timestamp_ntz").as("month_start"),
           datediff(lit("2000-01-01").cast("date"), col("o_orderdate")).cast("long").as("days_to_y2k"),
           (col("o_orderdate") + expr("INTERVAL 30 DAYS")).cast("timestamp_ntz").as("plus_30d"))

@@ -34,7 +34,10 @@ object Ingestor {
 
   /** `events` carries parquet TIMESTAMP(NANOS), which Spark's reader
     * rejects outright ([PARQUET_TYPE_ILLEGAL]). Read the raw int64
-    * nanoseconds (legacy nanosAsLong) and floor to microsecond precision
+    * nanoseconds (`spark.sql.legacy.parquet.nanosAsLong`, set once in
+    * [[graft.Sessions.tuning]] — not flipped here, so reading events never
+    * silently changes how a neighbouring int64-nanos read behaves in the
+    * same session) and floor to microsecond precision
     * — floor (not truncate-toward-zero) matches DuckDB's TIMESTAMP_NS →
     * TIMESTAMP cast for pre-epoch instants too. The result is cast to
     * TIMESTAMP_NTZ: the source column is a naive (wall-clock) timestamp,
@@ -43,7 +46,6 @@ object Ingestor {
     * reading the same files (session TZ is pinned to UTC, so the
     * LTZ→NTZ cast is value-preserving). */
   def events(spark: SparkSession, dir: String): DataFrame = {
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     spark.read.parquet(s"$dir/events.parquet")
       .withColumn("ts",
         timestamp_micros(expr("(ts - pmod(ts, 1000L)) div 1000L")).cast("timestamp_ntz"))

@@ -39,12 +39,14 @@ object EventStream {
   def sessionize(events: DataFrame, gapMinutes: Int = 30): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
-    val gapUs = gapMinutes * 60L * 1000000L
+    // timestamp subtraction (works for NTZ and LTZ alike) — unix_micros
+    // would reject the NTZ event time
+    val gap = expr(s"INTERVAL '$gapMinutes' MINUTE")
     events
       .select(col("user_id"), col("ts"), col("event_id"))
       .withColumn("new_s",
         when(lag(col("ts"), 1).over(w).isNull ||
-          unix_micros(col("ts")) - unix_micros(lag(col("ts"), 1).over(w)) > gapUs, 1L)
+          col("ts") - lag(col("ts"), 1).over(w) > gap, 1L)
           .otherwise(0L))
       .withColumn("session_id", sum(col("new_s")).over(w))
       .groupBy("user_id", "session_id")

@@ -10,8 +10,10 @@ class IngestorSpec extends SparkSpec {
       val df = Ingestor.table(spark, sf(), n)
       assert(df.count() > 0, s"$n empty")
     }
+    // NTZ (naive) end-to-end so derived timestamps round-trip through
+    // parquet the same way every other engine reads these files
     val events = Ingestor.table(spark, sf(), "events")
-    assert(events.schema("ts").dataType.typeName == "timestamp")
+    assert(events.schema("ts").dataType.typeName == "timestamp_ntz")
   }
 
   test("csv and json sources read through the same API with schema + pushdown predicate") {
