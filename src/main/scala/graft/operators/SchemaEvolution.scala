@@ -104,24 +104,91 @@ object SchemaEvolution {
   }
 }
 
-/** Versioned schema registry, in-memory (reference
-  * schema_validator.py:259; the DB-backed variant is a deployment
-  * concern, not an engine one). */
-class SchemaRegistry {
+/** Versioned schema registry: in-memory cache with optional durable
+  * backing on shared storage.
+  *
+  * Reference: schema_validator.py:259 (`register_schema` — memory cache +
+  * DB registry table), :347 (`load_schema` — cache first, then DB), :446
+  * (`get_schema_history`). `backingDir = Some(path)` gives the durable
+  * behavior — schemas registered in one session load in a fresh one; the
+  * default stays in-memory like the reference's no-connection-manager
+  * fallback. */
+class SchemaRegistry(backingDir: Option[String] = None) {
   import SchemaEvolution.ColumnSpec
+  import org.json4s._
+  import org.json4s.jackson.JsonMethods
+
   private val schemas = mutable.Map[(String, Int), Seq[ColumnSpec]]()
+  private val backing = backingDir.map(new graft.pipeline.DurableRegistry(_))
 
-  def register(name: String, version: Int, schema: Seq[ColumnSpec]): Unit =
+  def register(name: String, version: Int, schema: Seq[ColumnSpec],
+               description: String = ""): Unit = {
+    backing.foreach(_.put(name, version, schemaToJson(schema), description))
     schemas((name, version)) = schema
+  }
 
+  /** Cache first, then durable backing (reference `load_schema`). */
   def get(name: String, version: Int): Option[Seq[ColumnSpec]] =
-    schemas.get((name, version))
+    schemas.get((name, version)).orElse {
+      val loaded = backing.flatMap(_.get(name, version)).map(schemaFromJson)
+      loaded.foreach(s => schemas((name, version)) = s)
+      loaded
+    }
 
   def latestVersion(name: String): Option[Int] = {
-    val vs = schemas.keys.collect { case (n, v) if n == name => v }
+    val vs = schemas.keys.collect { case (n, v) if n == name => v } ++
+      backing.flatMap(_.latestVersion(name))
     if (vs.nonEmpty) Some(vs.max) else None
   }
 
   def latest(name: String): Option[Seq[ColumnSpec]] =
     latestVersion(name).flatMap(v => get(name, v))
+
+  /** (version, description) history, oldest first (reference
+    * `get_schema_history`). In-memory registrations carry no description
+    * unless backed. */
+  def history(name: String): Seq[(Int, String)] =
+    backing.map(_.history(name)).getOrElse(
+      schemas.keys.collect { case (n, v) if n == name => (v, "") }
+        .toSeq.sortBy(_._1))
+
+  /** ColumnSpec <-> JSON via Spark's own DataType json codec; defaults
+    * carried as JSON primitives (cast back through the declared type when
+    * the schema is applied, so primitive fidelity is sufficient). */
+  private def schemaToJson(schema: Seq[ColumnSpec]): String =
+    JsonMethods.compact(JsonMethods.render(JArray(schema.map { s =>
+      JObject(
+        "name" -> JString(s.name),
+        "dataType" -> JsonMethods.parse(s.dataType.json),
+        "nullable" -> JBool(s.nullable),
+        "default" -> (s.default match {
+          case None             => JNothing
+          case Some(null)       => JNull
+          case Some(b: Boolean) => JBool(b)
+          case Some(n: Int)     => JLong(n.toLong)
+          case Some(n: Long)    => JLong(n)
+          case Some(n: Double)  => JDouble(n)
+          case Some(v)          => JString(v.toString)
+        }))
+    }.toList)))
+
+  private def schemaFromJson(json: String): Seq[ColumnSpec] = {
+    val JArray(items) = JsonMethods.parse(json): @unchecked
+    items.map { item =>
+      val JString(name) = (item \ "name"): @unchecked
+      val dt = DataType.fromJson(JsonMethods.compact(JsonMethods.render(item \ "dataType")))
+      val JBool(nullable) = (item \ "nullable"): @unchecked
+      val default = item \ "default" match {
+        case JNothing    => None
+        case JNull       => Some(null)
+        case JBool(b)    => Some(b)
+        case JLong(n)    => Some(n)
+        case JInt(n)     => Some(n.toLong)
+        case JDouble(n)  => Some(n)
+        case JString(s)  => Some(s)
+        case other       => Some(JsonMethods.compact(JsonMethods.render(other)))
+      }
+      ColumnSpec(name, dt, nullable, default)
+    }
+  }
 }

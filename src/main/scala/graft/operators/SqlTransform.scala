@@ -14,9 +14,14 @@ import scala.collection.mutable
   * like any native query: filters in the SQL text reach the parquet scan,
   * joins get broadcast/shuffle selection, nothing is interpreted row-wise.
   */
-class SqlTransform(spark: SparkSession) {
+class SqlTransform(spark: SparkSession,
+                   registryDir: Option[String] = None) {
   private val registry = mutable.Map[(String, Int), String]()
   private val history = mutable.ArrayBuffer[(String, Int, String)]()
+  // Durable backing on shared storage (reference persists query versions
+  // to its registry table; sql_transformer.py:218): versions registered
+  // here load in a fresh session via the same directory.
+  private val backing = registryDir.map(new graft.pipeline.DurableRegistry(_))
 
   /** Stage `df` as `viewName` (default `input_data`, matching the
     * reference's staging table) and run `sql` against it. */
@@ -43,20 +48,28 @@ class SqlTransform(spark: SparkSession) {
   // ---- versioned query registry (reference sql_transformer.py:218) ----
   def registerQueryVersion(queryId: String, version: Int, sql: String,
                            description: String = ""): Unit = {
+    backing.foreach(_.put(queryId, version, sql, description))
     registry((queryId, version)) = sql
     history += ((queryId, version, description))
   }
 
   /** Registration history, oldest first (reference
-    * `get_transformation_history`). */
+    * `get_transformation_history`): durable history when backed, this
+    * session's registrations otherwise. */
   def transformationHistory(queryId: String): Seq[(Int, String)] =
-    history.collect { case (id, v, d) if id == queryId => (v, d) }.toSeq
+    backing.map(_.history(queryId)).getOrElse(
+      history.collect { case (id, v, d) if id == queryId => (v, d) }.toSeq)
 
   def getQuery(queryId: String, version: Int): Option[String] =
-    registry.get((queryId, version))
+    registry.get((queryId, version)).orElse {
+      val loaded = backing.flatMap(_.get(queryId, version))
+      loaded.foreach(sql => registry((queryId, version)) = sql)
+      loaded
+    }
 
   def latestVersion(queryId: String): Option[Int] = {
-    val vs = registry.keys.collect { case (id, v) if id == queryId => v }
+    val vs = registry.keys.collect { case (id, v) if id == queryId => v } ++
+      backing.flatMap(_.latestVersion(queryId))
     if (vs.nonEmpty) Some(vs.max) else None
   }
 

@@ -35,11 +35,16 @@ object Pipeline {
                        skippedIdempotent: Boolean = false)
 
   def runJson(spark: SparkSession, specJson: String,
-              ledger: Option[IdempotencyLedger] = None): RunResult =
-    run(spark, JsonMethods.parse(specJson), specJson, ledger)
+              ledger: Option[IdempotencyLedger] = None,
+              runLedger: Option[RunLedger] = None,
+              pipelineName: String = "pipeline"): RunResult =
+    run(spark, JsonMethods.parse(specJson), specJson, ledger, runLedger,
+      pipelineName)
 
   def run(spark: SparkSession, spec: JValue, rawSpec: String,
-          ledger: Option[IdempotencyLedger] = None): RunResult = {
+          ledger: Option[IdempotencyLedger] = None,
+          runLedger: Option[RunLedger] = None,
+          pipelineName: String = "pipeline"): RunResult = {
     // Idempotent-run gate (reference tasks.py consults IdempotencyManager
     // before executing; key = SHA-256 of the full spec payload).
     val key = ledger.map(l => l.keyFor(Map("pipeline_spec" -> rawSpec)))
@@ -70,6 +75,11 @@ object Pipeline {
       case _          => None
     }
     val ingested = timed("ingestion") {
+      // Fail-fast source gate (reference run_pipeline probes the source
+      // connection before scheduling work): a dead path kills the run in
+      // milliseconds here, not as a storm of task failures mid-job.
+      if (!Ingestor.healthCheck(spark, path, format, maxRetries = 2))
+        throw new IllegalStateException(s"source health check failed: $path")
       val df =
         if (format == "parquet" && path.endsWith("events.parquet"))
           Ingestor.events(spark, path.stripSuffix("/events.parquet"))
@@ -123,6 +133,12 @@ object Pipeline {
     }
 
     ledger.foreach(l => { l.clear(key.get); l.checkAndSet(key.get, "done") })
+    // Durable per-stage stats (reference tasks.py:354 per-stage result
+    // dicts; logging.py structured logs): one ledger row per stage so
+    // "what did pipeline X write yesterday" is a query over the ledger.
+    runLedger.foreach(_.record(spark,
+      runId = java.util.UUID.randomUUID().toString,
+      pipeline = pipelineName, stats = stats, writeStats = writeStats))
     RunResult(transformed, stats, writeStats)
   }
 

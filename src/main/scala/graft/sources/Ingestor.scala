@@ -78,6 +78,28 @@ object Ingestor {
     (df.schema, df.count())
   }
 
+  /** Source health check with backoff (reference
+    * connection_manager.py:147 `health_check`; JDBC variant at
+    * [[JdbcIngestor.healthCheck]]): true iff the path exists and its
+    * schema resolves (for parquet that reads file footers only — no data
+    * scan, no job). Runs driver-side BEFORE a read is planned, so a
+    * missing/corrupt source fails one pipeline in milliseconds instead
+    * of surfacing as thousands of scheduled-task failures mid-job. */
+  def healthCheck(spark: SparkSession, path: String,
+                  format: String = "parquet",
+                  maxRetries: Int = 3, baseDelayMs: Long = 100,
+                  sleep: Long => Unit = Thread.sleep): Boolean =
+    try {
+      graft.pipeline.Retry.withBackoff(maxAttempts = maxRetries,
+        baseDelayMs = baseDelayMs, sleep = sleep) {
+        val p = new org.apache.hadoop.fs.Path(path)
+        val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+        if (!fs.exists(p)) throw new java.io.FileNotFoundException(path)
+        spark.read.format(format).load(path).schema
+      }
+      true
+    } catch { case scala.util.control.NonFatal(_) => false }
+
   /** Chunked-read semantics (reference `ingest_batches`, batch_ingestor.py:102):
     * in Spark a scan is already chunked by file splits; this controls the
     * split size so each task's chunk fits executor memory, and optionally
