@@ -1,7 +1,8 @@
 package graft.sinks
 
 import org.apache.hadoop.fs.Path
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{DataFrame, Observation, SparkSession}
+import org.apache.spark.sql.functions.{col, count, lit, sum, when}
 
 /** Batch persistence with write strategies + write stats.
   *
@@ -16,12 +17,25 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   *  - UPSERT  : key-merge — incoming rows win, non-matching existing
   *              rows survive.
   *
+  * Stats come from an [[Observation]] attached to the written plan, so
+  * they are collected by the SAME job that writes — no post-write
+  * count scan. At 100 TB that matters twice over: a re-count would scan
+  * the whole table, and for upsert the old design ran four driver
+  * actions (delta count, semi-join count, merge, re-count) where this
+  * runs one. `tableRows` (the reference's whole-table row count,
+  * batch_writer.py:507) is opt-in via `countTable = true` because it is
+  * the one stat that genuinely needs a table scan.
+  *
   * UPSERT at scale: the reference deletes+inserts row-at-a-time inside a
   * transaction; distributed, that's `delta UNION (existing ANTI JOIN
   * delta)` — one shuffle on the merge keys (or none, if the delta is
   * small enough to broadcast the anti join, which AQE decides at
-  * runtime). The merge is staged to a sibling directory and swapped in,
-  * so readers never observe a half-written table.
+  * runtime). Unpartitioned tables stage the merge to a sibling directory
+  * and swap, so readers never observe a half-written table. Partitioned
+  * tables merge ONLY the partitions the delta touches (dynamic partition
+  * overwrite): survivors are read from delta-affected partitions alone,
+  * and untouched partitions are never rewritten — upsert cost tracks the
+  * delta, not the table.
   */
 object BatchWriter {
 
@@ -31,39 +45,44 @@ object BatchWriter {
   case object Replace extends Strategy
   case class Upsert(keys: Seq[String]) extends Strategy
 
+  /** `rowsWritten` = rows written by THIS operation (from the write
+    * job's own metrics). `tableRows` = whole-table count after the
+    * write, only when requested (`countTable`). */
   case class WriteStats(path: String, strategy: String, rowsWritten: Long,
                         durationMs: Long, rowsInserted: Long = -1,
-                        rowsUpdated: Long = -1)
+                        rowsUpdated: Long = -1, tableRows: Long = -1)
 
   /** `partitionCols` lays the table out hive-style (dt=.../ dirs): at
     * 100 TB this is what lets a date-ranged query scan one day instead
     * of the whole table — the partition filter prunes directories before
-    * any IO (verified by `PartitionFilters` in the scan plan). */
+    * any IO (verified by `PartitionFilters` in the scan plan) — and is
+    * what makes UPSERT partition-scoped (see above). */
   def write(df: DataFrame, path: String, strategy: Strategy,
-            partitionCols: Seq[String] = Nil): WriteStats = {
+            partitionCols: Seq[String] = Nil,
+            countTable: Boolean = false): WriteStats = {
     val t0 = System.nanoTime()
     val spark = df.sparkSession
-    def writer(mode: String) = {
-      val w = df.write.mode(mode)
+    val obs = Observation()
+    def writer(d: DataFrame, mode: String) = {
+      val w = d.observe(obs, count(lit(1)).as("rows")).write.mode(mode)
       (if (partitionCols.nonEmpty) w.partitionBy(partitionCols: _*) else w)
     }
-    val (total, ins, upd) = strategy match {
+    val (written, ins, upd) = strategy match {
       case Insert =>
-        writer("errorifexists").parquet(path)
-        (count(spark, path), -1L, -1L)
+        writer(df, "errorifexists").parquet(path)
+        (obsLong(obs, "rows"), -1L, -1L)
       case Append =>
-        writer("append").parquet(path)
-        (count(spark, path), -1L, -1L)
+        writer(df, "append").parquet(path)
+        (obsLong(obs, "rows"), -1L, -1L)
       case Replace =>
-        writer("overwrite").parquet(path)
-        (count(spark, path), -1L, -1L)
+        writer(df, "overwrite").parquet(path)
+        (obsLong(obs, "rows"), -1L, -1L)
       case Upsert(keys) =>
-        // reference write stats split inserted vs updated (batch_writer.py:507)
-        val (i, u) = upsert(df, path, keys)
-        (count(spark, path), i, u)
+        upsert(df, path, keys, partitionCols)
     }
+    val total = if (countTable) countRows(spark, path) else -1L
     WriteStats(path, strategy.getClass.getSimpleName.stripSuffix("$"),
-      total, (System.nanoTime() - t0) / 1000000, ins, upd)
+      written, (System.nanoTime() - t0) / 1000000, ins, upd, total)
   }
 
   /** Bucketed table write: co-locates future joins/aggregations on
@@ -79,37 +98,84 @@ object BatchWriter {
     w.saveAsTable(table)
   }
 
-  /** Distributed key-merge (reference `_write_upsert`, batch_writer.py:230):
-    * survivors = existing rows whose key is NOT in the delta (anti join),
-    * result = delta ∪ survivors. Staged write + directory swap because
-    * the merge reads the directory it replaces. */
-  private def upsert(delta: DataFrame, path: String,
-                     keys: Seq[String]): (Long, Long) = {
+  /** Distributed key-merge (reference `_write_upsert`, batch_writer.py:230)
+    * in ONE action: inserted/updated splits (reference stats :507) are
+    * observed on the delta as it flows into the merge — a left join
+    * against the existing key set marks each delta row — instead of two
+    * extra count jobs.
+    *
+    * Returns (rowsWritten, inserted, updated). */
+  private def upsert(delta: DataFrame, path: String, keys: Seq[String],
+                     partitionCols: Seq[String]): (Long, Long, Long) = {
     val spark = delta.sparkSession
     val hconf = spark.sparkContext.hadoopConfiguration
     val target = new Path(path)
     val fs = target.getFileSystem(hconf)
+    val obs = Observation()
     if (!fs.exists(target)) {
-      delta.write.mode("errorifexists").parquet(path)
-      return (delta.count(), 0L)
+      val observed = delta.observe(obs, count(lit(1)).as("rows"))
+      val w = observed.write.mode("errorifexists")
+      (if (partitionCols.nonEmpty) w.partitionBy(partitionCols: _*) else w)
+        .parquet(path)
+      return (obsLong(obs, "rows"), obsLong(obs, "rows"), 0L)
     }
     val existing = spark.read.parquet(path)
-    val updated = delta.join(existing.select(keys.map(org.apache.spark.sql.functions.col): _*)
-      .distinct(), keys, "left_semi").count()
-    val inserted = delta.count() - updated
-    val survivors = existing.join(delta, keys, "left_anti")
-    val merged = delta.unionByName(survivors)
-    val staging = new Path(path + ".staging")
-    fs.delete(staging, true)
-    merged.write.mode("overwrite").parquet(staging.toString)
-    val backup = new Path(path + ".old")
-    fs.delete(backup, true)
-    fs.rename(target, backup)
-    fs.rename(staging, target)
-    fs.delete(backup, true)
-    (inserted, updated)
+    // Mark each delta row inserted-vs-updated inside the merge plan: the
+    // existing key set is tiny relative to the table (keys only, distinct)
+    // and AQE broadcasts it when small.
+    val existingKeys = existing
+      .select(keys.map(col): _*).distinct()
+      .withColumn("__graft_key_exists", lit(1))
+    val tagged = delta.join(existingKeys, keys, "left")
+      .observe(obs,
+        count(lit(1)).as("delta_rows"),
+        sum(when(col("__graft_key_exists").isNull, 1L).otherwise(0L))
+          .as("inserted"))
+      .drop("__graft_key_exists")
+
+    if (partitionCols.nonEmpty) {
+      // Partition-scoped merge: survivors come only from partitions the
+      // delta touches; dynamic overwrite rewrites only those partitions.
+      val affected = delta.select(partitionCols.map(col): _*).distinct()
+      val survivors = existing
+        .join(affected, partitionCols, "left_semi")
+        .join(delta, keys, "left_anti")
+      val wObs = Observation()
+      val merged = tagged.unionByName(survivors)
+        .observe(wObs, count(lit(1)).as("rows"))
+      merged.write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy(partitionCols: _*)
+        .parquet(path)
+      val ins = obsLong(obs, "inserted")
+      (obsLong(wObs, "rows"), ins, obsLong(obs, "delta_rows") - ins)
+    } else {
+      val survivors = existing.join(delta, keys, "left_anti")
+      val wObs = Observation()
+      val merged = tagged.unionByName(survivors)
+        .observe(wObs, count(lit(1)).as("rows"))
+      // Staged write + directory swap because the merge reads the
+      // directory it replaces.
+      val staging = new Path(path + ".staging")
+      fs.delete(staging, true)
+      merged.write.mode("overwrite").parquet(staging.toString)
+      val backup = new Path(path + ".old")
+      fs.delete(backup, true)
+      fs.rename(target, backup)
+      fs.rename(staging, target)
+      fs.delete(backup, true)
+      val ins = obsLong(obs, "inserted")
+      (obsLong(wObs, "rows"), ins, obsLong(obs, "delta_rows") - ins)
+    }
   }
 
-  private def count(spark: SparkSession, path: String): Long =
+  private def obsLong(obs: Observation, key: String): Long =
+    obs.get.getOrElse(key, 0L) match {
+      case null                => 0L
+      case n: java.lang.Number => n.longValue()
+      case other               => other.toString.toLong
+    }
+
+  private def countRows(spark: SparkSession, path: String): Long =
     spark.read.parquet(path).count()
 }

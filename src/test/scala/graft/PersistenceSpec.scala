@@ -26,13 +26,15 @@ class PersistenceSpec extends SparkSpec {
     intercept[Exception] { BatchWriter.write(base, p, BatchWriter.Insert) }
   }
 
-  test("APPEND adds rows; REPLACE truncates") {
+  test("APPEND adds rows; REPLACE truncates; stats come free, table count opt-in") {
     val p = tmp()
     BatchWriter.write(base, p, BatchWriter.Append)
-    val st2 = BatchWriter.write(base, p, BatchWriter.Append)
-    assert(st2.rowsWritten == 6)
+    // rowsWritten = this operation's rows (observed in the write job);
+    // tableRows = whole-table count, only when explicitly requested
+    val st2 = BatchWriter.write(base, p, BatchWriter.Append, countTable = true)
+    assert(st2.rowsWritten == 3 && st2.tableRows == 6)
     val st3 = BatchWriter.write(base, p, BatchWriter.Replace)
-    assert(st3.rowsWritten == 3)
+    assert(st3.rowsWritten == 3 && st3.tableRows == -1)
   }
 
   test("UPSERT: delta wins on key, non-matching rows survive; stats split ins/upd") {
@@ -40,11 +42,38 @@ class PersistenceSpec extends SparkSpec {
     BatchWriter.write(base, p, BatchWriter.Insert)
     val delta = Seq((2L, "b2", 99.0), (4L, "d", 40.0)).toDF("k", "name", "v")
     val st = BatchWriter.write(delta, p, BatchWriter.Upsert(Seq("k")))
-    assert(st.rowsWritten == 4)
+    assert(st.rowsWritten == 4) // merged table: 2 delta + 2 survivors
     assert(st.rowsInserted == 1 && st.rowsUpdated == 1)
     val out = spark.read.parquet(p).orderBy("k")
       .as[(Long, String, Double)].collect().toSeq
     assert(out == Seq((1L, "a", 10.0), (2L, "b2", 99.0), (3L, "c", 30.0), (4L, "d", 40.0)))
+  }
+
+  test("partitioned UPSERT rewrites only delta-touched partitions") {
+    val p = tmp()
+    val basePart = Seq(
+      (1L, "a", "2024-01"), (2L, "b", "2024-01"),
+      (3L, "c", "2024-02"), (4L, "d", "2024-03"),
+    ).toDF("k", "name", "mo")
+    BatchWriter.write(basePart, p, BatchWriter.Insert, partitionCols = Seq("mo"))
+    val untouched = new java.io.File(s"$p/mo=2024-02")
+    val before = untouched.listFiles().map(f => (f.getName, f.lastModified())).toSet
+
+    // delta touches 2024-01 (update k=2) and a brand-new 2024-04 partition
+    val delta = Seq((2L, "b2", "2024-01"), (5L, "e", "2024-04")).toDF("k", "name", "mo")
+    val st = BatchWriter.write(delta, p, BatchWriter.Upsert(Seq("k")),
+      partitionCols = Seq("mo"))
+    assert(st.rowsInserted == 1 && st.rowsUpdated == 1)
+    // merged output covers only affected partitions: 2024-01 (2 rows) + 2024-04 (1)
+    assert(st.rowsWritten == 3)
+
+    // untouched partition's files were not rewritten
+    val after = untouched.listFiles().map(f => (f.getName, f.lastModified())).toSet
+    assert(after == before, "untouched partition must not be rewritten")
+    // and the merge is still correct across all partitions
+    val out = spark.read.parquet(p).select("k", "name")
+      .orderBy("k").as[(Long, String)].collect().toSeq
+    assert(out == Seq((1L, "a"), (2L, "b2"), (3L, "c"), (4L, "d"), (5L, "e")))
   }
 
   test("partitioned write: date-ranged read prunes partitions before IO") {
