@@ -1,0 +1,73 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Percentile + cardinality aggregates, exact and sketched.
+  *
+  * The reference computes summary statistics through its SQL surface
+  * (reference: src/pipeline/transformation/sql_transformer.py:49 runs
+  * arbitrary aggregates; utils/logging.py records row counts). This
+  * module adds the two families every analytics engine needs beyond
+  * SUM/AVG, in both an exact form (the correctness baseline) and a
+  * sketched form (the 100 TB path):
+  *
+  *  - `percentiles` — exact `percentile_cont` (linear interpolation).
+  *    Exact percentiles buffer every value of a group on one aggregator,
+  *    so they are fine per-group but NOT for a 100 TB global percentile.
+  *  - `approxPercentiles` — `percentile_approx` (KLL-ish mergeable
+  *    sketch): map-side partial sketches merge associatively, so the
+  *    full scan parallelises and only fixed-size sketches shuffle.
+  *  - `approxDistinct` — `approx_count_distinct` (HyperLogLog++):
+  *    exact COUNT(DISTINCT x) shuffles every distinct value; the HLL
+  *    sketch ships ~KB per partition regardless of cardinality. At
+  *    1000 executors this is the difference between a full-data shuffle
+  *    and a metadata-sized merge.
+  */
+object Sketches {
+
+  /** Exact interpolated percentiles of `valueCol` per group: one output
+    * column per requested fraction, named `p50`/`p90`/... Rounded to 6
+    * decimals so the result is bit-stable across engines. */
+  def percentiles(df: DataFrame, valueCol: String, groupCols: Seq[String],
+                  fractions: Seq[Double] = Seq(0.25, 0.5, 0.75, 0.9, 0.99))
+      : DataFrame = {
+    val aggs = fractions.map { p =>
+      round(expr(s"percentile($valueCol, ${p}d)"), 6).as(pName(p))
+    }
+    df.groupBy(groupCols.map(col): _*)
+      .agg(aggs.head, aggs.tail: _*)
+      .orderBy(groupCols.map(col): _*)
+  }
+
+  /** Sketched percentiles (mergeable, bounded-memory). `accuracy` is
+    * Spark's 1/relative-rank-error knob: 10000 ≈ rank error ≤ 0.01%. */
+  def approxPercentiles(df: DataFrame, valueCol: String,
+                        groupCols: Seq[String],
+                        fractions: Seq[Double] = Seq(0.5, 0.9, 0.99),
+                        accuracy: Int = 10000): DataFrame = {
+    val aggs = fractions.map { p =>
+      percentile_approx(col(valueCol), lit(p), lit(accuracy)).as("a" + pName(p))
+    }
+    df.groupBy(groupCols.map(col): _*)
+      .agg(aggs.head, aggs.tail: _*)
+      .orderBy(groupCols.map(col): _*)
+  }
+
+  /** HyperLogLog++ distinct counts of each of `countCols` per group.
+    * `rsd` = target relative standard deviation (0.01 ≈ 1% error). */
+  def approxDistinct(df: DataFrame, countCols: Seq[String],
+                     groupCols: Seq[String], rsd: Double = 0.01): DataFrame = {
+    val aggs = countCols.map(c =>
+      approx_count_distinct(col(c), rsd).as(s"approx_nd_$c"))
+    val grouped =
+      if (groupCols.isEmpty) df.groupBy()
+      else df.groupBy(groupCols.map(col): _*)
+    val out = grouped.agg(aggs.head, aggs.tail: _*)
+    if (groupCols.isEmpty) out else out.orderBy(groupCols.map(col): _*)
+  }
+
+  private def pName(p: Double): String =
+    "p" + BigDecimal(p * 100).underlying.stripTrailingZeros.toPlainString
+      .replace(".", "_")
+}

@@ -4,7 +4,7 @@ import java.nio.file.Files
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import graft.operators.{CodeTransform, ConfigTransform, SchemaEvolution, SqlTransform}
+import graft.operators.{CodeTransform, ConfigTransform, Profiler, SchemaEvolution, Sketches, SqlTransform}
 import graft.pipeline.Pipeline
 import graft.sinks.BatchWriter
 import graft.sources.Ingestor
@@ -142,6 +142,24 @@ object OperatorQueries {
       Pipeline.runJson(s, spec)
       s.read.parquet(out).orderBy("o_orderpriority")
     }),
+
+    "data_profile" -> ((s, d) =>
+      Profiler.profile(t(s, d, "orders"))),
+
+    "q_percentiles" -> ((s, d) =>
+      Sketches.percentiles(t(s, d, "lineitem"), "l_extendedprice",
+        Seq("l_returnflag"))),
+
+    // rows-only: sketch internals (HLL++ registers, percentile_approx
+    // histogram) aren't reproducible in SQL; SketchesSpec bounds the
+    // error vs the exact values instead.
+    "q_approx_sketch" -> ((s, d) => {
+      val li = t(s, d, "lineitem")
+      Sketches.approxDistinct(li, Seq("l_orderkey", "l_partkey"), Seq("l_returnflag"))
+        .join(Sketches.approxPercentiles(li, "l_extendedprice", Seq("l_returnflag")),
+          Seq("l_returnflag"))
+        .orderBy("l_returnflag")
+    }),
   )
 
   val oracles: Map[String, String] = Map(
@@ -213,5 +231,40 @@ object OperatorQueries {
         | COUNT(o_custkey) AS o_custkey_count
         |FROM orders WHERE o_orderstatus = 'O'
         |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
+
+    "q_percentiles" ->
+      """SELECT l_returnflag,
+        | round(quantile_cont(l_extendedprice, 0.25), 6) AS p25,
+        | round(quantile_cont(l_extendedprice, 0.5), 6) AS p50,
+        | round(quantile_cont(l_extendedprice, 0.75), 6) AS p75,
+        | round(quantile_cont(l_extendedprice, 0.9), 6) AS p90,
+        | round(quantile_cont(l_extendedprice, 0.99), 6) AS p99
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+
+    "data_profile" -> {
+      def num(c: String, dt: String) =
+        s"""SELECT '$c' AS column_name, '$dt' AS data_type,
+           | CAST(COUNT(*) AS BIGINT) AS n_rows,
+           | CAST(COUNT(*) - COUNT($c) AS BIGINT) AS n_nulls,
+           | CAST(COUNT(DISTINCT $c) AS BIGINT) AS n_distinct,
+           | CAST(MIN($c) AS DOUBLE) AS min_num,
+           | CAST(MAX($c) AS DOUBLE) AS max_num,
+           | round(CAST(SUM(CAST($c AS DECIMAL(38,6))) AS DOUBLE)/COUNT($c), 6) AS mean_val,
+           | CAST(NULL AS VARCHAR) AS min_str, CAST(NULL AS VARCHAR) AS max_str
+           |FROM orders""".stripMargin
+      def str(c: String, dt: String) =
+        s"""SELECT '$c' AS column_name, '$dt' AS data_type,
+           | CAST(COUNT(*) AS BIGINT) AS n_rows,
+           | CAST(COUNT(*) - COUNT($c) AS BIGINT) AS n_nulls,
+           | CAST(COUNT(DISTINCT $c) AS BIGINT) AS n_distinct,
+           | CAST(NULL AS DOUBLE) AS min_num, CAST(NULL AS DOUBLE) AS max_num,
+           | CAST(NULL AS DOUBLE) AS mean_val,
+           | CAST(MIN($c) AS VARCHAR) AS min_str, CAST(MAX($c) AS VARCHAR) AS max_str
+           |FROM orders""".stripMargin
+      Seq(num("o_orderkey", "long"), num("o_custkey", "long"),
+        str("o_orderstatus", "string"), num("o_totalprice", "double"),
+        str("o_orderdate", "timestamp_ntz"), str("o_orderpriority", "string"))
+        .mkString("SELECT * FROM (\n", "\nUNION ALL\n", "\n) ORDER BY column_name")
+    },
   )
 }

@@ -54,6 +54,64 @@ object EventStream {
         count(lit(1)).as("n_events"))
   }
 
+  /** Streaming upsert sink: apply [[graft.sinks.BatchWriter]]'s key-merge
+    * to every micro-batch via foreachBatch — the streaming form of the
+    * reference's persistence stage (batch_writer.py:230 `_write_upsert`
+    * called from the async worker loop, tasks.py). Each micro-batch is a
+    * bounded DataFrame, so the same distributed anti-join merge (and the
+    * same partition-scoped rewrite when `partitionCols` is set) runs
+    * per batch; exactly-once comes from the checkpoint + the idempotent
+    * key-merge (replaying a batch re-merges the same keys to the same
+    * values). */
+  def upsertSink(stream: DataFrame, path: String, keys: Seq[String],
+                 checkpoint: String,
+                 partitionCols: Seq[String] = Nil)
+      : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+    stream.writeStream
+      .option("checkpointLocation", checkpoint)
+      .outputMode("update")
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        graft.sinks.BatchWriter.write(batch, path,
+          graft.sinks.BatchWriter.Upsert(keys), partitionCols)
+        ()
+      }
+
+  /** Stream-stream interval join: each left event pairs with right
+    * events for the same key within `[left.ts, left.ts + within]`. Both
+    * sides carry watermarks + the time-range predicate, so the engine
+    * can BOUND the join state: buffered rows age out as the watermark
+    * passes, instead of every past row being kept forever (the thing
+    * that kills unbounded stream joins at scale). Works identically as
+    * a batch plan (the correctness gate runs it in batch). */
+  def intervalJoin(left: DataFrame, right: DataFrame, key: String,
+                   within: String = "10 minutes",
+                   watermark: Boolean = false): DataFrame = {
+    val l = (if (watermark) left.withWatermark("ts", within) else left)
+      .select(col(key).as("k"), col("ts").as("l_ts"),
+        col("event_id").as("l_event"))
+    val r = (if (watermark) right.withWatermark("ts", within) else right)
+      .select(col(key).as("r_k"), col("ts").as("r_ts"),
+        col("event_id").as("r_event"))
+    l.join(r, col("k") === col("r_k") &&
+        col("r_ts") >= col("l_ts") &&
+        col("r_ts") <= col("l_ts") + expr(s"INTERVAL '$within'"),
+      "inner")
+      .select(col("k"), col("l_ts"), col("l_event"), col("r_ts"), col("r_event"))
+  }
+
+  /** Streaming exact dedup on `keyCols` with bounded state:
+    * dropDuplicatesWithinWatermark keeps a key's fingerprint only until
+    * the watermark passes its event time + the allowed lateness, so
+    * state size tracks the lateness window — not stream history. The
+    * batch form is a plain dropDuplicates (same code path, engine picks
+    * the implementation). */
+  def dedupStream(events: DataFrame, keyCols: Seq[String],
+                  lateness: String = "10 minutes"): DataFrame =
+    if (events.isStreaming)
+      events.withWatermark("ts", lateness)
+        .dropDuplicatesWithinWatermark(keyCols)
+    else events.dropDuplicates(keyCols)
+
   // ---- stateful streaming sessionizer ----
   case class Event(user_id: Long, ts: Timestamp, event_id: Long)
   case class SessionState(start: Long, last: Long, count: Long)

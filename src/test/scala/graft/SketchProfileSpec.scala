@@ -1,0 +1,65 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.{Profiler, Sketches}
+import graft.sources.Ingestor
+
+/** Sketched aggregates (error-bounded vs exact) and the column profiler
+  * (exact + approx forms agree on everything but the sketched counts). */
+class SketchProfileSpec extends SparkSpec {
+
+  private lazy val li = Ingestor.table(spark, sf(), "lineitem")
+
+  test("approx_count_distinct stays within the configured error bound") {
+    val exact = li.groupBy("l_returnflag")
+      .agg(count_distinct(col("l_orderkey")).as("nd"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val approx = Sketches.approxDistinct(li, Seq("l_orderkey"), Seq("l_returnflag"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(exact.keySet == approx.keySet)
+    exact.foreach { case (flag, nd) =>
+      val rel = math.abs(approx(flag) - nd).toDouble / nd
+      assert(rel < 0.05, s"$flag: exact=$nd approx=${approx(flag)} rel=$rel")
+    }
+  }
+
+  test("percentile_approx lands within tight rank error of exact percentiles") {
+    val exact = Sketches.percentiles(li, "l_extendedprice", Seq("l_returnflag"),
+        fractions = Seq(0.5)).collect()
+      .map(r => r.getString(0) -> r.getDouble(1)).toMap
+    val approx = Sketches.approxPercentiles(li, "l_extendedprice", Seq("l_returnflag"),
+        fractions = Seq(0.5)).collect()
+      .map(r => r.getString(0) -> r.getDouble(1)).toMap
+    exact.foreach { case (flag, p50) =>
+      // accuracy=10000 -> rank error <= 0.01%; values near the median move
+      // slowly, so 2% relative slack is generous but still meaningful
+      val rel = math.abs(approx(flag) - p50) / p50
+      assert(rel < 0.02, s"$flag: exact=$p50 approx=${approx(flag)}")
+    }
+  }
+
+  test("approxProfile matches exact profile on everything but sketched distincts") {
+    val orders = Ingestor.table(spark, sf(), "orders")
+    val exact = Profiler.profile(orders).collect()
+    val approx = Profiler.approxProfile(orders).collect()
+    assert(exact.length == approx.length)
+    exact.zip(approx).foreach { case (e, a) =>
+      Seq("column_name", "data_type", "n_rows", "n_nulls", "min_num",
+        "max_num", "mean_val", "min_str", "max_str").foreach { f =>
+        assert(e.getAs[Any](f) == a.getAs[Any](f), s"field $f differs")
+      }
+      val (en, an) = (e.getAs[Long]("n_distinct"), a.getAs[Long]("n_distinct"))
+      assert(math.abs(an - en).toDouble / math.max(en, 1L) < 0.05,
+        s"${e.getAs[String]("column_name")}: exact=$en approx=$an")
+    }
+  }
+
+  test("profiler is a single scan: one aggregate job, no second pass") {
+    val orders = Ingestor.table(spark, sf(), "orders")
+    val plan = Profiler.profile(orders).queryExecution.optimizedPlan.toString
+    // one Aggregate over one relation; the unpivot is a projection
+    assert("(?s)Relation.*Relation".r.findFirstIn(plan).isEmpty,
+      s"expected a single scan in:\n$plan")
+  }
+}

@@ -84,6 +84,72 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("foreachBatch upsert sink key-merges each micro-batch into the table") {
+    implicit val sqlCtx = spark.sqlContext
+    val dir = java.nio.file.Files.createTempDirectory("graft_stream_upsert")
+    val table = s"$dir/tbl"
+    val mem = MemoryStream[(Long, String, Double)]
+    val df = mem.toDF().toDF("k", "name", "v")
+    val q = EventStream.upsertSink(df, table, Seq("k"), s"$dir/ckpt").start()
+    try {
+      mem.addData((1L, "a", 1.0), (2L, "b", 2.0))
+      q.processAllAvailable()
+      // batch 2 updates k=2 and inserts k=3; k=1 must survive untouched
+      mem.addData((2L, "b2", 20.0), (3L, "c", 3.0))
+      q.processAllAvailable()
+      val out = spark.read.parquet(table).orderBy("k")
+        .as[(Long, String, Double)].collect().toSeq
+      assert(out == Seq((1L, "a", 1.0), (2L, "b2", 20.0), (3L, "c", 3.0)))
+    } finally q.stop()
+  }
+
+  test("stream-stream interval join bounds state with watermarks; matches batch") {
+    implicit val sqlCtx = spark.sqlContext
+    val clicks = MemoryStream[(Long, Timestamp, Long)]
+    val views = MemoryStream[(Long, Timestamp, Long)]
+    val cdf = clicks.toDF().toDF("user_id", "ts", "event_id")
+    val vdf = views.toDF().toDF("user_id", "ts", "event_id")
+    val q = EventStream.intervalJoin(cdf, vdf, "user_id",
+        within = "10 minutes", watermark = true)
+      .writeStream.format("memory").queryName("ssjoin")
+      .outputMode("append").start()
+    try {
+      clicks.addData((1L, ts(0), 100L), (2L, ts(0), 101L))
+      views.addData((1L, ts(5), 200L), (1L, ts(20), 201L), (2L, ts(8), 202L))
+      q.processAllAvailable()
+      val rows = spark.table("ssjoin")
+        .select("k", "l_event", "r_event")
+        .as[(Long, Long, Long)].collect().toSet
+      // (1,100)-(1,201) is outside the 10-min band; everything else in
+      assert(rows == Set((1L, 100L, 200L), (2L, 101L, 202L)))
+      // identical rows from the batch form of the same plan
+      val batch = EventStream.intervalJoin(
+        Seq((1L, ts(0), 100L), (2L, ts(0), 101L)).toDF("user_id", "ts", "event_id"),
+        Seq((1L, ts(5), 200L), (1L, ts(20), 201L), (2L, ts(8), 202L)).toDF("user_id", "ts", "event_id"),
+        "user_id", within = "10 minutes")
+        .select("k", "l_event", "r_event").as[(Long, Long, Long)].collect().toSet
+      assert(batch == rows)
+    } finally q.stop()
+  }
+
+  test("streaming dedup drops within-watermark duplicates with bounded state") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Long, Timestamp)]
+    val df = mem.toDF().toDF("event_id", "ts")
+    val q = EventStream.dedupStream(df, Seq("event_id"), lateness = "10 minutes")
+      .writeStream.format("memory").queryName("dedup_stream")
+      .outputMode("append").start()
+    try {
+      mem.addData((1L, ts(0)), (2L, ts(1)), (1L, ts(2)))
+      q.processAllAvailable()
+      mem.addData((2L, ts(3)), (3L, ts(4))) // 2 is a dup, 3 is new
+      q.processAllAvailable()
+      val ids = spark.table("dedup_stream")
+        .select("event_id").as[Long].collect().toSeq.sorted
+      assert(ids == Seq(1L, 2L, 3L))
+    } finally q.stop()
+  }
+
   test("batch sessionize splits on gap and counts events") {
     val events = Seq(
       (1L, ts(0), 1L), (1L, ts(10), 2L), (1L, ts(50), 3L),
