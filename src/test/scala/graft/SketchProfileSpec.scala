@@ -55,11 +55,15 @@ class SketchProfileSpec extends SparkSpec {
     }
   }
 
-  test("profiler is a single scan: one aggregate job, no second pass") {
+  test("profiler scan count is fixed, not per-column") {
     val orders = Ingestor.table(spark, sf(), "orders")
-    val plan = Profiler.profile(orders).queryExecution.optimizedPlan.toString
-    // one Aggregate over one relation; the unpivot is a projection
-    assert("(?s)Relation.*Relation".r.findFirstIn(plan).isEmpty,
-      s"expected a single scan in:\n$plan")
+    def scans(df: org.apache.spark.sql.DataFrame) =
+      df.queryExecution.optimizedPlan.collect {
+        case r: org.apache.spark.sql.catalyst.plans.logical.LeafNode => r
+      }.size
+    // exact: wide stats + the multi-distinct aggregate (2 scans for any
+    // number of columns); approx: HLL keeps everything in one scan
+    assert(scans(Profiler.profile(orders)) == 2)
+    assert(scans(Profiler.approxProfile(orders)) == 1)
   }
 }
