@@ -260,4 +260,58 @@ object Dedup {
           col("anorm"), col("bnorm")), 6).as("cosine"))
       .where(col("cosine") >= threshold)
   }
+
+  /** Connected components of the near-dup pair graph: every doc gets a
+    * `cluster_id` = the minimum doc id reachable through near-dup pairs
+    * (singletons cluster under themselves). Corpus dedup pipelines need
+    * the full clusters — not just pairs — to keep exactly one canonical
+    * doc per group of mutual near-dups (`dropNearDups` keeps min-id per
+    * PAIR, which over-keeps on chains a~b, b~c where a!~c directly).
+    *
+    * Hash-min label propagation: each round every node adopts the
+    * minimum label among itself and its neighbours, until no label
+    * changes. Each round is one shuffle join + aggregate — fully
+    * distributed, labels checkpointed per round so lineage stays flat.
+    * Rounds needed = max component diameter; near-dup components are
+    * shallow (dups of dups of X are dups of X), so this converges in a
+    * handful of rounds. For adversarially long chains the
+    * star-contraction variant (Kiveris et al., "Connected Components in
+    * MapReduce") halves path lengths per round; not needed for dedup
+    * graphs. */
+  def connectedComponents(pairs: DataFrame, nodes: DataFrame,
+                          idCol: String = "doc_id",
+                          maxRounds: Int = 20): DataFrame = {
+    val edges = pairs
+      .select(col("a_id").as("src"), col("b_id").as("dst"))
+      .union(pairs.select(col("b_id").as("src"), col("a_id").as("dst")))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    var labels = nodes.select(col(idCol).as("id"))
+      .withColumn("cluster_id", col("id")).localCheckpoint()
+    var round = 0
+    var converged = false
+    while (!converged && round < maxRounds) {
+      val nbrMin = edges
+        .join(labels.withColumnRenamed("id", "dst"), "dst")
+        .groupBy("src").agg(min("cluster_id").as("nbr_min"))
+        .withColumnRenamed("src", "id")
+      val next = labels.join(nbrMin, Seq("id"), "left")
+        .select(col("id"),
+          least(col("cluster_id"), coalesce(col("nbr_min"), col("cluster_id")))
+            .as("cluster_id"),
+          (col("nbr_min") < col("cluster_id")).as("__changed"))
+        .localCheckpoint()
+      converged = next.where(col("__changed")).limit(1).isEmpty
+      labels = next.drop("__changed")
+      round += 1
+    }
+    edges.unpersist(false)
+    labels
+  }
+
+  /** Near-dup clusters of the corpus: MinHash/LSH pairs at `threshold`,
+    * closed into components. (doc_id, cluster_id); keep one doc per
+    * cluster_id for the canonical deduplicated corpus. */
+  def nearDupClusters(docs: DataFrame, threshold: Double = 0.8,
+                      idCol: String = "doc_id"): DataFrame =
+    connectedComponents(minhashNearDups(docs, threshold), docs, idCol)
 }

@@ -128,6 +128,38 @@ object TextAnalysis {
       }.toDF("doc_id", "winnow_fp")
   }
 
+  /** Top-k TF-IDF terms per document — the corpus-level term statistics
+    * a training-data pipeline uses for keyword extraction / topic
+    * filtering. tf = term count in doc; idf = ln((N+1)/(df+1)) + 1
+    * (smoothed, sklearn-style); score rounded to 6dp BEFORE ranking so
+    * the top-k cut is identical across engines.
+    *
+    * Shape at scale: tokenize+explode (one pass), tf aggregate (shuffle
+    * on doc+term), df aggregate FROM tf (shuffle on term — tf is already
+    * one row per doc-term, so df never re-reads the corpus), corpus size
+    * as a broadcast single-row aggregate (no driver action), top-k as a
+    * per-doc window. No step is driver-side and nothing is quadratic. */
+  def tfidf(docs: DataFrame, textCol: String = "text", topK: Int = 10)
+      : DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val toks = docs.select(col("doc_id"),
+      explode(wordTokens(col(textCol))).as("term"))
+    val tf = toks.groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+    val dfreq = tf.groupBy("term").agg(count(lit(1)).as("df"))
+    val nDocs = docs.agg(count(lit(1)).as("n_docs"))
+    val scored = tf.join(dfreq, "term")
+      .crossJoin(broadcast(nDocs))
+      .withColumn("tfidf", round(
+        col("tf") * (log((col("n_docs") + lit(1.0)) / (col("df") + lit(1.0))) + lit(1.0)),
+        6))
+    val w = Window.partitionBy("doc_id")
+      .orderBy(col("tfidf").desc, col("term").asc)
+    scored.withColumn("rk", row_number().over(w))
+      .where(col("rk") <= topK)
+      .select(col("doc_id"), col("term"), col("tf"), col("df"),
+        col("tfidf"), col("rk").cast("long").as("rk"))
+  }
+
   /** Content fingerprints: exact (md5 of the raw text) and structural
     * (min-md5 over distinct word 5-gram shingles — a 1-permutation
     * MinHash, stable under whitespace/reordering-free edits). Returns

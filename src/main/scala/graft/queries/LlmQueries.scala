@@ -79,6 +79,23 @@ object LlmQueries {
           col("meta.n_bytes").as("n_bytes"), col("meta.width").as("width"),
           col("meta.height").as("height"), md5(col("content")).as("content_md5"))
         .orderBy("doc_id")),
+
+    "text_tfidf" -> ((s, d) =>
+      TextAnalysis.tfidf(docs(s, d), topK = 10)
+        .orderBy(col("doc_id"), col("rk"))),
+
+    "split_hash" -> ((s, d) =>
+      graft.operators.Splits.byHash(docs(s, d), "doc_id",
+          Seq("train" -> 0.8, "val" -> 0.1))
+        .select("doc_id", "split").orderBy("doc_id")),
+
+    // rows-only: cluster closure of the LSH pair graph (murmur bucket
+    // keys not reproducible in SQL); component semantics spec-tested on
+    // known graphs in DedupSimilaritySpec
+    "dedup_clusters" -> ((s, d) =>
+      Dedup.nearDupClusters(docs(s, d), threshold = 0.8)
+        .where(col("id") =!= col("cluster_id"))
+        .orderBy("id")),
   )
 
   val oracles: Map[String, String] = Map(
@@ -185,6 +202,32 @@ object LlmQueries {
         | CAST(64 + (doc_id % 8) * 32 AS BIGINT) AS width,
         | CAST(64 + (doc_id % 5) * 48 AS BIGINT) AS height,
         | md5(text) AS content_md5
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "text_tfidf" ->
+      """WITH toks AS (
+        | SELECT doc_id, u.term AS term
+        | FROM documents,
+        |  UNNEST([x for x in regexp_split_to_array(lower(text), '[^a-z0-9]+') if x <> '']) AS u(term)),
+        |tf AS (SELECT doc_id, term, CAST(COUNT(*) AS BIGINT) AS tf FROM toks GROUP BY 1, 2),
+        |dfreq AS (SELECT term, CAST(COUNT(*) AS BIGINT) AS df FROM tf GROUP BY 1),
+        |n AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_docs FROM documents),
+        |scored AS (
+        | SELECT tf.doc_id, tf.term, tf.tf, dfreq.df,
+        |  round(tf.tf * (ln((n.n_docs + 1.0) / (dfreq.df + 1.0)) + 1.0), 6) AS tfidf
+        | FROM tf, dfreq, n WHERE tf.term = dfreq.term),
+        |ranked AS (
+        | SELECT doc_id, term, tf, df, tfidf,
+        |  CAST(row_number() OVER (PARTITION BY doc_id ORDER BY tfidf DESC, term) AS BIGINT) AS rk
+        | FROM scored)
+        |SELECT doc_id, term, tf, df, tfidf, rk FROM ranked WHERE rk <= 10
+        |ORDER BY doc_id, rk""".stripMargin,
+
+    "split_hash" ->
+      """SELECT doc_id,
+        | CASE WHEN substring(md5(CAST(doc_id AS VARCHAR)), 1, 8) < 'cccccccc' THEN 'train'
+        |      WHEN substring(md5(CAST(doc_id AS VARCHAR)), 1, 8) < 'e6666666' THEN 'val'
+        |      ELSE 'test' END AS split
         |FROM documents ORDER BY doc_id""".stripMargin,
   )
 }

@@ -146,6 +146,15 @@ object OperatorQueries {
     "data_profile" -> ((s, d) =>
       Profiler.profile(t(s, d, "orders"))),
 
+    "q_grouping_sets" -> ((s, d) =>
+      new SqlTransform(s).transform(t(s, d, "orders"),
+        """SELECT o_orderstatus, o_orderpriority,
+          | CAST(COUNT(*) AS BIGINT) AS n,
+          | CAST(SUM(CAST(o_totalprice AS DECIMAL(38,6))) AS DOUBLE) AS total
+          |FROM input_data
+          |GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+          |ORDER BY o_orderstatus NULLS FIRST, o_orderpriority NULLS FIRST""".stripMargin)),
+
     "q_percentiles" -> ((s, d) =>
       Sketches.percentiles(t(s, d, "lineitem"), "l_extendedprice",
         Seq("l_returnflag"))),
@@ -231,6 +240,14 @@ object OperatorQueries {
         | COUNT(o_custkey) AS o_custkey_count
         |FROM orders WHERE o_orderstatus = 'O'
         |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
+
+    "q_grouping_sets" ->
+      """SELECT o_orderstatus, o_orderpriority,
+        | CAST(COUNT(*) AS BIGINT) AS n,
+        | CAST(SUM(CAST(o_totalprice AS DECIMAL(38,6))) AS DOUBLE) AS total
+        |FROM orders
+        |GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+        |ORDER BY o_orderstatus NULLS FIRST, o_orderpriority NULLS FIRST""".stripMargin,
 
     "q_percentiles" ->
       """SELECT l_returnflag,

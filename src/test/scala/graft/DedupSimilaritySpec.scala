@@ -1,7 +1,8 @@
 package graft
 
 import org.apache.spark.sql.functions._
-import graft.operators.{Dedup, Similarity}
+import graft.operators.{Dedup, Similarity, Splits}
+import graft.sources.Ingestor
 
 /** Property coverage for the non-oracled (rows-only) near-dup and ANN
   * paths: MinHash estimates track true Jaccard, LSH candidates recall
@@ -104,5 +105,43 @@ class DedupSimilaritySpec extends SparkSpec {
       .select("q_id", "n_id").as[(Long, Long)].collect().toSet
     val recall = approx.intersect(brute).size.toDouble / brute.size
     assert(recall >= 0.3, s"ANN recall $recall vs brute") // 8 tables x 4 bits on 500 vecs
+  }
+
+  test("connected components close duplicate chains that pairs alone miss") {
+    // chain 1-2-3 (one cluster), pair 5-6, singletons 4 and 7
+    val pairs = Seq((1L, 2L), (2L, 3L), (5L, 6L)).toDF("a_id", "b_id")
+    val nodes = (1L to 7L).toDF("doc_id")
+    val out = Dedup.connectedComponents(pairs, nodes)
+      .orderBy("id").as[(Long, Long)].collect().toSeq
+    assert(out == Seq((1L, 1L), (2L, 1L), (3L, 1L), (4L, 4L),
+      (5L, 5L), (6L, 5L), (7L, 7L)))
+  }
+
+  test("connected components converge on a long path and a cycle") {
+    // path 10->11->...->16 (diameter 6) plus cycle 20-21-22-20
+    val path = (10L until 16L).map(i => (i, i + 1))
+    val cyc = Seq((20L, 21L), (21L, 22L), (20L, 22L))
+    val pairs = (path ++ cyc).toDF("a_id", "b_id")
+    val nodes = ((10L to 16L) ++ (20L to 22L)).toDF("doc_id")
+    val out = Dedup.connectedComponents(pairs, nodes)
+      .as[(Long, Long)].collect().toMap
+    assert((10L to 16L).forall(out(_) == 10L))
+    assert((20L to 22L).forall(out(_) == 20L))
+  }
+
+  test("hash split is deterministic, id-stable, and near the requested fractions") {
+    val docs = Ingestor.table(spark, sf(), "documents")
+    val split = Splits.byHash(docs, "doc_id", Seq("train" -> 0.8, "val" -> 0.1))
+    val counts = split.groupBy("split").count()
+      .as[(String, Long)].collect().toMap
+    val n = counts.values.sum.toDouble
+    assert(math.abs(counts("train") / n - 0.8) < 0.1)
+    assert(counts.keySet == Set("train", "val", "test"))
+    // stable: same ids -> same assignment, independent of partitioning
+    val again = Splits.byHash(docs.repartition(7), "doc_id",
+        Seq("train" -> 0.8, "val" -> 0.1))
+      .select("doc_id", "split").as[(Long, String)].collect().toMap
+    val first = split.select("doc_id", "split").as[(Long, String)].collect().toMap
+    assert(first == again)
   }
 }
