@@ -96,6 +96,26 @@ object LlmQueries {
       Dedup.nearDupClusters(docs(s, d), threshold = 0.8)
         .where(col("id") =!= col("cluster_id"))
         .orderBy("id")),
+
+    // Flagship composite: the full training-corpus preparation flow —
+    // quality scoring -> language ID -> filter -> exact dedup (keep
+    // min-id per content hash) -> deterministic split — as ONE Catalyst
+    // plan: the enrichments fuse into a single projection over the scan,
+    // dedup is the only shuffle, the split is a hash projection.
+    "training_corpus" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val enriched = TextAnalysis.languageId(TextAnalysis.qualityScore(docs(s, d)))
+      val filtered = enriched
+        .where(col("quality_score") >= 0.5 && col("lang_pred") === "en")
+      val w = Window.partitionBy(md5(col("text"))).orderBy("doc_id")
+      val deduped = filtered
+        .withColumn("__rk", row_number().over(w))
+        .where(col("__rk") === 1)
+      graft.operators.Splits.byHash(deduped, "doc_id",
+          Seq("train" -> 0.8, "val" -> 0.1))
+        .select("doc_id", "lang_pred", "quality_score", "split")
+        .orderBy("doc_id")
+    }),
   )
 
   val oracles: Map[String, String] = Map(
@@ -229,5 +249,41 @@ object LlmQueries {
         |      WHEN substring(md5(CAST(doc_id AS VARCHAR)), 1, 8) < 'e6666666' THEN 'val'
         |      ELSE 'test' END AS split
         |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "training_corpus" ->
+      """WITH b AS (SELECT doc_id, text,
+        |  CAST(length(text) AS BIGINT) AS n,
+        |  CAST(length(text) - length(regexp_replace(text, '[A-Za-z]', '', 'g')) AS BIGINT) AS alpha,
+        |  CAST(length(text) - length(regexp_replace(text, '[0-9]', '', 'g')) AS BIGINT) AS digits,
+        |  CAST(length(text) - length(regexp_replace(text, '\s', '', 'g')) AS BIGINT) AS ws,
+        |  CAST(len([x for x in regexp_split_to_array(text, '\s+') if x <> '']) AS BIGINT) AS toks,
+        |  CAST(len(regexp_extract_all(lower(text), '\b(the|and|of|to|a|in|is|it|that|for)\b')) AS BIGINT) AS stops
+        | FROM documents),
+        |q AS (SELECT doc_id, text,
+        | round(0.4 * least(1.0, toks / 100.0) + 0.3 * (alpha / n)
+        |   + 0.2 * (1.0 - (n - alpha - digits - ws) / n)
+        |   + 0.1 * least(1.0, stops / toks * 5.0), 6) AS quality_score FROM b),
+        |c AS (SELECT doc_id,
+        |  CAST(len(regexp_extract_all(lower(text), '\b(the|and|of|to|is|in|that|it|for|on)\b')) AS BIGINT) AS cnt_en,
+        |  CAST(len(regexp_extract_all(lower(text), '\b(der|die|das|und|ist|nicht|mit|ein|zu|den)\b')) AS BIGINT) AS cnt_de,
+        |  CAST(len(regexp_extract_all(lower(text), '\b(le|la|les|et|est|dans|pour|que|une|des)\b')) AS BIGINT) AS cnt_fr,
+        |  CAST(len(regexp_extract_all(lower(text), '\b(el|los|las|es|en|que|por|con|para|una)\b')) AS BIGINT) AS cnt_es,
+        |  CAST(len(regexp_extract_all(text, '[\x{4e00}-\x{9fff}]')) AS BIGINT) AS cnt_cjk
+        | FROM documents),
+        |l AS (SELECT doc_id, CASE WHEN cnt_cjk > 0 THEN 'zh'
+        |  WHEN cnt_en = 0 AND cnt_de = 0 AND cnt_fr = 0 AND cnt_es = 0 THEN 'unknown'
+        |  WHEN cnt_en >= cnt_de AND cnt_en >= cnt_fr AND cnt_en >= cnt_es THEN 'en'
+        |  WHEN cnt_de >= cnt_fr AND cnt_de >= cnt_es THEN 'de'
+        |  WHEN cnt_fr >= cnt_es THEN 'fr' ELSE 'es' END AS lang_pred FROM c),
+        |f AS (SELECT q.doc_id, q.text, q.quality_score, l.lang_pred
+        |  FROM q JOIN l ON q.doc_id = l.doc_id
+        |  WHERE q.quality_score >= 0.5 AND l.lang_pred = 'en'),
+        |dd AS (SELECT doc_id, lang_pred, quality_score,
+        |  row_number() OVER (PARTITION BY md5(text) ORDER BY doc_id) AS rk FROM f)
+        |SELECT doc_id, lang_pred, quality_score,
+        | CASE WHEN substring(md5(CAST(doc_id AS VARCHAR)), 1, 8) < 'cccccccc' THEN 'train'
+        |      WHEN substring(md5(CAST(doc_id AS VARCHAR)), 1, 8) < 'e6666666' THEN 'val'
+        |      ELSE 'test' END AS split
+        |FROM dd WHERE rk = 1 ORDER BY doc_id""".stripMargin,
   )
 }
