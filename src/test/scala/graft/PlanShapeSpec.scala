@@ -62,4 +62,51 @@ class PlanShapeSpec extends SparkSpec {
     }.exists(_.contains("Project"))
     assert(projInCodegen, df.queryExecution.executedPlan.toString)
   }
+
+  test("hash split is a pure projection: no shuffle, no UDF, codegen'd") {
+    import org.apache.spark.sql.execution.exchange.Exchange
+    val df = operators.Splits.byHash(
+      spark.read.parquet(s"${sf("sf0.001")}/documents.parquet"), "doc_id")
+    val plan = df.queryExecution.executedPlan
+    assert(plan.collect { case e: Exchange => e }.isEmpty,
+      s"split must not shuffle:\n$plan")
+    // `*(n)` prefixes are whole-stage-codegen'd spans in simpleString
+    assert(plan.toString.contains("*(1) Project"), plan.toString)
+    assert(!plan.toString.contains("ScalaUDF"))
+  }
+
+  test("training_corpus: enrichments fuse over the scan; dedup is the only data shuffle") {
+    val df = SparkEntry.queries("training_corpus")(spark, sf("sf0.001"))
+    df.collect() // materialize so AQE's final physical plan is inspectable
+    // AdaptiveSparkPlan prints final plan + "== Initial Plan ==": keep final
+    val planStr = df.queryExecution.executedPlan.toString
+      .split("== Initial Plan ==")(0)
+    def occurrences(s: String) = planStr.sliding(s.length).count(_ == s)
+    // exactly two exchanges: the dedup window's hash repartition and the
+    // final presentation sort's range partition — quality/langid/filter/
+    // split all fused into projections over the single scan
+    assert(occurrences("Exchange hashpartitioning") == 1, planStr)
+    assert(occurrences("Exchange rangepartitioning") == 1, planStr)
+    assert(occurrences("FileScan parquet") == 1,
+      "one scan of documents, not one per enrichment\n" + planStr)
+  }
+
+  test("compaction range-clusters output files by the sort column") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_pscompact").toString + "/t"
+    spark.range(0, 10000).selectExpr("id", "id * 2 AS v")
+      .repartition(8).write.parquet(dir)
+    sinks.Compaction.compact(spark, dir, targetFileBytes = 20000, sortCols = Seq("id"))
+    // each output file covers a disjoint id range (min/max stats selective)
+    val perFile = spark.read.parquet(dir)
+      .select(org.apache.spark.sql.functions.input_file_name().as("f"), col("id"))
+      .groupBy("f").agg(org.apache.spark.sql.functions.min("id").as("lo"),
+        org.apache.spark.sql.functions.max("id").as("hi"))
+      .collect().map(r => (r.getLong(1), r.getLong(2))).sortBy(_._1)
+    assert(perFile.length > 1, "expected multiple output files for range check")
+    perFile.sliding(2).foreach {
+      case Array((_, hi1), (lo2, _)) =>
+        assert(hi1 < lo2, s"file ranges overlap: $perFile")
+      case _ =>
+    }
+  }
 }
