@@ -182,6 +182,35 @@ object Relational {
         .orderBy("o_orderpriority")
     }),
 
+    // Native RelationalGroupedDataset.pivot with explicit value list: the
+    // list keeps the plan static (no extra distinct-values job) and the
+    // pivot compiles to the same conditional-aggregate shape as above.
+    "q_pivot" -> ((s, d) => {
+      t(s, d, "orders")
+        .groupBy("o_orderpriority")
+        .pivot("o_orderstatus", Seq("O", "F", "P"))
+        .agg(dsum(col("o_totalprice")))
+        .select(col("o_orderpriority"),
+          coalesce(col("O"), lit(0.0)).as("o_total"),
+          coalesce(col("F"), lit(0.0)).as("f_total"),
+          coalesce(col("P"), lit(0.0)).as("p_total"))
+        .orderBy("o_orderpriority")
+    }),
+
+    // Native unpivot/melt: wide per-row measures to long (measure, value)
+    // pairs — a projection + generator, no shuffle.
+    "q_unpivot" -> ((s, d) => {
+      t(s, d, "lineitem")
+        .where(col("l_orderkey") < 100)
+        .select(col("l_orderkey"), col("l_linenumber").cast("long").as("l_linenumber"),
+          col("l_quantity"), col("l_extendedprice"), col("l_discount"))
+        .unpivot(
+          Array(col("l_orderkey"), col("l_linenumber")),
+          Array(col("l_quantity"), col("l_extendedprice"), col("l_discount")),
+          "measure", "value")
+        .orderBy("l_orderkey", "l_linenumber", "measure")
+    }),
+
     "q_rollup" -> ((s, d) => {
       t(s, d, "orders")
         .rollup("o_orderstatus", "o_orderpriority")
@@ -395,6 +424,25 @@ object Relational {
         | CAST(SUM(CAST(CASE WHEN o_orderstatus = 'F' THEN o_totalprice ELSE 0.0 END AS DECIMAL(38,6))) AS DOUBLE) AS filled_total,
         | CAST(SUM(CASE WHEN o_orderstatus = 'P' THEN 1 ELSE 0 END) AS BIGINT) AS pending_cnt
         |FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
+
+    "q_pivot" ->
+      """SELECT o_orderpriority,
+        | COALESCE(CAST(SUM(CAST(CASE WHEN o_orderstatus = 'O' THEN o_totalprice END AS DECIMAL(38,6))) AS DOUBLE), 0.0) AS o_total,
+        | COALESCE(CAST(SUM(CAST(CASE WHEN o_orderstatus = 'F' THEN o_totalprice END AS DECIMAL(38,6))) AS DOUBLE), 0.0) AS f_total,
+        | COALESCE(CAST(SUM(CAST(CASE WHEN o_orderstatus = 'P' THEN o_totalprice END AS DECIMAL(38,6))) AS DOUBLE), 0.0) AS p_total
+        |FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
+
+    "q_unpivot" ->
+      """SELECT l_orderkey, CAST(l_linenumber AS BIGINT) AS l_linenumber, measure, value FROM (
+        | SELECT l_orderkey, l_linenumber, 'l_quantity' AS measure, l_quantity AS value
+        | FROM lineitem WHERE l_orderkey < 100
+        | UNION ALL
+        | SELECT l_orderkey, l_linenumber, 'l_extendedprice', l_extendedprice
+        | FROM lineitem WHERE l_orderkey < 100
+        | UNION ALL
+        | SELECT l_orderkey, l_linenumber, 'l_discount', l_discount
+        | FROM lineitem WHERE l_orderkey < 100)
+        |ORDER BY l_orderkey, l_linenumber, measure""".stripMargin,
 
     "q_rollup" ->
       """SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n_orders,
