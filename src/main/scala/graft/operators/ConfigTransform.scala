@@ -121,7 +121,7 @@ class ConfigTransform(config: JValue) {
 
   /** Filter op set, reference config_transformer.py:204-242. */
   private def compileFilter(df: DataFrame, c: String, spec: JValue): Seq[Column] = {
-    if (!df.columns.contains(c)) return Nil // ref :210: warn + skip
+    if (!hasColumn(df, c)) return Nil // ref :210: warn + skip
     spec match {
       case JObject(ops) =>
         ops.map { case (op, v) =>
@@ -154,7 +154,7 @@ class ConfigTransform(config: JValue) {
   private def applyCustom(df: DataFrame, t: JValue): DataFrame = t \ "type" match {
     case JString("map") =>
       val JString(c) = (t \ "column"): @unchecked
-      if (!df.columns.contains(c)) df
+      if (!hasColumn(df, c)) df
       else t \ "mapping" match {
         case JObject(pairs) if pairs.nonEmpty =>
           // pandas .map: unmapped -> NaN, so no otherwise() fallback.
@@ -167,7 +167,7 @@ class ConfigTransform(config: JValue) {
     case JString("apply") =>
       val JString(c) = (t \ "column"): @unchecked
       val JString(f) = (t \ "function"): @unchecked
-      if (!df.columns.contains(c)) df
+      if (!hasColumn(df, c)) df
       else f match {
         case "upper" => df.withColumn(c, upper(col(c)))
         case "lower" => df.withColumn(c, lower(col(c)))
@@ -176,6 +176,12 @@ class ConfigTransform(config: JValue) {
       }
     case _ => df
   }
+
+  /** Column existence matching Spark's own case-insensitive resolver —
+    * a JDBC source that reports UPPERCASE names (Derby, DB2) must not
+    * silently drop lowercase config references. */
+  private def hasColumn(df: DataFrame, c: String): Boolean =
+    df.columns.exists(_.equalsIgnoreCase(c))
 
   /** Aggregations, reference :296-350. Output naming `{col}_{func}` with
     * pandas func names; COUNT(*) keeps its config key as the name (the
@@ -194,7 +200,7 @@ class ConfigTransform(config: JValue) {
             val m = "([A-Za-z_]+)\\(([^)]+)\\)".r.findFirstMatchIn(funcExpr)
             m.flatMap { mm =>
               val (fn, c) = (mm.group(1).toUpperCase, mm.group(2).trim)
-              if (!df.columns.contains(c)) None
+              if (!hasColumn(df, c)) None
               else fn match {
                 case "SUM"             => Some(dsum(col(c)).as(s"${c}_sum"))
                 case "AVG" | "AVERAGE" => Some(davg(col(c)).as(s"${c}_mean"))

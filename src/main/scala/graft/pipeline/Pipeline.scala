@@ -64,8 +64,6 @@ object Pipeline {
 
     // ---- ingestion ----
     val ing = spec \ "ingestion"
-    val JString(path) = (ing \ "path"): @unchecked
-    val format = ing \ "format" match { case JString(f) => f; case _ => "parquet" }
     val columns = ing \ "columns" match {
       case JArray(cs) => cs.collect { case JString(c) => c }
       case _          => Nil
@@ -75,16 +73,46 @@ object Pipeline {
       case _          => None
     }
     val ingested = timed("ingestion") {
-      // Fail-fast source gate (reference run_pipeline probes the source
-      // connection before scheduling work): a dead path kills the run in
-      // milliseconds here, not as a storm of task failures mid-job.
-      if (!Ingestor.healthCheck(spark, path, format, maxRetries = 2))
-        throw new IllegalStateException(s"source health check failed: $path")
-      val df =
-        if (format == "parquet" && path.endsWith("events.parquet"))
-          Ingestor.events(spark, path.stripSuffix("/events.parquet"))
-        else Ingestor.read(spark, path, format,
-          columns = columns, predicate = predicate)
+      val df = ing \ "url" match {
+        // database source (reference's default: pipeline specs point at
+        // DB tables) — range-partitioned parallel read when bounds given
+        case JString(url) =>
+          val JString(table) = (ing \ "table"): @unchecked
+          val probe = ing \ "probe_sql" match {
+            case JString(p) => p; case _ => "SELECT 1"
+          }
+          if (!graft.sources.JdbcIngestor.healthCheck(url, probe, maxRetries = 2))
+            throw new IllegalStateException(s"source health check failed: $url")
+          val part = ing \ "partition_column" match {
+            case JString(c) =>
+              val n = ing \ "num_partitions" match {
+                case JInt(n) => n.toInt; case _ => 8
+              }
+              Some((c, n))
+            case _ => None
+          }
+          var d = part match {
+            case Some((c, n)) =>
+              graft.sources.JdbcIngestor.jdbcTableAutoPartitioned(spark, url, table, c, n)
+            case None =>
+              graft.sources.JdbcIngestor.jdbcTable(spark, url, table)
+          }
+          predicate.foreach(p => d = d.where(p))
+          if (columns.nonEmpty) d = d.select(columns.map(org.apache.spark.sql.functions.col): _*)
+          d
+        case _ =>
+          val JString(path) = (ing \ "path"): @unchecked
+          val format = ing \ "format" match { case JString(f) => f; case _ => "parquet" }
+          // Fail-fast source gate (reference run_pipeline probes the source
+          // connection before scheduling work): a dead path kills the run in
+          // milliseconds here, not as a storm of task failures mid-job.
+          if (!Ingestor.healthCheck(spark, path, format, maxRetries = 2))
+            throw new IllegalStateException(s"source health check failed: $path")
+          if (format == "parquet" && path.endsWith("events.parquet"))
+            Ingestor.events(spark, path.stripSuffix("/events.parquet"))
+          else Ingestor.read(spark, path, format,
+            columns = columns, predicate = predicate)
+      }
       (df, -1L) // row counts deferred: counting here would force an extra scan
     }
 
@@ -116,7 +144,6 @@ object Pipeline {
     val writeStats = per match {
       case JNothing => None
       case p =>
-        val JString(outPath) = (p \ "path"): @unchecked
         val strategy = p \ "strategy" match {
           case JString("insert")  => BatchWriter.Insert
           case JString("replace") => BatchWriter.Replace
@@ -126,7 +153,14 @@ object Pipeline {
           case _ => BatchWriter.Append
         }
         val ws = timed("persistence") {
-          val s = BatchWriter.write(transformed, outPath, strategy)
+          val s = p \ "url" match {
+            case JString(url) => // database sink (reference's PG target)
+              val JString(table) = (p \ "table"): @unchecked
+              graft.sinks.JdbcWriter.write(transformed, url, table, strategy)
+            case _ =>
+              val JString(outPath) = (p \ "path"): @unchecked
+              BatchWriter.write(transformed, outPath, strategy)
+          }
           (s, s.rowsWritten)
         }
         Some(ws)

@@ -29,34 +29,47 @@ object JdbcWriter {
 
   /** Write with BatchWriter strategy semantics. `numPartitions` caps
     * parallel connections (the reference's pool_size analogue);
-    * `batchsize` is rows per JDBC batch (reference chunksize). */
+    * `batchsize` is rows per JDBC batch (reference chunksize). Stats
+    * come from an Observation on the written plan, like BatchWriter. */
   def write(df: DataFrame, url: String, table: String,
             strategy: BatchWriter.Strategy,
-            numPartitions: Int = 8, batchsize: Int = 1000): Unit = {
-    def writer(d: DataFrame, mode: String) =
-      d.coalesce(math.min(numPartitions, math.max(1, d.rdd.getNumPartitions)))
-        .write.mode(mode)
-        .option("batchsize", batchsize)
+            numPartitions: Int = 8, batchsize: Int = 1000): BatchWriter.WriteStats = {
+    val t0 = System.nanoTime()
+    val obs = org.apache.spark.sql.Observation()
+    // partition count from the RAW plan: touching .rdd on the observed
+    // dataset would plan a second query execution for the same
+    // Observation and silently zero its metrics
+    val n = math.min(numPartitions, math.max(1, df.rdd.getNumPartitions))
+    val observed = df.coalesce(n).observe(obs,
+      org.apache.spark.sql.functions.count(
+        org.apache.spark.sql.functions.lit(1)).as("rows"))
+    def writer(mode: String) =
+      observed.write.mode(mode).option("batchsize", batchsize)
     strategy match {
-      case BatchWriter.Insert  => writer(df, "errorifexists").jdbc(url, table, new Properties())
-      case BatchWriter.Append  => writer(df, "append").jdbc(url, table, new Properties())
+      case BatchWriter.Insert  => writer("errorifexists").jdbc(url, table, new Properties())
+      case BatchWriter.Append  => writer("append").jdbc(url, table, new Properties())
       case BatchWriter.Replace =>
         // truncate-and-load keeps the table's DDL/grants (reference
         // _write_replace TRUNCATEs rather than dropping)
-        writer(df, "overwrite").option("truncate", "true").jdbc(url, table, new Properties())
-      case BatchWriter.Upsert(keys) => upsert(df, url, table, keys, numPartitions, batchsize)
+        writer("overwrite").option("truncate", "true").jdbc(url, table, new Properties())
+      case BatchWriter.Upsert(keys) => upsert(observed, url, table, keys, batchsize)
     }
+    val written = obs.get.getOrElse("rows", 0L) match {
+      case n: java.lang.Number => n.longValue()
+      case other               => other.toString.toLong
+    }
+    BatchWriter.WriteStats(s"$url#$table",
+      strategy.getClass.getSimpleName.stripSuffix("$"), written,
+      (System.nanoTime() - t0) / 1000000)
   }
 
   private def upsert(delta: DataFrame, url: String, table: String,
-                     keys: Seq[String], numPartitions: Int,
-                     batchsize: Int): Unit = {
+                     keys: Seq[String], batchsize: Int): Unit = {
     val staging = s"${table}_graft_staging"
     withConnection(url) { conn =>
       dropIfExists(conn, staging)
     }
-    delta.coalesce(math.min(numPartitions, math.max(1, delta.rdd.getNumPartitions)))
-      .write.mode("errorifexists").option("batchsize", batchsize)
+    delta.write.mode("errorifexists").option("batchsize", batchsize)
       .jdbc(url, staging, new Properties())
     // Spark's JDBC writer creates columns as quoted identifiers; quote
     // them here too or Derby folds the names to uppercase and misses.

@@ -76,8 +76,15 @@ object JdbcIngestor {
   def probeBounds(spark: SparkSession, url: String, table: String,
                   column: String,
                   options: Map[String, String] = Map.empty): (Long, Long) = {
+    // resolve the column's stored case from the remote schema and quote
+    // it: a table created by Spark's JDBC writer has quoted-lowercase
+    // identifiers, one created by unquoted DDL has uppercase — a bare
+    // name in hand-written SQL matches only one of them
+    val schema = jdbcTable(spark, url, table, None, options).schema
+    val actual = schema.fieldNames.find(_.equalsIgnoreCase(column)).getOrElse(column)
+    val q = "\"" + actual + "\""
     val bounds = jdbcTable(spark, url,
-      s"(SELECT MIN($column) lo, MAX($column) hi FROM $table) graft_bounds",
+      s"(SELECT MIN($q) lo, MAX($q) hi FROM $table) graft_bounds",
       None, options).collect()(0)
     (toLong(bounds.get(0)), toLong(bounds.get(1)))
   }

@@ -45,6 +45,36 @@ class SinkSpec extends SparkSpec {
     } finally conn.close()
   }
 
+  test("pipeline spec runs database-to-database: jdbc source, transform, jdbc sink") {
+    // seed a source table; VARCHAR DDL because Derby maps Spark's
+    // StringType to CLOB, which rejects pushed equality predicates
+    val conn = DriverManager.getConnection(url)
+    try {
+      val st = conn.createStatement()
+      st.execute("CREATE TABLE pipe_src (id BIGINT, status VARCHAR(8), amount DOUBLE)")
+      st.execute("INSERT INTO pipe_src VALUES (1, 'O', 10.0), (2, 'O', 20.0), (3, 'F', 30.0), (4, 'O', 5.0)")
+      st.close()
+    } finally conn.close()
+    val spec =
+      s"""{
+         | "ingestion": {"url": "$url", "table": "pipe_src",
+         |   "probe_sql": "VALUES 1",
+         |   "partition_column": "id", "num_partitions": 2,
+         |   "predicate": "status = 'O'"},
+         | "transformation": [{"type": "config", "config":
+         |   {"aggregations": {"group_by": ["status"],
+         |    "aggregate": {"total": "SUM(amount)", "n": "COUNT(*)"}}}}],
+         | "persistence": {"url": "$url", "table": "pipe_out", "strategy": "replace"}
+         |}""".stripMargin
+    val r = graft.pipeline.Pipeline.runJson(spark, spec)
+    assert(r.writeStats.exists(_.rowsWritten == 1))
+    // aggregate naming: {col}_{func} for column aggs, config key for COUNT(*)
+    val out = spark.read.jdbc(url, "pipe_out", new java.util.Properties())
+      .selectExpr("amount_sum", "n").collect()
+    assert(out.length == 1)
+    assert(out(0).getDouble(0) == 35.0 && out(0).getLong(1) == 3L)
+  }
+
   test("compaction merges small files; data identical; sort clusters ranges") {
     val p = Files.createTempDirectory("graft_compact").toString + "/tbl"
     // 20 tiny appends -> >= 20 small files
