@@ -75,7 +75,8 @@ class ConfigTransform(config: JValue) {
     config \ "select" match {
       case JArray(cols) =>
         val want = cols.collect { case JString(c) => c }
-        val present = want.filter(r.columns.contains) // missing cols skipped (ref :199)
+        // missing cols skipped (ref :199); case-insensitive like the resolver
+        val present = want.filter(c => r.columns.exists(_.equalsIgnoreCase(c)))
         r = r.select(present.map(col): _*)
       case _ =>
     }

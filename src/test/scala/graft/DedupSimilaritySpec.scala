@@ -129,6 +129,24 @@ class DedupSimilaritySpec extends SparkSpec {
     assert((20L to 22L).forall(out(_) == 20L))
   }
 
+  test("salted join spreads a hot key across buckets yet matches the plain join") {
+    val big = ((1 to 5000).map(i => ("hot", i.toLong)) ++
+      (1 to 50).map(i => (s"k$i", i.toLong))).toDF("key", "v")
+    val small = (Seq("hot") ++ (1 to 50).map(i => s"k$i")).zipWithIndex
+      .map { case (k, i) => (k, i * 10) }.toDF("key", "w")
+    val plain = big.join(small, Seq("key"))
+      .select("key", "v", "w").as[(String, Long, Int)].collect().toSeq.sorted
+    val salted = graft.operators.Skew.saltedJoin(big, small, "key", buckets = 8)
+      .select("key", "v", "w").as[(String, Long, Int)].collect().toSeq.sorted
+    assert(salted == plain)
+    // the hot key's rows really are spread over multiple salt buckets
+    import graft.operators.Skew
+    val spread = big.where(col("key") === "hot")
+      .withColumn("s", pmod(hash(big.columns.map(col): _*), lit(8)))
+      .select("s").distinct().count()
+    assert(spread == 8, s"expected 8 salt buckets for the hot key, got $spread")
+  }
+
   test("hash split is deterministic, id-stable, and near the requested fractions") {
     val docs = Ingestor.table(spark, sf(), "documents")
     val split = Splits.byHash(docs, "doc_id", Seq("train" -> 0.8, "val" -> 0.1))
