@@ -85,4 +85,42 @@ object Multimodal {
         }
       }
   }
+
+  /** Resize plumbing: aspect-preserving fit into `maxSide`, metadata
+    * recomputed exactly, payload re-emitted at the resampled size. The
+    * geometry (target dims, stride sampling of the source buffer) is the
+    * real, tested part; a real deployment swaps the byte resampler for
+    * the codec's scaler alongside `fakeDecode`. Already-small media pass
+    * through untouched — same rows, zero recompute. */
+  def resize(media: DataFrame, maxSide: Long = 128): Dataset[MediaRow] = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.select(col("doc_id"), col("content"),
+        col("meta.format"), col("meta.n_bytes"), col("meta.width"), col("meta.height"))
+      .as[(Long, Array[Byte], String, Long, Long, Long)]
+      .mapPartitions { rows =>
+        // real codec/scaler init would happen here, once per partition
+        rows.map { case (id, bytes, fmt, _, w, h) =>
+          val side = math.max(w, h)
+          if (side <= maxSide) MediaRow(id, bytes, MediaMeta(fmt, bytes.length.toLong, w, h))
+          else {
+            val scale = maxSide.toDouble / side
+            val (nw, nh) = (math.max(1L, math.round(w * scale)),
+              math.max(1L, math.round(h * scale)))
+            // STUB resampler: stride-sample the payload proportionally to
+            // the area reduction (a real scaler maps pixels; the byte-
+            // budget arithmetic and row shape are what the plan needs)
+            val ratio = (nw.toDouble * nh) / (w.toDouble * h)
+            val target = math.max(1, math.round(bytes.length * ratio).toInt)
+            val out = new Array[Byte](target)
+            var i = 0
+            while (i < target) {
+              out(i) = bytes(((i.toLong * bytes.length) / target).toInt)
+              i += 1
+            }
+            MediaRow(id, out, MediaMeta(fmt, target.toLong, nw, nh))
+          }
+        }
+      }
+  }
 }

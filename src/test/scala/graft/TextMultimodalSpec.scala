@@ -88,4 +88,20 @@ class TextMultimodalSpec extends SparkSpec {
     assert(frames.map(_.frame_idx).toSeq.sorted == Seq(0, 2, 4))
     assert(frames.find(_.frame_idx == 4).get.frame.length == 2) // 34 - 32 tail
   }
+
+  test("multimodal resize: aspect-preserving fit, proportional bytes, small passthrough") {
+    // doc_id=7: 7%3=1 -> png, width 64+7%8*32=288, height 64+7%5*48=160
+    val docs = Seq((7L, "x" * 900)).toDF("doc_id", "text")
+    val media = Multimodal.withMedia(docs)
+    val r = Multimodal.resize(media, maxSide = 128).collect().head
+    assert(r.meta.width == 128 && r.meta.height == 71) // 160 * 128/288 = 71.1
+    assert(r.meta.format == "png")
+    // byte budget tracks the area reduction: 900 * (128*71)/(288*160) ~ 177
+    assert(math.abs(r.content.length - 900.0 * 128 * 71 / (288 * 160)) <= 1)
+    assert(r.meta.nBytes == r.content.length)
+    // under the cap: untouched rows, identical payload
+    val small = Multimodal.resize(media, maxSide = 512).collect().head
+    assert(small.meta.width == 288 && small.meta.height == 160)
+    assert(small.content.length == 900)
+  }
 }
