@@ -32,6 +32,14 @@ class IngestorSpec extends SparkSpec {
     val json = Ingestor.read(spark, s"$dir/json", format = "json",
       schema = Some(schema), predicate = Some(col("r_name").startsWith("A")))
     assert(json.count() == 3) // AFRICA, AMERICA, ASIA
+    // ORC: columnar alternative with the same pushdown behavior
+    spark.read.parquet(s"${sf()}/region.parquet").write.orc(s"$dir/orc")
+    val orc = Ingestor.read(spark, s"$dir/orc", format = "orc",
+      columns = Seq("r_name"), predicate = Some(col("r_regionkey") > 2))
+    assert(orc.as[String].collect().toSet == Set("EUROPE", "MIDDLE EAST"))
+    val scan = orc.queryExecution.executedPlan.collectLeaves().head.toString
+    assert(scan.contains("PushedFilters") && scan.contains("GreaterThan"),
+      s"orc pushdown missing:\n$scan")
   }
 
   test("readChunked controls split size and optional key bucketing") {
