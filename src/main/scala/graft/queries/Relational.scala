@@ -182,6 +182,26 @@ object Relational {
         .orderBy("o_orderpriority")
     }),
 
+    // Analytic window depth: distribution functions (percent_rank,
+    // cume_dist), quantile bucketing (ntile), navigation (lead,
+    // first_value) over one ordered window — all computed in a single
+    // WindowExec pass after one hash shuffle on the partition key.
+    "q_window_analytics" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy("o_orderpriority")
+        .orderBy(col("o_totalprice"), col("o_orderkey"))
+      t(s, d, "orders")
+        .where(col("o_orderkey") < 2000)
+        .select(
+          col("o_orderkey"), col("o_orderpriority"), col("o_totalprice"),
+          ntile(4).over(w).cast("long").as("quartile"),
+          round(percent_rank().over(w), 6).as("pct_rank"),
+          round(cume_dist().over(w), 6).as("cdist"),
+          first_value(col("o_totalprice")).over(w).as("cheapest"),
+          lead(col("o_totalprice"), 1).over(w).as("next_price"))
+        .orderBy("o_orderkey")
+    }),
+
     // Native RelationalGroupedDataset.pivot with explicit value list: the
     // list keeps the plan static (no extra distinct-values job) and the
     // pivot compiles to the same conditional-aggregate shape as above.
@@ -424,6 +444,17 @@ object Relational {
         | CAST(SUM(CAST(CASE WHEN o_orderstatus = 'F' THEN o_totalprice ELSE 0.0 END AS DECIMAL(38,6))) AS DOUBLE) AS filled_total,
         | CAST(SUM(CASE WHEN o_orderstatus = 'P' THEN 1 ELSE 0 END) AS BIGINT) AS pending_cnt
         |FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
+
+    "q_window_analytics" ->
+      """SELECT o_orderkey, o_orderpriority, o_totalprice,
+        | CAST(ntile(4) OVER w AS BIGINT) AS quartile,
+        | round(percent_rank() OVER w, 6) AS pct_rank,
+        | round(cume_dist() OVER w, 6) AS cdist,
+        | first_value(o_totalprice) OVER w AS cheapest,
+        | lead(o_totalprice, 1) OVER w AS next_price
+        |FROM orders WHERE o_orderkey < 2000
+        |WINDOW w AS (PARTITION BY o_orderpriority ORDER BY o_totalprice, o_orderkey)
+        |ORDER BY o_orderkey""".stripMargin,
 
     "q_pivot" ->
       """SELECT o_orderpriority,
