@@ -112,6 +112,24 @@ object EventStream {
         .dropDuplicatesWithinWatermark(keyCols)
     else events.dropDuplicates(keyCols)
 
+  /** Native session-window sessionization: Spark's `session_window`
+    * grouping expression merges events into gap-separated sessions
+    * inside the aggregation itself — in streaming mode with a watermark
+    * the engine keeps one mergeable session state per (user, open
+    * session) and emits each session when the watermark closes it,
+    * which replaces the hand-rolled flatMapGroupsWithState for the
+    * common case. Batch output is equivalent to [[sessionize]] minus
+    * the session ordinal (windows carry start/end instead). */
+  def sessionizeNative(events: DataFrame, gapMinutes: Int = 30,
+                       watermark: Option[String] = None): DataFrame = {
+    val in = watermark.map(events.withWatermark("ts", _)).getOrElse(events)
+    in.groupBy(col("user_id"), session_window(col("ts"), s"$gapMinutes minutes"))
+      .agg(min(col("ts")).as("session_start"), max(col("ts")).as("session_end"),
+        count(lit(1)).as("n_events"))
+      .select(col("user_id"), col("session_start"), col("session_end"),
+        col("n_events"))
+  }
+
   // ---- stateful streaming sessionizer ----
   case class Event(user_id: Long, ts: Timestamp, event_id: Long)
   case class SessionState(start: Long, last: Long, count: Long)

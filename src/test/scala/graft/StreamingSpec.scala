@@ -160,4 +160,38 @@ class StreamingSpec extends SparkSpec {
       .as[(Long, Long, Long)].collect().toSeq
     assert(out == Seq((1L, 1L, 2L), (1L, 2L, 1L), (2L, 1L, 1L)))
   }
+
+  test("native session_window agrees with the lag-based sessionizer") {
+    val events = Seq(
+      (1L, ts(0), 1L), (1L, ts(10), 2L), (1L, ts(50), 3L),
+      (2L, ts(0), 4L)).toDF("user_id", "ts", "event_id")
+    val lagBased = EventStream.sessionize(events, gapMinutes = 30)
+      .select("user_id", "session_start", "session_end", "n_events")
+      .as[(Long, Timestamp, Timestamp, Long)].collect().toSet
+    val native = EventStream.sessionizeNative(events, gapMinutes = 30)
+      .as[(Long, Timestamp, Timestamp, Long)].collect().toSet
+    assert(native == lagBased)
+
+    // and it runs as a streaming aggregation with watermark-closed sessions
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Long, Timestamp)]
+    val q = EventStream.sessionizeNative(
+        mem.toDF().toDF("user_id", "ts"), gapMinutes = 30,
+        watermark = Some("5 minutes"))
+      .writeStream.format("memory").queryName("native_sessions")
+      .outputMode("append").start()
+    try {
+      mem.addData((1L, ts(0)), (1L, ts(10)))
+      q.processAllAvailable()
+      // push the watermark far past the gap -> session closes
+      mem.addData((2L, Timestamp.valueOf("2024-01-01 12:00:00")))
+      q.processAllAvailable()
+      mem.addData((2L, Timestamp.valueOf("2024-01-01 12:01:00")))
+      q.processAllAvailable()
+      val closed = spark.table("native_sessions")
+        .where(col("user_id") === 1L)
+        .select("n_events").as[Long].collect().toSeq
+      assert(closed == Seq(2L))
+    } finally q.stop()
+  }
 }
