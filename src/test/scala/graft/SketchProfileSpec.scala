@@ -55,6 +55,27 @@ class SketchProfileSpec extends SparkSpec {
     }
   }
 
+  test("sketch table: per-day HLL blobs merge to the global distinct, no rescan") {
+    val events = Ingestor.table(spark, sf(), "events")
+      .withColumn("day", to_date(col("ts")))
+    // build the sketch table once (one row per day, KB-sized blobs)
+    val sketchTable = Sketches.distinctSketch(events, "user_id", Seq("day"))
+    assert(sketchTable.schema(s"sketch_user_id").dataType.typeName == "binary")
+    val nDays = sketchTable.count()
+    assert(nDays > 1, "need multiple days to prove merging")
+    // merging all day-sketches approximates the true global distinct
+    val merged = Sketches.mergeSketches(sketchTable, "sketch_user_id", Nil)
+      .collect()(0).getLong(0)
+    val exact = events.select(count_distinct(col("user_id"))).collect()(0).getLong(0)
+    assert(math.abs(merged - exact).toDouble / exact < 0.05,
+      s"merged=$merged exact=$exact")
+    // and a range query merges a subset of blobs only
+    val someDays = sketchTable.limit(3)
+    val sub = Sketches.mergeSketches(someDays, "sketch_user_id", Nil)
+      .collect()(0).getLong(0)
+    assert(sub > 0 && sub <= merged * 1.05)
+  }
+
   test("profiler scan count is fixed, not per-column") {
     val orders = Ingestor.table(spark, sf(), "orders")
     def scans(df: org.apache.spark.sql.DataFrame) =
