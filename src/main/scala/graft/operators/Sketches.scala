@@ -51,16 +51,21 @@ object Sketches {
   }
 
   /** Sketched percentiles (mergeable, bounded-memory). `accuracy` is
-    * Spark's 1/relative-rank-error knob: 10000 ≈ rank error ≤ 0.01%. */
+    * Spark's 1/relative-rank-error knob: 10000 ≈ rank error ≤ 0.01%.
+    * Array-form for the same reason as [[percentiles]]: one quantile
+    * summary per group, not one per fraction. */
   def approxPercentiles(df: DataFrame, valueCol: String,
                         groupCols: Seq[String],
                         fractions: Seq[Double] = Seq(0.5, 0.9, 0.99),
                         accuracy: Int = 10000): DataFrame = {
-    val aggs = fractions.map { p =>
-      percentile_approx(col(valueCol), lit(p), lit(accuracy)).as("a" + pName(p))
+    val arr = percentile_approx(col(valueCol),
+      array(fractions.map(lit): _*), lit(accuracy)).as("__aps")
+    val outCols = groupCols.map(col) ++ fractions.zipWithIndex.map {
+      case (p, i) => element_at(col("__aps"), i + 1).as("a" + pName(p))
     }
     df.groupBy(groupCols.map(col): _*)
-      .agg(aggs.head, aggs.tail: _*)
+      .agg(arr)
+      .select(outCols: _*)
       .orderBy(groupCols.map(col): _*)
   }
 

@@ -55,6 +55,10 @@ object Pipeline {
     }
 
     var stats = Vector.empty[StageStats]
+    // (ingestor, watermark col, unprojected increment) when incremental:
+    // the mark commits only after the run persists (crash-safe at-least-once)
+    var incremental: Option[(graft.sources.IncrementalIngestor, String,
+      org.apache.spark.sql.DataFrame)] = None
     def timed[T](stage: String)(f: => (T, Long)): T = {
       val t0 = System.nanoTime()
       val (v, rows) = f
@@ -108,10 +112,29 @@ object Pipeline {
           // milliseconds here, not as a storm of task failures mid-job.
           if (!Ingestor.healthCheck(spark, path, format, maxRetries = 2))
             throw new IllegalStateException(s"source health check failed: $path")
-          if (format == "parquet" && path.endsWith("events.parquet"))
-            Ingestor.events(spark, path.stripSuffix("/events.parquet"))
-          else Ingestor.read(spark, path, format,
-            columns = columns, predicate = predicate)
+          ing \ "incremental" match {
+            // high-watermark incremental read: only rows past the last
+            // committed mark; the mark commits AFTER persistence below
+            case inc: JObject =>
+              val JString(wmCol) = (inc \ "watermark_column"): @unchecked
+              val JString(regDir) = (inc \ "registry_dir"): @unchecked
+              val name = inc \ "source_name" match {
+                case JString(n) => n; case _ => path
+              }
+              val ii = new graft.sources.IncrementalIngestor(
+                new DurableRegistry(regDir), name)
+              val raw = ii.readIncrement(spark, path, wmCol)
+              incremental = Some((ii, wmCol, raw))
+              var d = raw
+              predicate.foreach(p => d = d.where(p))
+              if (columns.nonEmpty) d = d.select(columns.map(org.apache.spark.sql.functions.col): _*)
+              d
+            case _ =>
+              if (format == "parquet" && path.endsWith("events.parquet"))
+                Ingestor.events(spark, path.stripSuffix("/events.parquet"))
+              else Ingestor.read(spark, path, format,
+                columns = columns, predicate = predicate)
+          }
       }
       (df, -1L) // row counts deferred: counting here would force an extra scan
     }
@@ -166,6 +189,11 @@ object Pipeline {
         Some(ws)
     }
 
+    // Commit the incremental high-water mark only now — after persistence
+    // succeeded — so a crashed run re-reads the same increment next time.
+    incremental.foreach { case (ii, wm, raw) =>
+      ii.commit(raw, wm, runInfo = pipelineName)
+    }
     ledger.foreach(l => { l.clear(key.get); l.checkAndSet(key.get, "done") })
     // Durable per-stage stats (reference tasks.py:354 per-stage result
     // dicts; logging.py structured logs): one ledger row per stage so

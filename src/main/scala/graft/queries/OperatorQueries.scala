@@ -161,12 +161,22 @@ object OperatorQueries {
 
     // rows-only: sketch internals (HLL++ registers, percentile_approx
     // histogram) aren't reproducible in SQL; SketchesSpec bounds the
-    // error vs the exact values instead.
+    // error vs the exact values instead. All sketches are
+    // non-distinct-style aggregates, so ONE grouped aggregate computes
+    // every column — no join, one scan, one shuffle.
     "q_approx_sketch" -> ((s, d) => {
-      val li = t(s, d, "lineitem")
-      Sketches.approxDistinct(li, Seq("l_orderkey", "l_partkey"), Seq("l_returnflag"))
-        .join(Sketches.approxPercentiles(li, "l_extendedprice", Seq("l_returnflag")),
-          Seq("l_returnflag"))
+      t(s, d, "lineitem")
+        .groupBy("l_returnflag")
+        .agg(
+          approx_count_distinct(col("l_orderkey"), 0.01).as("approx_nd_l_orderkey"),
+          approx_count_distinct(col("l_partkey"), 0.01).as("approx_nd_l_partkey"),
+          percentile_approx(col("l_extendedprice"),
+            array(lit(0.5), lit(0.9), lit(0.99)), lit(10000)).as("aps"))
+        .select(col("l_returnflag"), col("approx_nd_l_orderkey"),
+          col("approx_nd_l_partkey"),
+          element_at(col("aps"), 1).as("ap50"),
+          element_at(col("aps"), 2).as("ap90"),
+          element_at(col("aps"), 3).as("ap99"))
         .orderBy("l_returnflag")
     }),
   )

@@ -45,4 +45,33 @@ class IncrementalIngestSpec extends SparkSpec {
     val resumed = new IncrementalIngestor(new DurableRegistry(s"$dir/reg"), "events_src")
     assert(resumed.lastWatermark().contains("500"))
   }
+
+  test("pipeline spec with incremental ingestion processes only new rows per run") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft_incr_pipe").toString
+    val table = s"$dir/src"
+    val out = s"$dir/out"
+    Seq((1L, 10L), (2L, 20L)).toDF("id", "seq")
+      .write.mode("append").parquet(table)
+    val spec =
+      s"""{
+         | "ingestion": {"path": "$table",
+         |   "incremental": {"watermark_column": "seq",
+         |     "registry_dir": "$dir/reg", "source_name": "src"}},
+         | "persistence": {"path": "$out", "strategy": "append"}
+         |}""".stripMargin
+    val r1 = graft.pipeline.Pipeline.runJson(spark, spec, pipelineName = "incr")
+    assert(r1.writeStats.exists(_.rowsWritten == 2))
+    // second run with no new data appends nothing
+    val r2 = graft.pipeline.Pipeline.runJson(spark, spec, pipelineName = "incr")
+    assert(r2.writeStats.exists(_.rowsWritten == 0))
+    // new rows land; third run appends only those
+    Seq((3L, 30L)).toDF("id", "seq").write.mode("append").parquet(table)
+    val r3 = graft.pipeline.Pipeline.runJson(spark, spec, pipelineName = "incr")
+    assert(r3.writeStats.exists(_.rowsWritten == 1))
+    assert(spark.read.parquet(out).count() == 3)
+    // marks committed per successful run that had data
+    val reg = new DurableRegistry(s"$dir/reg")
+    assert(reg.history("src").map(_._1) == Seq(1, 2))
+  }
 }
