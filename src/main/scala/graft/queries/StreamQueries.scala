@@ -21,6 +21,12 @@ object StreamQueries {
       EventStream.sessionize(Ingestor.events(s, d))
         .orderBy("user_id", "session_id")),
 
+    // native session_window form of the same semantics (no ordinal —
+    // sessions are identified by their start time)
+    "sessionize_native" -> ((s, d) =>
+      EventStream.sessionizeNative(Ingestor.events(s, d))
+        .orderBy("user_id", "session_start")),
+
     // purchase attribution: each purchase joined to the user's most
     // recent signup at-or-before it (the as-of join Spark lacks natively)
     "q_asof_join" -> ((s, d) => {
@@ -91,5 +97,19 @@ object StreamQueries {
         | COUNT(*) AS n_events
         |FROM s GROUP BY user_id, session_id
         |ORDER BY user_id, session_id""".stripMargin,
+
+    "sessionize_native" ->
+      """WITH e AS (SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, event_id FROM events),
+        | m AS (SELECT user_id, ts, event_id,
+        |   CASE WHEN lag(ts) OVER w IS NULL OR ts - lag(ts) OVER w > INTERVAL 30 MINUTE
+        |        THEN 1 ELSE 0 END AS new_s
+        |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+        | s AS (SELECT user_id, ts,
+        |   CAST(SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS BIGINT) AS session_id
+        |  FROM m)
+        |SELECT user_id, MIN(ts) AS session_start, MAX(ts) AS session_end,
+        | COUNT(*) AS n_events
+        |FROM s GROUP BY user_id, session_id
+        |ORDER BY user_id, session_start""".stripMargin,
   )
 }
