@@ -79,12 +79,35 @@ object Similarity {
       .select("v").as[Array[Double]].collect().toSeq
     (0 until iterations).foreach { _ =>
       val assigned = assignToCentroid(e, centroids)
+      // Lloyd update as per-partition accumulation: each task folds its
+      // rows into k local (sum, count) accumulators and emits AT MOST k
+      // tiny rows — shuffle volume is k x dim doubles per partition, vs
+      // the dim x N exploded rows a posexplode+groupBy update ships. At
+      // 100 TB the update round-trips centroid-matrix-sized data only.
+      val kLocal = k
       val updated = assigned
-        .select(col("centroid_id"), posexplode(col("v")).as(Seq("d", "x")))
-        .groupBy("centroid_id", "d").agg(avg(col("x")).as("m"))
-        .groupBy("centroid_id").agg(array_sort(collect_list(struct(col("d"), col("m")))).as("dm"))
-        .select(col("centroid_id"), transform(col("dm"), s => s.getField("m")).as("c"))
-        .as[(Int, Array[Double])].collect().toMap
+        .select(col("centroid_id"), col("v")).as[(Int, Array[Double])]
+        .mapPartitions { it =>
+          val sums = Array.ofDim[Double](kLocal, dim)
+          val counts = new Array[Long](kLocal)
+          it.foreach { case (c, v) =>
+            counts(c) += 1
+            var i = 0
+            while (i < dim) { sums(c)(i) += v(i); i += 1 }
+          }
+          (0 until kLocal).iterator
+            .filter(counts(_) > 0)
+            .map(c => (c, sums(c), counts(c)))
+        }
+        .groupByKey(_._1)
+        .reduceGroups { (a, b) =>
+          val s = new Array[Double](dim)
+          var i = 0
+          while (i < dim) { s(i) = a._2(i) + b._2(i); i += 1 }
+          (a._1, s, a._3 + b._3)
+        }
+        .map { case (c, (_, s, n)) => (c, s.map(_ / n)) }
+        .collect().toMap
       centroids = centroids.indices.map(i => updated.getOrElse(i, centroids(i)))
     }
     centroids
