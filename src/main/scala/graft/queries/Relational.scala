@@ -172,6 +172,34 @@ object Relational {
         .orderBy("op", "custkey")
     }),
 
+    // Bag-semantics set ops: INTERSECT ALL / EXCEPT ALL keep duplicate
+    // multiplicities (min / difference of counts per value) — a
+    // different operator than the DISTINCT forms above.
+    "q_set_ops_all" -> ((s, d) => {
+      val a = t(s, d, "orders").where(col("o_totalprice") > 300000.0)
+        .select("o_custkey")
+      val b = t(s, d, "orders").where(col("o_orderstatus") === "O")
+        .select("o_custkey")
+      a.intersectAll(b).withColumn("op", lit("intersect_all"))
+        .unionByName(a.exceptAll(b).withColumn("op", lit("except_all")))
+        .select(col("op"), col("o_custkey").as("custkey"))
+        .orderBy("op", "custkey")
+    }),
+
+    // True correlated scalar subquery (not EXISTS): each order compared
+    // to ITS customer's average spend — Catalyst rewrites the subquery
+    // to an aggregated self-join under the hood.
+    "q_scalar_subquery" -> ((s, d) => {
+      Seq("orders").foreach(n => t(s, d, n).createOrReplaceTempView(n))
+      s.sql(
+        """SELECT o.o_orderkey, o.o_custkey, o.o_totalprice
+          |FROM orders o
+          |WHERE o.o_totalprice > 1.5 * (
+          |  SELECT CAST(SUM(CAST(o2.o_totalprice AS DECIMAL(38,6))) AS DOUBLE) / COUNT(*)
+          |  FROM orders o2 WHERE o2.o_custkey = o.o_custkey)
+          |ORDER BY o.o_orderkey""".stripMargin)
+    }),
+
     "q_conditional_pivot" -> ((s, d) => {
       t(s, d, "orders")
         .groupBy("o_orderpriority")
@@ -437,6 +465,22 @@ object Relational {
         |SELECT 'either' AS op, o_custkey AS custkey
         |  FROM (SELECT DISTINCT o_custkey FROM (SELECT * FROM big UNION ALL SELECT * FROM building))
         |ORDER BY op, custkey""".stripMargin,
+
+    "q_set_ops_all" ->
+      """WITH a AS (SELECT o_custkey FROM orders WHERE o_totalprice > 300000.0),
+        | b AS (SELECT o_custkey FROM orders WHERE o_orderstatus = 'O')
+        |SELECT 'intersect_all' AS op, o_custkey AS custkey FROM (SELECT * FROM a INTERSECT ALL SELECT * FROM b)
+        |UNION ALL
+        |SELECT 'except_all' AS op, o_custkey AS custkey FROM (SELECT * FROM a EXCEPT ALL SELECT * FROM b)
+        |ORDER BY op, custkey""".stripMargin,
+
+    "q_scalar_subquery" ->
+      """SELECT o.o_orderkey, o.o_custkey, o.o_totalprice
+        |FROM orders o
+        |WHERE o.o_totalprice > 1.5 * (
+        |  SELECT CAST(SUM(CAST(o2.o_totalprice AS DECIMAL(38,6))) AS DOUBLE) / COUNT(*)
+        |  FROM orders o2 WHERE o2.o_custkey = o.o_custkey)
+        |ORDER BY o.o_orderkey""".stripMargin,
 
     "q_conditional_pivot" ->
       """SELECT o_orderpriority,
