@@ -285,7 +285,13 @@ object Dedup {
       .select(col("a_id").as("src"), col("b_id").as("dst"))
       .union(pairs.select(col("b_id").as("src"), col("a_id").as("dst")))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    var labels = nodes.select(col(idCol).as("id"))
+    // Iterate ONLY over nodes that touch a pair: in a deduplicated
+    // corpus the dup graph is sparse, so the label table is dup-graph-
+    // sized, not corpus-sized — singletons join back once at the end
+    // with cluster_id = own id and never enter a propagation round.
+    val paired = edges.select(col("src").as("id")).distinct()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    var labels = paired
       .withColumn("cluster_id", col("id")).localCheckpoint()
     var round = 0
     var converged = false
@@ -304,8 +310,13 @@ object Dedup {
       labels = next.drop("__changed")
       round += 1
     }
+    val singletons = nodes.select(col(idCol).as("id"))
+      .join(paired, Seq("id"), "left_anti")
+      .withColumn("cluster_id", col("id"))
+    val out = labels.unionByName(singletons)
     edges.unpersist(false)
-    labels
+    paired.unpersist(false)
+    out
   }
 
   /** Near-dup clusters of the corpus: MinHash/LSH pairs at `threshold`,
