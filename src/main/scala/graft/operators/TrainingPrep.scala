@@ -1,0 +1,105 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.json4s._
+import org.json4s.jackson.JsonMethods
+
+/** Declarative training-corpus preparation: the LLM-data counterpart of
+  * [[ConfigTransform]] — one JSON spec compiles to one Catalyst plan
+  * chaining quality scoring, language filtering, deduplication, and
+  * deterministic splits. The same spec-to-plan philosophy as the
+  * reference's config transformer (config_transformer.py:149), applied
+  * to the corpus operators this engine adds.
+  *
+  * Spec shape (every stage optional, applied in this order):
+  * {{{
+  * { "quality":  { "min_score": 0.5 },
+  *   "language": { "keep": ["en"] },
+  *   "dedup":    { "method": "exact" | "minhash", "threshold": 0.8 },
+  *   "split":    { "fractions": { "train": 0.8, "val": 0.1 } } }
+  * }}}
+  *
+  * Everything stays one declarative plan: the quality/language
+  * enrichments fuse into projections over the scan, exact dedup is one
+  * window shuffle, minhash dedup delegates to the LSH pipeline
+  * ([[Dedup.dropNearDups]] — bucketed candidates, never all-pairs), and
+  * the split is a hash projection. */
+object TrainingPrep {
+
+  def fromJson(json: String): DataFrame => DataFrame =
+    apply(JsonMethods.parse(json))
+
+  def apply(spec: JValue): DataFrame => DataFrame = { docs =>
+    var r = docs
+
+    spec \ "quality" match {
+      case q: JObject =>
+        val min = q \ "min_score" match {
+          case JDouble(v)  => v
+          case JInt(v)     => v.toDouble
+          case JDecimal(v) => v.toDouble
+          case _           => 0.0
+        }
+        r = TextAnalysis.qualityScore(r).where(col("quality_score") >= min)
+      case _ =>
+    }
+
+    spec \ "language" match {
+      case l: JObject =>
+        val keep = l \ "keep" match {
+          case JArray(ls) => ls.collect { case JString(s) => s }
+          case _          => Nil
+        }
+        if (keep.nonEmpty)
+          r = TextAnalysis.languageId(r).where(col("lang_pred").isin(keep: _*))
+      case _ =>
+    }
+
+    spec \ "dedup" match {
+      case d: JObject =>
+        val method = d \ "method" match {
+          case JString(m) => m; case _ => "exact"
+        }
+        method match {
+          case "exact" =>
+            import org.apache.spark.sql.expressions.Window
+            val w = Window.partitionBy(md5(col("text"))).orderBy("doc_id")
+            r = r.withColumn("__rk", row_number().over(w))
+              .where(col("__rk") === 1).drop("__rk")
+          case "minhash" =>
+            val threshold = d \ "threshold" match {
+              case JDouble(t)  => t
+              case JDecimal(t) => t.toDouble
+              case _           => 0.8
+            }
+            // near-dup drop needs the raw text pipeline; losers are
+            // computed on the ORIGINAL docs and anti-joined here, so the
+            // enrichment columns added above survive
+            val losers = Dedup.minhashNearDups(
+                r.select("doc_id", "text"), threshold)
+              .select(col("b_id").as("doc_id")).distinct()
+            r = r.join(losers, Seq("doc_id"), "left_anti")
+          case other =>
+            throw new IllegalArgumentException(s"unknown dedup method: $other")
+        }
+      case _ =>
+    }
+
+    spec \ "split" match {
+      case s: JObject =>
+        val fractions = s \ "fractions" match {
+          case JObject(fs) => fs.collect {
+            case (label, JDouble(f))  => label -> f
+            case (label, JDecimal(f)) => label -> f.toDouble
+          }
+          case _ => Nil
+        }
+        if (fractions.nonEmpty)
+          r = Splits.byHash(r, "doc_id", fractions)
+      case _ =>
+    }
+
+    r
+  }
+}
