@@ -128,6 +128,37 @@ object TextAnalysis {
       }.toDF("doc_id", "winnow_fp")
   }
 
+  /** PII redaction — the safety pass a training corpus runs before
+    * anything else ships: emails, IPv4 addresses, and phone-like number
+    * runs replaced with typed placeholder tokens, with per-type match
+    * counts for audit. Patterns restrict themselves to syntax with
+    * identical semantics in Java regex and RE2 (no lookaround, no
+    * backrefs), so the counts and the redacted text are engine-exact.
+    * Counts are measured on the ORIGINAL text (order-independent);
+    * replacement applies email -> ip -> phone so a number inside an
+    * already-redacted span is not double-counted in the output. All
+    * pure `regexp_replace`/`regexp_extract_all` — codegen'd, no UDFs. */
+  val emailPattern = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  val ipv4Pattern = "\\b[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\b"
+  val phonePattern = "\\+?[0-9][0-9()\\- ]{7,14}[0-9]"
+
+  def redactPii(docs: DataFrame, textCol: String = "text"): DataFrame = {
+    val text = col(textCol)
+    def count(pat: String) =
+      size(regexp_extract_all(text, lit(pat), lit(0))).cast("long")
+    val redacted =
+      regexp_replace(
+        regexp_replace(
+          regexp_replace(text, emailPattern, "<EMAIL>"),
+          ipv4Pattern, "<IP>"),
+        phonePattern, "<PHONE>")
+    docs
+      .withColumn("n_emails", count(emailPattern))
+      .withColumn("n_ips", count(ipv4Pattern))
+      .withColumn("n_phones", count(phonePattern))
+      .withColumn("redacted_text", redacted)
+  }
+
   /** Top-k TF-IDF terms per document — the corpus-level term statistics
     * a training-data pipeline uses for keyword extraction / topic
     * filtering. tf = term count in doc; idf = ln((N+1)/(df+1)) + 1

@@ -84,6 +84,12 @@ object LlmQueries {
       TextAnalysis.tfidf(docs(s, d), topK = 10)
         .orderBy(col("doc_id"), col("rk"))),
 
+    "text_redact" -> ((s, d) =>
+      TextAnalysis.redactPii(docs(s, d))
+        .select(col("doc_id"), col("n_emails"), col("n_ips"), col("n_phones"),
+          md5(col("redacted_text")).as("redacted_md5"))
+        .orderBy("doc_id")),
+
     "split_hash" -> ((s, d) =>
       graft.operators.Splits.byHash(docs(s, d), "doc_id",
           Seq("train" -> 0.8, "val" -> 0.1))
@@ -242,6 +248,17 @@ object LlmQueries {
         | FROM scored)
         |SELECT doc_id, term, tf, df, tfidf, rk FROM ranked WHERE rk <= 10
         |ORDER BY doc_id, rk""".stripMargin,
+
+    "text_redact" ->
+      """SELECT doc_id,
+        | CAST(len(regexp_extract_all(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS BIGINT) AS n_emails,
+        | CAST(len(regexp_extract_all(text, '\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b')) AS BIGINT) AS n_ips,
+        | CAST(len(regexp_extract_all(text, '\+?[0-9][0-9()\- ]{7,14}[0-9]')) AS BIGINT) AS n_phones,
+        | md5(regexp_replace(regexp_replace(regexp_replace(text,
+        |   '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+        |   '\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b', '<IP>', 'g'),
+        |   '\+?[0-9][0-9()\- ]{7,14}[0-9]', '<PHONE>', 'g')) AS redacted_md5
+        |FROM documents ORDER BY doc_id""".stripMargin,
 
     "split_hash" ->
       """SELECT doc_id,

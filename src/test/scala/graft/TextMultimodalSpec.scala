@@ -89,6 +89,21 @@ class TextMultimodalSpec extends SparkSpec {
     assert(frames.find(_.frame_idx == 4).get.frame.length == 2) // 34 - 32 tail
   }
 
+  test("pii redaction replaces emails/ips/phones and counts per type") {
+    val docs = Seq(
+      (1L, "mail me at bob.smith+x@corp.example.com or 10.0.0.1"),
+      (2L, "call +1 (555) 123-4567 now"),
+      (3L, "clean text, no pii 42")).toDF("doc_id", "text")
+    val out = TextAnalysis.redactPii(docs)
+      .select("doc_id", "n_emails", "n_ips", "n_phones", "redacted_text")
+      .orderBy("doc_id")
+      .as[(Long, Long, Long, Long, String)].collect().toSeq
+    assert(out == Seq(
+      (1L, 1L, 1L, 0L, "mail me at <EMAIL> or <IP>"),
+      (2L, 0L, 0L, 1L, "call <PHONE> now"),
+      (3L, 0L, 0L, 0L, "clean text, no pii 42")))
+  }
+
   test("multimodal resize: aspect-preserving fit, proportional bytes, small passthrough") {
     // doc_id=7: 7%3=1 -> png, width 64+7%8*32=288, height 64+7%5*48=160
     val docs = Seq((7L, "x" * 900)).toDF("doc_id", "text")
