@@ -17,8 +17,13 @@ import org.json4s.jackson.JsonMethods
   * { "quality":  { "min_score": 0.5 },
   *   "language": { "keep": ["en"] },
   *   "dedup":    { "method": "exact" | "minhash", "threshold": 0.8 },
+  *   "redact":   { },
   *   "split":    { "fractions": { "train": 0.8, "val": 0.1 } } }
   * }}}
+  *
+  * Redaction runs AFTER dedup on purpose: content hashes/shingles must
+  * see the original text (two docs differing only in their PII are NOT
+  * duplicates), and redacting the survivors touches fewer rows.
   *
   * Everything stays one declarative plan: the quality/language
   * enrichments fuse into projections over the scan, exact dedup is one
@@ -83,6 +88,13 @@ object TrainingPrep {
           case other =>
             throw new IllegalArgumentException(s"unknown dedup method: $other")
         }
+      case _ =>
+    }
+
+    spec \ "redact" match {
+      case _: JObject =>
+        r = TextAnalysis.redactPii(r)
+          .drop("text").withColumnRenamed("redacted_text", "text")
       case _ =>
     }
 

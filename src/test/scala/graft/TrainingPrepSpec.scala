@@ -36,6 +36,23 @@ class TrainingPrepSpec extends SparkSpec {
     assert(dropped == losers, s"dropped $dropped, expected $losers")
   }
 
+  test("redact stage rewrites text after dedup, keeping audit counts") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "contact a@b.io today"),
+      (2L, "contact a@b.io today"), // exact dup of 1 (same pre-redaction text)
+      (3L, "contact c@d.io today")) // dup of 1 only AFTER redaction
+      .toDF("doc_id", "text")
+    val spec = """{ "dedup": { "method": "exact" }, "redact": {} }"""
+    val out = TrainingPrep.fromJson(spec)(docs)
+      .select("doc_id", "text", "n_emails")
+      .orderBy("doc_id").as[(Long, String, Long)].collect().toSeq
+    // dedup saw original text: 3 survives (not a pre-redaction dup of 1)
+    assert(out == Seq(
+      (1L, "contact <EMAIL> today", 1L),
+      (3L, "contact <EMAIL> today", 1L)))
+  }
+
   test("unknown dedup method fails fast") {
     val docs = Ingestor.table(spark, sf(), "documents")
     intercept[IllegalArgumentException] {
