@@ -1,0 +1,66 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Change-data-capture semantics over ordinary DataFrames: replaying an
+  * insert/update/delete changelog into current state, and building
+  * slowly-changing-dimension (type 2) history from an event stream.
+  * These are the warehouse-side operators a pipeline platform needs the
+  * moment its sources are databases rather than append-only files (the
+  * reference's JDBC ingestion story implies exactly this downstream).
+  *
+  * Both are single-shuffle plans: one hash partition by key, one
+  * ordered window pass within each key. No driver-side state, no
+  * iteration — history length per key only affects partition skew,
+  * which AQE's skew handling covers at scale.
+  */
+object Cdc {
+
+  /** Replay a changelog into final state: for each key keep only the
+    * latest change (by `seqCols`, which must be a deterministic total
+    * order within a key — e.g. ts + change id), then drop keys whose
+    * latest op is a delete. Output = the non-deleted latest rows. */
+  def applyChangeLog(log: DataFrame, keyCols: Seq[String], seqCols: Seq[String],
+                     opCol: String = "op", deleteOp: String = "D"): DataFrame = {
+    val w = Window.partitionBy(keyCols.map(col): _*)
+      .orderBy(seqCols.map(c => col(c).desc): _*)
+    log.withColumn("__rk", row_number().over(w))
+      .where(col("__rk") === 1 && col(opCol) =!= deleteOp)
+      .drop("__rk")
+  }
+
+  /** Type-2 SCD history: collapse each key's consecutive runs of equal
+    * `stateCol` values (ordered by `seqCols`) into one row per run with
+    * `valid_from` (first seq value of the run), `valid_to` (start of the
+    * next run, null while current), `is_current`, and `n_events` in the
+    * run. The run id is the classic gaps-and-islands running sum of
+    * change flags — two window passes over the same key partitioning,
+    * one shuffle total. */
+  def type2History(df: DataFrame, keyCols: Seq[String], seqCols: Seq[String],
+                   stateCol: String): DataFrame = {
+    val keys = keyCols.map(col)
+    val ord = seqCols.map(col)
+    val w = Window.partitionBy(keys: _*).orderBy(ord: _*)
+    val wRun = Window.partitionBy(keys :+ col("__run"): _*)
+    val changed = when(
+      lag(col(stateCol), 1).over(w).isNull ||
+        lag(col(stateCol), 1).over(w) =!= col(stateCol), 1L).otherwise(0L)
+    val runs = df
+      .withColumn("__chg", changed)
+      .withColumn("__run", sum("__chg").over(
+        w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    val seqFirst = seqCols.head
+    val grouped = runs.groupBy(keys :+ col("__run"): _*)
+      .agg(
+        first(col(stateCol)).as(stateCol),
+        min(col(seqFirst)).as("valid_from"),
+        count(lit(1)).as("n_events"))
+    val wNext = Window.partitionBy(keys: _*).orderBy(col("__run"))
+    grouped
+      .withColumn("valid_to", lead(col("valid_from"), 1).over(wNext))
+      .withColumn("is_current", col("valid_to").isNull)
+      .drop("__run")
+  }
+}

@@ -1,0 +1,73 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.functions._
+
+/** Sequence packing — the step that turns a filtered document corpus
+  * into fixed-length training sequences: documents are concatenated in
+  * a canonical order (by id) into one token stream, and the stream is
+  * cut into context windows of `budget` tokens. Each document is
+  * assigned the window its first token lands in (`seq_id`), its offset
+  * inside that window, and how many windows it spans — exactly what a
+  * downstream tokenizer/writer needs to materialise packed sequences.
+  *
+  * The global running token offset is a prefix sum over the whole
+  * corpus. A naive `sum over (order by id)` window has no partition key
+  * and would drag 100 TB through ONE task, so it is computed as a
+  * distributed two-level scan instead:
+  *   1. ids are bucketed by deterministic arithmetic ranges (never
+  *      sampling — reruns and retries bucket identically),
+  *   2. within-bucket prefix sums run as a partitioned window (parallel
+  *      across buckets),
+  *   3. the per-bucket totals — at most `buckets` rows — come to the
+  *      driver, are prefix-summed there (the same "k small values on the
+  *      driver" legitimacy as IVF centroids), and rejoin as a broadcast.
+  * Total cost: one narrow aggregation, one partitioned window, one
+  * broadcast join; nothing global, nothing quadratic.
+  */
+object Packing {
+
+  /** (doc_id, n_tokens, seq_id, seq_offset, n_seqs) for every doc.
+    * `tokens` defaults to the whitespace token count of `text`. Offsets
+    * use long integer arithmetic end to end (`div`/`%`), never doubles,
+    * so a 100-TB-scale cumulative token count cannot lose precision. */
+  def packSequences(docs: DataFrame, budget: Long, idCol: String = "doc_id",
+                    tokens: Column = null, buckets: Int = 256): DataFrame = {
+    require(budget > 0, "budget must be positive")
+    val tokCol = if (tokens == null) wsTokenCount(col("text")) else tokens
+    val base = docs.select(col(idCol), tokCol.cast("long").as("n_tokens"))
+
+    val Array(minId, maxId) = base.agg(min(idCol), max(idCol)).collect()(0) match {
+      case r if r.isNullAt(0) => Array(0L, 0L) // empty input
+      case r => Array(r.getLong(0), r.getLong(1))
+    }
+    val width = math.max(1L, (maxId - minId + buckets) / buckets)
+    val bucketed = base.withColumn("bucket",
+      expr(s"($idCol - ${minId}L) div ${width}L"))
+
+    val w = Window.partitionBy("bucket").orderBy(idCol)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val withLocal = bucketed
+      .withColumn("local_end", sum("n_tokens").over(w))
+
+    // Per-bucket totals -> driver-side exclusive prefix sum -> broadcast.
+    val totals = bucketed.groupBy("bucket").agg(sum("n_tokens").as("bucket_total"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).sortBy(_._1)
+    val offsets = totals.scanLeft((Long.MinValue, 0L)) {
+      case ((_, acc), (b, t)) => (b, acc + t)
+    }.tail.zip(totals).map { case ((b, end), (_, t)) => (b, end - t) }
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val offsetDf = offsets.toSeq.toDF("bucket", "bucket_offset")
+
+    withLocal.join(broadcast(offsetDf), "bucket")
+      .withColumn("start_off", col("bucket_offset") + col("local_end") - col("n_tokens"))
+      .withColumn("seq_id", expr(s"start_off div ${budget}L"))
+      .withColumn("seq_offset", col("start_off") % budget)
+      .withColumn("n_seqs", when(col("n_tokens") === 0, lit(1L))
+        .otherwise(expr(s"(start_off + n_tokens - 1) div ${budget}L") - col("seq_id") + lit(1L)))
+      .select(col(idCol), col("n_tokens"), col("seq_id"), col("seq_offset"), col("n_seqs"))
+  }
+}

@@ -43,4 +43,35 @@ object Splits {
   /** Cumulative fraction -> 8-char lowercase hex bound on [0, 2^32). */
   def thresholdHex(cum: Double): String =
     f"${math.min((cum * 4294967296.0).toLong, 0xFFFFFFFFL)}%08x"
+
+  /** Deterministic domain-mixture sampling — the "data mixture" step of
+    * an LLM training pipeline: given target composition `weights` over a
+    * domain column and a total document `budget`, sample each domain at
+    * rate min(1, budget * weight / n_domain) so the kept set approaches
+    * the target mix. Domains absent from `weights` are dropped.
+    *
+    * Per-row keep/drop is a pure hash of the id (same mechanism as
+    * [[byHash]]: the first 8 hex chars of md5(id) as a uniform 32-bit
+    * value), so membership is stable across runs, engines, and
+    * partitionings — re-running the mixture never swaps documents in or
+    * out of the corpus. Domain counts are one aggregation; the per-domain
+    * rates are a handful of rows broadcast back onto the scan, so the
+    * whole operator is one small shuffle + one projection at any scale.
+    * Rates are computed in fixed double arithmetic (budget * weight /
+    * count) to stay bit-identical across engines. */
+  def mixture(df: DataFrame, idCol: String, domainCol: String,
+              weights: Seq[(String, Double)], budget: Double): DataFrame = {
+    require(weights.nonEmpty && weights.forall(_._2 >= 0), "weights must be >= 0")
+    val spark = df.sparkSession
+    import org.apache.spark.sql.functions.broadcast
+    val wdf = spark.createDataFrame(weights).toDF(domainCol, "wt")
+    val counts = df.groupBy(domainCol).agg(count(lit(1)).as("n_domain"))
+    val rates = counts.join(wdf, domainCol)
+      .withColumn("rate", least(lit(1.0), lit(budget) * col("wt") / col("n_domain")))
+      .select(domainCol, "n_domain", "rate")
+    val u = conv(substring(md5(col(idCol).cast("string")), 1, 8), 16, 10)
+      .cast("long") / lit(4294967296.0)
+    df.join(broadcast(rates), domainCol)
+      .where(u < col("rate"))
+  }
 }

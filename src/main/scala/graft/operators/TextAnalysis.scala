@@ -191,6 +191,66 @@ object TextAnalysis {
         col("tfidf"), col("rk").cast("long").as("rk"))
   }
 
+  /** Repetition quality signals (Gopher-style, Rae et al. 2021 §A1.1,
+    * adapted to word n-grams — the corpus has no line structure): the
+    * filters that catch boilerplate/spam documents a perplexity filter
+    * misses. Per doc, over lowercase word tokens:
+    *   - `uniq_word_ratio`  distinct words / words (low = looping text)
+    *   - `top_bigram_frac`  occurrences of the most frequent bigram /
+    *     total bigrams (Gopher's "top n-gram fraction")
+    *   - `dup_trigram_frac` fraction of trigram occurrences that are
+    *     repeats (Gopher's "duplicate n-gram fraction")
+    *   - `repetitive`       the composite drop flag
+    *
+    * Counting runs in ONE typed mapPartitions pass (the same fast-path
+    * shape as [[fingerprints]] — per-doc hash maps in a tight loop, zero
+    * shuffle, fully distributed across docs); the ratio arithmetic stays
+    * in Column expressions so rounding is engine-exact (`round(x, 6)`,
+    * matching the DuckDB oracle). Thresholds follow Gopher's published
+    * cut points, scaled to word-count fractions. */
+  def repetitionSignals(docs: DataFrame, textCol: String = "text"): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val counts = spread(docs, col("doc_id"))
+      .select(col("doc_id"), col(textCol)).as[(Long, String)]
+      .mapPartitions { it =>
+        it.map { case (id, text) =>
+          val toks = text.toLowerCase(java.util.Locale.ROOT)
+            .split("[^a-z0-9]+").filter(_.nonEmpty)
+          val n = toks.length
+          val uniqWords = new scala.collection.mutable.HashSet[String]
+          toks.foreach(uniqWords.add)
+          val bigrams = new scala.collection.mutable.HashMap[String, Int]
+          var i = 0
+          while (i + 2 <= n) {
+            val g = toks(i) + " " + toks(i + 1)
+            bigrams.update(g, bigrams.getOrElse(g, 0) + 1)
+            i += 1
+          }
+          val topBigram = if (bigrams.isEmpty) 0 else bigrams.valuesIterator.max
+          val trigrams = new scala.collection.mutable.HashSet[String]
+          i = 0
+          while (i + 3 <= n) {
+            trigrams.add(toks(i) + " " + toks(i + 1) + " " + toks(i + 2))
+            i += 1
+          }
+          (id, n.toLong, uniqWords.size.toLong, math.max(n - 1, 0).toLong,
+            topBigram.toLong, math.max(n - 2, 0).toLong, trigrams.size.toLong)
+        }
+      }.toDF("doc_id", "n_words", "n_uniq_words", "n_bigrams",
+        "top_bigram_n", "n_trigrams", "n_uniq_trigrams")
+    counts
+      .withColumn("uniq_word_ratio", when(col("n_words") === 0, lit(0.0))
+        .otherwise(round(col("n_uniq_words") / col("n_words"), 6)))
+      .withColumn("top_bigram_frac", when(col("n_bigrams") === 0, lit(0.0))
+        .otherwise(round(col("top_bigram_n") / col("n_bigrams"), 6)))
+      .withColumn("dup_trigram_frac", when(col("n_trigrams") === 0, lit(0.0))
+        .otherwise(round((col("n_trigrams") - col("n_uniq_trigrams")) / col("n_trigrams"), 6)))
+      .withColumn("repetitive",
+        col("top_bigram_frac") > 0.18 || col("dup_trigram_frac") > 0.30 ||
+          (col("n_words") >= 10 && col("uniq_word_ratio") < 0.2))
+  }
+
   /** Content fingerprints: exact (md5 of the raw text) and structural
     * (min-md5 over distinct word 5-gram shingles — a 1-permutation
     * MinHash, stable under whitespace/reordering-free edits). Returns

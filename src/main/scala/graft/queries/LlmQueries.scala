@@ -2,7 +2,7 @@ package graft.queries
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import graft.operators.{Dedup, Multimodal, Similarity, TextAnalysis}
+import graft.operators.{Contamination, Dedup, Multimodal, Packing, Privacy, Similarity, Splits, TextAnalysis}
 import graft.sources.Ingestor
 
 /** SURVEY §2.4 LLM-training-data operators over `documents` /
@@ -91,9 +91,40 @@ object LlmQueries {
         .orderBy("doc_id")),
 
     "split_hash" -> ((s, d) =>
-      graft.operators.Splits.byHash(docs(s, d), "doc_id",
+      Splits.byHash(docs(s, d), "doc_id",
           Seq("train" -> 0.8, "val" -> 0.1))
         .select("doc_id", "split").orderBy("doc_id")),
+
+    "text_repetition" -> ((s, d) =>
+      TextAnalysis.repetitionSignals(docs(s, d))
+        .select("doc_id", "n_words", "n_uniq_words", "n_bigrams", "top_bigram_n",
+          "n_trigrams", "n_uniq_trigrams", "uniq_word_ratio", "top_bigram_frac",
+          "dup_trigram_frac", "repetitive")
+        .orderBy("doc_id")),
+
+    // benchmark = every 7th doc; corpus = the rest. 8-gram overlap.
+    "corpus_decontaminate" -> ((s, d) => {
+      val all = docs(s, d)
+      Contamination.flagOverlap(
+          all.where(col("doc_id") % 7 =!= 0),
+          all.where(col("doc_id") % 7 === 0), n = 8)
+        .orderBy("doc_id")
+    }),
+
+    "corpus_mix" -> ((s, d) =>
+      Splits.mixture(docs(s, d), "doc_id", "source",
+          Seq("src0" -> 0.5, "src1" -> 0.3, "src2" -> 0.2), budget = 30.0)
+        .select(col("doc_id"), col("source"), col("n_domain"),
+          round(col("rate"), 6).as("rate"))
+        .orderBy("doc_id")),
+
+    "seq_pack" -> ((s, d) =>
+      Packing.packSequences(docs(s, d), budget = 256L).orderBy("doc_id")),
+
+    "kanon_suppress" -> ((s, d) =>
+      Privacy.kAnonymize(docs(s, d), Seq("lang", "source"), k = 3)
+        .select("doc_id", "lang", "source", "group_n")
+        .orderBy("doc_id")),
 
     // rows-only: cluster closure of the LSH pair graph (murmur bucket
     // keys not reproducible in SQL); component semantics spec-tested on
@@ -259,6 +290,91 @@ object LlmQueries {
         |   '\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b', '<IP>', 'g'),
         |   '\+?[0-9][0-9()\- ]{7,14}[0-9]', '<PHONE>', 'g')) AS redacted_md5
         |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "text_repetition" ->
+      """WITH t AS (SELECT doc_id,
+        |   [x for x in regexp_split_to_array(lower(text), '[^a-z0-9]+') if x <> ''] AS w
+        |  FROM documents),
+        | b AS (SELECT doc_id,
+        |   CAST(len(w) AS BIGINT) AS n_words,
+        |   CAST(len(list_distinct(w)) AS BIGINT) AS n_uniq_words,
+        |   [w[i] || ' ' || w[i+1] for i in range(1, len(w))] AS bg,
+        |   [w[i] || ' ' || w[i+1] || ' ' || w[i+2] for i in range(1, len(w) - 1)] AS tg
+        |  FROM t),
+        | bgm AS (SELECT doc_id, CAST(MAX(c) AS BIGINT) AS top_bigram_n FROM (
+        |    SELECT doc_id, g, COUNT(*) AS c FROM b, UNNEST(bg) AS u(g) GROUP BY doc_id, g)
+        |   GROUP BY doc_id),
+        | tgc AS (SELECT doc_id, CAST(COUNT(DISTINCT g) AS BIGINT) AS n_uniq_trigrams
+        |   FROM b, UNNEST(tg) AS u(g) GROUP BY doc_id),
+        | j AS (SELECT b.doc_id, n_words, n_uniq_words,
+        |   CAST(greatest(n_words - 1, 0) AS BIGINT) AS n_bigrams,
+        |   COALESCE(bgm.top_bigram_n, CAST(0 AS BIGINT)) AS top_bigram_n,
+        |   CAST(greatest(n_words - 2, 0) AS BIGINT) AS n_trigrams,
+        |   COALESCE(tgc.n_uniq_trigrams, CAST(0 AS BIGINT)) AS n_uniq_trigrams
+        |  FROM b LEFT JOIN bgm ON b.doc_id = bgm.doc_id
+        |  LEFT JOIN tgc ON b.doc_id = tgc.doc_id),
+        | r AS (SELECT *,
+        |   CASE WHEN n_words = 0 THEN 0.0
+        |    ELSE round(CAST(n_uniq_words AS DOUBLE) / n_words, 6) END AS uniq_word_ratio,
+        |   CASE WHEN n_bigrams = 0 THEN 0.0
+        |    ELSE round(CAST(top_bigram_n AS DOUBLE) / n_bigrams, 6) END AS top_bigram_frac,
+        |   CASE WHEN n_trigrams = 0 THEN 0.0
+        |    ELSE round(CAST(n_trigrams - n_uniq_trigrams AS DOUBLE) / n_trigrams, 6) END AS dup_trigram_frac
+        |  FROM j)
+        |SELECT doc_id, n_words, n_uniq_words, n_bigrams, top_bigram_n,
+        | n_trigrams, n_uniq_trigrams, uniq_word_ratio, top_bigram_frac, dup_trigram_frac,
+        | (top_bigram_frac > 0.18 OR dup_trigram_frac > 0.30
+        |  OR (n_words >= 10 AND uniq_word_ratio < 0.2)) AS repetitive
+        |FROM r ORDER BY doc_id""".stripMargin,
+
+    "corpus_decontaminate" ->
+      """WITH t AS (SELECT doc_id,
+        |   [x for x in regexp_split_to_array(lower(text), '[^a-z0-9]+') if x <> ''] AS w
+        |  FROM documents),
+        | g AS (SELECT doc_id,
+        |   list_distinct([array_to_string(w[i:i+7], ' ') for i in range(1, len(w) - 6)]) AS s
+        |  FROM t),
+        | bench AS (SELECT DISTINCT u.gram FROM g, UNNEST(s) AS u(gram) WHERE doc_id % 7 = 0),
+        | corp AS (SELECT doc_id, u.gram FROM g, UNNEST(s) AS u(gram) WHERE doc_id % 7 <> 0),
+        | hits AS (SELECT c.doc_id, CAST(COUNT(*) AS BIGINT) AS n_hits
+        |   FROM corp c JOIN bench b ON c.gram = b.gram GROUP BY c.doc_id)
+        |SELECT d.doc_id, COALESCE(h.n_hits, CAST(0 AS BIGINT)) AS n_hits,
+        | COALESCE(h.n_hits, 0) > 0 AS contaminated
+        |FROM documents d LEFT JOIN hits h ON d.doc_id = h.doc_id
+        |WHERE d.doc_id % 7 <> 0 ORDER BY d.doc_id""".stripMargin,
+
+    "corpus_mix" ->
+      """WITH w(source, wt) AS (VALUES ('src0', 0.5), ('src1', 0.3), ('src2', 0.2)),
+        | n AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS n_domain FROM documents GROUP BY source),
+        | r AS (SELECT n.source, n.n_domain, least(1.0, 30.0 * w.wt / n.n_domain) AS rate
+        |   FROM n JOIN w ON n.source = w.source)
+        |SELECT d.doc_id, d.source, r.n_domain, round(r.rate, 6) AS rate
+        |FROM documents d JOIN r ON d.source = r.source
+        |WHERE CAST('0x' || substring(md5(CAST(d.doc_id AS VARCHAR)), 1, 8) AS BIGINT)
+        |      / 4294967296.0 < r.rate
+        |ORDER BY d.doc_id""".stripMargin,
+
+    "seq_pack" ->
+      """WITH t AS (SELECT doc_id,
+        |   CAST(len([x for x in regexp_split_to_array(text, '\s+') if x <> '']) AS BIGINT) AS n_tokens
+        |  FROM documents),
+        | c AS (SELECT doc_id, n_tokens,
+        |   COALESCE(CAST(SUM(n_tokens) OVER (ORDER BY doc_id
+        |     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS BIGINT), 0) AS start_off
+        |  FROM t)
+        |SELECT doc_id, n_tokens,
+        | CAST(start_off // 256 AS BIGINT) AS seq_id,
+        | CAST(start_off % 256 AS BIGINT) AS seq_offset,
+        | CASE WHEN n_tokens = 0 THEN CAST(1 AS BIGINT)
+        |  ELSE CAST((start_off + n_tokens - 1) // 256 - start_off // 256 + 1 AS BIGINT) END AS n_seqs
+        |FROM c ORDER BY doc_id""".stripMargin,
+
+    "kanon_suppress" ->
+      """SELECT * FROM (
+        | SELECT doc_id, lang, source,
+        |  CAST(COUNT(*) OVER (PARTITION BY lang, source) AS BIGINT) AS group_n
+        | FROM documents)
+        |WHERE group_n >= 3 ORDER BY doc_id""".stripMargin,
 
     "split_hash" ->
       """SELECT doc_id,

@@ -2,7 +2,7 @@ package graft.queries
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import graft.operators.{AsOfJoin, RangeJoin}
+import graft.operators.{AsOfJoin, Cdc, RangeJoin}
 import graft.sources.Ingestor
 import graft.streaming.EventStream
 
@@ -51,9 +51,86 @@ object StreamQueries {
         .select("event_id", "user_id", "session_id")
         .orderBy("event_id")
     }),
+    // changelog replay: events as an I/U/D change stream per user
+    // (signup = insert, error = account delete, rest = update); the
+    // final state is the latest non-deleted change per key
+    "cdc_apply" -> ((s, d) => {
+      val log = Ingestor.events(s, d).select(
+        col("user_id"), col("ts"), col("event_id"), col("value"),
+        when(col("event_type") === "signup", "I")
+          .when(col("event_type") === "error", "D")
+          .otherwise("U").as("op"))
+      Cdc.applyChangeLog(log, Seq("user_id"), Seq("ts", "event_id"))
+        .select("user_id", "ts", "op", "value")
+        .orderBy("user_id")
+    }),
+
+    // type-2 SCD: per-user history of event_type runs with validity
+    // intervals (gaps-and-islands collapse, one shuffle)
+    "scd2_history" -> ((s, d) =>
+      Cdc.type2History(
+          Ingestor.events(s, d).select("user_id", "ts", "event_id", "event_type"),
+          Seq("user_id"), Seq("ts", "event_id"), "event_type")
+        .select("user_id", "event_type", "valid_from", "valid_to",
+          "is_current", "n_events")
+        .orderBy("user_id", "valid_from")),
+
+    // trailing-1h moving aggregate per user: a value-based (RANGE) frame
+    // over epoch micros — tie-safe (peers share the frame) and
+    // decimal-exact (double sums never drift with partition order)
+    "q_moving_avg" -> ((s, d) => {
+      import graft.functions.dec
+      val ev = Ingestor.events(s, d)
+        .withColumn("ts_us", unix_micros(col("ts").cast("timestamp")))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("user_id").orderBy("ts_us")
+        .rangeBetween(-3600000000L, 0)
+      ev.withColumn("mv_cnt", count(lit(1)).over(w))
+        .withColumn("mv_avg",
+          round(sum(dec(col("value"))).over(w).cast("double") / col("mv_cnt"), 6))
+        .select("event_id", "user_id", "ts", "mv_cnt", "mv_avg")
+        .orderBy("event_id")
+    }),
   )
 
   val oracles: Map[String, String] = Map(
+    "cdc_apply" ->
+      """WITH e AS (SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, event_id, value,
+        |   CASE WHEN event_type = 'signup' THEN 'I'
+        |        WHEN event_type = 'error' THEN 'D' ELSE 'U' END AS op
+        |  FROM events),
+        | r AS (SELECT *, row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rk
+        |  FROM e)
+        |SELECT user_id, ts, op, value FROM r WHERE rk = 1 AND op <> 'D'
+        |ORDER BY user_id""".stripMargin,
+
+    "scd2_history" ->
+      """WITH e AS (SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, event_id, event_type FROM events),
+        | m AS (SELECT *, CASE WHEN lag(event_type) OVER w IS NULL
+        |     OR lag(event_type) OVER w <> event_type THEN 1 ELSE 0 END AS chg
+        |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+        | r AS (SELECT *, CAST(SUM(chg) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS BIGINT) AS run
+        |  FROM m),
+        | g AS (SELECT user_id, run, MIN(event_type) AS event_type, MIN(ts) AS valid_from,
+        |   COUNT(*) AS n_events
+        |  FROM r GROUP BY user_id, run)
+        |SELECT user_id, event_type, valid_from,
+        | lead(valid_from) OVER (PARTITION BY user_id ORDER BY run) AS valid_to,
+        | lead(valid_from) OVER (PARTITION BY user_id ORDER BY run) IS NULL AS is_current,
+        | n_events
+        |FROM g ORDER BY user_id, valid_from""".stripMargin,
+
+    "q_moving_avg" ->
+      """WITH e AS (SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts, value,
+        |   epoch_us(CAST(ts AS TIMESTAMP)) AS ts_us FROM events),
+        | m AS (SELECT event_id, user_id, ts,
+        |   CAST(COUNT(*) OVER w AS BIGINT) AS mv_cnt,
+        |   CAST(SUM(CAST(value AS DECIMAL(38,6))) OVER w AS DOUBLE) AS mv_sum
+        |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts_us
+        |    RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW))
+        |SELECT event_id, user_id, ts, mv_cnt, round(mv_sum / mv_cnt, 6) AS mv_avg
+        |FROM m ORDER BY event_id""".stripMargin,
+
     "stream_window" ->
       """SELECT date_trunc('hour', CAST(ts AS TIMESTAMP)) AS window_start, event_type,
         | COUNT(*) AS n_events,

@@ -1,0 +1,141 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.{Cdc, Contamination, Packing, Privacy, Splits, TextAnalysis}
+
+/** Round-5 corpus-prep operators: repetition signals, decontamination,
+  * mixture sampling, sequence packing, CDC/SCD2, k-anonymity. */
+class PrepOperatorsSpec extends SparkSpec {
+  import spark.implicits._
+
+  // ------------------------------------------------------------ repetition
+  test("repetition signals on degenerate vs healthy text") {
+    val docs = Seq(
+      (1L, "a a a a a a a a a a"), // pure loop
+      (2L, "the quick brown fox jumps over one lazy dog today friend"), // all distinct
+      (3L, "")).toDF("doc_id", "text")
+    val out = TextAnalysis.repetitionSignals(docs)
+      .select("doc_id", "n_words", "n_uniq_words", "uniq_word_ratio",
+        "top_bigram_frac", "dup_trigram_frac", "repetitive")
+      .orderBy("doc_id")
+      .as[(Long, Long, Long, Double, Double, Double, Boolean)].collect()
+    // doc 1: 10 words, 1 uniq; 9 bigrams all "a a"; 8 trigram occurrences, 1 distinct
+    assert(out(0) == ((1L, 10L, 1L, 0.1, 1.0, 0.875, true)))
+    // doc 2: 11 distinct words, 10 distinct bigrams -> top frac 0.1
+    assert(out(1)._2 == 11L && out(1)._3 == 11L)
+    assert(out(1)._4 == 1.0 && out(1)._5 == 0.1 && out(1)._6 == 0.0)
+    assert(!out(1)._7)
+    // empty doc: all zero ratios, not flagged
+    assert(out(2) == ((3L, 0L, 0L, 0.0, 0.0, 0.0, false)))
+  }
+
+  // -------------------------------------------------------- decontamination
+  test("decontamination flags 8-gram overlap with the benchmark") {
+    val shared = "alpha beta gamma delta epsilon zeta eta theta"
+    val corpus = Seq(
+      (1L, s"prefix words here $shared suffix tail"),
+      (2L, "totally unrelated content with many different words going on here"))
+      .toDF("doc_id", "text")
+    val bench = Seq((100L, s"benchmark question: $shared answer"))
+      .toDF("doc_id", "text")
+    val out = Contamination.flagOverlap(corpus, bench, n = 8)
+      .orderBy("doc_id").as[(Long, Long, Boolean)].collect()
+    assert(out(0)._1 == 1L && out(0)._2 >= 1L && out(0)._3)
+    assert(out(1) == ((2L, 0L, false)))
+    val clean = Contamination.decontaminate(corpus, bench, n = 8)
+    assert(clean.select("doc_id").as[Long].collect().toSeq == Seq(2L))
+  }
+
+  // ------------------------------------------------------- mixture sampling
+  test("mixture sampling: rates from counts, deterministic membership") {
+    val docs = (0L until 300L).map(i => (i, s"src${i % 3}")).toDF("id", "domain")
+    val weights = Seq("src0" -> 0.6, "src1" -> 0.4) // src2 dropped
+    val out = Splits.mixture(docs, "id", "domain", weights, budget = 50.0)
+    val kept = out.select("id", "domain").as[(Long, String)].collect().toSet
+    assert(kept.forall(_._2 != "src2"))
+    // rate for src0 = min(1, 50*0.6/100) = 0.3; src1 = 0.2
+    val rates = out.select("domain", "rate").distinct().as[(String, Double)]
+      .collect().toMap
+    assert(math.abs(rates("src0") - 0.3) < 1e-12)
+    assert(math.abs(rates("src1") - 0.2) < 1e-12)
+    // deterministic: same call -> same membership
+    val again = Splits.mixture(docs, "id", "domain", weights, budget = 50.0)
+      .select("id", "domain").as[(Long, String)].collect().toSet
+    assert(again == kept)
+    // budget larger than domain size -> rate caps at 1.0, all kept
+    val all = Splits.mixture(docs, "id", "domain", Seq("src0" -> 1.0), budget = 1000.0)
+    assert(all.count() == 100)
+  }
+
+  // -------------------------------------------------------- sequence packing
+  test("sequence packing: known offsets and window spans") {
+    val docs = Seq(
+      (0L, "w w w"), (1L, "w w w w"), (2L, "w w w w w"), (3L, "w w"))
+      .toDF("doc_id", "text")
+    val out = Packing.packSequences(docs, budget = 5L)
+      .orderBy("doc_id").as[(Long, Long, Long, Long, Long)].collect()
+    assert(out(0) == ((0L, 3L, 0L, 0L, 1L)))
+    assert(out(1) == ((1L, 4L, 0L, 3L, 2L))) // starts at 3, spans windows 0-1
+    assert(out(2) == ((2L, 5L, 1L, 2L, 2L))) // starts at 7, spans 1-2
+    assert(out(3) == ((3L, 2L, 2L, 2L, 1L))) // starts at 12
+  }
+
+  test("sequence packing: multi-bucket prefix sum equals a global cumsum") {
+    import org.apache.spark.sql.expressions.Window
+    val docs = (0L until 200L).map(i => (i * 3, s"t${i % 7}", ((i * 37) % 11 + 1).toInt))
+      .map { case (id, _, n) => (id, Seq.fill(n)("w").mkString(" ")) }
+      .toDF("doc_id", "text")
+    val packed = Packing.packSequences(docs, budget = 64L, buckets = 8)
+    val naive = docs
+      .withColumn("n_tokens", graft.functions.wsTokenCount(col("text")))
+      .withColumn("start_off",
+        coalesce(sum("n_tokens").over(
+          Window.orderBy("doc_id").rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .select(col("doc_id"), expr("start_off div 64L").as("seq_id_exp"))
+    val joined = packed.join(naive, "doc_id")
+    assert(joined.where(col("seq_id") =!= col("seq_id_exp")).count() == 0)
+    assert(packed.count() == 200)
+  }
+
+  // ------------------------------------------------------------- CDC / SCD2
+  test("changelog replay keeps latest non-deleted state per key") {
+    val log = Seq(
+      (1L, 1L, "I", 10.0), (1L, 2L, "U", 20.0),             // k1 -> 20.0
+      (2L, 1L, "I", 5.0), (2L, 3L, "D", 0.0),               // k2 deleted
+      (3L, 2L, "U", 7.0), (3L, 1L, "I", 6.0))               // k3 -> 7.0 (seq order)
+      .toDF("k", "seq", "op", "v")
+    val out = Cdc.applyChangeLog(log, Seq("k"), Seq("seq"))
+      .select("k", "v").orderBy("k").as[(Long, Double)].collect()
+    assert(out.toSeq == Seq((1L, 20.0), (3L, 7.0)))
+  }
+
+  test("type-2 history collapses runs with validity intervals") {
+    val ev = Seq(
+      (1L, 1L, "A"), (1L, 2L, "A"), (1L, 3L, "B"), (1L, 4L, "A"),
+      (2L, 1L, "X"))
+      .toDF("k", "seq", "state")
+    val out = Cdc.type2History(ev, Seq("k"), Seq("seq"), "state")
+      .select("k", "state", "valid_from", "valid_to", "is_current", "n_events")
+      .orderBy("k", "valid_from")
+      .as[(Long, String, Long, Option[Long], Boolean, Long)].collect()
+    assert(out(0) == ((1L, "A", 1L, Some(3L), false, 2L)))
+    assert(out(1) == ((1L, "B", 3L, Some(4L), false, 1L)))
+    assert(out(2) == ((1L, "A", 4L, None, true, 1L)))
+    assert(out(3) == ((2L, "X", 1L, None, true, 1L)))
+  }
+
+  // ------------------------------------------------------------ k-anonymity
+  test("k-anonymity suppresses small quasi-identifier groups") {
+    val rows = Seq(
+      (1L, "en", "a"), (2L, "en", "a"), (3L, "en", "a"),
+      (4L, "de", "b"), (5L, "de", "b"),
+      (6L, "fr", "c"))
+      .toDF("id", "lang", "src")
+    val kept = Privacy.kAnonymize(rows, Seq("lang", "src"), k = 2)
+      .select("id").as[Long].collect().toSet
+    assert(kept == Set(1L, 2L, 3L, 4L, 5L))
+    val profile = Privacy.kAnonymityProfile(rows, Seq("lang", "src"), k = 2)
+      .where(col("suppressed")).select("lang").as[String].collect().toSeq
+    assert(profile == Seq("fr"))
+  }
+}
