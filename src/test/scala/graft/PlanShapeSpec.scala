@@ -91,6 +91,37 @@ class PlanShapeSpec extends SparkSpec {
       "one scan of documents, not one per enrichment\n" + planStr)
   }
 
+  test("seq_pack: every window is partitioned (no global-order single-task scan)") {
+    val df = SparkEntry.queries("seq_pack")(spark, sf("sf0.001"))
+    df.collect()
+    val plan = planString(df).split("== Initial Plan ==")(0)
+    // a partitioned Window prints 3 bracket groups (fns, partition, order);
+    // a global one only 2 — every window here must partition by bucket
+    val winLines = plan.linesIterator.filter(_.contains("Window [")).toSeq
+    assert(winLines.nonEmpty, s"expected the within-bucket prefix-sum window in:\n$plan")
+    winLines.foreach(l => assert(l.contains("[bucket#"),
+      s"global (unpartitioned) window in seq_pack plan line: $l"))
+    // the bucket-offset rejoin must broadcast, never shuffle the corpus
+    assert(plan.contains("BroadcastHashJoin"), plan)
+  }
+
+  test("corpus_mix: per-domain rates broadcast onto the scan") {
+    val df = SparkEntry.queries("corpus_mix")(spark, sf("sf0.001"))
+    df.collect()
+    assert(planString(df).contains("BroadcastHashJoin"), planString(df))
+    assert(!planString(df).contains("SortMergeJoin"), planString(df))
+  }
+
+  test("kanon_suppress: one hash shuffle on the quasi-identifiers, no join") {
+    val df = operators.Privacy.kAnonymize(
+      Ingestor.table(spark, sf("sf0.001"), "documents"), Seq("lang", "source"), k = 3)
+    df.collect()
+    val plan = planString(df).split("== Initial Plan ==")(0)
+    def occurrences(s: String) = plan.sliding(s.length).count(_ == s)
+    assert(occurrences("Exchange hashpartitioning") == 1, plan)
+    assert(!plan.contains("Join"), plan)
+  }
+
   test("compaction range-clusters output files by the sort column") {
     val dir = java.nio.file.Files.createTempDirectory("graft_pscompact").toString + "/t"
     spark.range(0, 10000).selectExpr("id", "id * 2 AS v")
