@@ -14,11 +14,18 @@ import org.json4s.jackson.JsonMethods
   *
   * Spec shape (every stage optional, applied in this order):
   * {{{
-  * { "quality":  { "min_score": 0.5 },
-  *   "language": { "keep": ["en"] },
-  *   "dedup":    { "method": "exact" | "minhash", "threshold": 0.8 },
-  *   "redact":   { },
-  *   "split":    { "fractions": { "train": 0.8, "val": 0.1 } } }
+  * { "quality":       { "min_score": 0.5 },
+  *   "repetition":    { "max_top_bigram_frac": 0.18,
+  *                      "max_dup_trigram_frac": 0.30,
+  *                      "min_uniq_word_ratio": 0.2 },
+  *   "language":      { "keep": ["en"] },
+  *   "decontaminate": { "benchmark_path": "/path/bench.parquet", "ngram": 8 },
+  *   "dedup":         { "method": "exact" | "minhash", "threshold": 0.8 },
+  *   "mixture":       { "domain_col": "source",
+  *                      "weights": { "src0": 0.5 }, "budget": 100 },
+  *   "redact":        { },
+  *   "split":         { "fractions": { "train": 0.8, "val": 0.1 } },
+  *   "pack":          { "budget": 2048 } }
   * }}}
   *
   * Redaction runs AFTER dedup on purpose: content hashes/shingles must
@@ -35,18 +42,39 @@ object TrainingPrep {
   def fromJson(json: String): DataFrame => DataFrame =
     apply(JsonMethods.parse(json))
 
+  private def num(j: JValue, default: Double): Double = j match {
+    case JDouble(v)  => v
+    case JInt(v)     => v.toDouble
+    case JDecimal(v) => v.toDouble
+    case _           => default
+  }
+
   def apply(spec: JValue): DataFrame => DataFrame = { docs =>
     var r = docs
 
     spec \ "quality" match {
       case q: JObject =>
-        val min = q \ "min_score" match {
-          case JDouble(v)  => v
-          case JInt(v)     => v.toDouble
-          case JDecimal(v) => v.toDouble
-          case _           => 0.0
-        }
+        val min = num(q \ "min_score", 0.0)
         r = TextAnalysis.qualityScore(r).where(col("quality_score") >= min)
+      case _ =>
+    }
+
+    spec \ "repetition" match {
+      case rep: JObject =>
+        // signals come from a mapPartitions pass keyed by doc_id, so they
+        // rejoin the enriched rows by id (one hash join, no second scan
+        // of anything but (id, text))
+        val maxBigram = num(rep \ "max_top_bigram_frac", 0.18)
+        val maxTrigram = num(rep \ "max_dup_trigram_frac", 0.30)
+        val minUniq = num(rep \ "min_uniq_word_ratio", 0.2)
+        val signals = TextAnalysis.repetitionSignals(r.select("doc_id", "text"))
+          .select("doc_id", "top_bigram_frac", "dup_trigram_frac",
+            "uniq_word_ratio", "n_words")
+        r = r.join(signals, "doc_id")
+          .where(col("top_bigram_frac") <= maxBigram &&
+            col("dup_trigram_frac") <= maxTrigram &&
+            (col("n_words") < 10 || col("uniq_word_ratio") >= minUniq))
+          .drop("top_bigram_frac", "dup_trigram_frac", "uniq_word_ratio", "n_words")
       case _ =>
     }
 
@@ -58,6 +86,19 @@ object TrainingPrep {
         }
         if (keep.nonEmpty)
           r = TextAnalysis.languageId(r).where(col("lang_pred").isin(keep: _*))
+      case _ =>
+    }
+
+    spec \ "decontaminate" match {
+      case dc: JObject =>
+        val path = dc \ "benchmark_path" match {
+          case JString(p) => p
+          case _ => throw new IllegalArgumentException(
+            "decontaminate stage requires benchmark_path")
+        }
+        val n = num(dc \ "ngram", 8.0).toInt
+        val bench = r.sparkSession.read.parquet(path)
+        r = Contamination.decontaminate(r, bench, n)
       case _ =>
     }
 
@@ -91,6 +132,27 @@ object TrainingPrep {
       case _ =>
     }
 
+    spec \ "mixture" match {
+      case m: JObject =>
+        val domainCol = m \ "domain_col" match {
+          case JString(c) => c; case _ => "source"
+        }
+        val weights = m \ "weights" match {
+          case JObject(ws) => ws.collect {
+            case (dom, JDouble(wt))  => dom -> wt
+            case (dom, JInt(wt))     => dom -> wt.toDouble
+            case (dom, JDecimal(wt)) => dom -> wt.toDouble
+          }
+          case _ => Nil
+        }
+        if (weights.nonEmpty) {
+          val budget = num(m \ "budget", 0.0)
+          r = Splits.mixture(r, "doc_id", domainCol, weights, budget)
+            .drop("n_domain", "rate")
+        }
+      case _ =>
+    }
+
     spec \ "redact" match {
       case _: JObject =>
         r = TextAnalysis.redactPii(r)
@@ -109,6 +171,18 @@ object TrainingPrep {
         }
         if (fractions.nonEmpty)
           r = Splits.byHash(r, "doc_id", fractions)
+      case _ =>
+    }
+
+    spec \ "pack" match {
+      case p: JObject =>
+        val budget = num(p \ "budget", 2048.0).toLong
+        // packing runs over the SURVIVING corpus in id order; assignments
+        // rejoin the rows by id (broadcastable offsets inside, one hash
+        // join here)
+        val packed = Packing.packSequences(r.select("doc_id", "text"), budget)
+          .withColumnRenamed("n_tokens", "pack_tokens") // quality adds n_tokens
+        r = r.join(packed, "doc_id")
       case _ =>
     }
 

@@ -53,6 +53,53 @@ class TrainingPrepSpec extends SparkSpec {
       (3L, "contact <EMAIL> today", 1L)))
   }
 
+  test("repetition stage drops looping docs, keeps healthy ones") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "spam spam spam spam spam spam spam spam spam spam"),
+      (2L, "a genuinely varied sentence with many different interesting words inside"))
+      .toDF("doc_id", "text")
+    val out = TrainingPrep.fromJson("""{ "repetition": {} }""")(docs)
+    assert(out.select("doc_id").as[Long].collect().toSeq == Seq(2L))
+  }
+
+  test("decontaminate stage removes benchmark-overlapping docs") {
+    import spark.implicits._
+    val shared = "one two three four five six seven eight"
+    val benchDir = java.nio.file.Files.createTempDirectory("graft_bench").toString + "/b"
+    Seq((100L, s"eval prompt $shared answer")).toDF("doc_id", "text")
+      .write.parquet(benchDir)
+    val docs = Seq(
+      (1L, s"leaked text containing $shared right here"),
+      (2L, "completely clean document with no overlap at all present"))
+      .toDF("doc_id", "text")
+    val spec = s"""{ "decontaminate": { "benchmark_path": "$benchDir", "ngram": 8 } }"""
+    val out = TrainingPrep.fromJson(spec)(docs)
+    assert(out.select("doc_id").as[Long].collect().toSeq == Seq(2L))
+  }
+
+  test("mixture + pack stages compose with split into one prepared corpus") {
+    val docs = Ingestor.table(spark, sf(), "documents")
+    val spec =
+      """{ "mixture": { "domain_col": "source",
+        |               "weights": { "src0": 0.5, "src1": 0.5 }, "budget": 20 },
+        |  "split":   { "fractions": { "train": 0.8, "val": 0.1 } },
+        |  "pack":    { "budget": 256 } }""".stripMargin
+    val out = TrainingPrep.fromJson(spec)(docs)
+    assert(out.columns.toSet.intersect(
+      Set("split", "seq_id", "seq_offset", "n_seqs", "pack_tokens")).size == 5)
+    val sources = out.select("source").distinct()
+      .collect().map(_.getString(0)).toSet
+    assert(sources.subsetOf(Set("src0", "src1")))
+    assert(out.count() > 0)
+    // packing matches running the operator directly on the same survivors
+    val direct = graft.operators.Packing.packSequences(
+      out.select("doc_id", "text"), budget = 256L)
+    val joined = out.select("doc_id", "seq_id")
+      .join(direct.withColumnRenamed("seq_id", "seq_id_d"), "doc_id")
+    assert(joined.where(col("seq_id") =!= col("seq_id_d")).count() == 0)
+  }
+
   test("unknown dedup method fails fast") {
     val docs = Ingestor.table(spark, sf(), "documents")
     intercept[IllegalArgumentException] {
