@@ -99,4 +99,39 @@ object Profiler {
       .select("p.*")
       .orderBy("column_name")
   }
+
+  /** IQR outlier detection (Tukey fences): rows outside
+    * [q1 - k*iqr, q3 + k*iqr] flagged `is_outlier`, with the bounds
+    * attached for audit. The quartiles are ONE exact-percentile
+    * aggregate whose single result row broadcasts back onto the scan —
+    * no collect, no second pass over the data. Bounds are rounded to
+    * 6dp before comparison so the flag is engine-exact.
+    *
+    * Exact global percentiles buffer the value multiset in one
+    * aggregation state — fine into the tens of millions of rows; at
+    * 100 TB use [[iqrOutliersApprox]] (mergeable percentile_approx
+    * sketch, same fences, bounded error). */
+  def iqrOutliers(df: DataFrame, valueCol: String, k: Double = 1.5): DataFrame =
+    flagByFences(df, valueCol, k,
+      df.selectExpr(s"percentile($valueCol, array(0.25d, 0.75d)) AS q"))
+
+  /** The 100 TB form: percentile_approx(accuracy) sketches instead of
+    * exact buffering; error bounded by the sketch accuracy (spec-tested
+    * against the exact fences). */
+  def iqrOutliersApprox(df: DataFrame, valueCol: String, k: Double = 1.5,
+                        accuracy: Int = 10000): DataFrame =
+    flagByFences(df, valueCol, k,
+      df.selectExpr(
+        s"percentile_approx($valueCol, array(0.25d, 0.75d), $accuracy) AS q"))
+
+  private def flagByFences(df: DataFrame, valueCol: String, k: Double,
+                           quartiles: DataFrame): DataFrame = {
+    val q = quartiles
+      .select(col("q")(0).as("q1"), col("q")(1).as("q3"))
+      .select(
+        round(col("q1") - lit(k) * (col("q3") - col("q1")), 6).as("lo"),
+        round(col("q3") + lit(k) * (col("q3") - col("q1")), 6).as("hi"))
+    df.crossJoin(broadcast(q))
+      .withColumn("is_outlier", col(valueCol) < col("lo") || col(valueCol) > col("hi"))
+  }
 }

@@ -178,4 +178,19 @@ object Similarity {
       .where(col("rank") <= k)
       .select(col("q_id"), col("vec_id").as("n_id"), col("rank"), col("cos_sim"))
   }
+
+  /** Per-label mean embedding (class centroids): posexplode each vector
+    * to (label, pos, component), then one grouped decimal-exact average
+    * per coordinate. The explode multiplies rows by the dimension but
+    * partial aggregation collapses them map-side, so the shuffle carries
+    * only labels x dim rows — the 100 TB path for corpus-level vector
+    * statistics (label prototypes, drift monitoring, IVF seeding).
+    * Positions are emitted 1-based to match SQL array indexing. */
+  def labelCentroids(emb: DataFrame, labelCol: String = "label",
+                     vecCol: String = "embedding"): DataFrame =
+    emb.select(col(labelCol), posexplode(vecD(col(vecCol))).as(Seq("pos", "v")))
+      .groupBy(col(labelCol), (col("pos") + 1).cast("long").as("pos"))
+      .agg(
+        round(davg(col("v")), 6).as("centroid"),
+        count(lit(1)).as("n_vecs"))
 }

@@ -95,6 +95,9 @@ object LlmQueries {
           Seq("train" -> 0.8, "val" -> 0.1))
         .select("doc_id", "split").orderBy("doc_id")),
 
+    "emb_centroids" -> ((s, d) =>
+      Similarity.labelCentroids(emb(s, d)).orderBy("label", "pos")),
+
     "text_repetition" -> ((s, d) =>
       TextAnalysis.repetitionSignals(docs(s, d))
         .select("doc_id", "n_words", "n_uniq_words", "n_bigrams", "top_bigram_n",
@@ -290,6 +293,15 @@ object LlmQueries {
         |   '\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b', '<IP>', 'g'),
         |   '\+?[0-9][0-9()\- ]{7,14}[0-9]', '<PHONE>', 'g')) AS redacted_md5
         |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "emb_centroids" ->
+      """WITH e AS (SELECT label, CAST(s.pos AS BIGINT) AS pos,
+        |   CAST(embedding[s.pos] AS DOUBLE) AS v
+        |  FROM embeddings, UNNEST(generate_series(1, len(embedding))) AS s(pos))
+        |SELECT label, pos,
+        | round(CAST(SUM(CAST(v AS DECIMAL(38,6))) AS DOUBLE) / COUNT(v), 6) AS centroid,
+        | CAST(COUNT(*) AS BIGINT) AS n_vecs
+        |FROM e GROUP BY label, pos ORDER BY label, pos""".stripMargin,
 
     "text_repetition" ->
       """WITH t AS (SELECT doc_id,

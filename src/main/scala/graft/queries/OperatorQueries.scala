@@ -159,6 +159,13 @@ object OperatorQueries {
       Sketches.percentiles(t(s, d, "lineitem"), "l_extendedprice",
         Seq("l_returnflag"))),
 
+    // data-quality gate: Tukey-fence outliers on the event value stream
+    "q_outliers" -> ((s, d) =>
+      Profiler.iqrOutliers(Ingestor.events(s, d), "value")
+        .where(col("is_outlier"))
+        .select("event_id", "value", "lo", "hi")
+        .orderBy("event_id")),
+
     // rows-only: sketch internals (HLL++ registers, percentile_approx
     // histogram) aren't reproducible in SQL; SketchesSpec bounds the
     // error vs the exact values instead. All sketches are
@@ -258,6 +265,17 @@ object OperatorQueries {
         |FROM orders
         |GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
         |ORDER BY o_orderstatus NULLS FIRST, o_orderpriority NULLS FIRST""".stripMargin,
+
+    "q_outliers" ->
+      """WITH q AS (SELECT
+        |   round(quantile_cont(value, 0.25)
+        |     - 1.5 * (quantile_cont(value, 0.75) - quantile_cont(value, 0.25)), 6) AS lo,
+        |   round(quantile_cont(value, 0.75)
+        |     + 1.5 * (quantile_cont(value, 0.75) - quantile_cont(value, 0.25)), 6) AS hi
+        |  FROM events)
+        |SELECT e.event_id, e.value, q.lo, q.hi
+        |FROM events e, q WHERE e.value < q.lo OR e.value > q.hi
+        |ORDER BY e.event_id""".stripMargin,
 
     "q_percentiles" ->
       """SELECT l_returnflag,

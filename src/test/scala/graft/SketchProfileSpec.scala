@@ -76,6 +76,37 @@ class SketchProfileSpec extends SparkSpec {
     assert(sub > 0 && sub <= merged * 1.05)
   }
 
+  test("IQR outlier fences flag exactly the out-of-fence rows") {
+    import spark.implicits._
+    // q1 = 2.5, q3 = 4.5 over 1..5 -> iqr 2, fences [-0.5, 7.5]
+    val df = (Seq(1.0, 2.0, 3.0, 4.0, 5.0) ++ Seq(100.0, -50.0))
+      .zipWithIndex.map { case (v, i) => (i.toLong, v) }.toDF("id", "v")
+    val out = graft.operators.Profiler.iqrOutliers(df, "v")
+    val flagged = out.where(col("is_outlier")).select("v")
+      .as[Double].collect().toSet
+    assert(flagged == Set(100.0, -50.0))
+    // approx form agrees with exact on this scale
+    val approx = graft.operators.Profiler.iqrOutliersApprox(df, "v")
+      .where(col("is_outlier")).select("v").as[Double].collect().toSet
+    assert(approx == flagged)
+  }
+
+  test("label centroids are the per-coordinate means") {
+    import spark.implicits._
+    val emb = Seq(
+      (1L, Seq(1.0f, 3.0f), 0),
+      (2L, Seq(3.0f, 5.0f), 0),
+      (3L, Seq(10.0f, 20.0f), 1))
+      .toDF("vec_id", "embedding", "label")
+    val out = graft.operators.Similarity.labelCentroids(emb)
+      .orderBy("label", "pos")
+      .select("label", "pos", "centroid", "n_vecs")
+      .as[(Int, Long, Double, Long)].collect().toSeq
+    assert(out == Seq(
+      (0, 1L, 2.0, 2L), (0, 2L, 4.0, 2L),
+      (1, 1L, 10.0, 1L), (1, 2L, 20.0, 1L)))
+  }
+
   test("profiler scan count is fixed, not per-column") {
     val orders = Ingestor.table(spark, sf(), "orders")
     def scans(df: org.apache.spark.sql.DataFrame) =
