@@ -124,6 +124,30 @@ object Profiler {
       df.selectExpr(
         s"percentile_approx($valueCol, array(0.25d, 0.75d), $accuracy) AS q"))
 
+  /** Equal-width histogram: `bins` buckets spanning [min, max], one
+    * bucket row with count and bounds. The range comes from one min/max
+    * aggregate whose single row broadcasts back onto the scan (no
+    * collect, no second pass), the bucket id is pure double arithmetic
+    * (engine-exact), and the count is one grouped aggregate — two scans
+    * total at any scale, both full-speed columnar. Degenerate ranges
+    * (min = max) collapse into bucket 0. */
+  def histogram(df: DataFrame, valueCol: String, bins: Int): DataFrame = {
+    require(bins >= 1, "bins must be >= 1")
+    val bounds = df.agg(
+        min(col(valueCol)).cast("double").as("mn"),
+        max(col(valueCol)).cast("double").as("mx"))
+      .withColumn("w", (col("mx") - col("mn")) / lit(bins.toDouble))
+    df.crossJoin(broadcast(bounds))
+      .withColumn("bucket", when(col("w") === 0, lit(0L)).otherwise(
+        least(lit(bins - 1L), floor((col(valueCol) - col("mn")) / col("w")))))
+      .groupBy("bucket", "mn", "w") // mn/w constant: no extra grouping cost
+      .agg(count(lit(1)).as("n"))
+      .select(col("bucket"), col("n"),
+        round(col("mn") + col("bucket") * col("w"), 6).as("bucket_lo"),
+        round(col("mn") + (col("bucket") + 1) * col("w"), 6).as("bucket_hi"))
+      .orderBy("bucket")
+  }
+
   private def flagByFences(df: DataFrame, valueCol: String, k: Double,
                            quartiles: DataFrame): DataFrame = {
     val q = quartiles

@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions.expr
 import org.json4s._
 import org.json4s.jackson.JsonMethods
-import graft.operators.{CodeTransform, ConfigTransform, SqlTransform}
+import graft.operators.{CodeTransform, ConfigTransform, SqlTransform, TrainingPrep}
 import graft.sinks.BatchWriter
 import graft.sources.Ingestor
 
@@ -156,6 +156,10 @@ object Pipeline {
           case JString("code") =>
             val JString(name) = (step \ "name"): @unchecked
             Pipeline.codeRegistry.transformNamed(df, name)
+          case JString("training_prep") =>
+            // the corpus-prep DSL as a pipeline stage: quality/repetition/
+            // language/decontaminate/dedup/mixture/redact/split/pack
+            TrainingPrep(step \ "spec")(df)
           case other => throw new IllegalArgumentException(s"unknown transform type: $other")
         }
       }

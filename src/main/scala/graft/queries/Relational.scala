@@ -111,6 +111,31 @@ object Relational {
         max(col("l_extendedprice")).as("max_price"))
     }),
 
+    // correlation statistics via explicit co-moments over decimal-exact
+    // sums: Spark's corr()/covar_pop() accumulate doubles in partition
+    // order (nondeterministic run to run); the textbook formulas over
+    // associative decimal sums are bit-reproducible on any engine
+    "q_corr" -> ((s, d) => {
+      val x = col("l_quantity")
+      val y = col("l_extendedprice")
+      t(s, d, "lineitem").groupBy("l_returnflag")
+        .agg(
+          count(lit(1)).as("n"),
+          dsum(x).as("sx"), dsum(y).as("sy"),
+          dsum(x * x).as("sxx"), dsum(y * y).as("syy"), dsum(x * y).as("sxy"))
+        .select(col("l_returnflag"), col("n"),
+          round((col("n") * col("sxy") - col("sx") * col("sy")) /
+            (sqrt(col("n") * col("sxx") - col("sx") * col("sx")) *
+              sqrt(col("n") * col("syy") - col("sy") * col("sy"))), 6).as("corr_xy"),
+          round((col("sxy") - col("sx") * col("sy") / col("n")) / col("n"), 6).as("covar_pop"),
+          round((col("n") * col("sxy") - col("sx") * col("sy")) /
+            (col("n") * col("sxx") - col("sx") * col("sx")), 6).as("slope"))
+        .orderBy("l_returnflag")
+    }),
+
+    "q_histogram" -> ((s, d) =>
+      graft.operators.Profiler.histogram(t(s, d, "orders"), "o_totalprice", bins = 20)),
+
     "q_semi_join" -> ((s, d) => {
       val ord2k = t(s, d, "orders").where(
         col("o_orderdate") >= lit("2000-01-01").cast("timestamp") &&
@@ -375,6 +400,35 @@ object Relational {
         |GROUP BY l_orderkey, o_orderdate, o_orderpriority
         |ORDER BY revenue DESC, o_orderdate, l_orderkey
         |LIMIT 10""".stripMargin,
+
+    "q_corr" ->
+      """WITH a AS (SELECT l_returnflag,
+        |  CAST(COUNT(*) AS BIGINT) AS n,
+        |  CAST(SUM(CAST(l_quantity AS DECIMAL(38,6))) AS DOUBLE) AS sx,
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(38,6))) AS DOUBLE) AS sy,
+        |  CAST(SUM(CAST(l_quantity * l_quantity AS DECIMAL(38,6))) AS DOUBLE) AS sxx,
+        |  CAST(SUM(CAST(l_extendedprice * l_extendedprice AS DECIMAL(38,6))) AS DOUBLE) AS syy,
+        |  CAST(SUM(CAST(l_quantity * l_extendedprice AS DECIMAL(38,6))) AS DOUBLE) AS sxy
+        | FROM lineitem GROUP BY l_returnflag)
+        |SELECT l_returnflag, n,
+        | round((n * sxy - sx * sy) /
+        |   (sqrt(n * sxx - sx * sx) * sqrt(n * syy - sy * sy)), 6) AS corr_xy,
+        | round((sxy - sx * sy / n) / n, 6) AS covar_pop,
+        | round((n * sxy - sx * sy) / (n * sxx - sx * sx), 6) AS slope
+        |FROM a ORDER BY l_returnflag""".stripMargin,
+
+    "q_histogram" ->
+      """WITH b AS (SELECT CAST(MIN(o_totalprice) AS DOUBLE) AS mn,
+        |   (CAST(MAX(o_totalprice) AS DOUBLE) - CAST(MIN(o_totalprice) AS DOUBLE)) / 20.0 AS w
+        |  FROM orders),
+        | k AS (SELECT CASE WHEN b.w = 0 THEN CAST(0 AS BIGINT)
+        |     ELSE least(19, CAST(floor((o.o_totalprice - b.mn) / b.w) AS BIGINT)) END AS bucket,
+        |   b.mn, b.w
+        |  FROM orders o, b)
+        |SELECT bucket, CAST(COUNT(*) AS BIGINT) AS n,
+        | round(mn + bucket * w, 6) AS bucket_lo,
+        | round(mn + (bucket + 1) * w, 6) AS bucket_hi
+        |FROM k GROUP BY bucket, mn, w ORDER BY bucket""".stripMargin,
 
     "q5_local_supplier" ->
       """SELECT n_name,

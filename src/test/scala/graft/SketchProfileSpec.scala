@@ -107,6 +107,23 @@ class SketchProfileSpec extends SparkSpec {
       (1, 1L, 10.0, 1L), (1, 2L, 20.0, 1L)))
   }
 
+  test("equal-width histogram covers the range and sums to the row count") {
+    import spark.implicits._
+    val df = (0 until 100).map(i => (i.toLong, i.toDouble)).toDF("id", "v")
+    val h = graft.operators.Profiler.histogram(df, "v", bins = 10)
+      .select("bucket", "n", "bucket_lo", "bucket_hi")
+      .as[(Long, Long, Double, Double)].collect().toSeq
+    assert(h.map(_._2).sum == 100)
+    assert(h.map(_._1) == (0L until 10L))
+    // v=99 (the max) lands in the last bucket, not an overflow bucket
+    assert(h.last._1 == 9L && h.head._3 == 0.0)
+    // degenerate range: all values equal -> single bucket 0
+    val flat = Seq((1L, 5.0), (2L, 5.0)).toDF("id", "v")
+    val hf = graft.operators.Profiler.histogram(flat, "v", bins = 4)
+      .select("bucket", "n").as[(Long, Long)].collect().toSeq
+    assert(hf == Seq((0L, 2L)))
+  }
+
   test("profiler scan count is fixed, not per-column") {
     val orders = Ingestor.table(spark, sf(), "orders")
     def scans(df: org.apache.spark.sql.DataFrame) =

@@ -100,6 +100,22 @@ class TrainingPrepSpec extends SparkSpec {
     assert(joined.where(col("seq_id") =!= col("seq_id_d")).count() == 0)
   }
 
+  test("training_prep runs as a pipeline transformation stage") {
+    val outDir = java.nio.file.Files.createTempDirectory("graft_prep_pipe").toString + "/out"
+    val spec =
+      s"""{ "ingestion": { "path": "${sf()}/documents.parquet" },
+         |  "transformation": [ { "type": "training_prep", "spec": {
+         |      "quality": { "min_score": 0.5 },
+         |      "split":   { "fractions": { "train": 0.9 } } } } ],
+         |  "persistence": { "path": "$outDir", "strategy": "replace" } }""".stripMargin
+    val result = graft.pipeline.Pipeline.runJson(spark, spec)
+    assert(result.output.columns.contains("split"))
+    val written = spark.read.parquet(outDir)
+    assert(written.count() > 0 && written.count() == result.output.count())
+    assert(written.select("split").distinct().collect().map(_.getString(0)).toSet
+      .subsetOf(Set("train", "test")))
+  }
+
   test("unknown dedup method fails fast") {
     val docs = Ingestor.table(spark, sf(), "documents")
     intercept[IllegalArgumentException] {
