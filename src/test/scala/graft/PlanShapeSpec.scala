@@ -122,6 +122,27 @@ class PlanShapeSpec extends SparkSpec {
     assert(!plan.contains("Join"), plan)
   }
 
+  test("scd2_history: one data shuffle — groupBy and lead reuse the key partitioning") {
+    val df = operators.Cdc.type2History(
+      Ingestor.events(spark, sf("sf0.001")).select("user_id", "ts", "event_id", "event_type"),
+      Seq("user_id"), Seq("ts", "event_id"), "event_type")
+    df.collect()
+    val plan = planString(df).split("== Initial Plan ==")(0)
+    def occurrences(s: String) = plan.sliding(s.length).count(_ == s)
+    // islands window, run groupBy, and the lead window all cluster by
+    // user_id (or a superset), so hashpartitioning(user_id) is planned once
+    assert(occurrences("Exchange hashpartitioning") == 1, plan)
+  }
+
+  test("cdc_apply: latest-wins replay is one shuffle and a windowed filter") {
+    val df = SparkEntry.queries("cdc_apply")(spark, sf("sf0.001"))
+    df.collect()
+    val plan = planString(df).split("== Initial Plan ==")(0)
+    def occurrences(s: String) = plan.sliding(s.length).count(_ == s)
+    assert(occurrences("Exchange hashpartitioning") == 1, plan)
+    assert(!plan.contains("Join"), plan)
+  }
+
   test("compaction range-clusters output files by the sort column") {
     val dir = java.nio.file.Files.createTempDirectory("graft_pscompact").toString + "/t"
     spark.range(0, 10000).selectExpr("id", "id * 2 AS v")

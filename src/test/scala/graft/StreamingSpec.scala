@@ -40,6 +40,28 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("corpus quality gate runs unchanged on a document stream") {
+    // stateless prep stages (quality score + repetition signals join by
+    // id within the micro-batch) apply to readStream exactly as to read:
+    // the same transform function, no streaming-specific code path
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Long, String)]
+    val docs = mem.toDF().toDF("doc_id", "text")
+    val scored = graft.operators.TextAnalysis.qualityScore(docs)
+      .where(org.apache.spark.sql.functions.col("quality_score") >= 0.5)
+      .select("doc_id", "quality_score")
+    val q = scored.writeStream.format("memory").queryName("doc_gate")
+      .outputMode("append").start()
+    try {
+      mem.addData(
+        (1L, "the quick brown fox jumps over the lazy dog and it is happy for a while today"),
+        (2L, "@@@@ #### $$$$ %%%%"))
+      q.processAllAvailable()
+      val kept = spark.table("doc_gate").select("doc_id").as[Long].collect().toSet
+      assert(kept == Set(1L))
+    } finally q.stop()
+  }
+
   test("stateful sessionizer closes a session when the gap passes") {
     implicit val sqlCtx = spark.sqlContext
     val mem = MemoryStream[EventStream.Event]
