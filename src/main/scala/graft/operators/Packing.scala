@@ -70,4 +70,25 @@ object Packing {
         .otherwise(expr(s"(start_off + n_tokens - 1) div ${budget}L") - col("seq_id") + lit(1L)))
       .select(col(idCol), col("n_tokens"), col("seq_id"), col("seq_offset"), col("n_seqs"))
   }
+
+  /** Document chunking — the other half of sequence shaping: split each
+    * long document into fixed `budget`-token windows (chunk 0 holds
+    * tokens [0, budget), chunk 1 [budget, 2*budget), ...). One row per
+    * chunk with its token span; empty docs keep a single empty chunk so
+    * no document silently disappears. Pure projection + generator
+    * (explode of a sequence) — no shuffle, no state, embarrassingly
+    * parallel at any scale. */
+  def chunkDocuments(docs: DataFrame, budget: Long, idCol: String = "doc_id",
+                     tokens: Column = null): DataFrame = {
+    require(budget > 0, "budget must be positive")
+    val tokCol = if (tokens == null) wsTokenCount(col("text")) else tokens
+    docs.select(col(idCol), tokCol.cast("long").as("n_tokens"))
+      .withColumn("chunk_id",
+        explode(sequence(lit(0L), expr(s"greatest(n_tokens - 1, 0L) div ${budget}L"))))
+      .withColumn("chunk_start", col("chunk_id") * budget)
+      .withColumn("chunk_tokens",
+        least(col("n_tokens") - col("chunk_start"), lit(budget)))
+      .select(col(idCol), col("n_tokens"), col("chunk_id"),
+        col("chunk_start"), col("chunk_tokens"))
+  }
 }

@@ -124,6 +124,10 @@ object LlmQueries {
     "seq_pack" -> ((s, d) =>
       Packing.packSequences(docs(s, d), budget = 256L).orderBy("doc_id")),
 
+    "doc_chunks" -> ((s, d) =>
+      Packing.chunkDocuments(docs(s, d), budget = 32L)
+        .orderBy("doc_id", "chunk_id")),
+
     "kanon_suppress" -> ((s, d) =>
       Privacy.kAnonymize(docs(s, d), Seq("lang", "source"), k = 3)
         .select("doc_id", "lang", "source", "group_n")
@@ -380,6 +384,17 @@ object LlmQueries {
         | CASE WHEN n_tokens = 0 THEN CAST(1 AS BIGINT)
         |  ELSE CAST((start_off + n_tokens - 1) // 256 - start_off // 256 + 1 AS BIGINT) END AS n_seqs
         |FROM c ORDER BY doc_id""".stripMargin,
+
+    "doc_chunks" ->
+      """WITH t AS (SELECT doc_id,
+        |   CAST(len([x for x in regexp_split_to_array(text, '\s+') if x <> '']) AS BIGINT) AS n_tokens
+        |  FROM documents),
+        | c AS (SELECT doc_id, n_tokens, CAST(u.c AS BIGINT) AS chunk_id
+        |  FROM t, UNNEST(generate_series(0, greatest(n_tokens - 1, 0) // 32)) AS u(c))
+        |SELECT doc_id, n_tokens, chunk_id,
+        | chunk_id * 32 AS chunk_start,
+        | least(n_tokens - chunk_id * 32, 32) AS chunk_tokens
+        |FROM c ORDER BY doc_id, chunk_id""".stripMargin,
 
     "kanon_suppress" ->
       """SELECT * FROM (

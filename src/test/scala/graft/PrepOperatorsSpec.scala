@@ -97,6 +97,22 @@ class PrepOperatorsSpec extends SparkSpec {
     assert(packed.count() == 200)
   }
 
+  test("document chunking: spans cover every token exactly once") {
+    val docs = Seq(
+      (1L, Seq.fill(70)("w").mkString(" ")), // 70 tokens -> chunks 32/32/6
+      (2L, "w w"),                           // 2 tokens  -> one chunk of 2
+      (3L, ""))                              // empty     -> one empty chunk
+      .toDF("doc_id", "text")
+    val out = Packing.chunkDocuments(docs, budget = 32L)
+      .orderBy("doc_id", "chunk_id")
+      .select("doc_id", "chunk_id", "chunk_start", "chunk_tokens")
+      .as[(Long, Long, Long, Long)].collect().toSeq
+    assert(out == Seq(
+      (1L, 0L, 0L, 32L), (1L, 1L, 32L, 32L), (1L, 2L, 64L, 6L),
+      (2L, 0L, 0L, 2L),
+      (3L, 0L, 0L, 0L)))
+  }
+
   // ------------------------------------------------------------- CDC / SCD2
   test("changelog replay keeps latest non-deleted state per key") {
     val log = Seq(
