@@ -59,6 +59,21 @@ object Splits {
     * whole operator is one small shuffle + one projection at any scale.
     * Rates are computed in fixed double arithmetic (budget * weight /
     * count) to stay bit-identical across engines. */
+  /** Cap any one domain's share of the corpus: keep at most `cap` rows
+    * per domain, selected by md5-hash order of the id so the kept subset
+    * is stable across runs/engines/partitionings (not "first N seen",
+    * which is partitioning-dependent). One window shuffle on the domain
+    * key; ties cannot occur (the full hash string is unique per id for
+    * distinct ids, and id breaks any residual tie). */
+  def capPerDomain(df: DataFrame, idCol: String, domainCol: String,
+                   cap: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col(domainCol))
+      .orderBy(md5(col(idCol).cast("string")), col(idCol))
+    df.withColumn("__rk", row_number().over(w))
+      .where(col("__rk") <= cap).drop("__rk")
+  }
+
   def mixture(df: DataFrame, idCol: String, domainCol: String,
               weights: Seq[(String, Double)], budget: Double): DataFrame = {
     require(weights.nonEmpty && weights.forall(_._2 >= 0), "weights must be >= 0")

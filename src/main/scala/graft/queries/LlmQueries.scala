@@ -128,6 +128,10 @@ object LlmQueries {
       Packing.chunkDocuments(docs(s, d), budget = 32L)
         .orderBy("doc_id", "chunk_id")),
 
+    "corpus_cap" -> ((s, d) =>
+      Splits.capPerDomain(docs(s, d), "doc_id", "source", cap = 10)
+        .select("doc_id", "source").orderBy("doc_id")),
+
     "kanon_suppress" -> ((s, d) =>
       Privacy.kAnonymize(docs(s, d), Seq("lang", "source"), k = 3)
         .select("doc_id", "lang", "source", "group_n")
@@ -395,6 +399,14 @@ object LlmQueries {
         | chunk_id * 32 AS chunk_start,
         | least(n_tokens - chunk_id * 32, 32) AS chunk_tokens
         |FROM c ORDER BY doc_id, chunk_id""".stripMargin,
+
+    "corpus_cap" ->
+      """SELECT doc_id, source FROM (
+        | SELECT doc_id, source,
+        |  row_number() OVER (PARTITION BY source
+        |    ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rk
+        | FROM documents)
+        |WHERE rk <= 10 ORDER BY doc_id""".stripMargin,
 
     "kanon_suppress" ->
       """SELECT * FROM (

@@ -75,6 +75,22 @@ object StreamQueries {
           "is_current", "n_events")
         .orderBy("user_id", "valid_from")),
 
+    // behavioural distribution stats: Shannon entropy of each user's
+    // event-type mix. p*ln(p) terms are rounded to exact decimals BEFORE
+    // the sum, so the aggregate is associative and engine-identical
+    "q_entropy" -> ((s, d) => {
+      import graft.functions.dec
+      val counts = Ingestor.events(s, d)
+        .groupBy("user_id", "event_type").agg(count(lit(1)).as("c"))
+      val totals = counts.groupBy("user_id").agg(sum("c").as("total"))
+      counts.join(totals, "user_id")
+        .withColumn("term", dec((col("c") / col("total")) * log(col("c") / col("total"))))
+        .groupBy("user_id")
+        .agg(count(lit(1)).as("n_types"),
+          (-sum(col("term")).cast("double")).as("entropy"))
+        .orderBy("user_id")
+    }),
+
     // trailing-1h moving aggregate per user: a value-based (RANGE) frame
     // over epoch micros — tie-safe (peers share the frame) and
     // decimal-exact (double sums never drift with partition order)
@@ -119,6 +135,17 @@ object StreamQueries {
         | lead(valid_from) OVER (PARTITION BY user_id ORDER BY run) IS NULL AS is_current,
         | n_events
         |FROM g ORDER BY user_id, valid_from""".stripMargin,
+
+    "q_entropy" ->
+      """WITH c AS (SELECT user_id, event_type, CAST(COUNT(*) AS BIGINT) AS c
+        |  FROM events GROUP BY user_id, event_type),
+        | t AS (SELECT user_id, CAST(SUM(c) AS BIGINT) AS total FROM c GROUP BY user_id),
+        | j AS (SELECT c.user_id,
+        |   CAST((c.c / t.total) * ln(c.c / t.total) AS DECIMAL(38,6)) AS term
+        |  FROM c JOIN t ON c.user_id = t.user_id)
+        |SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_types,
+        | -CAST(SUM(term) AS DOUBLE) AS entropy
+        |FROM j GROUP BY user_id ORDER BY user_id""".stripMargin,
 
     "q_moving_avg" ->
       """WITH e AS (SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts, value,
