@@ -325,4 +325,27 @@ object Dedup {
   def nearDupClusters(docs: DataFrame, threshold: Double = 0.8,
                       idCol: String = "doc_id"): DataFrame =
     connectedComponents(minhashNearDups(docs, threshold), docs, idCol)
+
+  /** Incremental exact dedup — the daily-drop form: dedup `incoming`
+    * within itself (smallest id per fingerprint wins, as [[exact]]),
+    * then drop anything whose content already exists in the accumulated
+    * corpus. The history side reduces to its DISTINCT fingerprint set
+    * before the anti join, so the increment never rescans history
+    * payloads — at 100 TB the fingerprints are the only state the daily
+    * job touches, and in practice they come from a stored fingerprint
+    * table rather than re-hashing (pass that table as `existing` with
+    * `existingIsFingerprints = true`). */
+  def exactIncrement(existing: DataFrame, incoming: DataFrame,
+                     idCol: String = "doc_id", textCol: String = "text",
+                     existingIsFingerprints: Boolean = false): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val seen =
+      if (existingIsFingerprints) existing.select("fingerprint").distinct()
+      else existing.select(md5(col(textCol)).as("fingerprint")).distinct()
+    val w = Window.partitionBy(md5(col(textCol))).orderBy(idCol)
+    incoming
+      .withColumn("__rk", row_number().over(w))
+      .where(col("__rk") === 1).drop("__rk")
+      .join(seen, md5(col(textCol)) === seen("fingerprint"), "left_anti")
+  }
 }

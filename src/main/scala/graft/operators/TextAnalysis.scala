@@ -251,6 +251,34 @@ object TextAnalysis {
           (col("n_words") >= 10 && col("uniq_word_ratio") < 0.2))
   }
 
+  /** Unigram log-probability scoring — the statistical-LM quality filter
+    * (CCNet/RedPajama-style, Wenzek et al. 2020): score each document by
+    * the mean log-probability of its tokens under the corpus's own
+    * unigram distribution. Gibberish and rare-token spam score far below
+    * fluent text; the filter needs no external model.
+    *
+    * Shape at 100 TB: tokenize+explode once; the vocabulary is an
+    * aggregate OF THE TOKEN RELATION (never a second corpus scan); the
+    * corpus token total is a broadcast single-row aggregate; scoring is
+    * one equi-join on term (AQE broadcasts the vocab when it fits).
+    * Per-token ln(p) terms are fixed to exact decimals BEFORE the
+    * per-doc sum, so the mean is associative — identical on any engine,
+    * any partitioning. */
+  def unigramLogProb(docs: DataFrame, textCol: String = "text"): DataFrame = {
+    val toks = docs.select(col("doc_id"),
+      explode(wordTokens(col(textCol))).as("term"))
+    val vocab = toks.groupBy("term").agg(count(lit(1)).as("c"))
+    val total = toks.agg(count(lit(1)).as("total"))
+    val scored = toks.join(vocab, "term")
+      .crossJoin(broadcast(total))
+      .withColumn("lp", dec(log(col("c") / col("total"))))
+    val agg = scored.groupBy("doc_id").agg(
+      count(lit(1)).as("n_toks"),
+      round(sum(col("lp")).cast("double") / count(lit(1)), 6).as("avg_logprob"))
+    docs.select("doc_id").join(agg, Seq("doc_id"), "left")
+      .withColumn("n_toks", coalesce(col("n_toks"), lit(0L)))
+  }
+
   /** Content fingerprints: exact (md5 of the raw text) and structural
     * (min-md5 over distinct word 5-gram shingles — a 1-permutation
     * MinHash, stable under whitespace/reordering-free edits). Returns

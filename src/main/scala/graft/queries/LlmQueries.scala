@@ -98,6 +98,20 @@ object LlmQueries {
     "emb_centroids" -> ((s, d) =>
       Similarity.labelCentroids(emb(s, d)).orderBy("label", "pos")),
 
+    // incremental drop: docs with id >= 250 arrive as today's increment
+    // and dedup against the accumulated corpus (id < 250)
+    "dedup_incremental" -> ((s, d) => {
+      val all = docs(s, d)
+      Dedup.exactIncrement(
+          all.where(col("doc_id") < 250),
+          all.where(col("doc_id") >= 250))
+        .select("doc_id", "source").orderBy("doc_id")
+    }),
+
+    "text_unigram_lp" -> ((s, d) =>
+      TextAnalysis.unigramLogProb(docs(s, d))
+        .select("doc_id", "n_toks", "avg_logprob").orderBy("doc_id")),
+
     "text_repetition" -> ((s, d) =>
       TextAnalysis.repetitionSignals(docs(s, d))
         .select("doc_id", "n_words", "n_uniq_words", "n_bigrams", "top_bigram_n",
@@ -310,6 +324,31 @@ object LlmQueries {
         | round(CAST(SUM(CAST(v AS DECIMAL(38,6))) AS DOUBLE) / COUNT(v), 6) AS centroid,
         | CAST(COUNT(*) AS BIGINT) AS n_vecs
         |FROM e GROUP BY label, pos ORDER BY label, pos""".stripMargin,
+
+    "dedup_incremental" ->
+      """WITH inc AS (SELECT doc_id, source, text, md5(text) AS fp
+        |  FROM documents WHERE doc_id >= 250),
+        | seen AS (SELECT DISTINCT md5(text) AS fp FROM documents WHERE doc_id < 250),
+        | kept AS (SELECT doc_id, source, fp,
+        |   row_number() OVER (PARTITION BY fp ORDER BY doc_id) AS rk FROM inc)
+        |SELECT doc_id, source FROM kept
+        |WHERE rk = 1 AND fp NOT IN (SELECT fp FROM seen)
+        |ORDER BY doc_id""".stripMargin,
+
+    "text_unigram_lp" ->
+      """WITH toks AS (SELECT doc_id, u.term AS term
+        |  FROM documents,
+        |   UNNEST([x for x in regexp_split_to_array(lower(text), '[^a-z0-9]+') if x <> '']) AS u(term)),
+        | vocab AS (SELECT term, CAST(COUNT(*) AS BIGINT) AS c FROM toks GROUP BY term),
+        | tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS total FROM toks),
+        | scored AS (SELECT t.doc_id, CAST(ln(v.c / tot.total) AS DECIMAL(38,6)) AS lp
+        |  FROM toks t JOIN vocab v ON t.term = v.term, tot),
+        | agg AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_toks,
+        |   round(CAST(SUM(lp) AS DOUBLE) / COUNT(*), 6) AS avg_logprob
+        |  FROM scored GROUP BY doc_id)
+        |SELECT d.doc_id, COALESCE(a.n_toks, CAST(0 AS BIGINT)) AS n_toks, a.avg_logprob
+        |FROM documents d LEFT JOIN agg a ON d.doc_id = a.doc_id
+        |ORDER BY d.doc_id""".stripMargin,
 
     "text_repetition" ->
       """WITH t AS (SELECT doc_id,

@@ -140,6 +140,36 @@ class PrepOperatorsSpec extends SparkSpec {
     assert(out(3) == ((2L, "X", 1L, None, true, 1L)))
   }
 
+  test("incremental exact dedup drops history matches and within-batch dups") {
+    val existing = Seq((1L, "already seen text"), (2L, "other old text"))
+      .toDF("doc_id", "text")
+    val incoming = Seq(
+      (10L, "already seen text"),  // dup of history -> dropped
+      (11L, "brand new text"),     // kept
+      (12L, "brand new text"),     // within-batch dup of 11 -> dropped
+      (13L, "another new one"))    // kept
+      .toDF("doc_id", "text")
+    val kept = graft.operators.Dedup.exactIncrement(existing, incoming)
+      .select("doc_id").as[Long].collect().sorted.toSeq
+    assert(kept == Seq(11L, 13L))
+  }
+
+  test("unigram log-prob ranks fluent text above rare-token spam") {
+    val docs = Seq(
+      (1L, "common common common common words words words"),
+      (2L, "zzqy xkfj qwpv mnbt"), // all-singleton tokens
+      (3L, "common words")).toDF("doc_id", "text")
+    val out = TextAnalysis.unigramLogProb(docs)
+      .select("doc_id", "avg_logprob").orderBy("doc_id")
+      .as[(Long, Double)].collect().toMap
+    assert(out(1L) > out(2L) && out(3L) > out(2L))
+    // doc 1 = common x4 + words x3; p(common)=5/13, p(words)=4/13 over the
+    // 13-token corpus; each ln(p) is fixed to 6dp before the per-doc mean
+    def r6(x: Double) = BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val expected = r6((4 * r6(math.log(5.0 / 13)) + 3 * r6(math.log(4.0 / 13))) / 7)
+    assert(out(1L) == expected)
+  }
+
   // ------------------------------------------------------------ k-anonymity
   test("k-anonymity suppresses small quasi-identifier groups") {
     val rows = Seq(
