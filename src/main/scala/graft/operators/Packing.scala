@@ -71,6 +71,66 @@ object Packing {
       .select(col(idCol), col("n_tokens"), col("seq_id"), col("seq_offset"), col("n_seqs"))
   }
 
+  /** Group-scoped packing: independent sequence streams per group (pack
+    * train/val/test separately — a context window must never mix
+    * splits, and per-domain packing keeps domains contiguous). Same
+    * two-level distributed prefix sum as [[packSequences]], with the
+    * bucket bookkeeping keyed by (group, bucket): the within-bucket
+    * window partitions by group AND bucket, and the driver-side prefix
+    * sum runs per group over at most groups x buckets small rows. */
+  def packSequencesBy(docs: DataFrame, budget: Long, groupCols: Seq[String],
+                      idCol: String = "doc_id", tokens: Column = null,
+                      buckets: Int = 256): DataFrame = {
+    require(budget > 0, "budget must be positive")
+    require(groupCols.nonEmpty, "use packSequences for ungrouped packing")
+    val tokCol = if (tokens == null) wsTokenCount(col("text")) else tokens
+    val gcols = groupCols.map(col)
+    val base = docs.select(gcols :+ col(idCol) :+ tokCol.cast("long").as("n_tokens"): _*)
+
+    val Array(minId, maxId) = base.agg(min(idCol), max(idCol)).collect()(0) match {
+      case r if r.isNullAt(0) => Array(0L, 0L)
+      case r => Array(r.getLong(0), r.getLong(1))
+    }
+    val width = math.max(1L, (maxId - minId + buckets) / buckets)
+    val bucketed = base.withColumn("bucket",
+      expr(s"($idCol - ${minId}L) div ${width}L"))
+
+    val w = Window.partitionBy(gcols :+ col("bucket"): _*).orderBy(idCol)
+    val withLocal = bucketed.withColumn("local_end", sum("n_tokens").over(w))
+
+    // (group key, bucket, total) -> per-group exclusive prefix sums
+    val totals = bucketed.groupBy(gcols :+ col("bucket"): _*)
+      .agg(sum("n_tokens").as("bucket_total"))
+      .collect().map { r =>
+        val key = groupCols.indices.map(r.get).toIndexedSeq
+        (key, r.getLong(groupCols.length), r.getLong(groupCols.length + 1))
+      }
+    val offsetRows = totals.groupBy(_._1).toSeq.flatMap { case (key, rows) =>
+      val sorted = rows.sortBy(_._2)
+      sorted.scanLeft(0L)((acc, r) => acc + r._3).zip(sorted).map {
+        case (off, (_, b, _)) => org.apache.spark.sql.Row.fromSeq(key ++ Seq(b, off))
+      }
+    }
+    val spark = docs.sparkSession
+    val schema = org.apache.spark.sql.types.StructType(
+      base.schema.fields.take(groupCols.length) ++ Seq(
+        org.apache.spark.sql.types.StructField("bucket",
+          org.apache.spark.sql.types.LongType, nullable = false),
+        org.apache.spark.sql.types.StructField("bucket_offset",
+          org.apache.spark.sql.types.LongType, nullable = false)))
+    val offsetDf = spark.createDataFrame(
+      spark.sparkContext.parallelize(offsetRows, 1), schema)
+
+    withLocal.join(broadcast(offsetDf), groupCols :+ "bucket")
+      .withColumn("start_off", col("bucket_offset") + col("local_end") - col("n_tokens"))
+      .withColumn("seq_id", expr(s"start_off div ${budget}L"))
+      .withColumn("seq_offset", col("start_off") % budget)
+      .withColumn("n_seqs", when(col("n_tokens") === 0, lit(1L))
+        .otherwise(expr(s"(start_off + n_tokens - 1) div ${budget}L") - col("seq_id") + lit(1L)))
+      .select(gcols ++ Seq(col(idCol), col("n_tokens"), col("seq_id"),
+        col("seq_offset"), col("n_seqs")): _*)
+  }
+
   /** Document chunking — the other half of sequence shaping: split each
     * long document into fixed `budget`-token windows (chunk 0 holds
     * tokens [0, budget), chunk 1 [budget, 2*budget), ...). One row per

@@ -18,6 +18,7 @@ import org.json4s.jackson.JsonMethods
   *   "repetition":    { "max_top_bigram_frac": 0.18,
   *                      "max_dup_trigram_frac": 0.30,
   *                      "min_uniq_word_ratio": 0.2 },
+  *   "lm_quality":    { "min_avg_logprob": -12.0 },
   *   "language":      { "keep": ["en"] },
   *   "decontaminate": { "benchmark_path": "/path/bench.parquet", "ngram": 8 },
   *   "dedup":         { "method": "exact" | "minhash", "threshold": 0.8 },
@@ -75,6 +76,17 @@ object TrainingPrep {
             col("dup_trigram_frac") <= maxTrigram &&
             (col("n_words") < 10 || col("uniq_word_ratio") >= minUniq))
           .drop("top_bigram_frac", "dup_trigram_frac", "uniq_word_ratio", "n_words")
+      case _ =>
+    }
+
+    spec \ "lm_quality" match {
+      case q: JObject =>
+        // statistical-LM fluency gate: corpus-trained unigram logprob
+        val minLp = num(q \ "min_avg_logprob", -12.0)
+        val scores = TextAnalysis.unigramLogProb(r.select("doc_id", "text"))
+          .select("doc_id", "avg_logprob")
+        r = r.join(scores, "doc_id")
+          .where(col("avg_logprob") >= minLp).drop("avg_logprob")
       case _ =>
     }
 

@@ -138,6 +138,12 @@ object LlmQueries {
     "seq_pack" -> ((s, d) =>
       Packing.packSequences(docs(s, d), budget = 256L).orderBy("doc_id")),
 
+    // per-language packing: independent sequence streams per group, so
+    // a context window never mixes languages (or splits, domains, ...)
+    "seq_pack_grouped" -> ((s, d) =>
+      Packing.packSequencesBy(docs(s, d), budget = 256L, Seq("lang"))
+        .orderBy("lang", "doc_id")),
+
     "doc_chunks" -> ((s, d) =>
       Packing.chunkDocuments(docs(s, d), budget = 32L)
         .orderBy("doc_id", "chunk_id")),
@@ -427,6 +433,21 @@ object LlmQueries {
         | CASE WHEN n_tokens = 0 THEN CAST(1 AS BIGINT)
         |  ELSE CAST((start_off + n_tokens - 1) // 256 - start_off // 256 + 1 AS BIGINT) END AS n_seqs
         |FROM c ORDER BY doc_id""".stripMargin,
+
+    "seq_pack_grouped" ->
+      """WITH t AS (SELECT lang, doc_id,
+        |   CAST(len([x for x in regexp_split_to_array(text, '\s+') if x <> '']) AS BIGINT) AS n_tokens
+        |  FROM documents),
+        | c AS (SELECT lang, doc_id, n_tokens,
+        |   COALESCE(CAST(SUM(n_tokens) OVER (PARTITION BY lang ORDER BY doc_id
+        |     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS BIGINT), 0) AS start_off
+        |  FROM t)
+        |SELECT lang, doc_id, n_tokens,
+        | CAST(start_off // 256 AS BIGINT) AS seq_id,
+        | CAST(start_off % 256 AS BIGINT) AS seq_offset,
+        | CASE WHEN n_tokens = 0 THEN CAST(1 AS BIGINT)
+        |  ELSE CAST((start_off + n_tokens - 1) // 256 - start_off // 256 + 1 AS BIGINT) END AS n_seqs
+        |FROM c ORDER BY lang, doc_id""".stripMargin,
 
     "doc_chunks" ->
       """WITH t AS (SELECT doc_id,

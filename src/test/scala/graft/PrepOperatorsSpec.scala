@@ -80,6 +80,22 @@ class PrepOperatorsSpec extends SparkSpec {
     assert(out(3) == ((3L, 2L, 2L, 2L, 1L))) // starts at 12
   }
 
+  test("grouped packing equals independent per-group packing") {
+    val docs = (0L until 120L)
+      .map(i => (i, s"g${i % 3}", Seq.fill((i % 9 + 1).toInt)("w").mkString(" ")))
+      .toDF("doc_id", "grp", "text")
+    val grouped = Packing.packSequencesBy(docs, budget = 32L, Seq("grp"), buckets = 4)
+    val perGroup = Seq("g0", "g1", "g2").map { g =>
+      Packing.packSequences(docs.where(col("grp") === g), budget = 32L, buckets = 4)
+        .withColumn("grp", lit(g))
+    }.reduce(_ unionByName _)
+    val mism = grouped.join(
+        perGroup.withColumnRenamed("seq_id", "seq_id_exp"), Seq("grp", "doc_id"))
+      .where(col("seq_id") =!= col("seq_id_exp"))
+    assert(mism.count() == 0)
+    assert(grouped.count() == 120)
+  }
+
   test("sequence packing: multi-bucket prefix sum equals a global cumsum") {
     import org.apache.spark.sql.expressions.Window
     val docs = (0L until 200L).map(i => (i * 3, s"t${i % 7}", ((i * 37) % 11 + 1).toInt))

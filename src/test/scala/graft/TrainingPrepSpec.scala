@@ -100,6 +100,17 @@ class TrainingPrepSpec extends SparkSpec {
     assert(joined.where(col("seq_id") =!= col("seq_id_d")).count() == 0)
   }
 
+  test("lm_quality stage drops rare-token gibberish, keeps fluent text") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "common words appear here and common words repeat again"),
+      (2L, "zzqx vwky pfjm qnbt hklw"), // singleton tokens -> low logprob
+      (3L, "common words appear again here")).toDF("doc_id", "text")
+    val out = TrainingPrep.fromJson(
+      """{ "lm_quality": { "min_avg_logprob": -2.5 } }""")(docs)
+    assert(out.select("doc_id").as[Long].collect().toSet == Set(1L, 3L))
+  }
+
   test("training_prep runs as a pipeline transformation stage") {
     val outDir = java.nio.file.Files.createTempDirectory("graft_prep_pipe").toString + "/out"
     val spec =
