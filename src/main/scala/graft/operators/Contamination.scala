@@ -78,6 +78,25 @@ object Contamination {
       .withColumn("contaminated", col("n_hits") > 0)
   }
 
+  /** Attribution: for each contaminated corpus doc, WHICH benchmark doc
+    * it overlaps most (shared distinct n-grams; ties break to the
+    * smallest benchmark id). The audit trail reviewers ask for before
+    * dropping documents — "contaminated by what?". Same join shape as
+    * [[flagOverlap]] plus one per-doc window top-1. */
+  def attributeOverlap(corpus: DataFrame, benchmark: DataFrame, n: Int = 8,
+                       idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val corpusGrams = ngramHashes(corpus, n, idCol, textCol)
+    val benchGrams = ngramHashes(benchmark, n, idCol, textCol)
+      .select(col(idCol).as("bench_id"), col("gram")).distinct()
+    val pairCounts = corpusGrams.join(benchGrams, "gram")
+      .groupBy(idCol, "bench_id").agg(count(lit(1)).as("shared_ngrams"))
+    val w = Window.partitionBy(idCol)
+      .orderBy(col("shared_ngrams").desc, col("bench_id"))
+    pairCounts.withColumn("__rk", row_number().over(w))
+      .where(col("__rk") === 1).drop("__rk")
+  }
+
   /** The filtering form: corpus minus every contaminated doc — one
     * left-anti join against the flagged ids. */
   def decontaminate(corpus: DataFrame, benchmark: DataFrame, n: Int = 8,

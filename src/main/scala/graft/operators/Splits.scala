@@ -74,6 +74,27 @@ object Splits {
       .where(col("__rk") <= cap).drop("__rk")
   }
 
+  /** Curriculum phases: bucket rows into `phases` quality tiers by the
+    * score's own quantiles (phase 0 = lowest tier), so a curriculum
+    * schedule can feed easy -> hard (or the reverse) without a global
+    * sort. One exact-percentile aggregate broadcasts the thresholds
+    * back onto the scan; thresholds are rounded to 6dp before the
+    * comparison so tier membership is engine-exact. */
+  def curriculumPhases(df: DataFrame, scoreCol: String, phases: Int = 3): DataFrame = {
+    require(phases >= 2, "phases must be >= 2")
+    val fracs = (1 until phases).map(i => i.toDouble / phases)
+    val cuts = df.selectExpr(
+      s"percentile($scoreCol, array(${fracs.map(_ + "d").mkString(",")})) AS q")
+    val thresholds = cuts.select(
+      (0 until phases - 1).map(i => round(col("q")(i), 6).as(s"t$i")): _*)
+    val phase = (0 until phases - 1).foldLeft(lit(0)) { (acc, i) =>
+      acc + when(col(scoreCol) >= col(s"t$i"), 1).otherwise(0)
+    }
+    df.crossJoin(broadcast(thresholds))
+      .withColumn("phase", phase.cast("long"))
+      .drop((0 until phases - 1).map(i => s"t$i"): _*)
+  }
+
   def mixture(df: DataFrame, idCol: String, domainCol: String,
               weights: Seq[(String, Double)], budget: Double): DataFrame = {
     require(weights.nonEmpty && weights.forall(_._2 >= 0), "weights must be >= 0")

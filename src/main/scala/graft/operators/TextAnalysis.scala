@@ -268,7 +268,8 @@ object TextAnalysis {
     val toks = docs.select(col("doc_id"),
       explode(wordTokens(col(textCol))).as("term"))
     val vocab = toks.groupBy("term").agg(count(lit(1)).as("c"))
-    val total = toks.agg(count(lit(1)).as("total"))
+    // corpus total from the vocab relation, NOT a second token scan
+    val total = vocab.agg(sum("c").as("total"))
     val scored = toks.join(vocab, "term")
       .crossJoin(broadcast(total))
       .withColumn("lp", dec(log(col("c") / col("total"))))

@@ -128,6 +128,21 @@ object LlmQueries {
         .orderBy("doc_id")
     }),
 
+    // audit trail: which benchmark doc each contaminated doc matches most
+    "corpus_attribution" -> ((s, d) => {
+      val all = docs(s, d)
+      Contamination.attributeOverlap(
+          all.where(col("doc_id") % 7 =!= 0),
+          all.where(col("doc_id") % 7 === 0), n = 8)
+        .orderBy("doc_id")
+    }),
+
+    // curriculum tiers from the corpus's own quality quantiles
+    "curriculum" -> ((s, d) =>
+      Splits.curriculumPhases(
+          TextAnalysis.qualityScore(docs(s, d)), "quality_score", phases = 3)
+        .select("doc_id", "quality_score", "phase").orderBy("doc_id")),
+
     "corpus_mix" -> ((s, d) =>
       Splits.mixture(docs(s, d), "doc_id", "source",
           Seq("src0" -> 0.5, "src1" -> 0.3, "src2" -> 0.2), budget = 30.0)
@@ -407,6 +422,43 @@ object LlmQueries {
         | COALESCE(h.n_hits, 0) > 0 AS contaminated
         |FROM documents d LEFT JOIN hits h ON d.doc_id = h.doc_id
         |WHERE d.doc_id % 7 <> 0 ORDER BY d.doc_id""".stripMargin,
+
+    "corpus_attribution" ->
+      """WITH t AS (SELECT doc_id,
+        |   [x for x in regexp_split_to_array(lower(text), '[^a-z0-9]+') if x <> ''] AS w
+        |  FROM documents),
+        | g AS (SELECT doc_id,
+        |   list_distinct([array_to_string(w[i:i+7], ' ') for i in range(1, len(w) - 6)]) AS s
+        |  FROM t),
+        | bench AS (SELECT DISTINCT doc_id AS bench_id, u.gram
+        |  FROM g, UNNEST(s) AS u(gram) WHERE doc_id % 7 = 0),
+        | corp AS (SELECT doc_id, u.gram FROM g, UNNEST(s) AS u(gram) WHERE doc_id % 7 <> 0),
+        | pc AS (SELECT c.doc_id, b.bench_id, CAST(COUNT(*) AS BIGINT) AS shared_ngrams
+        |  FROM corp c JOIN bench b ON c.gram = b.gram GROUP BY c.doc_id, b.bench_id),
+        | r AS (SELECT *, row_number() OVER (PARTITION BY doc_id
+        |   ORDER BY shared_ngrams DESC, bench_id) AS rk FROM pc)
+        |SELECT doc_id, bench_id, shared_ngrams FROM r WHERE rk = 1
+        |ORDER BY doc_id""".stripMargin,
+
+    "curriculum" ->
+      """WITH b AS (SELECT doc_id,
+        |  CAST(length(text) AS BIGINT) AS n,
+        |  CAST(length(text) - length(regexp_replace(text, '[A-Za-z]', '', 'g')) AS BIGINT) AS alpha,
+        |  CAST(length(text) - length(regexp_replace(text, '[0-9]', '', 'g')) AS BIGINT) AS digits,
+        |  CAST(length(text) - length(regexp_replace(text, '\s', '', 'g')) AS BIGINT) AS ws,
+        |  CAST(len([x for x in regexp_split_to_array(text, '\s+') if x <> '']) AS BIGINT) AS toks,
+        |  CAST(len(regexp_extract_all(lower(text), '\b(the|and|of|to|a|in|is|it|that|for)\b')) AS BIGINT) AS stops
+        | FROM documents),
+        |q AS (SELECT doc_id,
+        | round(0.4 * least(1.0, toks / 100.0) + 0.3 * (alpha / n)
+        |   + 0.2 * (1.0 - (n - alpha - digits - ws) / n)
+        |   + 0.1 * least(1.0, stops / toks * 5.0), 6) AS quality_score FROM b),
+        |c AS (SELECT round(quantile_cont(quality_score, 1.0/3.0), 6) AS t0,
+        |  round(quantile_cont(quality_score, 2.0/3.0), 6) AS t1 FROM q)
+        |SELECT doc_id, quality_score,
+        | CAST((CASE WHEN quality_score >= c.t0 THEN 1 ELSE 0 END)
+        |    + (CASE WHEN quality_score >= c.t1 THEN 1 ELSE 0 END) AS BIGINT) AS phase
+        |FROM q, c ORDER BY doc_id""".stripMargin,
 
     "corpus_mix" ->
       """WITH w(source, wt) AS (VALUES ('src0', 0.5), ('src1', 0.3), ('src2', 0.2)),

@@ -76,6 +76,42 @@ object EventStream {
         ()
       }
 
+  /** Streaming corpus ingestion with history dedup: every micro-batch of
+    * documents dedups against the ACCUMULATED corpus fingerprint table
+    * ([[graft.operators.Dedup.exactIncrement]]), appends the survivors,
+    * and appends their fingerprints to the history — so a document seen
+    * in any earlier batch (or earlier run: the fingerprint table is
+    * durable) never re-enters the corpus. Unlike
+    * dropDuplicatesWithinWatermark, the dedup horizon is ALL history,
+    * with state held as a parquet fingerprint table instead of executor
+    * memory — the right trade for corpus ingest, where "late" duplicates
+    * arrive months apart. Exactly-once: checkpoint + the anti-join makes
+    * batch replay a no-op (already-present fingerprints drop the rows). */
+  def dedupIngestSink(stream: DataFrame, corpusDir: String, fpDir: String,
+                      checkpoint: String)
+      : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+    stream.writeStream
+      .option("checkpointLocation", checkpoint)
+      .outputMode("append")
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val spark = batch.sparkSession
+        val fpPath = new org.apache.hadoop.fs.Path(fpDir)
+        val fs = fpPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+        val kept =
+          if (fs.exists(fpPath))
+            graft.operators.Dedup.exactIncrement(
+              spark.read.parquet(fpDir), batch, existingIsFingerprints = true)
+          else
+            graft.operators.Dedup.exactIncrement(batch.limit(0), batch)
+        val materialized = kept.cache()
+        try {
+          materialized.write.mode("append").parquet(corpusDir)
+          materialized.select(md5(col("text")).as("fingerprint"))
+            .write.mode("append").parquet(fpDir)
+        } finally materialized.unpersist()
+        ()
+      }
+
   /** Stream-stream interval join: each left event pairs with right
     * events for the same key within `[left.ts, left.ts + within]`. Both
     * sides carry watermarks + the time-range predicate, so the engine

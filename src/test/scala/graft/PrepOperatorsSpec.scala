@@ -46,6 +46,30 @@ class PrepOperatorsSpec extends SparkSpec {
     assert(clean.select("doc_id").as[Long].collect().toSeq == Seq(2L))
   }
 
+  test("attribution names the benchmark doc with the most shared n-grams") {
+    val g1 = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    val g2 = "one two three four five six seven eight"
+    val corpus = Seq((1L, s"$g1 and also $g2 trailing words here")).toDF("doc_id", "text")
+    val bench = Seq(
+      (100L, s"$g1 plus other stuff"),  // shares 3 distinct 8-grams of g1
+      (200L, s"only $g2 here"))         // shares 1
+      .toDF("doc_id", "text")
+    val out = Contamination.attributeOverlap(corpus, bench, n = 8)
+      .select("doc_id", "bench_id", "shared_ngrams")
+      .as[(Long, Long, Long)].collect().toSeq
+    assert(out.length == 1)
+    assert(out.head._1 == 1L && out.head._2 == 100L)
+    assert(out.head._3 > 1L)
+  }
+
+  test("curriculum phases tier by the score's own quantiles") {
+    val df = (1 to 9).map(i => (i.toLong, i.toDouble)).toDF("id", "score")
+    val out = Splits.curriculumPhases(df, "score", phases = 3)
+      .select("id", "phase").orderBy("id").as[(Long, Long)].collect().toSeq
+    // q33 ~ 3.67, q66 ~ 6.33 -> 1-3 phase0, 4-6 phase1, 7-9 phase2
+    assert(out.map(_._2) == Seq(0L, 0L, 0L, 1L, 1L, 1L, 2L, 2L, 2L))
+  }
+
   // ------------------------------------------------------- mixture sampling
   test("mixture sampling: rates from counts, deterministic membership") {
     val docs = (0L until 300L).map(i => (i, s"src${i % 3}")).toDF("id", "domain")

@@ -125,6 +125,25 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming corpus ingest dedups each batch against ALL history") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Long, String)]
+    val base = java.nio.file.Files.createTempDirectory("graft_ingest").toString
+    val q = EventStream.dedupIngestSink(mem.toDF().toDF("doc_id", "text"),
+      s"$base/corpus", s"$base/fp", s"$base/ckpt").start()
+    try {
+      mem.addData((1L, "doc one"), (2L, "doc two"), (3L, "doc one")) // 3 = in-batch dup
+      q.processAllAvailable()
+      mem.addData((4L, "doc two"), (5L, "doc three")) // 4 = dup from an EARLIER batch
+      q.processAllAvailable()
+      val ids = spark.read.parquet(s"$base/corpus")
+        .select("doc_id").as[Long].collect().toSet
+      assert(ids == Set(1L, 2L, 5L))
+      // fingerprint history covers every distinct doc ever admitted
+      assert(spark.read.parquet(s"$base/fp").distinct().count() == 3)
+    } finally q.stop()
+  }
+
   test("stream-stream interval join bounds state with watermarks; matches batch") {
     implicit val sqlCtx = spark.sqlContext
     val clicks = MemoryStream[(Long, Timestamp, Long)]
