@@ -370,6 +370,32 @@ object Relational {
           (get_json_object(col("props"), "$.k").cast("long") % 10).as("k_mod"))
         .orderBy("event_id")
     }),
+
+    // Spark 4 VariantType: parse once into the binary variant encoding,
+    // then typed paths — the modern semi-structured column (vs repeated
+    // string re-parsing with get_json_object)
+    "q_variant" -> ((s, d) =>
+      t(s, d, "events")
+        .where(col("event_id") < 2000)
+        .select(col("event_id"),
+          expr("variant_get(parse_json(props), '$.k', 'bigint')").as("k_var"),
+          expr("variant_get(parse_json(props), '$.k', 'bigint') % 7").as("k_mod7"))
+        .orderBy("event_id")),
+
+    // correlated LATERAL subquery with ORDER BY + LIMIT: top-2 orders per
+    // customer expressed as the SQL standard writes it (Catalyst
+    // decorrelates to a ranked join — no per-row execution)
+    "q_lateral" -> ((s, d) => {
+      t(s, d, "customer").createOrReplaceTempView("graft_lat_customer")
+      t(s, d, "orders").createOrReplaceTempView("graft_lat_orders")
+      s.sql(
+        """SELECT c.c_custkey, o.o_orderkey, o.o_totalprice
+          |FROM graft_lat_customer c,
+          |LATERAL (SELECT o_orderkey, o_totalprice FROM graft_lat_orders
+          |         WHERE o_custkey = c.c_custkey
+          |         ORDER BY o_totalprice DESC, o_orderkey LIMIT 2) o
+          |ORDER BY c.c_custkey, o.o_totalprice DESC, o.o_orderkey""".stripMargin)
+    }),
   )
 
   val oracles: Map[String, String] = Map(
@@ -630,6 +656,20 @@ object Relational {
         |  n_big_orders, c_acctbal
         |FROM big FULL JOIN rich ON big.custkey = rich.custkey
         |ORDER BY custkey""".stripMargin,
+
+    "q_variant" ->
+      """SELECT event_id,
+        | CAST(json_extract_string(props, '$.k') AS BIGINT) AS k_var,
+        | CAST(json_extract_string(props, '$.k') AS BIGINT) % 7 AS k_mod7
+        |FROM events WHERE event_id < 2000 ORDER BY event_id""".stripMargin,
+
+    "q_lateral" ->
+      """SELECT c.c_custkey, o.o_orderkey, o.o_totalprice
+        |FROM customer c,
+        |LATERAL (SELECT o_orderkey, o_totalprice FROM orders
+        |         WHERE o_custkey = c.c_custkey
+        |         ORDER BY o_totalprice DESC, o_orderkey LIMIT 2) o
+        |ORDER BY c.c_custkey, o.o_totalprice DESC, o.o_orderkey""".stripMargin,
 
     "q_json_funcs" ->
       """SELECT event_id,
