@@ -326,6 +326,47 @@ object Dedup {
                       idCol: String = "doc_id"): DataFrame =
     connectedComponents(minhashNearDups(docs, threshold), docs, idCol)
 
+  /** Incremental NEAR-dup dedup — the daily-drop form of
+    * [[minhashNearDups]]: drop incoming docs that are ≥`threshold`
+    * Jaccard-similar to anything already in the corpus, or to an
+    * earlier (smaller-id) doc in the same increment. Candidates come
+    * from an LSH band-bucket join BETWEEN the two sides (incoming
+    * buckets probe existing buckets — never incoming x existing
+    * all-pairs), verified by exact Jaccard on the shingle-hash sets.
+    * At 100 TB the existing side's signature/bucket table is computed
+    * once per corpus build and stored ([[minhashSignatureTable]]), so
+    * the daily job hashes only the increment and joins one bucket
+    * table. Id spaces must be disjoint across the two inputs. */
+  def nearDupIncrement(existing: DataFrame, incoming: DataFrame,
+                       threshold: Double = 0.8, k: Int = 128,
+                       bands: Int = 32): DataFrame = {
+    val rowsPerBand = k / bands
+    def buckets(docs: DataFrame): DataFrame = {
+      val sig = minhashSignatureTable(docs, k)
+      val bandCols = (0 until bands).map { bnd =>
+        hash(lit(bnd) +: (0 until rowsPerBand).map(r => col(s"mh_${bnd * rowsPerBand + r}")): _*)
+      }
+      sig.select(col("doc_id").as("id"), explode(array(bandCols: _*)).as("bucket"))
+    }
+    val cand = buckets(incoming).as("i")
+      .join(buckets(existing).as("e"), col("i.bucket") === col("e.bucket"))
+      .select(col("i.id").as("a_id"), col("e.id").as("b_id")).distinct()
+    val shIn = shingleHashSets(incoming)
+      .select(col("doc_id").as("a_id"), col("shash").as("sh_a"))
+    val shEx = shingleHashSets(existing)
+      .select(col("doc_id").as("b_id"), col("shash").as("sh_b"))
+    val crossDup = cand.join(shIn, "a_id").join(shEx, "b_id")
+      .withColumn("jaccard", round(
+        size(array_intersect(col("sh_a"), col("sh_b"))) /
+          size(array_union(col("sh_a"), col("sh_b"))), 6))
+      .where(col("jaccard") >= threshold)
+      .select(col("a_id").as("doc_id"))
+    val selfLosers = minhashNearDups(incoming, threshold, k, bands)
+      .select(col("b_id").as("doc_id"))
+    incoming.join(crossDup.unionByName(selfLosers).distinct(),
+      Seq("doc_id"), "left_anti")
+  }
+
   /** Incremental exact dedup — the daily-drop form: dedup `incoming`
     * within itself (smallest id per fingerprint wins, as [[exact]]),
     * then drop anything whose content already exists in the accumulated

@@ -108,6 +108,16 @@ object LlmQueries {
         .select("doc_id", "source").orderBy("doc_id")
     }),
 
+    // near-dup form of the incremental drop: LSH buckets of the
+    // increment probe the corpus's bucket table; exact-Jaccard verified
+    "dedup_neardup_incr" -> ((s, d) => {
+      val all = docs(s, d)
+      Dedup.nearDupIncrement(
+          all.where(col("doc_id") < 250),
+          all.where(col("doc_id") >= 250), threshold = 0.8)
+        .select("doc_id", "source").orderBy("doc_id")
+    }),
+
     "text_unigram_lp" -> ((s, d) =>
       TextAnalysis.unigramLogProb(docs(s, d))
         .select("doc_id", "n_toks", "avg_logprob").orderBy("doc_id")),
@@ -355,6 +365,26 @@ object LlmQueries {
         |SELECT doc_id, source FROM kept
         |WHERE rk = 1 AND fp NOT IN (SELECT fp FROM seen)
         |ORDER BY doc_id""".stripMargin,
+
+    "dedup_neardup_incr" ->
+      """WITH t AS (SELECT doc_id,
+        |   [x for x in regexp_split_to_array(lower(text), '[^a-z0-9]+') if x <> ''] AS w
+        |  FROM documents),
+        | g AS (SELECT doc_id,
+        |   list_distinct([w[i] || ' ' || w[i+1] || ' ' || w[i+2] for i in range(1, len(w) - 1)]) AS s
+        |  FROM t WHERE len(w) >= 3),
+        | inc AS (SELECT * FROM g WHERE doc_id >= 250),
+        | ex AS (SELECT * FROM g WHERE doc_id < 250),
+        | crossdup AS (SELECT i.doc_id FROM inc i, ex e
+        |  WHERE round(CAST(len(list_intersect(i.s, e.s)) AS DOUBLE)
+        |        / len(list_distinct(list_concat(i.s, e.s))), 6) >= 0.8),
+        | selfdup AS (SELECT b.doc_id FROM inc a, inc b WHERE a.doc_id < b.doc_id
+        |  AND round(CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
+        |        / len(list_distinct(list_concat(a.s, b.s))), 6) >= 0.8),
+        | dropped AS (SELECT doc_id FROM crossdup UNION SELECT doc_id FROM selfdup)
+        |SELECT d.doc_id, d.source FROM documents d
+        |WHERE d.doc_id >= 250 AND d.doc_id NOT IN (SELECT doc_id FROM dropped)
+        |ORDER BY d.doc_id""".stripMargin,
 
     "text_unigram_lp" ->
       """WITH toks AS (SELECT doc_id, u.term AS term

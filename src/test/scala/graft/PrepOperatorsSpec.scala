@@ -194,6 +194,19 @@ class PrepOperatorsSpec extends SparkSpec {
     assert(kept == Seq(11L, 13L))
   }
 
+  test("incremental near-dup dedup drops history-similar and within-batch-similar docs") {
+    val base = "alpha beta gamma delta epsilon zeta eta theta iota kappa lambda mu nu xi"
+    val existing = Seq((1L, base)).toDF("doc_id", "text")
+    val incoming = Seq(
+      (10L, base + " omicron"),        // near-dup of history -> dropped
+      (11L, "completely different words in this one here now for sure today"),
+      (12L, "completely different words in this one here now for sure tonight")) // near-dup of 11
+      .toDF("doc_id", "text")
+    val kept = graft.operators.Dedup.nearDupIncrement(existing, incoming, threshold = 0.6)
+      .select("doc_id").as[Long].collect().sorted.toSeq
+    assert(kept == Seq(11L))
+  }
+
   test("unigram log-prob ranks fluent text above rare-token spam") {
     val docs = Seq(
       (1L, "common common common common words words words"),
