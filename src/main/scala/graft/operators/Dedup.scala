@@ -341,30 +341,47 @@ object Dedup {
                        threshold: Double = 0.8, k: Int = 128,
                        bands: Int = 32): DataFrame = {
     val rowsPerBand = k / bands
-    def buckets(docs: DataFrame): DataFrame = {
-      val sig = minhashSignatureTable(docs, k)
+    // one persisted shingle pass per side feeds signatures AND both
+    // verify joins (the CPU-heavy stage runs once per side, same
+    // economics as minhashNearDups' persist)
+    val setsIn = shingleHashSets(incoming)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val setsEx = shingleHashSets(existing)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    def buckets(sets: DataFrame): DataFrame = {
+      val hashed = sets.select(col("doc_id"), explode(col("shash")).as("h64"))
+        .select(col("doc_id"), col("h64").bitwiseAND(lit(0x7FFFFFFFL)).as("h"))
+      val mins = minhashCoeffs(k).zipWithIndex.map { case ((a, b), i) =>
+        min(pmod(col("h") * lit(a) + lit(b), lit(minhashPrime))).as(s"mh_$i")
+      }
+      val sig = hashed.groupBy("doc_id").agg(mins.head, mins.tail.toIndexedSeq: _*)
       val bandCols = (0 until bands).map { bnd =>
         hash(lit(bnd) +: (0 until rowsPerBand).map(r => col(s"mh_${bnd * rowsPerBand + r}")): _*)
       }
       sig.select(col("doc_id").as("id"), explode(array(bandCols: _*)).as("bucket"))
     }
-    val cand = buckets(incoming).as("i")
-      .join(buckets(existing).as("e"), col("i.bucket") === col("e.bucket"))
+    val bIn = buckets(setsIn)
+    def verify(cand: DataFrame, aSets: DataFrame, bSets: DataFrame): DataFrame =
+      cand
+        .join(aSets.select(col("doc_id").as("a_id"), col("shash").as("sh_a")), "a_id")
+        .join(bSets.select(col("doc_id").as("b_id"), col("shash").as("sh_b")), "b_id")
+        .withColumn("jaccard", round(
+          size(array_intersect(col("sh_a"), col("sh_b"))) /
+            size(array_union(col("sh_a"), col("sh_b"))), 6))
+        .where(col("jaccard") >= threshold)
+    val candCross = bIn.as("i")
+      .join(buckets(setsEx).as("e"), col("i.bucket") === col("e.bucket"))
       .select(col("i.id").as("a_id"), col("e.id").as("b_id")).distinct()
-    val shIn = shingleHashSets(incoming)
-      .select(col("doc_id").as("a_id"), col("shash").as("sh_a"))
-    val shEx = shingleHashSets(existing)
-      .select(col("doc_id").as("b_id"), col("shash").as("sh_b"))
-    val crossDup = cand.join(shIn, "a_id").join(shEx, "b_id")
-      .withColumn("jaccard", round(
-        size(array_intersect(col("sh_a"), col("sh_b"))) /
-          size(array_union(col("sh_a"), col("sh_b"))), 6))
-      .where(col("jaccard") >= threshold)
-      .select(col("a_id").as("doc_id"))
-    val selfLosers = minhashNearDups(incoming, threshold, k, bands)
-      .select(col("b_id").as("doc_id"))
-    incoming.join(crossDup.unionByName(selfLosers).distinct(),
-      Seq("doc_id"), "left_anti")
+    val candSelf = bIn.as("a")
+      .join(bIn.as("b"), col("a.bucket") === col("b.bucket") && col("a.id") < col("b.id"))
+      .select(col("a.id").as("a_id"), col("b.id").as("b_id")).distinct()
+    val dropped = verify(candCross, setsIn, setsEx).select(col("a_id").as("doc_id"))
+      .unionByName(verify(candSelf, setsIn, setsIn).select(col("b_id").as("doc_id")))
+      .distinct()
+      .localCheckpoint() // materialise before releasing the shingle caches
+    setsIn.unpersist(false)
+    setsEx.unpersist(false)
+    incoming.join(dropped, Seq("doc_id"), "left_anti")
   }
 
   /** Incremental exact dedup — the daily-drop form: dedup `incoming`
