@@ -371,6 +371,25 @@ object Relational {
         .orderBy("event_id")
     }),
 
+    // row-level quarantine: malformed JSON rows are flagged and counted,
+    // never silently dropped — the ingest gate between "parse" and
+    // "pretend it parsed". Corruption is injected deterministically so
+    // the gate has something to catch.
+    "q_quarantine" -> ((s, d) => {
+      val corrupted = t(s, d, "events")
+        .where(col("event_id") < 2000)
+        .withColumn("raw", when(col("event_id") % 97 === 0,
+          expr("substring(props, 1, length(props) - 1)")).otherwise(col("props")))
+      corrupted
+        .withColumn("parsed", from_json(col("raw"),
+          org.apache.spark.sql.types.StructType.fromDDL("k BIGINT"),
+          Map.empty[String, String]))
+        .withColumn("quarantined", col("parsed").isNull || col("parsed.k").isNull)
+        .select(col("event_id"), col("quarantined"),
+          when(col("quarantined"), lit(null)).otherwise(col("parsed.k")).as("k"))
+        .orderBy("event_id")
+    }),
+
     // Spark 4 VariantType: parse once into the binary variant encoding,
     // then typed paths — the modern semi-structured column (vs repeated
     // string re-parsing with get_json_object)
@@ -656,6 +675,18 @@ object Relational {
         |  n_big_orders, c_acctbal
         |FROM big FULL JOIN rich ON big.custkey = rich.custkey
         |ORDER BY custkey""".stripMargin,
+
+    "q_quarantine" ->
+      """WITH c AS (SELECT event_id,
+        |   CASE WHEN event_id % 97 = 0 THEN substring(props, 1, length(props) - 1)
+        |        ELSE props END AS raw
+        |  FROM events WHERE event_id < 2000)
+        |SELECT event_id,
+        | CASE WHEN NOT json_valid(raw) THEN true
+        |      ELSE json_extract(raw, '$.k') IS NULL END AS quarantined,
+        | CASE WHEN json_valid(raw) THEN CAST(json_extract_string(raw, '$.k') AS BIGINT)
+        |      ELSE NULL END AS k
+        |FROM c ORDER BY event_id""".stripMargin,
 
     "q_variant" ->
       """SELECT event_id,

@@ -143,6 +143,36 @@ class PlanShapeSpec extends SparkSpec {
     assert(!plan.contains("Join"), plan)
   }
 
+  test("z-order compaction keeps BOTH dimensions file-selective") {
+    def ranges(dir: String, c: String): Seq[(Long, Long)] =
+      spark.read.parquet(dir)
+        .select(org.apache.spark.sql.functions.input_file_name().as("f"), col(c))
+        .groupBy("f").agg(org.apache.spark.sql.functions.min(c).as("lo"),
+          org.apache.spark.sql.functions.max(c).as("hi"))
+        .collect().map(r => (r.getLong(1), r.getLong(2))).toSeq
+    def meanSpan(rs: Seq[(Long, Long)]): Double =
+      rs.map { case (lo, hi) => (hi - lo).toDouble / 99.0 }.sum / rs.length
+
+    // 100x100 grid of two independent dimensions
+    val grid = spark.range(0, 10000)
+      .selectExpr("id div 100 AS x", "id % 100 AS y", "id AS payload")
+    val zDir = java.nio.file.Files.createTempDirectory("graft_zorder").toString + "/t"
+    grid.repartition(8).write.parquet(zDir)
+    sinks.Compaction.compact(spark, zDir, targetFileBytes = 15000,
+      zOrderCols = Seq("x", "y"))
+    val (zx, zy) = (ranges(zDir, "x"), ranges(zDir, "y"))
+    assert(zx.length > 2, "need multiple files for the selectivity check")
+    assert(meanSpan(zx) < 0.8 && meanSpan(zy) < 0.8,
+      s"z-order should bound both dims: x=${meanSpan(zx)}, y=${meanSpan(zy)}")
+
+    // contrast: a linear sort on x leaves y unselective (full-range files)
+    val lDir = java.nio.file.Files.createTempDirectory("graft_linear").toString + "/t"
+    grid.repartition(8).write.parquet(lDir)
+    sinks.Compaction.compact(spark, lDir, targetFileBytes = 15000,
+      sortCols = Seq("x"))
+    assert(meanSpan(ranges(lDir, "y")) > 0.9, "linear sort shouldn't bound y")
+  }
+
   test("compaction range-clusters output files by the sort column") {
     val dir = java.nio.file.Files.createTempDirectory("graft_pscompact").toString + "/t"
     spark.range(0, 10000).selectExpr("id", "id * 2 AS v")
