@@ -23,6 +23,31 @@ object Skew {
     *
     * Inner and left joins only: a right/full join would need unmatched
     * replicated rows deduplicated back. */
+  /** Skew diagnosis: per-key row counts with each key's share of the
+    * table and its skew factor (count / mean count across keys) for the
+    * top `topK` heaviest keys. The number a capacity review wants before
+    * choosing between AQE, salting, or a broadcast — one grouped
+    * aggregate plus a single-row mean broadcast, cheap at any scale. */
+  def report(df: DataFrame, keyCol: String, topK: Int = 20): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val counts = df.groupBy(keyCol).agg(count(lit(1)).as("n_rows"))
+    val stats = counts.agg(
+      sum("n_rows").as("total_rows"),
+      count(lit(1)).as("n_keys"))
+    // top-K via orderBy+limit (distributed TakeOrdered — key cardinality
+    // can be huge, so no global window over the counts relation); the
+    // rank window then runs over at most topK rows
+    val top = counts.crossJoin(broadcast(stats))
+      .withColumn("share", round(col("n_rows") / col("total_rows"), 6))
+      .withColumn("skew_factor",
+        round(col("n_rows") * col("n_keys") / col("total_rows"), 6))
+      .orderBy(col("n_rows").desc, col(keyCol))
+      .limit(topK)
+    top.withColumn("rk",
+        row_number().over(Window.orderBy(col("n_rows").desc, col(keyCol))).cast("long"))
+      .select(keyCol, "n_rows", "share", "skew_factor", "rk")
+  }
+
   def saltedJoin(big: DataFrame, small: DataFrame, key: String,
                  buckets: Int = 8, joinType: String = "inner"): DataFrame = {
     require(joinType == "inner" || joinType == "left",

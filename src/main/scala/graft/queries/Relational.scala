@@ -136,6 +136,11 @@ object Relational {
     "q_histogram" -> ((s, d) =>
       graft.operators.Profiler.histogram(t(s, d, "orders"), "o_totalprice", bins = 20)),
 
+    // capacity-review skew report: who are the heavy keys, and how heavy
+    "q_skew_report" -> ((s, d) =>
+      graft.operators.Skew.report(t(s, d, "orders"), "o_custkey", topK = 20)
+        .orderBy("rk")),
+
     "q_semi_join" -> ((s, d) => {
       val ord2k = t(s, d, "orders").where(
         col("o_orderdate") >= lit("2000-01-01").cast("timestamp") &&
@@ -675,6 +680,19 @@ object Relational {
         |  n_big_orders, c_acctbal
         |FROM big FULL JOIN rich ON big.custkey = rich.custkey
         |ORDER BY custkey""".stripMargin,
+
+    "q_skew_report" ->
+      """WITH c AS (SELECT o_custkey, CAST(COUNT(*) AS BIGINT) AS n_rows
+        |  FROM orders GROUP BY o_custkey),
+        | s AS (SELECT CAST(SUM(n_rows) AS BIGINT) AS total_rows,
+        |   CAST(COUNT(*) AS BIGINT) AS n_keys FROM c),
+        | r AS (SELECT o_custkey, n_rows,
+        |   round(n_rows / s.total_rows, 6) AS share,
+        |   round(n_rows * s.n_keys / s.total_rows, 6) AS skew_factor,
+        |   CAST(row_number() OVER (ORDER BY n_rows DESC, o_custkey) AS BIGINT) AS rk
+        |  FROM c, s)
+        |SELECT o_custkey, n_rows, share, skew_factor, rk FROM r
+        |WHERE rk <= 20 ORDER BY rk""".stripMargin,
 
     "q_quarantine" ->
       """WITH c AS (SELECT event_id,

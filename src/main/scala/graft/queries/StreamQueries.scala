@@ -75,6 +75,28 @@ object StreamQueries {
           "is_current", "n_events")
         .orderBy("user_id", "valid_from")),
 
+    // ordered-event funnel: users who signed up, then clicked at or
+    // after their first signup, then purchased at or after that click —
+    // each stage one aggregate + one equi-join on the user key
+    "q_funnel" -> ((s, d) => {
+      val ev = Ingestor.events(s, d)
+      val s1 = ev.where(col("event_type") === "signup")
+        .groupBy("user_id").agg(min("ts").as("t1"))
+      val s2 = ev.where(col("event_type") === "click")
+        .join(s1, "user_id").where(col("ts") >= col("t1"))
+        .groupBy("user_id").agg(min("ts").as("t2"))
+      val s3 = ev.where(col("event_type") === "purchase")
+        .join(s2, "user_id").where(col("ts") >= col("t2"))
+        .groupBy("user_id").agg(min("ts").as("t3"))
+      s1.agg(count(lit(1)).as("n_users")).withColumn("stage", lit("1_signup"))
+        .unionByName(s2.agg(count(lit(1)).as("n_users"))
+          .withColumn("stage", lit("2_click")))
+        .unionByName(s3.agg(count(lit(1)).as("n_users"))
+          .withColumn("stage", lit("3_purchase")))
+        .select("stage", "n_users")
+        .orderBy("stage")
+    }),
+
     // behavioural distribution stats: Shannon entropy of each user's
     // event-type mix. p*ln(p) terms are rounded to exact decimals BEFORE
     // the sum, so the aggregate is associative and engine-identical
@@ -135,6 +157,18 @@ object StreamQueries {
         | lead(valid_from) OVER (PARTITION BY user_id ORDER BY run) IS NULL AS is_current,
         | n_events
         |FROM g ORDER BY user_id, valid_from""".stripMargin,
+
+    "q_funnel" ->
+      """WITH e AS (SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, event_type FROM events),
+        | s1 AS (SELECT user_id, MIN(ts) AS t1 FROM e WHERE event_type = 'signup' GROUP BY user_id),
+        | s2 AS (SELECT e.user_id, MIN(e.ts) AS t2 FROM e JOIN s1 ON e.user_id = s1.user_id
+        |  WHERE e.event_type = 'click' AND e.ts >= s1.t1 GROUP BY e.user_id),
+        | s3 AS (SELECT e.user_id, MIN(e.ts) AS t3 FROM e JOIN s2 ON e.user_id = s2.user_id
+        |  WHERE e.event_type = 'purchase' AND e.ts >= s2.t2 GROUP BY e.user_id)
+        |SELECT '1_signup' AS stage, CAST(COUNT(*) AS BIGINT) AS n_users FROM s1
+        |UNION ALL SELECT '2_click', CAST(COUNT(*) AS BIGINT) FROM s2
+        |UNION ALL SELECT '3_purchase', CAST(COUNT(*) AS BIGINT) FROM s3
+        |ORDER BY stage""".stripMargin,
 
     "q_entropy" ->
       """WITH c AS (SELECT user_id, event_type, CAST(COUNT(*) AS BIGINT) AS c
