@@ -97,6 +97,27 @@ object StreamQueries {
         .orderBy("stage")
     }),
 
+    // weekly cohort retention: users grouped by first-signup week, and
+    // for each later week, how many were active — the activity relation
+    // is distinct (user, week) BEFORE the join, so the shuffle carries
+    // one row per user-week, not per event
+    "q_cohort" -> ((s, d) => {
+      val ev = Ingestor.events(s, d)
+      val cohort = ev.where(col("event_type") === "signup")
+        .groupBy("user_id").agg(min("ts").as("first_ts"))
+        .select(col("user_id"),
+          date_trunc("week", col("first_ts")).cast("timestamp_ntz").as("cohort_week"))
+      val activity = ev.select(col("user_id"),
+        date_trunc("week", col("ts")).cast("timestamp_ntz").as("act_week")).distinct()
+      cohort.join(activity, "user_id")
+        .where(col("act_week") >= col("cohort_week"))
+        .withColumn("week_offset",
+          expr("datediff(act_week, cohort_week) div 7").cast("long"))
+        .groupBy("cohort_week", "week_offset")
+        .agg(countDistinct("user_id").as("n_active"))
+        .orderBy("cohort_week", "week_offset")
+    }),
+
     // behavioural distribution stats: Shannon entropy of each user's
     // event-type mix. p*ln(p) terms are rounded to exact decimals BEFORE
     // the sum, so the aggregate is associative and engine-identical
@@ -169,6 +190,19 @@ object StreamQueries {
         |UNION ALL SELECT '2_click', CAST(COUNT(*) AS BIGINT) FROM s2
         |UNION ALL SELECT '3_purchase', CAST(COUNT(*) AS BIGINT) FROM s3
         |ORDER BY stage""".stripMargin,
+
+    "q_cohort" ->
+      """WITH e AS (SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, event_type FROM events),
+        | cohort AS (SELECT user_id, date_trunc('week', MIN(ts)) AS cohort_week
+        |  FROM e WHERE event_type = 'signup' GROUP BY user_id),
+        | act AS (SELECT DISTINCT user_id, date_trunc('week', ts) AS act_week FROM e)
+        |SELECT c.cohort_week,
+        | CAST(date_diff('day', c.cohort_week, a.act_week) // 7 AS BIGINT) AS week_offset,
+        | CAST(COUNT(DISTINCT c.user_id) AS BIGINT) AS n_active
+        |FROM cohort c JOIN act a ON c.user_id = a.user_id
+        |WHERE a.act_week >= c.cohort_week
+        |GROUP BY c.cohort_week, week_offset
+        |ORDER BY c.cohort_week, week_offset""".stripMargin,
 
     "q_entropy" ->
       """WITH c AS (SELECT user_id, event_type, CAST(COUNT(*) AS BIGINT) AS c
