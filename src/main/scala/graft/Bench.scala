@@ -18,7 +18,11 @@ object Bench {
     val spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     val warmupDir = "/root/testdata/sf0.001"
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+    // Optional args = query names to bench (iteration aid); no args = all.
+    val wanted = args.toSet
+    val selected = SparkEntry.queries.toSeq.sortBy(_._1)
+      .filter { case (n, _) => wanted.isEmpty || wanted(n) }
+    val results = selected.map { case (name, fn) =>
       // Untimed warmup at the smallest SF: compiles the query's generated
       // code + loads classes so the timed run measures execution, not
       // first-use JIT/codegen (worth 1-4s per query pattern otherwise).
@@ -34,7 +38,25 @@ object Bench {
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val full =
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
+    // The per-query blob grows with the query count (~4 KB at 90 queries)
+    // and harness log captures may keep only a bounded head/tail of stdout.
+    // So: persist the FULL record to a file, and make the only stdout line
+    // a compact JSON (total + top-5 slowest + file pointer) that stays well
+    // under any plausible capture bound and parses whether the capture
+    // keeps the head or the tail.
+    val outPath = java.nio.file.Paths
+      .get(sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench_out.json"))
+      .toAbsolutePath
+    java.nio.file.Files.write(outPath,
+      (full + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    val top5 = results.sortBy(-_._2).take(5)
+      .map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }
+      .mkString("{", ",", "}")
+    val n = results.size
+    println(
+      s"""{"metric":"total","value":$total,"unit":"sec","n":$n,"queries":$top5,"sf":"$sfDir","full":"$outPath"}""")
     spark.stop()
   }
 }

@@ -34,20 +34,51 @@ object Sketches {
     * exact percentiles buffer the group's value multiset in the
     * aggregation state, and N separate percentile calls would build and
     * merge N copies of that buffer (measured 5x slower for 5 fractions).
-    * The array form buffers once and reads all fractions from the same
-    * sorted counts. */
+    * Computed rank-based, NOT via Spark's `percentile` aggregate: that
+    * aggregate is a TypedImperativeAggregate whose buffer is an
+    * OpenHashMap of BOXED values — every row boxes, every partition's
+    * map serializes whole into the shuffle, and eval sorts the merged
+    * map outside codegen. Instead this sorts each group once with a
+    * Tungsten window sort (`row_number`), keeps ONLY the ≤2 rows per
+    * fraction whose ranks bracket the target position, and interpolates
+    * in a final tiny aggregate. Everything stays in whole-stage codegen
+    * over primitive doubles; the shuffle carries the rows themselves
+    * (columnar, spillable) rather than serialized hash maps.
+    *
+    * Scale note: EXACT percentiles inherently concentrate each group on
+    * one task (here: the window sort; in the aggregate form: the merged
+    * buffer) — either way a 100 TB global percentile lands on one node,
+    * which is why [[approxPercentiles]] is the documented scale path. */
   def percentiles(df: DataFrame, valueCol: String, groupCols: Seq[String],
                   fractions: Seq[Double] = Seq(0.25, 0.5, 0.75, 0.9, 0.99))
       : DataFrame = {
-    val arr = expr(
-      s"percentile($valueCol, array(${fractions.map(_ + "d").mkString(",")}))")
-    val outCols = groupCols.map(col) ++ fractions.zipWithIndex.map {
-      case (p, i) => round(element_at(col("__ps"), i + 1), 6).as(pName(p))
+    import org.apache.spark.sql.expressions.Window
+    val gcols = groupCols.map(col)
+    val base = df
+      .select(gcols :+ col(valueCol).cast("double").as("__v"): _*)
+      .where(col("__v").isNotNull)
+    val w = Window.partitionBy(gcols: _*).orderBy(col("__v"))
+    // one sort per group yields both the rank and the group size, so no
+    // separate count+join pass is needed
+    val ranked = base
+      .withColumn("__rn", row_number().over(w))
+      .withColumn("__n", count(lit(1)).over(Window.partitionBy(gcols: _*)))
+    // target position for fraction p is pos = 1 + p*(n-1); only the rows
+    // at floor(pos)/ceil(pos) for SOME fraction survive the filter
+    def pos(p: Double): Column = lit(1d) + lit(p) * (col("__n") - 1).cast("double")
+    val keep = fractions
+      .map(p => col("__rn") === floor(pos(p)) || col("__rn") === ceil(pos(p)))
+      .reduce(_ || _)
+    val interp = fractions.map { p =>
+      val lo = max(when(col("__rn") === floor(pos(p)), col("__v")))
+      val hi = max(when(col("__rn") === ceil(pos(p)), col("__v")))
+      val frac = first(pos(p) - floor(pos(p)).cast("double"))
+      round(lo + frac * (hi - lo), 6).as(pName(p))
     }
-    df.groupBy(groupCols.map(col): _*)
-      .agg(arr.as("__ps"))
-      .select(outCols: _*)
-      .orderBy(groupCols.map(col): _*)
+    ranked.where(keep)
+      .groupBy(gcols: _*)
+      .agg(interp.head, interp.tail: _*)
+      .orderBy(gcols: _*)
   }
 
   /** Sketched percentiles (mergeable, bounded-memory). `accuracy` is
