@@ -25,6 +25,23 @@ object Multimodal {
   case class MediaRow(doc_id: Long, content: Array[Byte], meta: MediaMeta)
   case class FeatureRow(doc_id: Long, features: Array[Float])
   case class FrameRow(doc_id: Long, frame_idx: Int, frame: Array[Byte])
+  /** Result of a REAL decode: dimensions read from the pixels plus a
+    * fixed-width feature vector; `ok=false` rows carry the fallback for
+    * payloads the codec could not parse (corrupt/unknown format). */
+  case class DecodedRow(doc_id: Long, ok: Boolean, width: Long, height: Long,
+                        features: Array[Float])
+
+  /** Aspect-preserving fit of (w,h) into `maxSide` — the ONE geometry
+    * used by both the stub resampler and the real imageio scaler, so the
+    * spec that pins the math covers both paths. */
+  def fitDims(w: Long, h: Long, maxSide: Long): (Long, Long) = {
+    val side = math.max(w, h)
+    if (side <= maxSide) (w, h)
+    else {
+      val scale = maxSide.toDouble / side
+      (math.max(1L, math.round(w * scale)), math.max(1L, math.round(h * scale)))
+    }
+  }
 
   /** Attach binary content + metadata to a documents frame. The binary
     * column is the utf-8 payload of `text` here (the container has no
@@ -101,12 +118,10 @@ object Multimodal {
       .mapPartitions { rows =>
         // real codec/scaler init would happen here, once per partition
         rows.map { case (id, bytes, fmt, _, w, h) =>
-          val side = math.max(w, h)
-          if (side <= maxSide) MediaRow(id, bytes, MediaMeta(fmt, bytes.length.toLong, w, h))
+          val (nw, nh) = fitDims(w, h, maxSide)
+          if (nw == w && nh == h)
+            MediaRow(id, bytes, MediaMeta(fmt, bytes.length.toLong, w, h))
           else {
-            val scale = maxSide.toDouble / side
-            val (nw, nh) = (math.max(1L, math.round(w * scale)),
-              math.max(1L, math.round(h * scale)))
             // STUB resampler: stride-sample the payload proportionally to
             // the area reduction (a real scaler maps pixels; the byte-
             // budget arithmetic and row shape are what the plan needs)
@@ -119,6 +134,110 @@ object Multimodal {
               i += 1
             }
             MediaRow(id, out, MediaMeta(fmt, target.toLong, nw, nh))
+          }
+        }
+      }
+  }
+
+  // ---------------------------------------------------------------------
+  // REAL codec path: JDK javax.imageio (PNG/JPEG/BMP/GIF) — no external
+  // libraries. Used for payloads that actually ARE images; the fake codec
+  // above stays for deterministic specs over synthetic (text) payloads.
+  // ---------------------------------------------------------------------
+
+  /** Decode one payload with imageio. Returns None for bytes that are
+    * not a parseable image (ImageIO.read yields null) — callers emit a
+    * quarantine-style ok=false row instead of failing the task. */
+  private[operators] def imageioDecode(bytes: Array[Byte])
+      : Option[java.awt.image.BufferedImage] = {
+    try Option(javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes)))
+    catch { case _: java.io.IOException => None }
+  }
+
+  /** Fixed-width feature vector from decoded pixels: a `dim`-bucket
+    * luminance histogram (L1-normalised). Pixels are sampled on a stride
+    * so the per-row cost is bounded by ~`maxSamples` regardless of the
+    * source resolution — a 100-megapixel scan costs the same as a
+    * thumbnail, which is what keeps task times uniform at scale. */
+  private[operators] def luminanceHistogram(
+      img: java.awt.image.BufferedImage, dim: Int,
+      maxSamples: Int = 4096): Array[Float] = {
+    val (w, h) = (img.getWidth, img.getHeight)
+    val total = w.toLong * h
+    val stride = math.max(1L, total / maxSamples)
+    val out = new Array[Float](dim)
+    var idx = 0L
+    var n = 0
+    while (idx < total) {
+      val rgb = img.getRGB((idx % w).toInt, (idx / w).toInt)
+      val lum = 0.299 * ((rgb >> 16) & 0xff) + 0.587 * ((rgb >> 8) & 0xff) +
+        0.114 * (rgb & 0xff)
+      out(math.min(dim - 1, (lum / 256.0 * dim).toInt)) += 1.0f
+      n += 1
+      idx += stride
+    }
+    var j = 0
+    while (j < dim) { out(j) /= math.max(n, 1); j += 1 }
+    out
+  }
+
+  /** REAL decode + feature-extract over image payloads. Same partition
+    * batching as [[extractFeatures]]: the codec context (imageio's
+    * in-memory cache mode) is configured once per partition, then every
+    * row in the partition reuses it. Undecodable payloads become
+    * ok=false rows with the zero vector — decode failures are data, not
+    * task failures (one corrupt file must not kill a 100 TB stage). */
+  def decodeImages(media: DataFrame, dim: Int = 32): Dataset[DecodedRow] = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.select(col("doc_id"), col("content")).as[(Long, Array[Byte])]
+      .mapPartitions { rows =>
+        // per-partition codec init: no temp-file cache on executors
+        javax.imageio.ImageIO.setUseCache(false)
+        rows.map { case (id, bytes) =>
+          imageioDecode(bytes) match {
+            case Some(img) => DecodedRow(id, ok = true, img.getWidth.toLong,
+              img.getHeight.toLong, luminanceHistogram(img, dim))
+            case None => DecodedRow(id, ok = false, 0L, 0L, new Array[Float](dim))
+          }
+        }
+      }
+  }
+
+  /** REAL resize: decode with imageio, fit into `maxSide` via the SAME
+    * [[fitDims]] geometry as the stub path, scale with Graphics2D
+    * bilinear, re-encode as PNG. Payloads that fail to decode pass
+    * through unchanged (format "raw") rather than failing the task;
+    * already-small images pass through byte-identical. */
+  def resizeImages(media: DataFrame, maxSide: Long = 128): Dataset[MediaRow] = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.select(col("doc_id"), col("content")).as[(Long, Array[Byte])]
+      .mapPartitions { rows =>
+        javax.imageio.ImageIO.setUseCache(false)
+        rows.map { case (id, bytes) =>
+          imageioDecode(bytes) match {
+            case None =>
+              MediaRow(id, bytes, MediaMeta("raw", bytes.length.toLong, 0L, 0L))
+            case Some(img) =>
+              val (w, h) = (img.getWidth.toLong, img.getHeight.toLong)
+              val (nw, nh) = fitDims(w, h, maxSide)
+              if (nw == w && nh == h)
+                MediaRow(id, bytes, MediaMeta("png", bytes.length.toLong, w, h))
+              else {
+                val dst = new java.awt.image.BufferedImage(nw.toInt, nh.toInt,
+                  java.awt.image.BufferedImage.TYPE_INT_RGB)
+                val g = dst.createGraphics()
+                g.setRenderingHint(
+                  java.awt.RenderingHints.KEY_INTERPOLATION,
+                  java.awt.RenderingHints.VALUE_INTERPOLATION_BILINEAR)
+                g.drawImage(img, 0, 0, nw.toInt, nh.toInt, null)
+                g.dispose()
+                val buf = new java.io.ByteArrayOutputStream()
+                javax.imageio.ImageIO.write(dst, "png", buf)
+                val out = buf.toByteArray
+                MediaRow(id, out, MediaMeta("png", out.length.toLong, nw, nh))
+              }
           }
         }
       }

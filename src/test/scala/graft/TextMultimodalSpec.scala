@@ -119,4 +119,45 @@ class TextMultimodalSpec extends SparkSpec {
     assert(small.meta.width == 288 && small.meta.height == 160)
     assert(small.content.length == 900)
   }
+
+  /** Encode a real PNG with a deterministic pixel pattern. */
+  private def pngBytes(w: Int, h: Int): Array[Byte] = {
+    val img = new java.awt.image.BufferedImage(w, h,
+      java.awt.image.BufferedImage.TYPE_INT_RGB)
+    for (y <- 0 until h; x <- 0 until w)
+      img.setRGB(x, y, ((x * 7 + y * 13) % 256) * 0x010101)
+    val buf = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", buf)
+    buf.toByteArray
+  }
+
+  test("real imageio decode: dims from pixels, histogram normalised, corrupt quarantined") {
+    val media = Seq(
+      (1L, pngBytes(40, 24)),
+      (2L, "definitely not an image".getBytes("UTF-8"))).toDF("doc_id", "content")
+    val out = Multimodal.decodeImages(media, dim = 16).collect()
+      .map(r => r.doc_id -> r).toMap
+    assert(out(1L).ok && out(1L).width == 40 && out(1L).height == 24)
+    assert(math.abs(out(1L).features.map(_.toDouble).sum - 1.0) < 1e-5)
+    // corrupt payload is data, not a task failure
+    assert(!out(2L).ok && out(2L).width == 0 && out(2L).features.forall(_ == 0f))
+  }
+
+  test("real imageio resize: fitDims geometry, decodable output, passthroughs") {
+    val media = Seq(
+      (1L, pngBytes(288, 160)), // shrinks: fit 128 -> 128 x 71
+      (2L, pngBytes(20, 10)),   // already small: byte-identical
+      (3L, "junk".getBytes("UTF-8"))).toDF("doc_id", "content")
+    val out = Multimodal.resizeImages(media, maxSide = 128).collect()
+      .map(r => r.doc_id -> r).toMap
+    // geometry matches the shared fitDims math (same as the stub path)
+    assert(Multimodal.fitDims(288, 160, 128) == ((128L, 71L)))
+    assert(out(1L).meta.width == 128 && out(1L).meta.height == 71)
+    // the emitted payload is a REAL png: decoding it returns the new dims
+    val re = javax.imageio.ImageIO.read(
+      new java.io.ByteArrayInputStream(out(1L).content))
+    assert(re.getWidth == 128 && re.getHeight == 71)
+    assert(out(2L).meta.width == 20 && out(2L).content.sameElements(pngBytes(20, 10)))
+    assert(out(3L).meta.format == "raw" && out(3L).content.sameElements("junk".getBytes("UTF-8")))
+  }
 }
