@@ -182,9 +182,11 @@ object LlmQueries {
         .select("doc_id", "lang", "source", "group_n")
         .orderBy("doc_id")),
 
-    // rows-only: cluster closure of the LSH pair graph (murmur bucket
-    // keys not reproducible in SQL); component semantics spec-tested on
-    // known graphs in DedupSimilaritySpec
+    // cluster closure of the verified near-dup pair graph; oracled by a
+    // DuckDB recursive-CTE transitive closure over the same exact-
+    // jaccard pair set the dedup_jaccard oracle pins (LSH recall is
+    // total at this threshold, so pair sets agree); component semantics
+    // additionally spec-tested on known graphs in DedupSimilaritySpec
     "dedup_clusters" -> ((s, d) =>
       Dedup.nearDupClusters(docs(s, d), threshold = 0.8)
         .where(col("id") =!= col("cluster_id"))
@@ -229,6 +231,32 @@ object LlmQueries {
         |  FROM g a, g b WHERE a.doc_id < b.doc_id)
         |SELECT a_id, b_id, jaccard FROM p WHERE jaccard >= 0.8
         |ORDER BY a_id, b_id""".stripMargin,
+
+    // min-label connected components of the exact-jaccard pair graph:
+    // transitive closure by recursive CTE (the dup graph is pair-set-
+    // sized, so the closure is tiny), then MIN(reachable) per node;
+    // component minima label themselves and are filtered like the Spark
+    // side's id != cluster_id
+    "dedup_clusters" ->
+      """WITH RECURSIVE
+        | t AS (SELECT doc_id,
+        |   [x for x in regexp_split_to_array(lower(text), '[^a-z0-9]+') if x <> ''] AS w
+        |  FROM documents),
+        | g AS (SELECT doc_id,
+        |   list_distinct([w[i] || ' ' || w[i+1] || ' ' || w[i+2] for i in range(1, len(w) - 1)]) AS s
+        |  FROM t WHERE len(w) >= 3),
+        | p AS (SELECT a.doc_id AS a_id, b.doc_id AS b_id
+        |  FROM g a, g b WHERE a.doc_id < b.doc_id
+        |   AND CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
+        |       / len(list_distinct(list_concat(a.s, b.s))) >= 0.8),
+        | e AS (SELECT a_id AS src, b_id AS dst FROM p
+        |       UNION SELECT b_id, a_id FROM p),
+        | reach(id, r) AS (
+        |   SELECT src, src FROM e
+        |   UNION
+        |   SELECT reach.id, e.dst FROM reach JOIN e ON reach.r = e.src)
+        |SELECT id, MIN(r) AS cluster_id FROM reach GROUP BY id
+        |HAVING id <> MIN(r) ORDER BY id""".stripMargin,
 
     "dedup_embedding" ->
       """WITH e AS (SELECT vec_id, [CAST(x AS DOUBLE) for x in embedding] AS v FROM embeddings),
