@@ -22,18 +22,27 @@ object Bench {
     val wanted = args.toSet
     val selected = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (n, _) => wanted.isEmpty || wanted(n) }
+    // Iterative (loop-driven) queries run one Spark job per round, so a
+    // single transient stall multiplies into the recorded time; bench
+    // them 3x and report the median so the artifact describes the plan,
+    // not one run's noise.
+    val iterative = Set("dedup_clusters")
     val results = selected.map { case (name, fn) =>
       // Untimed warmup at the smallest SF: compiles the query's generated
       // code + loads classes so the timed run measures execution, not
       // first-use JIT/codegen (worth 1-4s per query pattern otherwise).
       try fn(spark, warmupDir).write.format("noop").mode("overwrite").save()
       catch { case _: Throwable => () }
-      val t0 = System.nanoTime()
-      try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
-      catch { case e: Throwable =>
-        System.err.println(s"[bench] $name failed: ${e.getMessage}")
+      def once(): Double = {
+        val t0 = System.nanoTime()
+        try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
+        catch { case e: Throwable =>
+          System.err.println(s"[bench] $name failed: ${e.getMessage}")
+        }
+        (System.nanoTime() - t0) / 1e9
       }
-      name -> (System.nanoTime() - t0) / 1e9
+      val times = Seq.fill(if (iterative(name)) 3 else 1)(once()).sorted
+      name -> times(times.size / 2)
     }
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")

@@ -295,18 +295,31 @@ object Dedup {
       .withColumn("cluster_id", col("id")).localCheckpoint()
     var round = 0
     var converged = false
+    val spark = pairs.sparkSession
     while (!converged && round < maxRounds) {
       val nbrMin = edges
         .join(labels.withColumnRenamed("id", "dst"), "dst")
         .groupBy("src").agg(min("cluster_id").as("nbr_min"))
         .withColumnRenamed("src", "id")
-      val next = labels.join(nbrMin, Seq("id"), "left")
+      val stepped = labels.join(nbrMin, Seq("id"), "left")
         .select(col("id"),
           least(col("cluster_id"), coalesce(col("nbr_min"), col("cluster_id")))
             .as("cluster_id"),
-          (col("nbr_min") < col("cluster_id")).as("__changed"))
+          coalesce(col("nbr_min") < col("cluster_id"), lit(false)).as("__changed"))
+      // Convergence is counted DURING the eager checkpoint materialisation
+      // (accumulator bumped as each label row streams through), so every
+      // round is exactly ONE driver-blocking job. The previous shape —
+      // checkpoint, then a second isEmpty probe over the checkpointed
+      // blocks — ran two actions per round, and the loop amplified any
+      // transient executor/disk stall by 2x the round count. Task retries
+      // can only OVERcount the accumulator; we test ==0, so convergence
+      // stays exact.
+      val changed = spark.sparkContext.longAccumulator(s"graft.cc.changed.r$round")
+      val enc = org.apache.spark.sql.Encoders.row(stepped.schema)
+      val next = stepped
+        .map { r => if (r.getBoolean(2)) changed.add(1L); r }(enc)
         .localCheckpoint()
-      converged = next.where(col("__changed")).limit(1).isEmpty
+      converged = changed.value == 0L
       labels = next.drop("__changed")
       round += 1
     }

@@ -13,23 +13,12 @@ import org.apache.spark.sql.functions._
   * lives in [[graft.functions.saltKey]]; this adds the join form. */
 object Skew {
 
-  /** Salted equi-join on `key`: the big (skewed) side gets a
-    * deterministic per-row salt in [0, buckets), the small side is
-    * replicated once per salt value, and the join runs on (key, salt) —
-    * a hot key's rows spread over `buckets` shuffle partitions instead
-    * of one straggler task. Cost: small side × buckets, so size the
-    * bucket count to the skew factor, not higher. Row-deterministic
-    * salt (hash of the big side's row) keeps retried tasks identical.
-    *
-    * Inner and left joins only: a right/full join would need unmatched
-    * replicated rows deduplicated back. */
   /** Skew diagnosis: per-key row counts with each key's share of the
     * table and its skew factor (count / mean count across keys) for the
     * top `topK` heaviest keys. The number a capacity review wants before
     * choosing between AQE, salting, or a broadcast — one grouped
     * aggregate plus a single-row mean broadcast, cheap at any scale. */
   def report(df: DataFrame, keyCol: String, topK: Int = 20): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     val counts = df.groupBy(keyCol).agg(count(lit(1)).as("n_rows"))
     val stats = counts.agg(
       sum("n_rows").as("total_rows"),
@@ -43,11 +32,35 @@ object Skew {
         round(col("n_rows") * col("n_keys") / col("total_rows"), 6))
       .orderBy(col("n_rows").desc, col(keyCol))
       .limit(topK)
-    top.withColumn("rk",
-        row_number().over(Window.orderBy(col("n_rows").desc, col(keyCol))).cast("long"))
-      .select(keyCol, "n_rows", "share", "skew_factor", "rk")
+    // rank the ≤topK survivors without a WindowExec: a global window
+    // (even one partitioned by a constant — the optimizer folds that
+    // away) logs the "No Partition Defined" warning on every run, which
+    // drowns real warnings in bench logs. Instead fold the ≤topK rows
+    // into ONE array, sort it (negated count ⇒ descending, then key),
+    // and posexplode — the position IS the rank, and the single-row
+    // aggregate is exactly the data movement a 20-row ranking needs.
+    top
+      .agg(sort_array(collect_list(struct(
+        (-col("n_rows")).as("__neg_n"), col(keyCol).as("__k"),
+        col("n_rows").as("__n"), col("share").as("__share"),
+        col("skew_factor").as("__sf")))).as("__xs"))
+      .select(posexplode(col("__xs")).as(Seq("__pos", "__x")))
+      .select(
+        col("__x.__k").as(keyCol), col("__x.__n").as("n_rows"),
+        col("__x.__share").as("share"), col("__x.__sf").as("skew_factor"),
+        (col("__pos") + 1).cast("long").as("rk"))
   }
 
+  /** Salted equi-join on `key`: the big (skewed) side gets a
+    * deterministic per-row salt in [0, buckets), the small side is
+    * replicated once per salt value, and the join runs on (key, salt) —
+    * a hot key's rows spread over `buckets` shuffle partitions instead
+    * of one straggler task. Cost: small side × buckets, so size the
+    * bucket count to the skew factor, not higher. Row-deterministic
+    * salt (hash of the big side's row) keeps retried tasks identical.
+    *
+    * Inner and left joins only: a right/full join would need unmatched
+    * replicated rows deduplicated back. */
   def saltedJoin(big: DataFrame, small: DataFrame, key: String,
                  buckets: Int = 8, joinType: String = "inner"): DataFrame = {
     require(joinType == "inner" || joinType == "left",
