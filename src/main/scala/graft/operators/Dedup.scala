@@ -361,19 +361,7 @@ object Dedup {
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val setsEx = shingleHashSets(existing)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    def buckets(sets: DataFrame): DataFrame = {
-      val hashed = sets.select(col("doc_id"), explode(col("shash")).as("h64"))
-        .select(col("doc_id"), col("h64").bitwiseAND(lit(0x7FFFFFFFL)).as("h"))
-      val mins = minhashCoeffs(k).zipWithIndex.map { case ((a, b), i) =>
-        min(pmod(col("h") * lit(a) + lit(b), lit(minhashPrime))).as(s"mh_$i")
-      }
-      val sig = hashed.groupBy("doc_id").agg(mins.head, mins.tail.toIndexedSeq: _*)
-      val bandCols = (0 until bands).map { bnd =>
-        hash(lit(bnd) +: (0 until rowsPerBand).map(r => col(s"mh_${bnd * rowsPerBand + r}")): _*)
-      }
-      sig.select(col("doc_id").as("id"), explode(array(bandCols: _*)).as("bucket"))
-    }
-    val bIn = buckets(setsIn)
+    val bIn = bandBuckets(setsIn, k, bands)
     def verify(cand: DataFrame, aSets: DataFrame, bSets: DataFrame): DataFrame =
       cand
         .join(aSets.select(col("doc_id").as("a_id"), col("shash").as("sh_a")), "a_id")
