@@ -141,6 +141,29 @@ object Dedup {
       .select("a_id", "b_id", "jaccard")
   }
 
+  /** LSH band buckets straight from a shingle-hash-set table
+    * ((doc_id, shash) -> one (id, bucket) row per band): signature
+    * aggregated from the exploded hashes, cut into `bands` bands of
+    * k/bands rows. Factored out so the batch pipeline and BOTH sides of
+    * the incremental cross-corpus probe bucket identically — a stored
+    * bucket table built here is probe-compatible with any increment
+    * (same coefficients, same band hash), which is what makes durable
+    * near-dup state possible: build once as docs are admitted, probe
+    * forever ([[nearDupStateStep]]). */
+  def bandBuckets(sets: DataFrame, k: Int = 128, bands: Int = 32): DataFrame = {
+    val rowsPerBand = k / bands
+    val hashed = sets.select(col("doc_id"), explode(col("shash")).as("h64"))
+      .select(col("doc_id"), col("h64").bitwiseAND(lit(0x7FFFFFFFL)).as("h"))
+    val mins = minhashCoeffs(k).zipWithIndex.map { case ((a, b), i) =>
+      min(pmod(col("h") * lit(a) + lit(b), lit(minhashPrime))).as(s"mh_$i")
+    }
+    val sig = hashed.groupBy("doc_id").agg(mins.head, mins.tail.toIndexedSeq: _*)
+    val bandCols = (0 until bands).map { bnd =>
+      hash(lit(bnd) +: (0 until rowsPerBand).map(r => col(s"mh_${bnd * rowsPerBand + r}")): _*)
+    }
+    sig.select(col("doc_id").as("id"), explode(array(bandCols: _*)).as("bucket"))
+  }
+
   /** Full near-dup pipeline: LSH candidates -> exact Jaccard filter.
     * The shingle-set table feeds three consumers — the signature
     * aggregation and both sides of the verify join — whose exchanges
@@ -371,7 +394,7 @@ object Dedup {
             size(array_union(col("sh_a"), col("sh_b"))), 6))
         .where(col("jaccard") >= threshold)
     val candCross = bIn.as("i")
-      .join(buckets(setsEx).as("e"), col("i.bucket") === col("e.bucket"))
+      .join(bandBuckets(setsEx, k, bands).as("e"), col("i.bucket") === col("e.bucket"))
       .select(col("i.id").as("a_id"), col("e.id").as("b_id")).distinct()
     val candSelf = bIn.as("a")
       .join(bIn.as("b"), col("a.bucket") === col("b.bucket") && col("a.id") < col("b.id"))
@@ -383,6 +406,57 @@ object Dedup {
     setsIn.unpersist(false)
     setsEx.unpersist(false)
     incoming.join(dropped, Seq("doc_id"), "left_anti")
+  }
+
+  /** One increment step against STORED near-dup state — the streaming /
+    * daily form of [[nearDupIncrement]] where the corpus side is never
+    * re-shingled: `existingSets` ((doc_id, shash)) and `existingBuckets`
+    * ((id, bucket), built by [[bandBuckets]] with the same k/bands) are
+    * durable tables the caller appends to as documents are admitted.
+    * Each step hashes ONLY the increment, probes the stored bucket
+    * table for cross-corpus candidates, pairs within itself for
+    * in-batch candidates, and exact-Jaccard-verifies both — so at
+    * 100 TB the per-step cost tracks the increment and its bucket
+    * collisions, while history contributes a bucket equi-join and a
+    * candidate-only shingle-set lookup.
+    *
+    * Returns (survivors, survivorSets, survivorBuckets); the caller
+    * appends the last two to the durable state. All three are eagerly
+    * materialised (localCheckpoint) so the increment's shingle pass has
+    * already run exactly once when this returns. */
+  def nearDupStateStep(existingSets: DataFrame, existingBuckets: DataFrame,
+                       incoming: DataFrame, threshold: Double = 0.8,
+                       k: Int = 128, bands: Int = 32)
+      : (DataFrame, DataFrame, DataFrame) = {
+    val setsIn = shingleHashSets(incoming)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val bIn = bandBuckets(setsIn, k, bands)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    def verify(cand: DataFrame, aSets: DataFrame, bSets: DataFrame): DataFrame =
+      cand
+        .join(aSets.select(col("doc_id").as("a_id"), col("shash").as("sh_a")), "a_id")
+        .join(bSets.select(col("doc_id").as("b_id"), col("shash").as("sh_b")), "b_id")
+        .withColumn("jaccard", round(
+          size(array_intersect(col("sh_a"), col("sh_b"))) /
+            size(array_union(col("sh_a"), col("sh_b"))), 6))
+        .where(col("jaccard") >= threshold)
+    val candCross = bIn.as("i")
+      .join(existingBuckets.as("e"), col("i.bucket") === col("e.bucket"))
+      .select(col("i.id").as("a_id"), col("e.id").as("b_id")).distinct()
+    val candSelf = bIn.as("a")
+      .join(bIn.as("b"), col("a.bucket") === col("b.bucket") && col("a.id") < col("b.id"))
+      .select(col("a.id").as("a_id"), col("b.id").as("b_id")).distinct()
+    val dropped = verify(candCross, setsIn, existingSets).select(col("a_id").as("doc_id"))
+      .unionByName(verify(candSelf, setsIn, setsIn).select(col("b_id").as("doc_id")))
+      .distinct()
+      .localCheckpoint()
+    val survivors = incoming.join(dropped, Seq("doc_id"), "left_anti").localCheckpoint()
+    val survivorSets = setsIn.join(dropped, Seq("doc_id"), "left_anti").localCheckpoint()
+    val survivorBuckets = bIn
+      .join(dropped, bIn("id") === dropped("doc_id"), "left_anti").localCheckpoint()
+    setsIn.unpersist(false)
+    bIn.unpersist(false)
+    (survivors, survivorSets, survivorBuckets)
   }
 
   /** Incremental exact dedup — the daily-drop form: dedup `incoming`

@@ -112,6 +112,46 @@ object EventStream {
         ()
       }
 
+  /** Streaming corpus ingestion with ALL-HISTORY near-dup dedup: the
+    * near-duplicate counterpart of [[dedupIngestSink]]. Each micro-batch
+    * is shingled once, probes the DURABLE band-bucket table
+    * ([[graft.operators.Dedup.nearDupStateStep]]) for candidates
+    * against everything ever admitted, exact-Jaccard-verifies them, and
+    * appends the survivors' text to the corpus and their shingle-set +
+    * bucket rows to the state — history text is never re-shingled, so
+    * per-batch cost tracks the batch and its bucket collisions, not the
+    * corpus. State is parquet, not executor memory: the right trade for
+    * corpus ingest where a near-duplicate can arrive months later, far
+    * past any watermark. Replay safety: a replayed batch's docs collide
+    * with their own stored buckets at Jaccard 1.0 and drop (docs too
+    * short to shingle are the one exception — exact-dedup those with
+    * [[dedupIngestSink]] semantics upstream if they matter). */
+  def nearDupIngestSink(stream: DataFrame, corpusDir: String, stateDir: String,
+                        checkpoint: String, threshold: Double = 0.8)
+      : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+    stream.writeStream
+      .option("checkpointLocation", checkpoint)
+      .outputMode("append")
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val spark = batch.sparkSession
+        val setsDir = s"$stateDir/shingle_sets"
+        val bktDir = s"$stateDir/band_buckets"
+        val fs = new org.apache.hadoop.fs.Path(stateDir)
+          .getFileSystem(spark.sparkContext.hadoopConfiguration)
+        val hasState = fs.exists(new org.apache.hadoop.fs.Path(setsDir))
+        // first batch bootstraps from an empty state with the same schema
+        val emptySets = graft.operators.Dedup.shingleHashSets(batch.limit(0))
+        val (exSets, exBkts) =
+          if (hasState) (spark.read.parquet(setsDir), spark.read.parquet(bktDir))
+          else (emptySets, graft.operators.Dedup.bandBuckets(emptySets))
+        val (kept, keptSets, keptBuckets) =
+          graft.operators.Dedup.nearDupStateStep(exSets, exBkts, batch, threshold)
+        kept.write.mode("append").parquet(corpusDir)
+        keptSets.write.mode("append").parquet(setsDir)
+        keptBuckets.write.mode("append").parquet(bktDir)
+        ()
+      }
+
   /** Stream-stream interval join: each left event pairs with right
     * events for the same key within `[left.ts, left.ts + within]`. Both
     * sides carry watermarks + the time-range predicate, so the engine

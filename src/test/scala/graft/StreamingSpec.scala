@@ -144,6 +144,32 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming near-dup ingest drops near-duplicates arriving in later batches") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Long, String)]
+    val base = java.nio.file.Files.createTempDirectory("graft_neardup_ingest").toString
+    val q = EventStream.nearDupIngestSink(mem.toDF().toDF("doc_id", "text"),
+      s"$base/corpus", s"$base/state", s"$base/ckpt", threshold = 0.8).start()
+    val words = (0 until 40).map(i => s"alpha$i").mkString(" ")
+    val nearDup = (0 until 40).map(i => if (i == 20) "CHANGED" else s"alpha$i").mkString(" ")
+    val other = (0 until 40).map(i => s"beta$i").mkString(" ")
+    val novel = (0 until 40).map(i => s"gamma$i").mkString(" ")
+    try {
+      mem.addData((1L, words), (2L, other))
+      q.processAllAvailable()
+      // 3 = near-dup of doc 1 from an EARLIER batch; 4 = novel;
+      // 5 = in-batch near-dup of 4 (larger id loses)
+      mem.addData((3L, nearDup), (4L, novel), (5L, novel + " tail"))
+      q.processAllAvailable()
+      val ids = spark.read.parquet(s"$base/corpus")
+        .select("doc_id").as[Long].collect().toSet
+      assert(ids == Set(1L, 2L, 4L))
+      // durable state covers exactly the admitted docs
+      assert(spark.read.parquet(s"$base/state/shingle_sets")
+        .select("doc_id").as[Long].collect().toSet == Set(1L, 2L, 4L))
+    } finally q.stop()
+  }
+
   test("stream-stream interval join bounds state with watermarks; matches batch") {
     implicit val sqlCtx = spark.sqlContext
     val clicks = MemoryStream[(Long, Timestamp, Long)]
