@@ -151,6 +151,171 @@ object Similarity {
       .select(col("q_id"), col("vec_id").as("n_id"), col("rank"), col("cos_sim"))
   }
 
+  // ---- IVF-PQ: product-quantized cell residuals ----
+
+  /** PQ codebooks trained on IVF cell residuals: `m` subspaces of
+    * dim/m, `kSub` centroids each, Lloyd-refined from deterministic
+    * seed rows. ALL subspaces train in one typed pass per iteration —
+    * each task folds its rows into m x kSub (sum, count) accumulators
+    * and emits at most m x kSub tiny rows, so per iteration the shuffle
+    * carries codebook-sized data and only the m x kSub x dim/m codebook
+    * matrix reaches the driver. The corpus never leaves the executors. */
+  private def trainPqCodebooks(residuals: DataFrame, init: Array[Array[Array[Double]]],
+                               m: Int, kSub: Int, subDim: Int,
+                               iterations: Int = 3): Array[Array[Array[Double]]] = {
+    val spark = residuals.sparkSession
+    import spark.implicits._
+    var cb = init
+    (0 until iterations).foreach { _ =>
+      val bc = spark.sparkContext.broadcast(cb)
+      val updated = residuals.select("r").as[Array[Double]]
+        .mapPartitions { it =>
+          val sums = Array.ofDim[Double](m * kSub, subDim)
+          val counts = new Array[Long](m * kSub)
+          it.foreach { r =>
+            var i = 0
+            while (i < m) {
+              val idx = i * kSub + nearestSub(r, i * subDim, bc.value(i), subDim)
+              counts(idx) += 1
+              var d = 0
+              while (d < subDim) { sums(idx)(d) += r(i * subDim + d); d += 1 }
+              i += 1
+            }
+          }
+          (0 until m * kSub).iterator
+            .filter(counts(_) > 0)
+            .map(x => (x, sums(x), counts(x)))
+        }
+        .groupByKey(_._1)
+        .reduceGroups { (a, b) =>
+          val s = new Array[Double](subDim)
+          var d = 0
+          while (d < subDim) { s(d) = a._2(d) + b._2(d); d += 1 }
+          (a._1, s, a._3 + b._3)
+        }
+        .map { case (x, (_, s, n)) => (x, s.map(_ / n)) }
+        .collect().toMap
+      cb = Array.tabulate(m, kSub)((i, j) => updated.getOrElse(i * kSub + j, cb(i)(j)))
+      bc.destroy()
+    }
+    cb
+  }
+
+  /** argmin_j L2(r[from..from+subDim), codebook(j)) — tight loop, no
+    * allocation; ties break to the lower index for determinism. */
+  private def nearestSub(r: Array[Double], from: Int,
+                         codebook: Array[Array[Double]], subDim: Int): Int = {
+    var best = 0; var bestD = Double.MaxValue; var j = 0
+    while (j < codebook.length) {
+      val c = codebook(j); var d2 = 0.0; var d = 0
+      while (d < subDim) { val x = r(from + d) - c(d); d2 += x * x; d += 1 }
+      if (d2 < bestD) { bestD = d2; best = j }
+      j += 1
+    }
+    best
+  }
+
+  /** IVF-PQ ANN top-k: IVF coarse cells bound the candidate set
+    * (as [[knnIvf]]), but the candidate join ships `m` small PQ codes
+    * + one norm per vector instead of dim doubles — at 100 TB that is
+    * the difference between shuffling the corpus matrix and shuffling
+    * ~1/32nd of it. Scoring uses the inner-product decomposition
+    * dot(q, v) ≈ dot(q, centroid_cell) + Σᵢ LUTᵢ[codeᵢ] where
+    * LUTᵢ[j] = dot(q_subᵢ, codebookᵢⱼ) is computed ONCE per query (not
+    * per candidate), then the top `refine`·k approx candidates per
+    * query are re-ranked with exact cosine so the output quality
+    * tracks the candidate set, not the quantization error. */
+  def knnIvfPq(emb: DataFrame, isQuery: Column, k: Int = 10,
+               centroidsK: Int = 16, nprobe: Int = 4, m: Int = 8,
+               kSub: Int = 16, refine: Int = 5, dim: Int = 64): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val spark = emb.sparkSession
+    import spark.implicits._
+    require(dim % m == 0, s"dim=$dim not divisible by m=$m subspaces")
+    val subDim = dim / m
+    val e = prepared(emb)
+    val centroids = trainIvfCentroids(e, centroidsK, dim = dim)
+    val centArr = centroids.toArray
+    val bcCent = spark.sparkContext.broadcast(centArr)
+    // residuals r = v - centroid(cell), computed once and reused by PQ
+    // training and encoding (the two passes that need them)
+    val assigned = assignToCentroid(e, centroids)
+      .select(col("vec_id"), col("centroid_id"), col("v"), col("norm"))
+      .as[(Long, Int, Array[Double], Double)]
+      .map { case (id, cid, v, norm) =>
+        val c = bcCent.value(cid)
+        val r = new Array[Double](dim)
+        var d = 0
+        while (d < dim) { r(d) = v(d) - c(d); d += 1 }
+        (id, cid, r, norm)
+      }
+      .toDF("vec_id", "centroid_id", "r", "norm")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // deterministic seeds: kSub pseudo-random residual rows, sliced per
+    // subspace (same xxhash64 trick as the IVF init — no RNG)
+    val seeds = assigned
+      .orderBy(xxhash64(col("vec_id"), lit(1)), col("vec_id"))
+      .limit(kSub)
+      .select("r").as[Array[Double]].collect()
+    val init = Array.tabulate(m, kSub)((i, j) =>
+      seeds(j % seeds.length).slice(i * subDim, (i + 1) * subDim))
+    val cb = trainPqCodebooks(assigned, init, m, kSub, subDim)
+    val bcCb = spark.sparkContext.broadcast(cb)
+    // corpus -> (vec_id, centroid_id, codes[m], norm): the compact form
+    // a real deployment would PERSIST as the index table
+    val codes = assigned
+      .select(col("vec_id"), col("centroid_id"), col("r"), col("norm"))
+      .as[(Long, Int, Array[Double], Double)]
+      .map { case (id, cid, r, norm) =>
+        (id, cid, Array.tabulate(m)(i => nearestSub(r, i * subDim, bcCb.value(i), subDim)), norm)
+      }
+      .toDF("vec_id", "centroid_id", "codes", "norm")
+    // query side: nprobe probes + the per-query LUT, one typed pass
+    val probes = e.where(isQuery)
+      .select(col("vec_id"), col("v"), col("norm"))
+      .as[(Long, Array[Double], Double)]
+      .flatMap { case (qid, qv, qnorm) =>
+        val lut: Seq[Seq[Double]] = (0 until m).map { i =>
+          (0 until kSub).map { j =>
+            val c = bcCb.value(i)(j); var s = 0.0; var d = 0
+            while (d < subDim) { s += qv(i * subDim + d) * c(d); d += 1 }
+            s
+          }
+        }
+        val cellScores = bcCent.value.indices.map { ci =>
+          val c = bcCent.value(ci); var s = 0.0; var d = 0
+          while (d < dim) { s += qv(d) * c(d); d += 1 }
+          (s, ci)
+        }
+        cellScores.sortBy { case (s, ci) => (-s, ci) }.take(nprobe)
+          .map { case (qDotC, ci) => (qid, qnorm, ci, qDotC, lut) }
+      }
+      .toDF("q_id", "qnorm", "centroid_id", "q_dot_c", "lut")
+    val scored = probes.join(codes, "centroid_id")
+      .where(col("q_id") =!= col("vec_id"))
+      .withColumn("approx_sim",
+        (col("q_dot_c") + aggregate(
+          zip_with(col("lut"), col("codes"), (l, c) => element_at(l, c + 1)),
+          lit(0.0), (acc, x) => acc + x)) / (col("qnorm") * col("norm")))
+    val wA = Window.partitionBy("q_id").orderBy(col("approx_sim").desc, col("vec_id"))
+    val cands = scored.withColumn("__ar", row_number().over(wA))
+      .where(col("__ar") <= k * refine)
+      .select("q_id", "vec_id")
+      .localCheckpoint() // materialise before releasing the residual cache
+    assigned.unpersist(false)
+    // exact re-rank of the refine budget: true vectors join back only
+    // for the ~refine*k survivors per query
+    val rescored = cands
+      .join(e.select(col("vec_id").as("q_id"), col("v").as("qv"), col("norm").as("qnorm")), "q_id")
+      .join(e, "vec_id")
+      .withColumn("cos_sim", round(
+        cosineWithNorms(dotProduct(col("qv"), col("v")), col("qnorm"), col("norm")), 6))
+    val w = Window.partitionBy("q_id").orderBy(col("cos_sim").desc, col("vec_id"))
+    rescored.withColumn("rank", row_number().over(w).cast("long"))
+      .where(col("rank") <= k)
+      .select(col("q_id"), col("vec_id").as("n_id"), col("rank"), col("cos_sim"))
+  }
+
   /** LSH-bucketed approximate top-k: candidates = corpus vectors sharing
     * any (table, bucket) with the query; exact cosine re-rank within the
     * candidate set. Recall is tunable via tables × bits (more tables =

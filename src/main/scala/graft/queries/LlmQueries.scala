@@ -46,6 +46,11 @@ object LlmQueries {
       Similarity.knnIvf(emb(s, d), col("vec_id") < 10, k = 10)
         .orderBy("q_id", "rank")),
 
+    // rows-only: trained centroids/codebooks not replicated in SQL
+    "knn_ivfpq" -> ((s, d) =>
+      Similarity.knnIvfPq(emb(s, d), col("vec_id") < 10, k = 10)
+        .orderBy("q_id", "rank")),
+
     "text_tokens" -> ((s, d) =>
       TextAnalysis.tokenCounts(docs(s, d))
         .select("doc_id", "ws_tokens", "bpe_tokens", "n_chars_calc")

@@ -107,6 +107,30 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(recall >= 0.3, s"ANN recall $recall vs brute") // 8 tables x 4 bits on 500 vecs
   }
 
+  test("knnIvfPq: shipping codes costs ~no recall vs the vector-shipping IVF path") {
+    val emb = spark.read.parquet(s"$docsDir/embeddings.parquet")
+    val brute = Similarity.knnBrute(emb, col("vec_id") < 5, k = 10)
+      .select("q_id", "n_id").as[(Long, Long)].collect().toSet
+    // random test vectors have near-zero cosine margins — the hardest
+    // regime for PQ ranking — so spend the knobs accuracy buys: finer
+    // sub-codebooks + a deeper exact re-rank of the SAME candidate set.
+    // The yardstick is knnIvf at IDENTICAL (centroidsK, nprobe): the two
+    // paths see the same candidates, so any recall gap is pure
+    // quantization loss (PQ can never out-recall the cells it probes).
+    val pq = Similarity.knnIvfPq(emb, col("vec_id") < 5, k = 10,
+      centroidsK = 8, nprobe = 4, m = 16, kSub = 32, refine = 10)
+      .select("q_id", "n_id").as[(Long, Long)].collect().toSet
+    val ivf = Similarity.knnIvf(emb, col("vec_id") < 5, k = 10,
+      centroidsK = 8, nprobe = 4)
+      .select("q_id", "n_id").as[(Long, Long)].collect().toSet
+    val recallPq = pq.intersect(brute).size.toDouble / brute.size
+    val recallIvf = ivf.intersect(brute).size.toDouble / brute.size
+    assert(pq.size == brute.size) // still a full top-k per query
+    assert(recallPq >= 0.5, s"IVF-PQ recall $recallPq vs brute")
+    assert(recallPq >= recallIvf - 0.05,
+      s"quantization lost recall: IVF-PQ $recallPq vs IVF $recallIvf")
+  }
+
   test("connected components close duplicate chains that pairs alone miss") {
     // chain 1-2-3 (one cluster), pair 5-6, singletons 4 and 7
     val pairs = Seq((1L, 2L), (2L, 3L), (5L, 6L)).toDF("a_id", "b_id")
