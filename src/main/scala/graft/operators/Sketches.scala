@@ -30,52 +30,118 @@ object Sketches {
     * column per requested fraction, named `p50`/`p90`/... Rounded to 6
     * decimals so the result is bit-stable across engines.
     *
-    * All fractions go through ONE `percentile(col, array(...))` aggregate:
-    * exact percentiles buffer the group's value multiset in the
-    * aggregation state, and N separate percentile calls would build and
-    * merge N copies of that buffer (measured 5x slower for 5 fractions).
-    * Computed rank-based, NOT via Spark's `percentile` aggregate: that
-    * aggregate is a TypedImperativeAggregate whose buffer is an
-    * OpenHashMap of BOXED values — every row boxes, every partition's
-    * map serializes whole into the shuffle, and eval sorts the merged
-    * map outside codegen. Instead this sorts each group once with a
-    * Tungsten window sort (`row_number`), keeps ONLY the ≤2 rows per
-    * fraction whose ranks bracket the target position, and interpolates
-    * in a final tiny aggregate. Everything stays in whole-stage codegen
-    * over primitive doubles; the shuffle carries the rows themselves
-    * (columnar, spillable) rather than serialized hash maps.
+    * Computed as a DISTRIBUTED RANK (TeraSort shape), not a per-group
+    * sort: a per-group window sort (and equally Spark's `percentile`
+    * aggregate, whose boxed-OpenHashMap buffer is worse still) funnels
+    * every row of a group through ONE task — the thing that makes an
+    * exact 100 TB percentile land on one node. Here instead:
     *
-    * Scale note: EXACT percentiles inherently concentrate each group on
-    * one task (here: the window sort; in the aggregate form: the merged
-    * buffer) — either way a 100 TB global percentile lands on one node,
-    * which is why [[approxPercentiles]] is the documented scale path. */
+    *  1. range-repartition on (group, value) and sort WITHIN partitions
+    *     — each task sorts ~rows/P rows regardless of group sizes;
+    *  2. a streaming count of rows per (partition, group) — P x groups
+    *     rows reach the driver, giving every partition's global rank
+    *     offset and every group's n (hence the exact target ranks
+    *     floor/ceil of pos = 1 + p*(n-1));
+    *  3. a narrow second pass streams each sorted partition, adds the
+    *     broadcast offset to the local index, and emits ONLY the rows
+    *     whose global rank is a target — ≤ 2 x fractions rows per
+    *     group — which a final tiny aggregate interpolates.
+    *
+    * Passes 2 and 3 run over the SAME RDD, so the range shuffle is
+    * planned once: pass 3 reuses pass 2's shuffle files (a skipped
+    * stage) and therefore sees identical partition boundaries — no
+    * checkpoint, no re-sample, no second sort.
+    *
+    * Equal values are interchangeable at equal ranks, so the sampled
+    * (deterministically seeded) range boundaries never affect the
+    * result. [[approxPercentiles]] remains the one-pass sketch
+    * alternative when a rank error of n/accuracy is acceptable. */
   def percentiles(df: DataFrame, valueCol: String, groupCols: Seq[String],
                   fractions: Seq[Double] = Seq(0.25, 0.5, 0.75, 0.9, 0.99))
       : DataFrame = {
-    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types.{DoubleType, IntegerType, StructField, StructType}
+    val spark = df.sparkSession
     val gcols = groupCols.map(col)
+    val nGroup = groupCols.size
     val base = df
       .select(gcols :+ col(valueCol).cast("double").as("__v"): _*)
       .where(col("__v").isNotNull)
-    val w = Window.partitionBy(gcols: _*).orderBy(col("__v"))
-    // one sort per group yields both the rank and the group size, so no
-    // separate count+join pass is needed
-    val ranked = base
-      .withColumn("__rn", row_number().over(w))
-      .withColumn("__n", count(lit(1)).over(Window.partitionBy(gcols: _*)))
-    // target position for fraction p is pos = 1 + p*(n-1); only the rows
-    // at floor(pos)/ceil(pos) for SOME fraction survive the filter
-    def pos(p: Double): Column = lit(1d) + lit(p) * (col("__n") - 1).cast("double")
-    val keep = fractions
-      .map(p => col("__rn") === floor(pos(p)) || col("__rn") === ceil(pos(p)))
-      .reduce(_ || _)
-    val interp = fractions.map { p =>
-      val lo = max(when(col("__rn") === floor(pos(p)), col("__v")))
-      val hi = max(when(col("__rn") === ceil(pos(p)), col("__v")))
-      val frac = first(pos(p) - floor(pos(p)).cast("double"))
+    val parts = spark.sessionState.conf.numShufflePartitions
+    val sortedRdd = base
+      .repartitionByRange(parts, gcols :+ col("__v"): _*)
+      .sortWithinPartitions(gcols :+ col("__v"): _*)
+      .rdd
+    // pass 2: per-(partition, group) counts — group runs are contiguous
+    // in the sorted partitions, so a running counter suffices
+    val cntRows = sortedRdd.mapPartitionsWithIndex { (pid, it) =>
+      val buf = scala.collection.mutable.LinkedHashMap[Seq[Any], Long]()
+      it.foreach { r =>
+        val gk = (0 until nGroup).map(r.get)
+        buf(gk) = buf.getOrElse(gk, 0L) + 1L
+      }
+      buf.iterator.map { case (gk, c) => (pid, gk, c) }
+    }.collect()
+    val byGroup = cntRows.groupBy(_._2)
+    val offsets: Map[(Int, Seq[Any]), Long] = byGroup.flatMap { case (gk, rows) =>
+      var acc = 0L
+      rows.sortBy(_._1).map { case (pid, _, c) =>
+        val start = acc; acc += c; (pid, gk) -> start
+      }
+    }
+    // exact target ranks per group from n; frac is pos - floor(pos)
+    val targets: Map[Seq[Any], Map[Long, Seq[(Int, Int, Double)]]] =
+      byGroup.map { case (gk, rows) =>
+        val n = rows.map(_._3).sum
+        val m = scala.collection.mutable.Map[Long, List[(Int, Int, Double)]]()
+        fractions.zipWithIndex.foreach { case (p, i) =>
+          val pos = 1.0 + p * (n - 1)
+          val fl = math.floor(pos).toLong
+          val ce = math.ceil(pos).toLong
+          val frac = pos - fl
+          m(fl) = m.getOrElse(fl, Nil) :+ ((i, 0, frac))
+          m(ce) = m.getOrElse(ce, Nil) :+ ((i, 1, frac))
+        }
+        gk -> m.toMap
+      }
+    val bc = spark.sparkContext.broadcast((offsets, targets))
+    // pass 3: narrow streaming extraction — rank = partition offset +
+    // local index within the (contiguous, sorted) group run
+    val exRdd = sortedRdd.mapPartitions { it =>
+      val pid = org.apache.spark.TaskContext.getPartitionId()
+      val (offs, tgts) = bc.value
+      var curKey: Seq[Any] = null
+      var idx = 0L
+      var off = 0L
+      var rmap: Map[Long, Seq[(Int, Int, Double)]] = Map.empty
+      it.flatMap { r =>
+        val gk = (0 until nGroup).map(r.get)
+        if (gk != curKey) {
+          curKey = gk; idx = 0L
+          off = offs((pid, gk))
+          rmap = tgts(gk)
+        }
+        idx += 1
+        rmap.getOrElse(off + idx, Nil).map { case (i, role, frac) =>
+          // Seq[Any]: a bare Seq(i, role, frac, v) would infer
+          // Seq[Double] and silently widen the Int fields
+          Row.fromSeq(gk ++ Seq[Any](i, role, frac, r.getDouble(nGroup)))
+        }
+      }
+    }
+    val exSchema = StructType(
+      groupCols.map(c => base.schema(c)) ++ Seq(
+        StructField("__i", IntegerType, nullable = false),
+        StructField("__role", IntegerType, nullable = false),
+        StructField("__frac", DoubleType, nullable = false),
+        StructField("__v", DoubleType, nullable = false)))
+    val interp = fractions.zipWithIndex.map { case (p, i) =>
+      val lo = max(when(col("__i") === i && col("__role") === 0, col("__v")))
+      val hi = max(when(col("__i") === i && col("__role") === 1, col("__v")))
+      val frac = first(when(col("__i") === i, col("__frac")), ignoreNulls = true)
       round(lo + frac * (hi - lo), 6).as(pName(p))
     }
-    ranked.where(keep)
+    spark.createDataFrame(exRdd, exSchema)
       .groupBy(gcols: _*)
       .agg(interp.head, interp.tail: _*)
       .orderBy(gcols: _*)
