@@ -22,11 +22,12 @@ object Bench {
     val wanted = args.toSet
     val selected = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (n, _) => wanted.isEmpty || wanted(n) }
-    // Iterative (loop-driven) queries run one Spark job per round, so a
-    // single transient stall multiplies into the recorded time; bench
-    // them 3x and report the median so the artifact describes the plan,
-    // not one run's noise.
-    val iterative = Set("dedup_clusters")
+    // Iterative (loop-driven) queries run one Spark job per round — label
+    // propagation rounds, Lloyd training iterations — so a single
+    // transient stall multiplies into the recorded time; bench them 3x
+    // and report the median so the artifact describes the plan, not one
+    // run's noise.
+    val iterative = Set("dedup_clusters", "knn_ivf", "knn_ivfpq")
     val results = selected.map { case (name, fn) =>
       // Untimed warmup at the smallest SF: compiles the query's generated
       // code + loads classes so the timed run measures execution, not

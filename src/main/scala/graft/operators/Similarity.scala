@@ -68,49 +68,56 @@ object Similarity {
   def trainIvfCentroids(e: DataFrame, k: Int = 16, iterations: Int = 3,
                         dim: Int = 64): Seq[Array[Double]] = {
     import e.sparkSession.implicits._
-    // init: the k rows with the smallest xxhash64(vec_id) — a deterministic
-    // pseudo-random sample. sort+limit compiles to TakeOrderedAndProject
-    // (per-partition top-k, driver merges k rows), so unlike a global
-    // window/ntile no partition ever holds the whole corpus; at 100 TB
-    // every task does an O(rows · log k) heap pass and ships k vectors.
-    var centroids: Seq[Array[Double]] = e
-      .orderBy(xxhash64(col("vec_id")), col("vec_id"))
-      .limit(k)
-      .select("v").as[Array[Double]].collect().toSeq
-    (0 until iterations).foreach { _ =>
-      val assigned = assignToCentroid(e, centroids)
-      // Lloyd update as per-partition accumulation: each task folds its
-      // rows into k local (sum, count) accumulators and emits AT MOST k
-      // tiny rows — shuffle volume is k x dim doubles per partition, vs
-      // the dim x N exploded rows a posexplode+groupBy update ships. At
-      // 100 TB the update round-trips centroid-matrix-sized data only.
-      val kLocal = k
-      val updated = assigned
-        .select(col("centroid_id"), col("v")).as[(Int, Array[Double])]
-        .mapPartitions { it =>
-          val sums = Array.ofDim[Double](kLocal, dim)
-          val counts = new Array[Long](kLocal)
-          it.foreach { case (c, v) =>
-            counts(c) += 1
-            var i = 0
-            while (i < dim) { sums(c)(i) += v(i); i += 1 }
+    // Training runs 1 + iterations actions over e (init sample + one
+    // assign/update job per Lloyd round) — cache it for the loop's
+    // lifetime so each round reads the cached vectors instead of
+    // re-scanning (at 100 TB: re-reading the corpus per iteration).
+    val cached = e.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      // init: the k rows with the smallest xxhash64(vec_id) — a deterministic
+      // pseudo-random sample. sort+limit compiles to TakeOrderedAndProject
+      // (per-partition top-k, driver merges k rows), so unlike a global
+      // window/ntile no partition ever holds the whole corpus; at 100 TB
+      // every task does an O(rows · log k) heap pass and ships k vectors.
+      var centroids: Seq[Array[Double]] = cached
+        .orderBy(xxhash64(col("vec_id")), col("vec_id"))
+        .limit(k)
+        .select("v").as[Array[Double]].collect().toSeq
+      (0 until iterations).foreach { _ =>
+        val assigned = assignToCentroid(cached, centroids)
+        // Lloyd update as per-partition accumulation: each task folds its
+        // rows into k local (sum, count) accumulators and emits AT MOST k
+        // tiny rows — shuffle volume is k x dim doubles per partition, vs
+        // the dim x N exploded rows a posexplode+groupBy update ships. At
+        // 100 TB the update round-trips centroid-matrix-sized data only.
+        val kLocal = k
+        val updated = assigned
+          .select(col("centroid_id"), col("v")).as[(Int, Array[Double])]
+          .mapPartitions { it =>
+            val sums = Array.ofDim[Double](kLocal, dim)
+            val counts = new Array[Long](kLocal)
+            it.foreach { case (c, v) =>
+              counts(c) += 1
+              var i = 0
+              while (i < dim) { sums(c)(i) += v(i); i += 1 }
+            }
+            (0 until kLocal).iterator
+              .filter(counts(_) > 0)
+              .map(c => (c, sums(c), counts(c)))
           }
-          (0 until kLocal).iterator
-            .filter(counts(_) > 0)
-            .map(c => (c, sums(c), counts(c)))
-        }
-        .groupByKey(_._1)
-        .reduceGroups { (a, b) =>
-          val s = new Array[Double](dim)
-          var i = 0
-          while (i < dim) { s(i) = a._2(i) + b._2(i); i += 1 }
-          (a._1, s, a._3 + b._3)
-        }
-        .map { case (c, (_, s, n)) => (c, s.map(_ / n)) }
-        .collect().toMap
-      centroids = centroids.indices.map(i => updated.getOrElse(i, centroids(i)))
-    }
-    centroids
+          .groupByKey(_._1)
+          .reduceGroups { (a, b) =>
+            val s = new Array[Double](dim)
+            var i = 0
+            while (i < dim) { s(i) = a._2(i) + b._2(i); i += 1 }
+            (a._1, s, a._3 + b._3)
+          }
+          .map { case (c, (_, s, n)) => (c, s.map(_ / n)) }
+          .collect().toMap
+        centroids = centroids.indices.map(i => updated.getOrElse(i, centroids(i)))
+      }
+      centroids
+    } finally cached.unpersist(false)
   }
 
   /** Nearest (or top-`nprobe`) centroid assignment via a greatest-of-k
@@ -228,7 +235,6 @@ object Similarity {
   def knnIvfPq(emb: DataFrame, isQuery: Column, k: Int = 10,
                centroidsK: Int = 16, nprobe: Int = 4, m: Int = 8,
                kSub: Int = 16, refine: Int = 5, dim: Int = 64): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     val spark = emb.sparkSession
     import spark.implicits._
     require(dim % m == 0, s"dim=$dim not divisible by m=$m subspaces")
@@ -270,6 +276,31 @@ object Similarity {
         (id, cid, Array.tabulate(m)(i => nearestSub(r, i * subDim, bcCb.value(i), subDim)), norm)
       }
       .toDF("vec_id", "centroid_id", "codes", "norm")
+    // cands materialise inside pqSearch, so the residual cache can be
+    // released as soon as it returns
+    val out = pqSearch(e, codes, centArr, cb, isQuery, k, nprobe, refine, dim)
+    assigned.unpersist(false)
+    out
+  }
+
+  /** IVF-PQ search phase against an already-built codes table: probe
+    * nprobe cells per query, LUT-score the codes, exact-re-rank the
+    * refine budget. Shared by [[knnIvfPq]] (codes built in-flight) and
+    * [[searchIvfPqIndex]] (codes loaded from a stored index). The
+    * candidate top-`refine*k` is eagerly materialised (localCheckpoint)
+    * so callers may release whatever cache fed `codes`. */
+  private def pqSearch(e: DataFrame, codes: DataFrame,
+                       centArr: Array[Array[Double]],
+                       cb: Array[Array[Array[Double]]], isQuery: Column,
+                       k: Int, nprobe: Int, refine: Int, dim: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val spark = e.sparkSession
+    import spark.implicits._
+    val m = cb.length
+    val kSub = cb(0).length
+    val subDim = dim / m
+    val bcCent = spark.sparkContext.broadcast(centArr)
+    val bcCb = spark.sparkContext.broadcast(cb)
     // query side: nprobe probes + the per-query LUT, one typed pass
     val probes = e.where(isQuery)
       .select(col("vec_id"), col("v"), col("norm"))
@@ -301,8 +332,7 @@ object Similarity {
     val cands = scored.withColumn("__ar", row_number().over(wA))
       .where(col("__ar") <= k * refine)
       .select("q_id", "vec_id")
-      .localCheckpoint() // materialise before releasing the residual cache
-    assigned.unpersist(false)
+      .localCheckpoint()
     // exact re-rank of the refine budget: true vectors join back only
     // for the ~refine*k survivors per query
     val rescored = cands
@@ -314,6 +344,88 @@ object Similarity {
     rescored.withColumn("rank", row_number().over(w).cast("long"))
       .where(col("rank") <= k)
       .select(col("q_id"), col("vec_id").as("n_id"), col("rank"), col("cos_sim"))
+  }
+
+  /** Build and PERSIST the IVF-PQ index for `emb` at `dir`: three
+    * parquet tables — `centroids` (centroid_id, v), `codebooks`
+    * (subspace, code, v), and `codes` (vec_id, centroid_id, codes,
+    * norm). This is the deployment form: the corpus is encoded ONCE per
+    * build (the expensive training + encoding passes), and every later
+    * query batch probes the stored codes via [[searchIvfPqIndex]] —
+    * the same sketch-once/probe-forever economics as the dedup bucket
+    * tables and HLL sketch tables. At 100 TB the codes table is ~1/32nd
+    * the corpus matrix and is the ONLY per-candidate data a search
+    * shuffles. */
+  def buildIvfPqIndex(emb: DataFrame, dir: String, centroidsK: Int = 16,
+                      m: Int = 8, kSub: Int = 16, dim: Int = 64): Unit = {
+    val spark = emb.sparkSession
+    import spark.implicits._
+    require(dim % m == 0, s"dim=$dim not divisible by m=$m subspaces")
+    val subDim = dim / m
+    val e = prepared(emb)
+    val centroids = trainIvfCentroids(e, centroidsK, dim = dim)
+    val centArr = centroids.toArray
+    val bcCent = spark.sparkContext.broadcast(centArr)
+    val assigned = assignToCentroid(e, centroids)
+      .select(col("vec_id"), col("centroid_id"), col("v"), col("norm"))
+      .as[(Long, Int, Array[Double], Double)]
+      .map { case (id, cid, v, norm) =>
+        val c = bcCent.value(cid)
+        val r = new Array[Double](dim)
+        var d = 0
+        while (d < dim) { r(d) = v(d) - c(d); d += 1 }
+        (id, cid, r, norm)
+      }
+      .toDF("vec_id", "centroid_id", "r", "norm")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val seeds = assigned
+      .orderBy(xxhash64(col("vec_id"), lit(1)), col("vec_id"))
+      .limit(kSub)
+      .select("r").as[Array[Double]].collect()
+    val init = Array.tabulate(m, kSub)((i, j) =>
+      seeds(j % seeds.length).slice(i * subDim, (i + 1) * subDim))
+    val cb = trainPqCodebooks(assigned, init, m, kSub, subDim)
+    val bcCb = spark.sparkContext.broadcast(cb)
+    assigned
+      .select(col("vec_id"), col("centroid_id"), col("r"), col("norm"))
+      .as[(Long, Int, Array[Double], Double)]
+      .map { case (id, cid, r, norm) =>
+        (id, cid, Array.tabulate(m)(i => nearestSub(r, i * subDim, bcCb.value(i), subDim)), norm)
+      }
+      .toDF("vec_id", "centroid_id", "codes", "norm")
+      .write.mode("overwrite").parquet(s"$dir/codes")
+    assigned.unpersist(false)
+    centArr.zipWithIndex.map { case (v, i) => (i, v.toSeq) }.toSeq
+      .toDF("centroid_id", "v")
+      .write.mode("overwrite").parquet(s"$dir/centroids")
+    cb.zipWithIndex.flatMap { case (codebook, i) =>
+      codebook.zipWithIndex.map { case (v, j) => (i, j, v.toSeq) }
+    }.toSeq.toDF("subspace", "code", "v")
+      .write.mode("overwrite").parquet(s"$dir/codebooks")
+  }
+
+  /** Probe a stored IVF-PQ index ([[buildIvfPqIndex]]) with the query
+    * rows of `emb` selected by `isQuery`: the driver loads only the
+    * centroid matrix and codebooks (model-sized), the codes table
+    * streams from parquet, and the exact re-rank joins `emb` back for
+    * the refine survivors alone. Deterministic given a fixed index. */
+  def searchIvfPqIndex(emb: DataFrame, isQuery: Column, dir: String,
+                       k: Int = 10, nprobe: Int = 4, refine: Int = 5,
+                       dim: Int = 64): DataFrame = {
+    val spark = emb.sparkSession
+    import spark.implicits._
+    val centArr = spark.read.parquet(s"$dir/centroids")
+      .select("centroid_id", "v").as[(Int, Array[Double])]
+      .collect().sortBy(_._1).map(_._2)
+    val cbRows = spark.read.parquet(s"$dir/codebooks")
+      .select("subspace", "code", "v").as[(Int, Int, Array[Double])]
+      .collect()
+    val m = cbRows.map(_._1).max + 1
+    val kSub = cbRows.map(_._2).max + 1
+    val cb = Array.ofDim[Array[Double]](m, kSub)
+    cbRows.foreach { case (i, j, v) => cb(i)(j) = v }
+    val codes = spark.read.parquet(s"$dir/codes")
+    pqSearch(prepared(emb), codes, centArr, cb, isQuery, k, nprobe, refine, dim)
   }
 
   /** LSH-bucketed approximate top-k: candidates = corpus vectors sharing

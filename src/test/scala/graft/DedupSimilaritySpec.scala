@@ -131,6 +131,29 @@ class DedupSimilaritySpec extends SparkSpec {
       s"quantization lost recall: IVF-PQ $recallPq vs IVF $recallIvf")
   }
 
+  test("IVF-PQ index: build once to parquet, probe deterministically, recall holds") {
+    val emb = spark.read.parquet(s"$docsDir/embeddings.parquet")
+    val dir = java.nio.file.Files.createTempDirectory("graft_pq_index").toString
+    Similarity.buildIvfPqIndex(emb, dir, centroidsK = 8, m = 16, kSub = 32)
+    // the stored index is model-sized + one codes row per vector
+    assert(spark.read.parquet(s"$dir/codes").count() == emb.count())
+    assert(spark.read.parquet(s"$dir/centroids").count() == 8)
+    assert(spark.read.parquet(s"$dir/codebooks").count() == 16 * 32)
+    val s1 = Similarity.searchIvfPqIndex(emb, col("vec_id") < 5, dir,
+      k = 10, nprobe = 4, refine = 10)
+      .select("q_id", "n_id", "rank").as[(Long, Long, Long)].collect().toSet
+    // a fixed index makes search fully deterministic
+    val s2 = Similarity.searchIvfPqIndex(emb, col("vec_id") < 5, dir,
+      k = 10, nprobe = 4, refine = 10)
+      .select("q_id", "n_id", "rank").as[(Long, Long, Long)].collect().toSet
+    assert(s1 == s2)
+    val brute = Similarity.knnBrute(emb, col("vec_id") < 5, k = 10)
+      .select("q_id", "n_id").as[(Long, Long)].collect().toSet
+    val recall = s1.map(t => (t._1, t._2)).intersect(brute).size.toDouble / brute.size
+    assert(s1.size == brute.size)
+    assert(recall >= 0.5, s"stored-index recall $recall vs brute")
+  }
+
   test("connected components close duplicate chains that pairs alone miss") {
     // chain 1-2-3 (one cluster), pair 5-6, singletons 4 and 7
     val pairs = Seq((1L, 2L), (2L, 3L), (5L, 6L)).toDF("a_id", "b_id")
