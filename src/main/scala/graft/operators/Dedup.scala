@@ -80,6 +80,62 @@ object Dedup {
       }.toDF(idCol, "shash")
   }
 
+  /** One row per n-token span occurrence — like [[shingleHashSets]] but
+    * KEEPING multiplicity (repeated-span analysis needs occurrence
+    * counts, not set membership). Same tokenization, same FNV hash. */
+  private def spanOccurrences(docs: DataFrame, n: Int, idCol: String,
+                              textCol: String): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    spread(docs, col(idCol)).select(col(idCol), col(textCol)).as[(Long, String)]
+      .mapPartitions { it =>
+        it.flatMap { case (id, text) =>
+          val toks = text.toLowerCase(java.util.Locale.ROOT)
+            .split("[^a-z0-9]+").filter(_.nonEmpty)
+          (0 to toks.length - n).iterator.map(i => (id, fnv1a(toks, i, n)))
+        }
+      }.toDF(idCol, "h")
+  }
+
+  /** Repeated-span statistics (Lee et al., "Deduplicating Training Data
+    * Makes Language Models Better"): for every document, how many of
+    * its n-token spans occur MORE THAN ONCE anywhere in the corpus
+    * (other docs or elsewhere in the same doc). Near-dup dedup removes
+    * whole similar documents; this catches the orthogonal failure mode
+    * — boilerplate, licence blocks, templated headers — that repeats
+    * verbatim inside otherwise-distinct documents and that LMs memorise.
+    *
+    * Shape at 100 TB: one typed span pass (occurrences, not a suffix
+    * array — rolling spans give the same ≥n-token repeat signal with
+    * hash-join economics), one count aggregate over span hashes, and —
+    * the scale move — the count table is filtered to occ >= 2 BEFORE
+    * joining back, so the join's build side is duplicated-span-volume
+    * sized, not corpus sized. Output: per-doc span totals, repeated
+    * counts, fraction, flag. */
+  def repeatedSpans(docs: DataFrame, n: Int = 8, idCol: String = "doc_id",
+                    textCol: String = "text"): DataFrame = {
+    val spans = spanOccurrences(docs, n, idCol, textCol)
+    val dup = spans.groupBy("h").agg(count(lit(1)).as("occ"))
+      .where(col("occ") >= 2)
+      .select("h")
+    val perDoc = spans
+      .join(dup.withColumn("__rep", lit(1L)), Seq("h"), "left")
+      .groupBy(idCol)
+      .agg(
+        count(lit(1)).as("n_spans"),
+        sum(coalesce(col("__rep"), lit(0L))).as("n_repeated"))
+    docs.select(col(idCol))
+      .join(perDoc, Seq(idCol), "left")
+      .select(
+        col(idCol),
+        coalesce(col("n_spans"), lit(0L)).as("n_spans"),
+        coalesce(col("n_repeated"), lit(0L)).as("n_repeated"))
+      .withColumn("repeated_frac",
+        when(col("n_spans") === 0, lit(null).cast("double"))
+          .otherwise(round(col("n_repeated") / col("n_spans"), 6)))
+      .withColumn("has_repeats", col("n_repeated") > 0)
+  }
+
   /** One row per (doc, shingle hash). */
   private def shingleRows(docs: DataFrame, n: Int = 3, idCol: String = "doc_id",
                           textCol: String = "text"): DataFrame =

@@ -134,6 +134,10 @@ object LlmQueries {
           "dup_trigram_frac", "repetitive")
         .orderBy("doc_id")),
 
+    // corpus-wide repeated 8-token spans (substring-level dedup signal)
+    "text_span_dedup" -> ((s, d) =>
+      Dedup.repeatedSpans(docs(s, d), n = 8).orderBy("doc_id")),
+
     // benchmark = every 7th doc; corpus = the rest. 8-gram overlap.
     "corpus_decontaminate" -> ((s, d) => {
       val all = docs(s, d)
@@ -469,6 +473,27 @@ object LlmQueries {
         | (top_bigram_frac > 0.18 OR dup_trigram_frac > 0.30
         |  OR (n_words >= 10 AND uniq_word_ratio < 0.2)) AS repetitive
         |FROM r ORDER BY doc_id""".stripMargin,
+
+    "text_span_dedup" ->
+      """WITH t AS (SELECT doc_id,
+        |   [x for x in regexp_split_to_array(lower(text), '[^a-z0-9]+') if x <> ''] AS w
+        |  FROM documents),
+        | s AS (SELECT doc_id,
+        |   [array_to_string(w[i:i+7], ' ') for i in range(1, len(w) - 6)] AS gs
+        |  FROM t),
+        | sp AS (SELECT doc_id, u.gram FROM s, UNNEST(gs) AS u(gram)),
+        | df AS (SELECT gram FROM sp GROUP BY gram HAVING COUNT(*) >= 2),
+        | st AS (SELECT sp.doc_id, CAST(COUNT(*) AS BIGINT) AS n_spans,
+        |   CAST(SUM(CASE WHEN df.gram IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_repeated
+        |  FROM sp LEFT JOIN df ON sp.gram = df.gram GROUP BY sp.doc_id)
+        |SELECT d.doc_id,
+        | COALESCE(st.n_spans, CAST(0 AS BIGINT)) AS n_spans,
+        | COALESCE(st.n_repeated, CAST(0 AS BIGINT)) AS n_repeated,
+        | CASE WHEN COALESCE(st.n_spans, 0) = 0 THEN NULL
+        |   ELSE round(st.n_repeated / st.n_spans, 6) END AS repeated_frac,
+        | COALESCE(st.n_repeated, 0) > 0 AS has_repeats
+        |FROM documents d LEFT JOIN st ON d.doc_id = st.doc_id
+        |ORDER BY d.doc_id""".stripMargin,
 
     "corpus_decontaminate" ->
       """WITH t AS (SELECT doc_id,

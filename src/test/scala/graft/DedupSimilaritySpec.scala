@@ -20,6 +20,25 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(out.map(r => (r._1, r._3)) == Seq((1L, 2L), (3L, 1L)))
   }
 
+  test("repeatedSpans flags shared boilerplate, exact span counts") {
+    val boiler = (0 until 8).map(i => s"license$i").mkString(" ")
+    val docs = Seq(
+      // doc 1: 8 boilerplate tokens + 8 unique => 9 spans, 1 repeated
+      (1L, boiler + " " + (0 until 8).map(i => s"a$i").mkString(" ")),
+      (2L, boiler + " " + (0 until 8).map(i => s"b$i").mkString(" ")),
+      (3L, (0 until 16).map(i => s"c$i").mkString(" ")), // all unique
+      (4L, "too short")                                  // < 8 tokens
+    ).toDF("doc_id", "text")
+    val out = Dedup.repeatedSpans(docs, n = 8).orderBy("doc_id")
+      .select("doc_id", "n_spans", "n_repeated", "has_repeats")
+      .as[(Long, Long, Long, Boolean)].collect().toSeq
+    assert(out == Seq(
+      (1L, 9L, 1L, true),   // only the pure-boilerplate span repeats
+      (2L, 9L, 1L, true),
+      (3L, 9L, 0L, false),
+      (4L, 0L, 0L, false)))
+  }
+
   test("minhash LSH candidates recall all high-jaccard pairs (ground truth)") {
     val docs = spark.read.parquet(s"$docsDir/documents.parquet")
     val shingled = Dedup.withShingles(docs)
