@@ -107,23 +107,48 @@ object Dedup {
     *
     * Shape at 100 TB: one typed span pass (occurrences, not a suffix
     * array — rolling spans give the same ≥n-token repeat signal with
-    * hash-join economics), one count aggregate over span hashes, and —
-    * the scale move — the count table is filtered to occ >= 2 BEFORE
-    * joining back, so the join's build side is duplicated-span-volume
-    * sized, not corpus sized. Output: per-doc span totals, repeated
-    * counts, fraction, flag. */
+    * hash-shuffle economics), ONE shuffle on the span hash, then a
+    * streaming pass over each hash-sorted partition that flags a span
+    * the moment its hash run reaches length 2 — O(1) memory per task
+    * (one held row, flushed when the run's fate is known), no count
+    * table, no join-back, and the tokenize pass runs exactly once.
+    * Output: per-doc span totals, repeated counts, fraction, flag. */
   def repeatedSpans(docs: DataFrame, n: Int = 8, idCol: String = "doc_id",
                     textCol: String = "text"): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
     val spans = spanOccurrences(docs, n, idCol, textCol)
-    val dup = spans.groupBy("h").agg(count(lit(1)).as("occ"))
-      .where(col("occ") >= 2)
-      .select("h")
-    val perDoc = spans
-      .join(dup.withColumn("__rep", lit(1L)), Seq("h"), "left")
+    // hash-partition + sort so equal spans are contiguous, then stream:
+    // hold the run's first row until a second occurrence proves it
+    // repeated (flush flagged) or the run ends (flush unflagged)
+    val flagged = spans
+      .repartition(col("h"))
+      .sortWithinPartitions("h")
+      .as[(Long, Long)]
+      .mapPartitions { it =>
+        var runH = 0L
+        var runLen = 0
+        var heldId = 0L
+        var holding = false
+        (it.map(Some(_)) ++ Iterator(None)).flatMap {
+          case Some((id, h)) if runLen > 0 && h == runH =>
+            runLen += 1
+            if (holding) { holding = false; Seq((heldId, 1L), (id, 1L)) }
+            else Seq((id, 1L))
+          case Some((id, h)) =>
+            val out = if (holding) Seq((heldId, 0L)) else Nil
+            runH = h; runLen = 1; heldId = id; holding = true
+            out
+          case None =>
+            if (holding) { holding = false; Seq((heldId, 0L)) } else Nil
+        }
+      }
+      .toDF(idCol, "__rep")
+    val perDoc = flagged
       .groupBy(idCol)
       .agg(
         count(lit(1)).as("n_spans"),
-        sum(coalesce(col("__rep"), lit(0L))).as("n_repeated"))
+        sum(col("__rep")).as("n_repeated"))
     docs.select(col(idCol))
       .join(perDoc, Seq(idCol), "left")
       .select(
@@ -164,20 +189,8 @@ object Dedup {
     * candidates for any ≥0.8 verification threshold, at the cost of more
     * low-jaccard bucket collisions (which the exact verify pass removes). */
   def minhashCandidates(docs: DataFrame, k: Int = 128, bands: Int = 32,
-                        idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
-    val rows = k / bands
-    val sig = minhashSignatureTable(docs, k, idCol, textCol)
-    val bandCols = (0 until bands).map { bnd =>
-      hash(lit(bnd) +: (0 until rows).map(r => col(s"mh_${bnd * rows + r}")): _*)
-    }
-    val buckets = sig.select(col(idCol).as("id"),
-      explode(array(bandCols: _*)).as("bucket"))
-    val a = buckets.as("a")
-    val b = buckets.as("b")
-    a.join(b, col("a.bucket") === col("b.bucket") && col("a.id") < col("b.id"))
-      .select(col("a.id").as("a_id"), col("b.id").as("b_id"))
-      .distinct()
-  }
+                        idCol: String = "doc_id", textCol: String = "text"): DataFrame =
+    selfPairs(bandBuckets(shingleHashSets(docs, 3, idCol, textCol), k, bands, idCol))
 
   /** Exact n-gram Jaccard verification over candidate pairs
     * ((a_id, b_id) columns): joins the shingle-hash sets back and
@@ -185,9 +198,18 @@ object Dedup {
     * equals the string-set Jaccard the ground-truth oracle computes),
     * rounded for cross-engine determinism. */
   def jaccardVerify(candidates: DataFrame, shingled: DataFrame,
-                    threshold: Double): DataFrame = {
-    val sa = shingled.select(col("doc_id").as("a_id"), col("shash").as("sh_a"))
-    val sb = shingled.select(col("doc_id").as("b_id"), col("shash").as("sh_b"))
+                    threshold: Double): DataFrame =
+    verifyPairs(candidates, shingled, shingled, threshold)
+
+  /** Two-sided form of [[jaccardVerify]]: a_id resolves against `aSets`
+    * and b_id against `bSets` — the shape cross-corpus (increment vs
+    * stored-state) verification needs. ONE implementation so batch,
+    * incremental, and streaming near-dup agree bit-for-bit on what
+    * counts as a duplicate. */
+  private def verifyPairs(candidates: DataFrame, aSets: DataFrame,
+                          bSets: DataFrame, threshold: Double): DataFrame = {
+    val sa = aSets.select(col("doc_id").as("a_id"), col("shash").as("sh_a"))
+    val sb = bSets.select(col("doc_id").as("b_id"), col("shash").as("sh_b"))
     candidates
       .join(sa, "a_id").join(sb, "b_id")
       .withColumn("jaccard", round(
@@ -206,19 +228,29 @@ object Dedup {
     * (same coefficients, same band hash), which is what makes durable
     * near-dup state possible: build once as docs are admitted, probe
     * forever ([[nearDupStateStep]]). */
-  def bandBuckets(sets: DataFrame, k: Int = 128, bands: Int = 32): DataFrame = {
+  def bandBuckets(sets: DataFrame, k: Int = 128, bands: Int = 32,
+                  idCol: String = "doc_id"): DataFrame = {
     val rowsPerBand = k / bands
-    val hashed = sets.select(col("doc_id"), explode(col("shash")).as("h64"))
-      .select(col("doc_id"), col("h64").bitwiseAND(lit(0x7FFFFFFFL)).as("h"))
+    val hashed = sets.select(col(idCol), explode(col("shash")).as("h64"))
+      .select(col(idCol), col("h64").bitwiseAND(lit(0x7FFFFFFFL)).as("h"))
     val mins = minhashCoeffs(k).zipWithIndex.map { case ((a, b), i) =>
       min(pmod(col("h") * lit(a) + lit(b), lit(minhashPrime))).as(s"mh_$i")
     }
-    val sig = hashed.groupBy("doc_id").agg(mins.head, mins.tail.toIndexedSeq: _*)
+    val sig = hashed.groupBy(idCol).agg(mins.head, mins.tail.toIndexedSeq: _*)
     val bandCols = (0 until bands).map { bnd =>
       hash(lit(bnd) +: (0 until rowsPerBand).map(r => col(s"mh_${bnd * rowsPerBand + r}")): _*)
     }
-    sig.select(col("doc_id").as("id"), explode(array(bandCols: _*)).as("bucket"))
+    sig.select(col(idCol).as("id"), explode(array(bandCols: _*)).as("bucket"))
   }
+
+  /** Distinct within-corpus candidate pairs (a_id < b_id) from a band
+    * bucket table — the self-join every batch near-dup path shares. */
+  private def selfPairs(buckets: DataFrame): DataFrame =
+    buckets.as("a")
+      .join(buckets.as("b"),
+        col("a.bucket") === col("b.bucket") && col("a.id") < col("b.id"))
+      .select(col("a.id").as("a_id"), col("b.id").as("b_id"))
+      .distinct()
 
   /** Full near-dup pipeline: LSH candidates -> exact Jaccard filter.
     * The shingle-set table feeds three consumers — the signature
@@ -234,24 +266,7 @@ object Dedup {
                       k: Int = 128, bands: Int = 32): DataFrame = {
     val sets = shingleHashSets(docs)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val rows = sets.select(col("doc_id"), explode(col("shash")).as("h64"))
-    val hashed = rows.select(col("doc_id"),
-      col("h64").bitwiseAND(lit(0x7FFFFFFFL)).as("h"))
-    val mins = minhashCoeffs(k).zipWithIndex.map { case ((a, b), i) =>
-      min(pmod(col("h") * lit(a) + lit(b), lit(minhashPrime))).as(s"mh_$i")
-    }
-    val sig = hashed.groupBy("doc_id").agg(mins.head, mins.tail.toIndexedSeq: _*)
-    val rowsPerBand = k / bands
-    val bandCols = (0 until bands).map { bnd =>
-      hash(lit(bnd) +: (0 until rowsPerBand).map(r => col(s"mh_${bnd * rowsPerBand + r}")): _*)
-    }
-    val buckets = sig.select(col("doc_id").as("id"),
-      explode(array(bandCols: _*)).as("bucket"))
-    val cand = buckets.as("a")
-      .join(buckets.as("b"),
-        col("a.bucket") === col("b.bucket") && col("a.id") < col("b.id"))
-      .select(col("a.id").as("a_id"), col("b.id").as("b_id"))
-      .distinct()
+    val cand = selfPairs(bandBuckets(sets, k, bands))
     val verified = jaccardVerify(cand, sets, threshold).localCheckpoint()
     sets.unpersist(false)
     verified
@@ -432,36 +447,17 @@ object Dedup {
   def nearDupIncrement(existing: DataFrame, incoming: DataFrame,
                        threshold: Double = 0.8, k: Int = 128,
                        bands: Int = 32): DataFrame = {
-    val rowsPerBand = k / bands
-    // one persisted shingle pass per side feeds signatures AND both
-    // verify joins (the CPU-heavy stage runs once per side, same
-    // economics as minhashNearDups' persist)
-    val setsIn = shingleHashSets(incoming)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // one persisted shingle pass for the existing side feeds its bucket
+    // table AND the verify join; the increment side is shingled inside
+    // nearDupStateStep — the SAME core the streaming ingest runs, so
+    // batch and streaming agree exactly on what counts as a duplicate
     val setsEx = shingleHashSets(existing)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val bIn = bandBuckets(setsIn, k, bands)
-    def verify(cand: DataFrame, aSets: DataFrame, bSets: DataFrame): DataFrame =
-      cand
-        .join(aSets.select(col("doc_id").as("a_id"), col("shash").as("sh_a")), "a_id")
-        .join(bSets.select(col("doc_id").as("b_id"), col("shash").as("sh_b")), "b_id")
-        .withColumn("jaccard", round(
-          size(array_intersect(col("sh_a"), col("sh_b"))) /
-            size(array_union(col("sh_a"), col("sh_b"))), 6))
-        .where(col("jaccard") >= threshold)
-    val candCross = bIn.as("i")
-      .join(bandBuckets(setsEx, k, bands).as("e"), col("i.bucket") === col("e.bucket"))
-      .select(col("i.id").as("a_id"), col("e.id").as("b_id")).distinct()
-    val candSelf = bIn.as("a")
-      .join(bIn.as("b"), col("a.bucket") === col("b.bucket") && col("a.id") < col("b.id"))
-      .select(col("a.id").as("a_id"), col("b.id").as("b_id")).distinct()
-    val dropped = verify(candCross, setsIn, setsEx).select(col("a_id").as("doc_id"))
-      .unionByName(verify(candSelf, setsIn, setsIn).select(col("b_id").as("doc_id")))
-      .distinct()
-      .localCheckpoint() // materialise before releasing the shingle caches
-    setsIn.unpersist(false)
+    val (survivors, _, _) =
+      nearDupStateStep(setsEx, bandBuckets(setsEx, k, bands), incoming,
+        threshold, k, bands)
     setsEx.unpersist(false)
-    incoming.join(dropped, Seq("doc_id"), "left_anti")
+    survivors
   }
 
   /** One increment step against STORED near-dup state — the streaming /
@@ -488,22 +484,13 @@ object Dedup {
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val bIn = bandBuckets(setsIn, k, bands)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    def verify(cand: DataFrame, aSets: DataFrame, bSets: DataFrame): DataFrame =
-      cand
-        .join(aSets.select(col("doc_id").as("a_id"), col("shash").as("sh_a")), "a_id")
-        .join(bSets.select(col("doc_id").as("b_id"), col("shash").as("sh_b")), "b_id")
-        .withColumn("jaccard", round(
-          size(array_intersect(col("sh_a"), col("sh_b"))) /
-            size(array_union(col("sh_a"), col("sh_b"))), 6))
-        .where(col("jaccard") >= threshold)
     val candCross = bIn.as("i")
       .join(existingBuckets.as("e"), col("i.bucket") === col("e.bucket"))
       .select(col("i.id").as("a_id"), col("e.id").as("b_id")).distinct()
-    val candSelf = bIn.as("a")
-      .join(bIn.as("b"), col("a.bucket") === col("b.bucket") && col("a.id") < col("b.id"))
-      .select(col("a.id").as("a_id"), col("b.id").as("b_id")).distinct()
-    val dropped = verify(candCross, setsIn, existingSets).select(col("a_id").as("doc_id"))
-      .unionByName(verify(candSelf, setsIn, setsIn).select(col("b_id").as("doc_id")))
+    val dropped = verifyPairs(candCross, setsIn, existingSets, threshold)
+      .select(col("a_id").as("doc_id"))
+      .unionByName(verifyPairs(selfPairs(bIn), setsIn, setsIn, threshold)
+        .select(col("b_id").as("doc_id")))
       .distinct()
       .localCheckpoint()
     val survivors = incoming.join(dropped, Seq("doc_id"), "left_anti").localCheckpoint()

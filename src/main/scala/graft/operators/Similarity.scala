@@ -72,7 +72,13 @@ object Similarity {
     // assign/update job per Lloyd round) — cache it for the loop's
     // lifetime so each round reads the cached vectors instead of
     // re-scanning (at 100 TB: re-reading the corpus per iteration).
-    val cached = e.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // Respect a caller's own cache: persisting is conditional so the
+    // finally-unpersist can never evict state the caller still needs.
+    val callerCached =
+      e.storageLevel != org.apache.spark.storage.StorageLevel.NONE
+    val cached =
+      if (callerCached) e
+      else e.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
       // init: the k rows with the smallest xxhash64(vec_id) — a deterministic
       // pseudo-random sample. sort+limit compiles to TakeOrderedAndProject
@@ -117,7 +123,7 @@ object Similarity {
         centroids = centroids.indices.map(i => updated.getOrElse(i, centroids(i)))
       }
       centroids
-    } finally cached.unpersist(false)
+    } finally if (!callerCached) cached.unpersist(false)
   }
 
   /** Nearest (or top-`nprobe`) centroid assignment via a greatest-of-k
@@ -232,20 +238,31 @@ object Similarity {
     * per candidate), then the top `refine`·k approx candidates per
     * query are re-ranked with exact cosine so the output quality
     * tracks the candidate set, not the quantization error. */
-  def knnIvfPq(emb: DataFrame, isQuery: Column, k: Int = 10,
-               centroidsK: Int = 16, nprobe: Int = 4, m: Int = 8,
-               kSub: Int = 16, refine: Int = 5, dim: Int = 64): DataFrame = {
-    val spark = emb.sparkSession
+  /** A trained IVF-PQ model: coarse centroid matrix, per-subspace
+    * codebooks, the encoded codes table, and the residual table that is
+    * STILL PERSISTED — callers unpersist it after the consumers of
+    * `codes` have materialised. */
+  private case class IvfPqModel(centroids: Array[Array[Double]],
+                                codebooks: Array[Array[Array[Double]]],
+                                codes: DataFrame, residuals: DataFrame)
+
+  /** Shared IVF-PQ training: coarse centroids (cached Lloyd), residuals
+    * r = v - centroid(cell) computed ONCE and cached for PQ training +
+    * encoding, deterministic xxhash64-sampled codebook seeds, and the
+    * corpus encoded to (vec_id, centroid_id, codes[m], norm). One
+    * implementation feeds both the in-flight search ([[knnIvfPq]]) and
+    * the stored index ([[buildIvfPqIndex]]), so their codes can never
+    * diverge. */
+  private def trainIvfPq(e: DataFrame, centroidsK: Int, m: Int, kSub: Int,
+                         dim: Int): IvfPqModel = {
+    val spark = e.sparkSession
     import spark.implicits._
     require(dim % m == 0, s"dim=$dim not divisible by m=$m subspaces")
     val subDim = dim / m
-    val e = prepared(emb)
     val centroids = trainIvfCentroids(e, centroidsK, dim = dim)
     val centArr = centroids.toArray
     val bcCent = spark.sparkContext.broadcast(centArr)
-    // residuals r = v - centroid(cell), computed once and reused by PQ
-    // training and encoding (the two passes that need them)
-    val assigned = assignToCentroid(e, centroids)
+    val residuals = assignToCentroid(e, centroids)
       .select(col("vec_id"), col("centroid_id"), col("v"), col("norm"))
       .as[(Long, Int, Array[Double], Double)]
       .map { case (id, cid, v, norm) =>
@@ -259,27 +276,39 @@ object Similarity {
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // deterministic seeds: kSub pseudo-random residual rows, sliced per
     // subspace (same xxhash64 trick as the IVF init — no RNG)
-    val seeds = assigned
+    val seeds = residuals
       .orderBy(xxhash64(col("vec_id"), lit(1)), col("vec_id"))
       .limit(kSub)
       .select("r").as[Array[Double]].collect()
+    require(seeds.nonEmpty, "cannot train an IVF-PQ model on an empty corpus")
     val init = Array.tabulate(m, kSub)((i, j) =>
       seeds(j % seeds.length).slice(i * subDim, (i + 1) * subDim))
-    val cb = trainPqCodebooks(assigned, init, m, kSub, subDim)
+    val cb = trainPqCodebooks(residuals, init, m, kSub, subDim)
     val bcCb = spark.sparkContext.broadcast(cb)
-    // corpus -> (vec_id, centroid_id, codes[m], norm): the compact form
-    // a real deployment would PERSIST as the index table
-    val codes = assigned
+    val codes = residuals
       .select(col("vec_id"), col("centroid_id"), col("r"), col("norm"))
       .as[(Long, Int, Array[Double], Double)]
       .map { case (id, cid, r, norm) =>
         (id, cid, Array.tabulate(m)(i => nearestSub(r, i * subDim, bcCb.value(i), subDim)), norm)
       }
       .toDF("vec_id", "centroid_id", "codes", "norm")
-    // cands materialise inside pqSearch, so the residual cache can be
-    // released as soon as it returns
-    val out = pqSearch(e, codes, centArr, cb, isQuery, k, nprobe, refine, dim)
-    assigned.unpersist(false)
+    IvfPqModel(centArr, cb, codes, residuals)
+  }
+
+  def knnIvfPq(emb: DataFrame, isQuery: Column, k: Int = 10,
+               centroidsK: Int = 16, nprobe: Int = 4, m: Int = 8,
+               kSub: Int = 16, refine: Int = 5, dim: Int = 64): DataFrame = {
+    // one cache of the parsed vectors feeds training, residuals, and
+    // the probe pass; the final re-rank job re-derives e from source
+    val e = prepared(emb)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val model = trainIvfPq(e, centroidsK, m, kSub, dim)
+    // cands materialise inside pqSearch, so both caches can be released
+    // as soon as it returns
+    val out = pqSearch(e, model.codes, model.centroids, model.codebooks,
+      isQuery, k, nprobe, refine, dim)
+    model.residuals.unpersist(false)
+    e.unpersist(false)
     out
   }
 
@@ -360,45 +389,16 @@ object Similarity {
                       m: Int = 8, kSub: Int = 16, dim: Int = 64): Unit = {
     val spark = emb.sparkSession
     import spark.implicits._
-    require(dim % m == 0, s"dim=$dim not divisible by m=$m subspaces")
-    val subDim = dim / m
     val e = prepared(emb)
-    val centroids = trainIvfCentroids(e, centroidsK, dim = dim)
-    val centArr = centroids.toArray
-    val bcCent = spark.sparkContext.broadcast(centArr)
-    val assigned = assignToCentroid(e, centroids)
-      .select(col("vec_id"), col("centroid_id"), col("v"), col("norm"))
-      .as[(Long, Int, Array[Double], Double)]
-      .map { case (id, cid, v, norm) =>
-        val c = bcCent.value(cid)
-        val r = new Array[Double](dim)
-        var d = 0
-        while (d < dim) { r(d) = v(d) - c(d); d += 1 }
-        (id, cid, r, norm)
-      }
-      .toDF("vec_id", "centroid_id", "r", "norm")
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val seeds = assigned
-      .orderBy(xxhash64(col("vec_id"), lit(1)), col("vec_id"))
-      .limit(kSub)
-      .select("r").as[Array[Double]].collect()
-    val init = Array.tabulate(m, kSub)((i, j) =>
-      seeds(j % seeds.length).slice(i * subDim, (i + 1) * subDim))
-    val cb = trainPqCodebooks(assigned, init, m, kSub, subDim)
-    val bcCb = spark.sparkContext.broadcast(cb)
-    assigned
-      .select(col("vec_id"), col("centroid_id"), col("r"), col("norm"))
-      .as[(Long, Int, Array[Double], Double)]
-      .map { case (id, cid, r, norm) =>
-        (id, cid, Array.tabulate(m)(i => nearestSub(r, i * subDim, bcCb.value(i), subDim)), norm)
-      }
-      .toDF("vec_id", "centroid_id", "codes", "norm")
-      .write.mode("overwrite").parquet(s"$dir/codes")
-    assigned.unpersist(false)
-    centArr.zipWithIndex.map { case (v, i) => (i, v.toSeq) }.toSeq
+    val model = trainIvfPq(e, centroidsK, m, kSub, dim)
+    model.codes.write.mode("overwrite").parquet(s"$dir/codes")
+    model.residuals.unpersist(false)
+    e.unpersist(false)
+    model.centroids.zipWithIndex.map { case (v, i) => (i, v.toSeq) }.toSeq
       .toDF("centroid_id", "v")
       .write.mode("overwrite").parquet(s"$dir/centroids")
-    cb.zipWithIndex.flatMap { case (codebook, i) =>
+    model.codebooks.zipWithIndex.flatMap { case (codebook, i) =>
       codebook.zipWithIndex.map { case (v, j) => (i, j, v.toSeq) }
     }.toSeq.toDF("subspace", "code", "v")
       .write.mode("overwrite").parquet(s"$dir/codebooks")
@@ -408,10 +408,12 @@ object Similarity {
     * rows of `emb` selected by `isQuery`: the driver loads only the
     * centroid matrix and codebooks (model-sized), the codes table
     * streams from parquet, and the exact re-rank joins `emb` back for
-    * the refine survivors alone. Deterministic given a fixed index. */
+    * the refine survivors alone. The vector dimension comes FROM the
+    * stored centroids, so a query can never silently score against a
+    * mismatched subspace layout. Deterministic given a fixed index. */
   def searchIvfPqIndex(emb: DataFrame, isQuery: Column, dir: String,
-                       k: Int = 10, nprobe: Int = 4, refine: Int = 5,
-                       dim: Int = 64): DataFrame = {
+                       k: Int = 10, nprobe: Int = 4,
+                       refine: Int = 5): DataFrame = {
     val spark = emb.sparkSession
     import spark.implicits._
     val centArr = spark.read.parquet(s"$dir/centroids")
@@ -424,6 +426,9 @@ object Similarity {
     val kSub = cbRows.map(_._2).max + 1
     val cb = Array.ofDim[Array[Double]](m, kSub)
     cbRows.foreach { case (i, j, v) => cb(i)(j) = v }
+    val dim = centArr(0).length
+    require(cb(0)(0).length * m == dim,
+      s"index at $dir is inconsistent: ${cb(0)(0).length} x $m sub-dims vs dim $dim")
     val codes = spark.read.parquet(s"$dir/codes")
     pqSearch(prepared(emb), codes, centArr, cb, isQuery, k, nprobe, refine, dim)
   }

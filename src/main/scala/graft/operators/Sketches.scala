@@ -55,7 +55,16 @@ object Sketches {
     * Equal values are interchangeable at equal ranks, so the sampled
     * (deterministically seeded) range boundaries never affect the
     * result. [[approxPercentiles]] remains the one-pass sketch
-    * alternative when a rank error of n/accuracy is acceptable. */
+    * alternative when a rank error of n/accuracy is acceptable.
+    *
+    * Applicability envelope: the driver holds partitions x groups count
+    * tuples and broadcasts a per-group target map, so this form is for
+    * ANALYTIC group counts (categories, tenants, days — up to ~10^5
+    * groups), where it removes the old per-group one-task funnel. For
+    * group cardinalities beyond driver memory (per-user percentiles
+    * over millions of users) the group is small and the funnel harmless
+    * — use a plain per-group sort/aggregate or [[approxPercentiles]];
+    * exact global/large-group percentiles are what THIS form fixes. */
   def percentiles(df: DataFrame, valueCol: String, groupCols: Seq[String],
                   fractions: Seq[Double] = Seq(0.25, 0.5, 0.75, 0.9, 0.99))
       : DataFrame = {

@@ -117,38 +117,55 @@ object EventStream {
     * is shingled once, probes the DURABLE band-bucket table
     * ([[graft.operators.Dedup.nearDupStateStep]]) for candidates
     * against everything ever admitted, exact-Jaccard-verifies them, and
-    * appends the survivors' text to the corpus and their shingle-set +
+    * persists the survivors' text to the corpus and their shingle-set +
     * bucket rows to the state — history text is never re-shingled, so
     * per-batch cost tracks the batch and its bucket collisions, not the
     * corpus. State is parquet, not executor memory: the right trade for
     * corpus ingest where a near-duplicate can arrive months later, far
-    * past any watermark. Replay safety: a replayed batch's docs collide
-    * with their own stored buckets at Jaccard 1.0 and drop (docs too
-    * short to shingle are the one exception — exact-dedup those with
-    * [[dedupIngestSink]] semantics upstream if they matter). */
+    * past any watermark.
+    *
+    * Exactly-once without atomic multi-table commits: all three tables
+    * are partitioned by `__batch_id` and written with dynamic partition
+    * OVERWRITE, and each batch reads state from STRICTLY EARLIER batch
+    * partitions only. A replayed batch therefore sees exactly the state
+    * its first attempt saw — regardless of which of the three writes
+    * survived the crash — recomputes the identical survivor set, and
+    * overwrites its own partitions instead of appending duplicates.
+    * The batch-per-partition layout accumulates small files over time;
+    * compact periodically with [[graft.sinks.Compaction]] if batch
+    * counts grow large. */
   def nearDupIngestSink(stream: DataFrame, corpusDir: String, stateDir: String,
                         checkpoint: String, threshold: Double = 0.8)
       : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
     stream.writeStream
       .option("checkpointLocation", checkpoint)
       .outputMode("append")
-      .foreachBatch { (batch: DataFrame, _: Long) =>
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
         val spark = batch.sparkSession
         val setsDir = s"$stateDir/shingle_sets"
         val bktDir = s"$stateDir/band_buckets"
         val fs = new org.apache.hadoop.fs.Path(stateDir)
           .getFileSystem(spark.sparkContext.hadoopConfiguration)
-        val hasState = fs.exists(new org.apache.hadoop.fs.Path(setsDir))
-        // first batch bootstraps from an empty state with the same schema
+        def earlier(dir: String): Option[DataFrame] =
+          if (fs.exists(new org.apache.hadoop.fs.Path(dir)))
+            Some(spark.read.parquet(dir)
+              .where(col("__batch_id") < batchId).drop("__batch_id"))
+          else None // first batch (or its replay): empty state bootstrap
         val emptySets = graft.operators.Dedup.shingleHashSets(batch.limit(0))
-        val (exSets, exBkts) =
-          if (hasState) (spark.read.parquet(setsDir), spark.read.parquet(bktDir))
-          else (emptySets, graft.operators.Dedup.bandBuckets(emptySets))
+        val exSets = earlier(setsDir).getOrElse(emptySets)
+        val exBkts = earlier(bktDir)
+          .getOrElse(graft.operators.Dedup.bandBuckets(emptySets))
         val (kept, keptSets, keptBuckets) =
           graft.operators.Dedup.nearDupStateStep(exSets, exBkts, batch, threshold)
-        kept.write.mode("append").parquet(corpusDir)
-        keptSets.write.mode("append").parquet(setsDir)
-        keptBuckets.write.mode("append").parquet(bktDir)
+        def writeIdempotent(df: DataFrame, dir: String): Unit =
+          df.withColumn("__batch_id", lit(batchId))
+            .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("__batch_id")
+            .parquet(dir)
+        writeIdempotent(kept, corpusDir)
+        writeIdempotent(keptSets, setsDir)
+        writeIdempotent(keptBuckets, bktDir)
         ()
       }
 
