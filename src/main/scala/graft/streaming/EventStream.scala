@@ -133,7 +133,10 @@ object EventStream {
     * overwrites its own partitions instead of appending duplicates.
     * The batch-per-partition layout accumulates small files over time;
     * compact periodically with [[graft.sinks.Compaction]] if batch
-    * counts grow large. */
+    * counts grow large — but only partitions of batches the checkpoint
+    * has already committed (Structured Streaming replays at most the
+    * last uncommitted batch, so folding older partitions together can
+    * never change what a live replay reads). */
   def nearDupIngestSink(stream: DataFrame, corpusDir: String, stateDir: String,
                         checkpoint: String, threshold: Double = 0.8)
       : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
@@ -141,33 +144,40 @@ object EventStream {
       .option("checkpointLocation", checkpoint)
       .outputMode("append")
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        val spark = batch.sparkSession
-        val setsDir = s"$stateDir/shingle_sets"
-        val bktDir = s"$stateDir/band_buckets"
-        val fs = new org.apache.hadoop.fs.Path(stateDir)
-          .getFileSystem(spark.sparkContext.hadoopConfiguration)
-        def earlier(dir: String): Option[DataFrame] =
-          if (fs.exists(new org.apache.hadoop.fs.Path(dir)))
-            Some(spark.read.parquet(dir)
-              .where(col("__batch_id") < batchId).drop("__batch_id"))
-          else None // first batch (or its replay): empty state bootstrap
-        val emptySets = graft.operators.Dedup.shingleHashSets(batch.limit(0))
-        val exSets = earlier(setsDir).getOrElse(emptySets)
-        val exBkts = earlier(bktDir)
-          .getOrElse(graft.operators.Dedup.bandBuckets(emptySets))
-        val (kept, keptSets, keptBuckets) =
-          graft.operators.Dedup.nearDupStateStep(exSets, exBkts, batch, threshold)
-        def writeIdempotent(df: DataFrame, dir: String): Unit =
-          df.withColumn("__batch_id", lit(batchId))
-            .write.mode("overwrite")
-            .option("partitionOverwriteMode", "dynamic")
-            .partitionBy("__batch_id")
-            .parquet(dir)
-        writeIdempotent(kept, corpusDir)
-        writeIdempotent(keptSets, setsDir)
-        writeIdempotent(keptBuckets, bktDir)
-        ()
+        nearDupIngestBatch(batch, batchId, corpusDir, stateDir, threshold)
       }
+
+  /** One micro-batch of [[nearDupIngestSink]], idempotent in `batchId`
+    * — package-visible so the replay contract is testable directly. */
+  private[graft] def nearDupIngestBatch(batch: DataFrame, batchId: Long,
+                                        corpusDir: String, stateDir: String,
+                                        threshold: Double): Unit = {
+    val spark = batch.sparkSession
+    val setsDir = s"$stateDir/shingle_sets"
+    val bktDir = s"$stateDir/band_buckets"
+    val fs = new org.apache.hadoop.fs.Path(stateDir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    def earlier(dir: String): Option[DataFrame] =
+      if (fs.exists(new org.apache.hadoop.fs.Path(dir)))
+        Some(spark.read.parquet(dir)
+          .where(col("__batch_id") < batchId).drop("__batch_id"))
+      else None // first batch (or its replay): empty state bootstrap
+    val emptySets = graft.operators.Dedup.shingleHashSets(batch.limit(0))
+    val exSets = earlier(setsDir).getOrElse(emptySets)
+    val exBkts = earlier(bktDir)
+      .getOrElse(graft.operators.Dedup.bandBuckets(emptySets))
+    val (kept, keptSets, keptBuckets) =
+      graft.operators.Dedup.nearDupStateStep(exSets, exBkts, batch, threshold)
+    def writeIdempotent(df: DataFrame, dir: String): Unit =
+      df.withColumn("__batch_id", lit(batchId))
+        .write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("__batch_id")
+        .parquet(dir)
+    writeIdempotent(kept, corpusDir)
+    writeIdempotent(keptSets, setsDir)
+    writeIdempotent(keptBuckets, bktDir)
+  }
 
   /** Stream-stream interval join: each left event pairs with right
     * events for the same key within `[left.ts, left.ts + within]`. Both

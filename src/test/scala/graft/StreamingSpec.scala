@@ -170,6 +170,30 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("near-dup ingest batch replay is idempotent: no duplicate corpus rows") {
+    val base = java.nio.file.Files.createTempDirectory("graft_neardup_replay").toString
+    val corpus = s"$base/corpus"
+    val state = s"$base/state"
+    val words = (0 until 40).map(i => s"delta$i").mkString(" ")
+    val other = (0 until 40).map(i => s"eps$i").mkString(" ")
+    val b0 = Seq((1L, words), (2L, other)).toDF("doc_id", "text")
+    EventStream.nearDupIngestBatch(b0, 0L, corpus, state, 0.8)
+    // crash-replay of batch 0: same data, same batch id — partitions are
+    // overwritten, never appended, and the state read excludes the
+    // batch's own previous attempt
+    EventStream.nearDupIngestBatch(b0, 0L, corpus, state, 0.8)
+    assert(spark.read.parquet(corpus).select("doc_id")
+      .as[Long].collect().toSeq.sorted == Seq(1L, 2L))
+    // the NEXT batch still dedups against batch 0's state: doc 3 is a
+    // near-dup of doc 1 and must drop
+    val nearDup = (0 until 40).map(i => if (i == 20) "X" else s"delta$i").mkString(" ")
+    val b1 = Seq((3L, nearDup), (4L, (0 until 40).map(i => s"zeta$i").mkString(" ")))
+      .toDF("doc_id", "text")
+    EventStream.nearDupIngestBatch(b1, 1L, corpus, state, 0.8)
+    assert(spark.read.parquet(corpus).select("doc_id")
+      .as[Long].collect().toSet == Set(1L, 2L, 4L))
+  }
+
   test("stream-stream interval join bounds state with watermarks; matches batch") {
     implicit val sqlCtx = spark.sqlContext
     val clicks = MemoryStream[(Long, Timestamp, Long)]
