@@ -173,6 +173,16 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(recall >= 0.5, s"stored-index recall $recall vs brute")
   }
 
+  test("degenerate inputs: no matching queries, empty corpus stats") {
+    val emb = spark.read.parquet(s"$docsDir/embeddings.parquet")
+    // isQuery selects nothing -> empty top-k, not an error
+    assert(Similarity.knnIvfPq(emb, col("vec_id") < 0, k = 5,
+      centroidsK = 4, m = 8, kSub = 8).isEmpty)
+    // empty corpus -> empty span stats, not an error
+    val none = Seq.empty[(Long, String)].toDF("doc_id", "text")
+    assert(Dedup.repeatedSpans(none).isEmpty)
+  }
+
   test("connected components close duplicate chains that pairs alone miss") {
     // chain 1-2-3 (one cluster), pair 5-6, singletons 4 and 7
     val pairs = Seq((1L, 2L), (2L, 3L), (5L, 6L)).toDF("a_id", "b_id")

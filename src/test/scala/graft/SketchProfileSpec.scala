@@ -39,6 +39,22 @@ class SketchProfileSpec extends SparkSpec {
     }
   }
 
+  test("percentiles edge cases: null groups, single-row groups, empty input") {
+    import spark.implicits._
+    // null group key, a 1-row group, and a 4-row group with duplicates:
+    // all target ranks hand-checkable
+    val df = Seq(
+      (Some("a"), 1.0), (Some("a"), 2.0), (Some("a"), 2.0), (Some("a"), 10.0),
+      (Some("b"), 5.0),
+      (None, 3.0), (None, 4.0)
+    ).toDF("g", "v")
+    val out = Sketches.percentiles(df, "v", Seq("g"), fractions = Seq(0.5))
+      .collect().map(r => Option(r.getString(0)) -> r.getDouble(1)).toMap
+    // a: pos = 1 + 0.5*3 = 2.5 -> (2.0 + 2.0)/2; b: single row; null: midpoint
+    assert(out == Map(Some("a") -> 2.0, Some("b") -> 5.0, None -> 3.5))
+    assert(Sketches.percentiles(df.where(lit(false)), "v", Seq("g")).isEmpty)
+  }
+
   test("approxProfile matches exact profile on everything but sketched distincts") {
     val orders = Ingestor.table(spark, sf(), "orders")
     val exact = Profiler.profile(orders).collect()
