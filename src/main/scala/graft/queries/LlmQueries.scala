@@ -201,6 +201,17 @@ object LlmQueries {
         .where(col("id") =!= col("cluster_id"))
         .orderBy("id")),
 
+    // semantic (SemDeDup-style) clusters: the SAME component closure
+    // over embedding-cosine near-dup pairs instead of jaccard pairs —
+    // pure composition of existing operators; keep one doc per
+    // cluster_id for the semantically deduplicated corpus
+    "emb_clusters" -> ((s, d) =>
+      Dedup.connectedComponents(
+          Dedup.embeddingNearDups(emb(s, d), threshold = 0.45),
+          emb(s, d), idCol = "vec_id")
+        .where(col("id") =!= col("cluster_id"))
+        .orderBy("id")),
+
     // Flagship composite: the full training-corpus preparation flow —
     // quality scoring -> language ID -> filter -> exact dedup (keep
     // min-id per content hash) -> deterministic split — as ONE Catalyst
@@ -258,6 +269,23 @@ object LlmQueries {
         |  FROM g a, g b WHERE a.doc_id < b.doc_id
         |   AND CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
         |       / len(list_distinct(list_concat(a.s, b.s))) >= 0.8),
+        | e AS (SELECT a_id AS src, b_id AS dst FROM p
+        |       UNION SELECT b_id, a_id FROM p),
+        | reach(id, r) AS (
+        |   SELECT src, src FROM e
+        |   UNION
+        |   SELECT reach.id, e.dst FROM reach JOIN e ON reach.r = e.src)
+        |SELECT id, MIN(r) AS cluster_id FROM reach GROUP BY id
+        |HAVING id <> MIN(r) ORDER BY id""".stripMargin,
+
+    "emb_clusters" ->
+      """WITH RECURSIVE
+        | e0 AS (SELECT vec_id, [CAST(x AS DOUBLE) for x in embedding] AS v FROM embeddings),
+        | n AS (SELECT vec_id, v, sqrt(list_sum([y*y for y in v])) AS norm FROM e0),
+        | p AS (SELECT a.vec_id AS a_id, b.vec_id AS b_id
+        |  FROM n a, n b WHERE a.vec_id < b.vec_id
+        |   AND round(list_sum([a.v[i] * b.v[i] for i in range(1, len(a.v) + 1)])
+        |       / (a.norm * b.norm), 6) >= 0.45),
         | e AS (SELECT a_id AS src, b_id AS dst FROM p
         |       UNION SELECT b_id, a_id FROM p),
         | reach(id, r) AS (
