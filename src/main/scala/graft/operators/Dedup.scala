@@ -80,9 +80,10 @@ object Dedup {
       }.toDF(idCol, "shash")
   }
 
-  /** One row per n-token span occurrence — like [[shingleHashSets]] but
-    * KEEPING multiplicity (repeated-span analysis needs occurrence
-    * counts, not set membership). Same tokenization, same FNV hash. */
+  /** One row per n-token span occurrence with its token position —
+    * like [[shingleHashSets]] but KEEPING multiplicity and order
+    * (repeated-span analysis needs occurrence counts and positions,
+    * not set membership). Same tokenization, same FNV hash. */
   private def spanOccurrences(docs: DataFrame, n: Int, idCol: String,
                               textCol: String): DataFrame = {
     val spark = docs.sparkSession
@@ -92,9 +93,9 @@ object Dedup {
         it.flatMap { case (id, text) =>
           val toks = text.toLowerCase(java.util.Locale.ROOT)
             .split("[^a-z0-9]+").filter(_.nonEmpty)
-          (0 to toks.length - n).iterator.map(i => (id, fnv1a(toks, i, n)))
+          (0 to toks.length - n).iterator.map(i => (id, i.toLong, fnv1a(toks, i, n)))
         }
-      }.toDF(idCol, "h")
+      }.toDF(idCol, "pos", "h")
   }
 
   /** Repeated-span statistics (Lee et al., "Deduplicating Training Data
@@ -117,7 +118,7 @@ object Dedup {
                     textCol: String = "text"): DataFrame = {
     val spark = docs.sparkSession
     import spark.implicits._
-    val spans = spanOccurrences(docs, n, idCol, textCol)
+    val spans = spanOccurrences(docs, n, idCol, textCol).select(col(idCol), col("h"))
     // hash-partition + sort so equal spans are contiguous, then stream:
     // hold the run's first row until a second occurrence proves it
     // repeated (flush flagged) or the run ends (flush unflagged)
@@ -159,6 +160,30 @@ object Dedup {
         when(col("n_spans") === 0, lit(null).cast("double"))
           .otherwise(round(col("n_repeated") / col("n_spans"), 6)))
       .withColumn("has_repeats", col("n_repeated") > 0)
+  }
+
+  /** The MASKING form of [[repeatedSpans]] (the step Lee et al. apply):
+    * every n-token span occurrence that duplicates an earlier one —
+    * "earlier" = smallest (doc_id, pos) per span globally — as
+    * (doc_id, pos) rows, so a rebuild step can drop exactly these span
+    * starts and keep one canonical copy of every repeated passage.
+    *
+    * One shuffle: both the occurrence count and the global first-
+    * occurrence rank come from the SAME hash-partitioned sort (two
+    * window functions over one WindowExec). Span-hash cardinality is
+    * ~corpus tokens, so partitions stay tiny at any scale — this is a
+    * high-cardinality window, the opposite of the per-group funnel. */
+  def repeatedSpanMask(docs: DataFrame, n: Int = 8, idCol: String = "doc_id",
+                       textCol: String = "text"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val spans = spanOccurrences(docs, n, idCol, textCol)
+    val byHash = Window.partitionBy("h")
+    val firstFirst = Window.partitionBy("h").orderBy(col(idCol), col("pos"))
+    spans
+      .withColumn("__occ", count(lit(1)).over(byHash))
+      .withColumn("__rk", row_number().over(firstFirst))
+      .where(col("__occ") >= 2 && col("__rk") > 1)
+      .select(col(idCol), col("pos"))
   }
 
   /** One row per (doc, shingle hash). */

@@ -138,6 +138,11 @@ object LlmQueries {
     "text_span_dedup" -> ((s, d) =>
       Dedup.repeatedSpans(docs(s, d), n = 8).orderBy("doc_id")),
 
+    // the masking form: every span occurrence that duplicates an
+    // earlier (min doc_id, pos) one — what a rebuild step drops
+    "text_span_mask" -> ((s, d) =>
+      Dedup.repeatedSpanMask(docs(s, d), n = 8).orderBy("doc_id", "pos")),
+
     // benchmark = every 7th doc; corpus = the rest. 8-gram overlap.
     "corpus_decontaminate" -> ((s, d) => {
       val all = docs(s, d)
@@ -522,6 +527,20 @@ object LlmQueries {
         | COALESCE(st.n_repeated, 0) > 0 AS has_repeats
         |FROM documents d LEFT JOIN st ON d.doc_id = st.doc_id
         |ORDER BY d.doc_id""".stripMargin,
+
+    "text_span_mask" ->
+      """WITH t AS (SELECT doc_id,
+        |   [x for x in regexp_split_to_array(lower(text), '[^a-z0-9]+') if x <> ''] AS w
+        |  FROM documents),
+        | sp AS (SELECT doc_id, w, unnest(range(1, len(w) - 6)) AS i FROM t),
+        | g AS (SELECT doc_id, CAST(i - 1 AS BIGINT) AS pos,
+        |   array_to_string(w[i:i+7], ' ') AS gram FROM sp),
+        | m AS (SELECT doc_id, pos,
+        |   COUNT(*) OVER (PARTITION BY gram) AS occ,
+        |   ROW_NUMBER() OVER (PARTITION BY gram ORDER BY doc_id, pos) AS rk
+        |  FROM g)
+        |SELECT doc_id, pos FROM m WHERE occ >= 2 AND rk > 1
+        |ORDER BY doc_id, pos""".stripMargin,
 
     "corpus_decontaminate" ->
       """WITH t AS (SELECT doc_id,

@@ -39,6 +39,20 @@ class DedupSimilaritySpec extends SparkSpec {
       (4L, 0L, 0L, false)))
   }
 
+  test("repeatedSpanMask keeps the globally-first occurrence, flags all others") {
+    val boiler = (0 until 8).map(i => s"license$i").mkString(" ")
+    val docs = Seq(
+      (1L, boiler + " " + (0 until 8).map(i => s"a$i").mkString(" ")),
+      (2L, boiler + " " + (0 until 8).map(i => s"b$i").mkString(" ")),
+      (3L, boiler + " mid " + boiler) // in-doc repeat at pos 0 and 9
+    ).toDF("doc_id", "text")
+    val out = Dedup.repeatedSpanMask(docs, n = 8).orderBy("doc_id", "pos")
+      .as[(Long, Long)].collect().toSeq
+    // (1, 0) is the canonical copy and survives; every later occurrence
+    // of the boilerplate span — cross-doc and in-doc — is masked
+    assert(out == Seq((2L, 0L), (3L, 0L), (3L, 9L)))
+  }
+
   test("minhash LSH candidates recall all high-jaccard pairs (ground truth)") {
     val docs = spark.read.parquet(s"$docsDir/documents.parquet")
     val shingled = Dedup.withShingles(docs)
