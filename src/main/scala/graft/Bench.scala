@@ -22,12 +22,16 @@ object Bench {
     val wanted = args.toSet
     val selected = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (n, _) => wanted.isEmpty || wanted(n) }
-    // Iterative (loop-driven) queries run one Spark job per round — label
-    // propagation rounds, Lloyd training iterations — so a single
-    // transient stall multiplies into the recorded time; bench them 3x
-    // and report the median so the artifact describes the plan, not one
-    // run's noise.
-    val iterative = Set("dedup_clusters", "knn_ivf", "knn_ivfpq")
+    // Median-of-3 policy: loop-driven queries always (one Spark job per
+    // Lloyd/label-propagation round — a single transient stall
+    // multiplies into the recorded time), and ADAPTIVELY any query whose
+    // first run takes >=1s (multi-action queries are exactly the ones
+    // where r6/r7 official artifacts recorded machine load as phantom
+    // regressions). Sub-second queries stay single-run: their noise
+    // floor is bounded by their own cost.
+    val iterative = Set("dedup_clusters", "knn_ivf", "knn_ivfpq", "knn_ivfpq_probe")
+    val osBean = java.lang.management.ManagementFactory.getOperatingSystemMXBean
+    val loadStart = osBean.getSystemLoadAverage
     val results = selected.map { case (name, fn) =>
       // Untimed warmup at the smallest SF: compiles the query's generated
       // code + loads classes so the timed run measures execution, not
@@ -42,14 +46,24 @@ object Bench {
         }
         (System.nanoTime() - t0) / 1e9
       }
-      val times = Seq.fill(if (iterative(name)) 3 else 1)(once()).sorted
+      val first = once()
+      val times =
+        if (iterative(name) || first >= 1.0) (first +: Seq.fill(2)(once())).sorted
+        else Seq(first)
       name -> times(times.size / 2)
     }
+    val loadEnd = osBean.getSystemLoadAverage
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum
+    // The artifact self-describes its measurement conditions: the bench
+    // protocol (see BASELINE.md) requires a quiet machine, and the 1-min
+    // system load average before/after is recorded so a reader can tell
+    // a loaded-machine record from a plan change without a re-run.
+    val ctx = f""""protocol":"median3 for loop-driven or >=1s queries",""" +
+      f""""load_avg_start":$loadStart%.2f,"load_avg_end":$loadEnd%.2f"""
     val full =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir",$ctx}"""
     // The per-query blob grows with the query count (~4 KB at 90 queries)
     // and harness log captures may keep only a bounded head/tail of stdout.
     // So: persist the FULL record to a file, and make the only stdout line

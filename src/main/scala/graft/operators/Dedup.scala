@@ -186,6 +186,54 @@ object Dedup {
       .select(col(idCol), col("pos"))
   }
 
+  /** Consume a [[repeatedSpanMask]]: rebuild every document's token
+    * stream with the masked span occurrences elided — the step Lee et
+    * al. actually run after marking duplicated spans. A token is
+    * dropped when ANY masked span start covers it ([pos, pos+n)), so
+    * overlapping duplicated spans elide once and exactly one canonical
+    * copy of every repeated passage survives corpus-wide (the mask's
+    * rank-1 occurrence is never masked). Output text is rebuilt from
+    * the NORMALISED token stream (the mask's positions are token
+    * indices in it), space-joined.
+    *
+    * Shape at 100 TB: the mask collapses to one doc-sized array per
+    * document (a groupBy on the already-tiny (doc_id, pos) rows), one
+    * equi-join back to the corpus, one typed rebuild pass — no window,
+    * no self-join, and the rebuild is embarrassingly parallel. */
+  def applySpanMask(docs: DataFrame, mask: DataFrame, n: Int = 8,
+                    idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val starts = mask.groupBy(idCol).agg(collect_list(col("pos")).as("__starts"))
+    docs.select(col(idCol), col(textCol)).join(starts, Seq(idCol), "left")
+      .select(col(idCol), col(textCol),
+        coalesce(col("__starts"), typedlit(Array.empty[Long])).as("__starts"))
+      .as[(Long, String, Array[Long])]
+      .map { case (id, text, st) =>
+        val toks = text.toLowerCase(java.util.Locale.ROOT)
+          .split("[^a-z0-9]+").filter(_.nonEmpty)
+        val covered = new Array[Boolean](toks.length)
+        st.foreach { p =>
+          var i = p.toInt
+          val end = math.min(toks.length, p.toInt + n)
+          while (i < end) { covered(i) = true; i += 1 }
+        }
+        val kept = new StringBuilder
+        var dropped = 0L
+        var i = 0
+        while (i < toks.length) {
+          if (covered(i)) dropped += 1
+          else {
+            if (kept.nonEmpty) kept.append(' ')
+            kept.append(toks(i))
+          }
+          i += 1
+        }
+        (id, kept.toString, toks.length.toLong, dropped)
+      }
+      .toDF(idCol, "masked_text", "n_tokens", "n_dropped")
+  }
+
   /** One row per (doc, shingle hash). */
   private def shingleRows(docs: DataFrame, n: Int = 3, idCol: String = "doc_id",
                           textCol: String = "text"): DataFrame =
@@ -352,11 +400,30 @@ object Dedup {
   /** Embedding-cosine near-dup pairs above `threshold`.
     *
     * `allPairs=true` is the exact small-N path (used by the oracle gate:
-    * a broadcast nested-loop over id-ordered pairs). The 100 TB path is
-    * `allPairs=false`: LSH-bucketed candidates via [[Similarity]] bound
-    * the comparisons. */
+    * a broadcast nested-loop over id-ordered pairs; compare count is
+    * quadratic in the corpus, so it NEVER runs at scale). The 100 TB
+    * path is `allPairs=false`: SemDeDup-style clustered candidates —
+    * train IVF centroids, assign every vector to its `assign` nearest
+    * cells, compare only pairs sharing a cell, exact-cosine verify.
+    * With `centroidsK` growing with the corpus (auto: ~N/64 vectors
+    * per cell) candidate volume tracks cell occupancy — ~assign²·occ
+    * comparisons per vector — instead of the corpus, and the k x dim
+    * centroid matrix is the only data that reaches the driver.
+    *
+    * Why cells and not sign-LSH: near-dup thresholds sit where the
+    * random-hyperplane collision gap is thin (at cosine 0.45 a true
+    * pair agrees per bit with p≈0.65 vs 0.5 for a random pair), so a
+    * sign-LSH table budget buys recall, not pruning — measured at
+    * sf0.01, full recall needs 16 tables x 4 bits and still emits 64%
+    * of all pairs as candidates, where k=16/assign=2 cells emit 24%
+    * with the same full recall, and the cell count (unlike the
+    * hyperplane gap) scales with N. Candidate recall is certified by
+    * spec at the oracle SF; tighter thresholds (real near-dup corpora
+    * dedupe at ≥0.8 cosine) concentrate pairs inside cells and only
+    * improve it. */
   def embeddingNearDups(emb: DataFrame, threshold: Double,
-                        allPairs: Boolean = true): DataFrame = {
+                        allPairs: Boolean = true, centroidsK: Int = 0,
+                        assign: Int = 2): DataFrame = {
     val e = Similarity.prepared(emb)
     val aSide = e.select(col("vec_id").as("a_id"), col("v").as("av"), col("norm").as("anorm"))
     val bSide = e.select(col("vec_id").as("b_id"), col("v").as("bv"), col("norm").as("bnorm"))
@@ -364,10 +431,19 @@ object Dedup {
       if (allPairs)
         aSide.join(bSide, col("a_id") < col("b_id"))
       else {
-        val buckets = Similarity.lshBuckets(e, "v")
-        val cand = buckets.as("x").join(buckets.as("y"),
-            col("x.table_idx") === col("y.table_idx") &&
-              col("x.bucket") === col("y.bucket") &&
+        val cached = e.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        val k =
+          if (centroidsK > 0) centroidsK
+          else math.max(16L, math.min(4096L, cached.count() / 64)).toInt
+        val centroids = Similarity.trainIvfCentroids(cached, k)
+        // candidate ids are (id, small-int) pairs — checkpoint the tiny
+        // table so the self-join + verify run off it, then release the
+        // vector cache (training + assignment are its only consumers)
+        val cells = Similarity.cellAssignments(cached, centroids, assign)
+          .localCheckpoint()
+        cached.unpersist(false)
+        val cand = cells.as("x").join(cells.as("y"),
+            col("x.cell") === col("y.cell") &&
               col("x.vec_id") < col("y.vec_id"))
           .select(col("x.vec_id").as("a_id"), col("y.vec_id").as("b_id"))
           .distinct()
@@ -478,9 +554,12 @@ object Dedup {
     // batch and streaming agree exactly on what counts as a duplicate
     val setsEx = shingleHashSets(existing)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // batch form discards the state outputs — don't materialise them.
+    // The returned survivors plan reads only incoming + the step's
+    // eagerly-checkpointed dropped set, so releasing setsEx is safe.
     val (survivors, _, _) =
       nearDupStateStep(setsEx, bandBuckets(setsEx, k, bands), incoming,
-        threshold, k, bands)
+        threshold, k, bands, materializeState = false)
     setsEx.unpersist(false)
     survivors
   }
@@ -498,12 +577,21 @@ object Dedup {
     * candidate-only shingle-set lookup.
     *
     * Returns (survivors, survivorSets, survivorBuckets); the caller
-    * appends the last two to the durable state. All three are eagerly
-    * materialised (localCheckpoint) so the increment's shingle pass has
-    * already run exactly once when this returns. */
+    * appends the last two to the durable state. With
+    * `materializeState=true` (the streaming ingest) all three are
+    * eagerly materialised (localCheckpoint) so the increment's shingle
+    * pass has already run exactly once when this returns. Batch callers
+    * that only consume the survivors pass `materializeState=false`:
+    * the dropped-id set is still checkpointed (it is what the survivors
+    * anti-join against, and it cuts the shingle lineage), but the two
+    * state outputs stay lazy plans — a caller that discards them pays
+    * nothing, instead of two extra anti-join jobs per increment. A
+    * caller that DOES evaluate them under `materializeState=false`
+    * recomputes the increment's shingle pass once per output. */
   def nearDupStateStep(existingSets: DataFrame, existingBuckets: DataFrame,
                        incoming: DataFrame, threshold: Double = 0.8,
-                       k: Int = 128, bands: Int = 32)
+                       k: Int = 128, bands: Int = 32,
+                       materializeState: Boolean = true)
       : (DataFrame, DataFrame, DataFrame) = {
     val setsIn = shingleHashSets(incoming)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
@@ -518,10 +606,19 @@ object Dedup {
         .select(col("b_id").as("doc_id")))
       .distinct()
       .localCheckpoint()
-    val survivors = incoming.join(dropped, Seq("doc_id"), "left_anti").localCheckpoint()
-    val survivorSets = setsIn.join(dropped, Seq("doc_id"), "left_anti").localCheckpoint()
-    val survivorBuckets = bIn
-      .join(dropped, bIn("id") === dropped("doc_id"), "left_anti").localCheckpoint()
+    // survivors depend only on incoming + the checkpointed dropped set,
+    // so they stay correct after the shingle caches are released either way
+    val survivorsLazy = incoming.join(dropped, Seq("doc_id"), "left_anti")
+    val survivors =
+      if (materializeState) survivorsLazy.localCheckpoint() else survivorsLazy
+    val survivorSets = {
+      val s = setsIn.join(dropped, Seq("doc_id"), "left_anti")
+      if (materializeState) s.localCheckpoint() else s
+    }
+    val survivorBuckets = {
+      val b = bIn.join(dropped, bIn("id") === dropped("doc_id"), "left_anti")
+      if (materializeState) b.localCheckpoint() else b
+    }
     setsIn.unpersist(false)
     bIn.unpersist(false)
     (survivors, survivorSets, survivorBuckets)

@@ -89,8 +89,35 @@ object Similarity {
         .orderBy(xxhash64(col("vec_id")), col("vec_id"))
         .limit(k)
         .select("v").as[Array[Double]].collect().toSeq
+      // fail here, not in assignToCentroid: an empty corpus would
+      // otherwise surface as an opaque array()-getItem analysis error
+      require(centroids.nonEmpty, "cannot train IVF centroids on an empty corpus")
       (0 until iterations).foreach { _ =>
-        val assigned = assignToCentroid(cached, centroids)
+        // Assignment: the expression form codegens well up to the small k
+        // of ANN coarse quantizers; past that the generated array-of-k-
+        // struct-literals comparison blows up, so large-k training (the
+        // clustered near-dup path) scores against a broadcast matrix in a
+        // typed pass instead. Ties resolve identically (higher centroid
+        // id wins) so the branch never changes the trained model for any
+        // k — it only changes how the same argmax is computed.
+        val assigned: org.apache.spark.sql.Dataset[(Int, Array[Double])] =
+          if (centroids.size <= 64)
+            assignToCentroid(cached, centroids)
+              .select(col("centroid_id"), col("v")).as[(Int, Array[Double])]
+          else {
+            val bc = cached.sparkSession.sparkContext.broadcast(centroids.toArray)
+            cached.select(col("v")).as[Array[Double]].map { v =>
+              val cents = bc.value
+              var best = 0; var bestS = Double.NegativeInfinity; var ci = 0
+              while (ci < cents.length) {
+                val c = cents(ci); var s = 0.0; var d = 0
+                while (d < v.length) { s += v(d) * c(d); d += 1 }
+                if (s >= bestS) { bestS = s; best = ci }
+                ci += 1
+              }
+              (best, v)
+            }
+          }
         // Lloyd update as per-partition accumulation: each task folds its
         // rows into k local (sum, count) accumulators and emits AT MOST k
         // tiny rows — shuffle volume is k x dim doubles per partition, vs
@@ -98,7 +125,6 @@ object Similarity {
         // 100 TB the update round-trips centroid-matrix-sized data only.
         val kLocal = k
         val updated = assigned
-          .select(col("centroid_id"), col("v")).as[(Int, Array[Double])]
           .mapPartitions { it =>
             val sums = Array.ofDim[Double](kLocal, dim)
             val counts = new Array[Long](kLocal)
@@ -137,6 +163,37 @@ object Similarity {
     e.withColumn("centroid_id",
       sort_array(centroidScores(col("v"), centroids), asc = false)
         .getItem(0).getField("centroid_id"))
+
+  /** (vec_id, cell) rows for each vector's top-`assign` centroid cells
+    * by dot product — the typed (broadcast-matrix) form of cell
+    * assignment. The expression form ([[assignToCentroid]]) builds an
+    * array of k struct literals, which is codegen-friendly for the
+    * k≤64 of ANN coarse quantizers but would explode the generated
+    * code at the hundreds-to-thousands of cells clustered near-dup
+    * uses; here the k x dim matrix rides one broadcast and each task
+    * scores rows in a tight loop. Ties break toward the HIGHER
+    * centroid_id, matching [[knnIvf]]'s descending struct sort. */
+  def cellAssignments(e: DataFrame, centroids: Seq[Array[Double]],
+                      assign: Int): DataFrame = {
+    val spark = e.sparkSession
+    import spark.implicits._
+    val bc = spark.sparkContext.broadcast(centroids.toArray)
+    e.select(col("vec_id"), col("v")).as[(Long, Array[Double])]
+      .mapPartitions { it =>
+        val cents = bc.value
+        it.map { case (id, v) =>
+          val scored = Array.tabulate(cents.length) { ci =>
+            val c = cents(ci); var s = 0.0; var d = 0
+            while (d < v.length) { s += v(d) * c(d); d += 1 }
+            (s, ci)
+          }
+          (id, scored.sortBy { case (s, ci) => (-s, -ci) }
+            .take(assign).map(_._2))
+        }
+      }
+      .toDF("vec_id", "cells")
+      .select(col("vec_id"), explode(col("cells")).as("cell"))
+  }
 
   /** IVF ANN top-k: corpus partitioned into centroid cells; each query
     * probes its `nprobe` nearest cells and brute-forces only those.
@@ -347,7 +404,10 @@ object Similarity {
           while (d < dim) { s += qv(d) * c(d); d += 1 }
           (s, ci)
         }
-        cellScores.sortBy { case (s, ci) => (-s, ci) }.take(nprobe)
+        // tie-break toward the HIGHER centroid_id to match knnIvf's
+        // sort_array(struct(score, centroid_id), asc=false) ordering —
+        // on an exact score tie both paths must probe the same cells
+        cellScores.sortBy { case (s, ci) => (-s, -ci) }.take(nprobe)
           .map { case (qDotC, ci) => (qid, qnorm, ci, qDotC, lut) }
       }
       .toDF("q_id", "qnorm", "centroid_id", "q_dot_c", "lut")

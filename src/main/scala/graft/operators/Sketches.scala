@@ -127,7 +127,12 @@ object Sketches {
         val gk = (0 until nGroup).map(r.get)
         if (gk != curKey) {
           curKey = gk; idx = 0L
-          off = offs((pid, gk))
+          // passes 2 and 3 must observe the SAME shuffle output: a bare
+          // map apply would surface a broken reuse as an opaque
+          // NoSuchElementException deep in a task — fail diagnosably
+          off = offs.getOrElse((pid, gk), throw new IllegalStateException(
+            s"percentiles rank pass saw unseen partition/group $pid/$gk — " +
+              "sorted-shuffle reuse between count and extract passes is broken"))
           rmap = tgts(gk)
         }
         idx += 1

@@ -14,6 +14,21 @@ object LlmQueries {
   private def docs(s: SparkSession, d: String) = Ingestor.table(s, d, "documents")
   private def emb(s: SparkSession, d: String) = Ingestor.table(s, d, "embeddings")
 
+  /** Stored IVF-PQ index location for a corpus dir; builds it on first
+    * use. The path is keyed by corpus dir + encoding parameters (bump
+    * the `v` tag if the encoding ever changes shape) so a stale index
+    * can never serve a differently-encoded layout; `codebooks` is the
+    * LAST table the build writes, so its presence implies a complete
+    * index even if an earlier attempt crashed mid-build. */
+  private def ivfPqIndexFor(s: SparkSession, d: String): String = {
+    val key = d.replaceAll("[^A-Za-z0-9._-]", "_")
+    val dir = s"${System.getProperty("java.io.tmpdir")}/graft_ivfpq_v1_k16_m8_ks16/$key"
+    val done = new org.apache.hadoop.fs.Path(s"$dir/codebooks")
+    val fs = done.getFileSystem(s.sparkContext.hadoopConfiguration)
+    if (!fs.exists(done)) Similarity.buildIvfPqIndex(emb(s, d), dir)
+    dir
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "dedup_exact" -> ((s, d) =>
       Dedup.exact(docs(s, d)).orderBy("keep_id")),
@@ -32,6 +47,15 @@ object LlmQueries {
     "dedup_embedding" -> ((s, d) =>
       Dedup.embeddingNearDups(emb(s, d), threshold = 0.45).orderBy("a_id", "b_id")),
 
+    // the DEPLOYABLE form of dedup_embedding: SemDeDup-style IVF-cell
+    // candidates (cluster, compare within cells) instead of the oracle's
+    // all-pairs feed — candidate volume tracks cell occupancy, not the
+    // corpus. rows-only (trained cells aren't SQL-replicable); recall
+    // vs the exact path is spec-certified at the oracle SF.
+    "dedup_embedding_lsh" -> ((s, d) =>
+      Dedup.embeddingNearDups(emb(s, d), threshold = 0.45, allPairs = false)
+        .orderBy("a_id", "b_id")),
+
     "knn_brute" -> ((s, d) =>
       Similarity.knnBrute(emb(s, d), col("vec_id") < 10, k = 10)
         .orderBy("q_id", "rank")),
@@ -49,6 +73,16 @@ object LlmQueries {
     // rows-only: trained centroids/codebooks not replicated in SQL
     "knn_ivfpq" -> ((s, d) =>
       Similarity.knnIvfPq(emb(s, d), col("vec_id") < 10, k = 10)
+        .orderBy("q_id", "rank")),
+
+    // probe-phase ANN: search a STORED IVF-PQ index. The index is built
+    // once per corpus dir (first run pays train+encode, every later run
+    // probes alone) — the build-once/probe-forever economics a serving
+    // path actually has, benched separately from in-flight training.
+    // rows-only; agreement with knn_ivfpq is spec-certified.
+    "knn_ivfpq_probe" -> ((s, d) =>
+      Similarity.searchIvfPqIndex(emb(s, d), col("vec_id") < 10,
+          ivfPqIndexFor(s, d), k = 10)
         .orderBy("q_id", "rank")),
 
     "text_tokens" -> ((s, d) =>
@@ -143,6 +177,14 @@ object LlmQueries {
     "text_span_mask" -> ((s, d) =>
       Dedup.repeatedSpanMask(docs(s, d), n = 8).orderBy("doc_id", "pos")),
 
+    // ...and the rebuild itself: corpus with masked spans elided, one
+    // canonical copy of every repeated passage kept (Lee et al.'s step)
+    "text_span_apply" -> ((s, d) =>
+      Dedup.applySpanMask(docs(s, d), Dedup.repeatedSpanMask(docs(s, d), n = 8), n = 8)
+        .select(col("doc_id"), md5(col("masked_text")).as("masked_md5"),
+          col("n_tokens"), col("n_dropped"))
+        .orderBy("doc_id")),
+
     // benchmark = every 7th doc; corpus = the rest. 8-gram overlap.
     "corpus_decontaminate" -> ((s, d) => {
       val all = docs(s, d)
@@ -213,6 +255,16 @@ object LlmQueries {
     "emb_clusters" -> ((s, d) =>
       Dedup.connectedComponents(
           Dedup.embeddingNearDups(emb(s, d), threshold = 0.45),
+          emb(s, d), idCol = "vec_id")
+        .where(col("id") =!= col("cluster_id"))
+        .orderBy("id")),
+
+    // semantic clusters over the DEPLOYABLE bucketed pair feed — the
+    // composition a 100 TB corpus actually runs (cluster cells bound the
+    // pair compares; the closure is dup-graph-sized either way)
+    "emb_clusters_lsh" -> ((s, d) =>
+      Dedup.connectedComponents(
+          Dedup.embeddingNearDups(emb(s, d), threshold = 0.45, allPairs = false),
           emb(s, d), idCol = "vec_id")
         .where(col("id") =!= col("cluster_id"))
         .orderBy("id")),
@@ -541,6 +593,30 @@ object LlmQueries {
         |  FROM g)
         |SELECT doc_id, pos FROM m WHERE occ >= 2 AND rk > 1
         |ORDER BY doc_id, pos""".stripMargin,
+
+    "text_span_apply" ->
+      """WITH t AS (SELECT doc_id,
+        |   [x for x in regexp_split_to_array(lower(text), '[^a-z0-9]+') if x <> ''] AS w
+        |  FROM documents),
+        | sp AS (SELECT doc_id, w, unnest(range(1, len(w) - 6)) AS i FROM t),
+        | g AS (SELECT doc_id, CAST(i - 1 AS BIGINT) AS pos,
+        |   array_to_string(w[i:i+7], ' ') AS gram FROM sp),
+        | m AS (SELECT doc_id, pos,
+        |   COUNT(*) OVER (PARTITION BY gram) AS occ,
+        |   ROW_NUMBER() OVER (PARTITION BY gram ORDER BY doc_id, pos) AS rk
+        |  FROM g),
+        | mask AS (SELECT doc_id, pos FROM m WHERE occ >= 2 AND rk > 1),
+        | cov AS (SELECT doc_id, unnest(range(pos, pos + 8)) AS ci FROM mask),
+        | covd AS (SELECT doc_id, array_agg(DISTINCT ci) AS cs FROM cov GROUP BY doc_id)
+        |SELECT t.doc_id,
+        |  md5(coalesce(array_to_string(
+        |    [w[i] for i in range(1, len(w) + 1)
+        |     if NOT list_contains(coalesce(cs, []), CAST(i - 1 AS BIGINT))],
+        |    ' '), '')) AS masked_md5,
+        |  CAST(len(w) AS BIGINT) AS n_tokens,
+        |  CAST(coalesce(len(cs), 0) AS BIGINT) AS n_dropped
+        |FROM t LEFT JOIN covd ON t.doc_id = covd.doc_id
+        |ORDER BY t.doc_id""".stripMargin,
 
     "corpus_decontaminate" ->
       """WITH t AS (SELECT doc_id,

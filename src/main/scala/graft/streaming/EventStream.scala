@@ -158,10 +158,16 @@ object EventStream {
     val fs = new org.apache.hadoop.fs.Path(stateDir)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
     def earlier(dir: String): Option[DataFrame] =
-      if (fs.exists(new org.apache.hadoop.fs.Path(dir)))
-        Some(spark.read.parquet(dir)
+      if (!fs.exists(new org.apache.hadoop.fs.Path(dir)))
+        None // first batch (or its replay): empty state bootstrap
+      else
+        // a crash after the directory is created but before any part
+        // file commits leaves an existing-but-empty dir; schema
+        // inference then fails — treat it exactly like a missing one,
+        // so the replay contract holds for crashes INSIDE a write too
+        try Some(spark.read.parquet(dir)
           .where(col("__batch_id") < batchId).drop("__batch_id"))
-      else None // first batch (or its replay): empty state bootstrap
+        catch { case _: org.apache.spark.sql.AnalysisException => None }
     val emptySets = graft.operators.Dedup.shingleHashSets(batch.limit(0))
     val exSets = earlier(setsDir).getOrElse(emptySets)
     val exBkts = earlier(bktDir)

@@ -118,6 +118,23 @@ class DedupSimilaritySpec extends SparkSpec {
       s"LSH recall too low in near-dup regime: ${lsh.size}/${truth.size}")
   }
 
+  test("bucketed embedding near-dups recall the exact path at the oracle SF") {
+    // the deployable (IVF-cell) path vs the all-pairs ground truth, on
+    // the SAME data + threshold the dedup_embedding oracle gate pins —
+    // this is the recall certificate for the dedup_embedding_lsh /
+    // emb_clusters_lsh rows-only entries
+    val emb = spark.read.parquet(s"${sf("sf0.01")}/embeddings.parquet")
+    val exact = Dedup.embeddingNearDups(emb, 0.45, allPairs = true)
+      .select("a_id", "b_id").as[(Long, Long)].collect().toSet
+    assert(exact.size >= 10, s"expected pairs at the oracle threshold, got ${exact.size}")
+    val bucketed = Dedup.embeddingNearDups(emb, 0.45, allPairs = false)
+      .select("a_id", "b_id").as[(Long, Long)].collect().toSet
+    // verification is exact cosine, so bucketed pairs can never be false
+    assert(bucketed.subsetOf(exact))
+    val recall = bucketed.size.toDouble / exact.size
+    assert(recall >= 0.9, s"cell-candidate recall $recall (${bucketed.size}/${exact.size})")
+  }
+
   test("knnIvf recall vs knnBrute; candidates bounded by probed cells") {
     val emb = spark.read.parquet(s"$docsDir/embeddings.parquet")
     val brute = Similarity.knnBrute(emb, col("vec_id") < 5, k = 10)
@@ -185,6 +202,47 @@ class DedupSimilaritySpec extends SparkSpec {
     val recall = s1.map(t => (t._1, t._2)).intersect(brute).size.toDouble / brute.size
     assert(s1.size == brute.size)
     assert(recall >= 0.5, s"stored-index recall $recall vs brute")
+  }
+
+  test("stored-index probe agrees with in-flight knnIvfPq at identical params") {
+    // knn_ivfpq_probe's contract: training is deterministic and shared
+    // (trainIvfPq feeds both), so probing a freshly-built default index
+    // must reproduce the in-flight search bit-for-bit
+    val emb = spark.read.parquet(s"$docsDir/embeddings.parquet")
+    val dir = java.nio.file.Files.createTempDirectory("graft_pq_agree").toString
+    Similarity.buildIvfPqIndex(emb, dir)
+    val probed = Similarity.searchIvfPqIndex(emb, col("vec_id") < 5, dir, k = 10)
+      .select("q_id", "n_id", "rank", "cos_sim")
+      .as[(Long, Long, Long, Double)].collect().toSet
+    val inflight = Similarity.knnIvfPq(emb, col("vec_id") < 5, k = 10)
+      .select("q_id", "n_id", "rank", "cos_sim")
+      .as[(Long, Long, Long, Double)].collect().toSet
+    assert(probed == inflight)
+  }
+
+  test("applySpanMask rebuilds the corpus with one canonical copy per repeated span") {
+    val boiler = (0 until 8).map(i => s"license$i").mkString(" ")
+    val docs = Seq(
+      (1L, boiler + " " + (0 until 8).map(i => s"a$i").mkString(" ")),
+      (2L, boiler + " " + (0 until 8).map(i => s"b$i").mkString(" ")),
+      (3L, boiler + " mid " + boiler), // in-doc repeat at pos 0 and 9
+      (4L, "too short")
+    ).toDF("doc_id", "text")
+    val out = Dedup.applySpanMask(docs, Dedup.repeatedSpanMask(docs, n = 8), n = 8)
+      .orderBy("doc_id")
+      .select("doc_id", "masked_text", "n_tokens", "n_dropped")
+      .as[(Long, String, Long, Long)].collect().toSeq
+    val aTail = (0 until 8).map(i => s"a$i").mkString(" ")
+    val bTail = (0 until 8).map(i => s"b$i").mkString(" ")
+    assert(out == Seq(
+      // doc 1 holds the canonical copy — nothing dropped
+      (1L, boiler + " " + aTail, 16L, 0L),
+      // doc 2's boilerplate is a later occurrence — elided
+      (2L, bTail, 16L, 8L),
+      // doc 3: BOTH copies elide (doc 1 holds the global first) — only
+      // the middle token survives
+      (3L, "mid", 17L, 16L),
+      (4L, "too short", 2L, 0L)))
   }
 
   test("degenerate inputs: no matching queries, empty corpus stats") {
