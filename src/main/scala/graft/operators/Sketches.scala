@@ -77,10 +77,18 @@ object Sketches {
       .select(gcols :+ col(valueCol).cast("double").as("__v"): _*)
       .where(col("__v").isNotNull)
     val parts = spark.sessionState.conf.numShufflePartitions
+    // The sorted runs feed TWO passes (count, then extract). The range
+    // shuffle's map files are reused across them, but the reduce-side
+    // sort would re-execute per pass — persist the sorted partitions so
+    // the n log n work runs once. MEMORY_AND_DISK: at scale the cache
+    // degrades to sequential spill reads, still cheaper than a second
+    // sort. Released below once the (groups x fractions x 2)-row
+    // extraction has materialised.
     val sortedRdd = base
       .repartitionByRange(parts, gcols :+ col("__v"): _*)
       .sortWithinPartitions(gcols :+ col("__v"): _*)
       .rdd
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // pass 2: per-(partition, group) counts — group runs are contiguous
     // in the sorted partitions, so a running counter suffices
     val cntRows = sortedRdd.mapPartitionsWithIndex { (pid, it) =>
@@ -155,7 +163,11 @@ object Sketches {
       val frac = first(when(col("__i") === i, col("__frac")), ignoreNulls = true)
       round(lo + frac * (hi - lo), 6).as(pName(p))
     }
-    spark.createDataFrame(exRdd, exSchema)
+    // eager checkpoint of the tiny extraction lets the data-sized sorted
+    // cache release before the caller ever sees the result
+    val extracted = spark.createDataFrame(exRdd, exSchema).localCheckpoint()
+    sortedRdd.unpersist(false)
+    extracted
       .groupBy(gcols: _*)
       .agg(interp.head, interp.tail: _*)
       .orderBy(gcols: _*)

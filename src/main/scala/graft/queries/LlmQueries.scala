@@ -157,6 +157,19 @@ object LlmQueries {
         .select("doc_id", "source").orderBy("doc_id")
     }),
 
+    // embedding analog of dedup_neardup_incr: increment vectors probe
+    // the corpus's IVF cells (centroids train on the corpus side only),
+    // exact-cosine verified. Oracled against the all-pairs incremental
+    // ground truth — cell-candidate recall is total at this threshold/
+    // SF (spec-certified), so the survivor sets agree.
+    "dedup_embedding_incr" -> ((s, d) => {
+      val all = emb(s, d)
+      Dedup.embeddingIncrement(
+          all.where(col("vec_id") < 250),
+          all.where(col("vec_id") >= 250), threshold = 0.45)
+        .select("vec_id", "label").orderBy("vec_id")
+    }),
+
     "text_unigram_lp" -> ((s, d) =>
       TextAnalysis.unigramLogProb(docs(s, d))
         .select("doc_id", "n_toks", "avg_logprob").orderBy("doc_id")),
@@ -487,6 +500,23 @@ object LlmQueries {
         |SELECT doc_id, source FROM kept
         |WHERE rk = 1 AND fp NOT IN (SELECT fp FROM seen)
         |ORDER BY doc_id""".stripMargin,
+
+    "dedup_embedding_incr" ->
+      """WITH e AS (SELECT vec_id, label, [CAST(x AS DOUBLE) for x in embedding] AS v
+        |  FROM embeddings),
+        | n AS (SELECT vec_id, label, v, sqrt(list_sum([y*y for y in v])) AS norm FROM e),
+        | inc AS (SELECT * FROM n WHERE vec_id >= 250),
+        | ex AS (SELECT * FROM n WHERE vec_id < 250),
+        | crossdup AS (SELECT i.vec_id FROM inc i, ex x
+        |  WHERE round(list_sum([i.v[j] * x.v[j] for j in range(1, len(i.v) + 1)])
+        |        / (i.norm * x.norm), 6) >= 0.45),
+        | selfdup AS (SELECT b.vec_id FROM inc a, inc b WHERE a.vec_id < b.vec_id
+        |  AND round(list_sum([a.v[j] * b.v[j] for j in range(1, len(a.v) + 1)])
+        |        / (a.norm * b.norm), 6) >= 0.45),
+        | dropped AS (SELECT vec_id FROM crossdup UNION SELECT vec_id FROM selfdup)
+        |SELECT e2.vec_id, e2.label FROM embeddings e2
+        |WHERE e2.vec_id >= 250 AND e2.vec_id NOT IN (SELECT vec_id FROM dropped)
+        |ORDER BY e2.vec_id""".stripMargin,
 
     "dedup_neardup_incr" ->
       """WITH t AS (SELECT doc_id,

@@ -135,6 +135,34 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(recall >= 0.9, s"cell-candidate recall $recall (${bucketed.size}/${exact.size})")
   }
 
+  test("embeddingIncrement matches the all-pairs incremental ground truth") {
+    // derive expected survivors from the EXACT pair set (all-pairs at
+    // the oracle threshold), applying the incremental drop semantics:
+    // cross pair -> drop the incoming side; in-batch pair -> drop the
+    // larger id. Agreement certifies cell-candidate recall is total on
+    // this data — the premise the dedup_embedding_incr oracle rests on.
+    val emb = spark.read.parquet(s"${sf("sf0.01")}/embeddings.parquet")
+    val pairs = Dedup.embeddingNearDups(emb, 0.45, allPairs = true)
+      .select("a_id", "b_id").as[(Long, Long)].collect()
+    val split = 250L
+    val expectedDropped = pairs.flatMap { case (a, b) =>
+      // a < b always; classify by which sides of the split they fall on
+      (a < split, b < split) match {
+        case (true, false) => Seq(b)         // cross: drop the incoming
+        case (false, false) => Seq(b)        // in-batch: drop the later
+        case _ => Nil                        // both existing: no drop
+      }
+    }.toSet
+    val incIds = emb.where(col("vec_id") >= split)
+      .select("vec_id").as[Long].collect().toSet
+    val survivors = Dedup.embeddingIncrement(
+        emb.where(col("vec_id") < split), emb.where(col("vec_id") >= split),
+        threshold = 0.45)
+      .select("vec_id").as[Long].collect().toSet
+    assert(survivors == incIds.diff(expectedDropped))
+    assert(expectedDropped.nonEmpty, "test data should exercise drops")
+  }
+
   test("knnIvf recall vs knnBrute; candidates bounded by probed cells") {
     val emb = spark.read.parquet(s"$docsDir/embeddings.parquet")
     val brute = Similarity.knnBrute(emb, col("vec_id") < 5, k = 10)
