@@ -629,31 +629,34 @@ object Dedup {
     * the text side has: drop incoming vectors ≥`threshold`
     * cosine-similar to anything already in the corpus, or to an
     * earlier (smaller-id) vector in the same increment. Candidates
-    * come from shared IVF cells BETWEEN the two sides (centroids train
-    * on the corpus side; the increment is only assigned) plus
+    * come from shared IVF cells BETWEEN the two sides plus
     * cell-sharing pairs within the increment, exact-cosine verified —
-    * never incoming x existing all-pairs. At 100 TB the corpus side's
-    * centroids and cell table are computed once per corpus build and
-    * stored (the embedding analog of [[minhashSignatureTable]]), so
-    * the daily job assigns only the increment and joins one cell
-    * table. Id spaces must be disjoint across the two inputs.
-    *
-    * Default `assign=4` (vs the batch form's 2): the increment is
-    * assigned against centroids trained WITHOUT it, so its vectors sit
-    * systematically further from cell boundaries than corpus vectors do
-    * — measured at the oracle SF, 2 probes recall 12/14 of the true
-    * drops, 4 probes all 14. Candidate volume stays increment-sized. */
+    * never incoming x existing all-pairs. Cells train over
+    * existing ∪ increment and the cell count scales with the UNION
+    * size: the in-batch self-dedup runs through the same cells, so
+    * they must be fine enough for whichever side is larger (a
+    * corpus-sized k from a tiny history — or vice versa — would make
+    * one side's cell occupancy quadraticly expensive). At 100 TB the
+    * corpus side's centroids and cell table are computed once per
+    * corpus build and stored (the embedding analog of
+    * [[minhashSignatureTable]]) — pass that model's size as
+    * `centroidsK` and the increment-side work stays
+    * assignment + cell-join only. Id spaces must be disjoint across
+    * the two inputs. */
   def embeddingIncrement(existing: DataFrame, incoming: DataFrame,
                          threshold: Double = 0.45, centroidsK: Int = 0,
-                         assign: Int = 4): DataFrame = {
+                         assign: Int = 2): DataFrame = {
     val ex = Similarity.prepared(existing)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val inc = Similarity.prepared(incoming)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // both sides are cached above; training persists (and releases) its
+    // own copy of the union for the Lloyd loop
+    val union = ex.unionByName(inc)
     val k =
       if (centroidsK > 0) centroidsK
-      else math.max(16L, math.min(4096L, ex.count() / 64)).toInt
-    val centroids = Similarity.trainIvfCentroids(ex, k)
+      else math.max(16L, math.min(4096L, union.count() / 64)).toInt
+    val centroids = Similarity.trainIvfCentroids(union, k)
     val exCells = Similarity.cellAssignments(ex, centroids, assign)
     val incCells = Similarity.cellAssignments(inc, centroids, assign)
       .localCheckpoint()

@@ -77,18 +77,19 @@ object Sketches {
       .select(gcols :+ col(valueCol).cast("double").as("__v"): _*)
       .where(col("__v").isNotNull)
     val parts = spark.sessionState.conf.numShufflePartitions
-    // The sorted runs feed TWO passes (count, then extract). The range
-    // shuffle's map files are reused across them, but the reduce-side
-    // sort would re-execute per pass — persist the sorted partitions so
-    // the n log n work runs once. MEMORY_AND_DISK: at scale the cache
-    // degrades to sequential spill reads, still cheaper than a second
-    // sort. Released below once the (groups x fractions x 2)-row
-    // extraction has materialised.
+    // The sorted runs feed TWO passes (count, then extract) off ONE RDD
+    // object: the range shuffle's map files are reused across both jobs
+    // and only the reduce-side sort re-executes on the second pass.
+    // Measured alternative (rejected): persisting the sorted partitions
+    // (MEMORY_AND_DISK) to run the sort once REGRESSED sf1 by ~25% (GC
+    // churn caching deserialized rows outweighs a 190k-row-per-partition
+    // re-sort) and bought <10% at sf10 — and an in-memory mapPartitions
+    // sort would trade the SQL sorter's graceful spill for an OOM risk.
+    // The repeated sort is the robust shape; it spills, caches don't.
     val sortedRdd = base
       .repartitionByRange(parts, gcols :+ col("__v"): _*)
       .sortWithinPartitions(gcols :+ col("__v"): _*)
       .rdd
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // pass 2: per-(partition, group) counts — group runs are contiguous
     // in the sorted partitions, so a running counter suffices
     val cntRows = sortedRdd.mapPartitionsWithIndex { (pid, it) =>
@@ -163,11 +164,7 @@ object Sketches {
       val frac = first(when(col("__i") === i, col("__frac")), ignoreNulls = true)
       round(lo + frac * (hi - lo), 6).as(pName(p))
     }
-    // eager checkpoint of the tiny extraction lets the data-sized sorted
-    // cache release before the caller ever sees the result
-    val extracted = spark.createDataFrame(exRdd, exSchema).localCheckpoint()
-    sortedRdd.unpersist(false)
-    extracted
+    spark.createDataFrame(exRdd, exSchema)
       .groupBy(gcols: _*)
       .agg(interp.head, interp.tail: _*)
       .orderBy(gcols: _*)

@@ -158,10 +158,9 @@ object LlmQueries {
     }),
 
     // embedding analog of dedup_neardup_incr: increment vectors probe
-    // the corpus's IVF cells (centroids train on the corpus side only),
-    // exact-cosine verified. Oracled against the all-pairs incremental
-    // ground truth — cell-candidate recall is total at this threshold/
-    // SF (spec-certified), so the survivor sets agree.
+    // shared IVF cells, exact-cosine verified. Oracled against the
+    // all-pairs incremental ground truth — cell-candidate recall is
+    // total at this threshold/SF (spec-certified), so survivors agree.
     "dedup_embedding_incr" -> ((s, d) => {
       val all = emb(s, d)
       Dedup.embeddingIncrement(

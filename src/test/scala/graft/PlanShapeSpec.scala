@@ -44,6 +44,22 @@ class PlanShapeSpec extends SparkSpec {
     assert("HashAggregate".r.findAllIn(plan).size >= 2, plan)
   }
 
+  test("bucketed embedding near-dup plan has no nested-loop pair join") {
+    // the 100x screen for the deployable path: candidates come from an
+    // equi-join on cell ids, so the executed plan must contain NO
+    // cartesian/nested-loop operator — those belong exclusively to the
+    // allPairs oracle feed (asserted as the positive control below)
+    val emb = spark.read.parquet(s"${sf("sf0.001")}/embeddings.parquet")
+    val bucketed = operators.Dedup.embeddingNearDups(emb, 0.45, allPairs = false)
+    val bp = planString(bucketed)
+    assert(!bp.contains("BroadcastNestedLoopJoin") && !bp.contains("CartesianProduct"),
+      s"bucketed path fell back to a pair scan:\n$bp")
+    val allPairs = operators.Dedup.embeddingNearDups(emb, 0.45, allPairs = true)
+    val ap = planString(allPairs)
+    assert(ap.contains("BroadcastNestedLoopJoin") || ap.contains("CartesianProduct"),
+      "positive control: the oracle feed IS the all-pairs join")
+  }
+
   test("double_dot_product registered as a SQL function via extensions") {
     import spark.implicits._
     Seq((Array(1.0, 2.0, 3.0), Array(4.0, 5.0, 6.0))).toDF("a", "b")
