@@ -22,6 +22,39 @@ import graft.functions._
   */
 object Contamination {
 
+  private val hexDigits = "0123456789abcdef".toCharArray
+
+  private def md5Hex(md: java.security.MessageDigest, s: String): String = {
+    val bytes = md.digest(s.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    val out = new Array[Char](32)
+    var i = 0
+    while (i < 16) {
+      out(2 * i) = hexDigits((bytes(i) >> 4) & 0xf)
+      out(2 * i + 1) = hexDigits(bytes(i) & 0xf)
+      i += 1
+    }
+    new String(out)
+  }
+
+  /** One document's distinct md5'd word n-grams — the tight loop both
+    * the join path and the bloom prefilter run: tokenize, slide,
+    * dedup raw grams, hash. */
+  private def distinctGrams(text: String, n: Int,
+                            md: java.security.MessageDigest): Array[String] = {
+    val toks = text.toLowerCase(java.util.Locale.ROOT)
+      .split("[^a-z0-9]+").filter(_.nonEmpty)
+    val seen = new scala.collection.mutable.HashSet[String]
+    var i = 0
+    while (i + n <= toks.length) {
+      val sb = new java.lang.StringBuilder(toks(i))
+      var j = i + 1
+      while (j < i + n) { sb.append(' ').append(toks(j)); j += 1 }
+      seen.add(sb.toString)
+      i += 1
+    }
+    seen.iterator.map(md5Hex(md, _)).toArray
+  }
+
   /** Distinct md5'd word n-grams per doc: (idCol, gram). One tight loop
     * per document — tokenize, slide, hash — emitted pre-deduped so the
     * downstream join never sees within-doc repeats. */
@@ -32,31 +65,8 @@ object Contamination {
     spread(docs, col(idCol)).select(col(idCol), col(textCol)).as[(Long, String)]
       .mapPartitions { it =>
         val md = java.security.MessageDigest.getInstance("MD5")
-        val hexDigits = "0123456789abcdef".toCharArray
-        def md5Hex(s: String): String = {
-          val bytes = md.digest(s.getBytes(java.nio.charset.StandardCharsets.UTF_8))
-          val out = new Array[Char](32)
-          var i = 0
-          while (i < 16) {
-            out(2 * i) = hexDigits((bytes(i) >> 4) & 0xf)
-            out(2 * i + 1) = hexDigits(bytes(i) & 0xf)
-            i += 1
-          }
-          new String(out)
-        }
         it.flatMap { case (id, text) =>
-          val toks = text.toLowerCase(java.util.Locale.ROOT)
-            .split("[^a-z0-9]+").filter(_.nonEmpty)
-          val seen = new scala.collection.mutable.HashSet[String]
-          var i = 0
-          while (i + n <= toks.length) {
-            val sb = new java.lang.StringBuilder(toks(i))
-            var j = i + 1
-            while (j < i + n) { sb.append(' ').append(toks(j)); j += 1 }
-            seen.add(sb.toString)
-            i += 1
-          }
-          seen.iterator.map(g => (id, md5Hex(g))).toSeq
+          distinctGrams(text, n, md).iterator.map(g => (id, g))
         }
       }.toDF(idCol, "gram")
   }
@@ -102,6 +112,68 @@ object Contamination {
   def decontaminate(corpus: DataFrame, benchmark: DataFrame, n: Int = 8,
                     idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
     val bad = flagOverlap(corpus, benchmark, n, idCol, textCol)
+      .where(col("contaminated")).select(idCol)
+    corpus.join(bad, Seq(idCol), "left_anti")
+  }
+
+  /** Bloom-prefiltered [[flagOverlap]] — the 100 TB shape, and still
+    * EXACTLY equal to it (oracled against the same SQL): a Bloom filter
+    * has no false negatives, so a doc with zero bloom hits is provably
+    * clean and never joins; docs the bloom flags (true overlaps plus the
+    * `fpp` sliver of false positives) are re-shingled and verified
+    * through the exact gram join, which zeroes every false positive.
+    *
+    * Why this beats the join at scale: the exact path ships the full
+    * benchmark gram table into a broadcast hash join (32-char md5 per
+    * gram — ~50 MB per million grams, rebuilt per stage), and every
+    * corpus gram probes it. Here the benchmark compresses to
+    * ~`1.44*log2(1/fpp)` BITS per gram (~18 MB per 10 M grams at the
+    * 0.1% default), the corpus pass is scan → per-partition loop →
+    * short-circuit `exists` (first hit wins) with NO join, no shuffle
+    * and nothing per-doc materialised, and only the contaminated sliver
+    * — in a real corpus a fraction of a percent — pays the join. The
+    * bloom build itself is one aggregate over the tiny benchmark side. */
+  def flagOverlapBloom(corpus: DataFrame, benchmark: DataFrame, n: Int = 8,
+                       idCol: String = "doc_id", textCol: String = "text",
+                       fpp: Double = 0.001): DataFrame = {
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    val benchGrams = ngramHashes(benchmark, n, idCol, textCol)
+      .select("gram").distinct()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val bloom = benchGrams.stat.bloomFilter(
+      "gram", math.max(benchGrams.count(), 1L), fpp)
+    val bloomBc = spark.sparkContext.broadcast(bloom)
+    val suspects = spread(corpus, col(idCol))
+      .select(col(idCol), col(textCol)).as[(Long, String)]
+      .mapPartitions { it =>
+        val md = java.security.MessageDigest.getInstance("MD5")
+        val b = bloomBc.value
+        it.filter { case (_, text) =>
+          distinctGrams(text, n, md).exists(b.mightContainString)
+        }.map(_._1)
+      }.toDF(idCol)
+    // exact verify for the bloom-flagged sliver only; eager so the
+    // bench-gram cache and bloom broadcast release before the caller
+    // materialises the (corpus-sized) report
+    val hits = ngramHashes(corpus.join(suspects, Seq(idCol), "left_semi"),
+        n, idCol, textCol)
+      .join(benchGrams, "gram")
+      .groupBy(idCol).agg(count(lit(1)).as("n_hits"))
+      .localCheckpoint()
+    benchGrams.unpersist(false)
+    bloomBc.unpersist(false)
+    corpus.select(col(idCol))
+      .join(hits, Seq(idCol), "left")
+      .withColumn("n_hits", coalesce(col("n_hits"), lit(0L)))
+      .withColumn("contaminated", col("n_hits") > 0)
+  }
+
+  /** Filtering form of [[flagOverlapBloom]]: corpus minus contaminated. */
+  def decontaminateBloom(corpus: DataFrame, benchmark: DataFrame, n: Int = 8,
+                         idCol: String = "doc_id", textCol: String = "text",
+                         fpp: Double = 0.001): DataFrame = {
+    val bad = flagOverlapBloom(corpus, benchmark, n, idCol, textCol, fpp)
       .where(col("contaminated")).select(idCol)
     corpus.join(bad, Seq(idCol), "left_anti")
   }

@@ -206,6 +206,39 @@ object LlmQueries {
         .orderBy("doc_id")
     }),
 
+    // same contract through the bloom prefilter — identical oracle:
+    // no false negatives, and positives are exact-verified, so the
+    // report matches the join path bit-for-bit
+    "corpus_decontaminate_bloom" -> ((s, d) => {
+      val all = docs(s, d)
+      Contamination.flagOverlapBloom(
+          all.where(col("doc_id") % 7 =!= 0),
+          all.where(col("doc_id") % 7 === 0), n = 8)
+        .orderBy("doc_id")
+    }),
+
+    // the deployment-shaped split: a SPARSE benchmark (every 29th doc,
+    // ~1% contamination — real eval suites vs a training corpus) where
+    // the bloom prefilter's economics show; the dense %7 entry above
+    // proves exactness, this one measures the join-free clean-doc path.
+    // `corpus_decontaminate_sparse` below is its exact-join twin, so
+    // bloom-vs-join is an apples-to-apples A/B on BOTH splits.
+    "corpus_decontaminate_sparse" -> ((s, d) => {
+      val all = docs(s, d)
+      Contamination.flagOverlap(
+          all.where(col("doc_id") % 29 =!= 0),
+          all.where(col("doc_id") % 29 === 0), n = 8)
+        .orderBy("doc_id")
+    }),
+
+    "corpus_decontaminate_bloom_sparse" -> ((s, d) => {
+      val all = docs(s, d)
+      Contamination.flagOverlapBloom(
+          all.where(col("doc_id") % 29 =!= 0),
+          all.where(col("doc_id") % 29 === 0), n = 8)
+        .orderBy("doc_id")
+    }),
+
     // audit trail: which benchmark doc each contaminated doc matches most
     "corpus_attribution" -> ((s, d) => {
       val all = docs(s, d)
@@ -301,6 +334,27 @@ object LlmQueries {
         .orderBy("doc_id")
     }),
   )
+
+  /** Shared by `corpus_decontaminate` and its bloom-prefiltered forms —
+    * the bloom path is exact-equivalent by construction (no false
+    * negatives; positives exact-verified), so it runs the same SQL; the
+    * benchmark-selecting modulus is the only parameter (7 = the dense
+    * split, 29 = the sparse one that shows prefilter economics). */
+  private def decontaminateOracleSql(mod: Int): String =
+    s"""WITH t AS (SELECT doc_id,
+      |   [x for x in regexp_split_to_array(lower(text), '[^a-z0-9]+') if x <> ''] AS w
+      |  FROM documents),
+      | g AS (SELECT doc_id,
+      |   list_distinct([array_to_string(w[i:i+7], ' ') for i in range(1, len(w) - 6)]) AS s
+      |  FROM t),
+      | bench AS (SELECT DISTINCT u.gram FROM g, UNNEST(s) AS u(gram) WHERE doc_id % $mod = 0),
+      | corp AS (SELECT doc_id, u.gram FROM g, UNNEST(s) AS u(gram) WHERE doc_id % $mod <> 0),
+      | hits AS (SELECT c.doc_id, CAST(COUNT(*) AS BIGINT) AS n_hits
+      |   FROM corp c JOIN bench b ON c.gram = b.gram GROUP BY c.doc_id)
+      |SELECT d.doc_id, COALESCE(h.n_hits, CAST(0 AS BIGINT)) AS n_hits,
+      | COALESCE(h.n_hits, 0) > 0 AS contaminated
+      |FROM documents d LEFT JOIN hits h ON d.doc_id = h.doc_id
+      |WHERE d.doc_id % $mod <> 0 ORDER BY d.doc_id""".stripMargin
 
   val oracles: Map[String, String] = Map(
     "dedup_exact" ->
@@ -647,21 +701,11 @@ object LlmQueries {
         |FROM t LEFT JOIN covd ON t.doc_id = covd.doc_id
         |ORDER BY t.doc_id""".stripMargin,
 
-    "corpus_decontaminate" ->
-      """WITH t AS (SELECT doc_id,
-        |   [x for x in regexp_split_to_array(lower(text), '[^a-z0-9]+') if x <> ''] AS w
-        |  FROM documents),
-        | g AS (SELECT doc_id,
-        |   list_distinct([array_to_string(w[i:i+7], ' ') for i in range(1, len(w) - 6)]) AS s
-        |  FROM t),
-        | bench AS (SELECT DISTINCT u.gram FROM g, UNNEST(s) AS u(gram) WHERE doc_id % 7 = 0),
-        | corp AS (SELECT doc_id, u.gram FROM g, UNNEST(s) AS u(gram) WHERE doc_id % 7 <> 0),
-        | hits AS (SELECT c.doc_id, CAST(COUNT(*) AS BIGINT) AS n_hits
-        |   FROM corp c JOIN bench b ON c.gram = b.gram GROUP BY c.doc_id)
-        |SELECT d.doc_id, COALESCE(h.n_hits, CAST(0 AS BIGINT)) AS n_hits,
-        | COALESCE(h.n_hits, 0) > 0 AS contaminated
-        |FROM documents d LEFT JOIN hits h ON d.doc_id = h.doc_id
-        |WHERE d.doc_id % 7 <> 0 ORDER BY d.doc_id""".stripMargin,
+    "corpus_decontaminate" -> decontaminateOracleSql(7),
+    // bloom prefilter is exact-equivalent -> same oracle
+    "corpus_decontaminate_bloom" -> decontaminateOracleSql(7),
+    "corpus_decontaminate_sparse" -> decontaminateOracleSql(29),
+    "corpus_decontaminate_bloom_sparse" -> decontaminateOracleSql(29),
 
     "corpus_attribution" ->
       """WITH t AS (SELECT doc_id,

@@ -46,6 +46,28 @@ class PrepOperatorsSpec extends SparkSpec {
     assert(clean.select("doc_id").as[Long].collect().toSeq == Seq(2L))
   }
 
+  test("bloom-prefiltered decontamination equals the exact join path") {
+    val all = spark.read.parquet(s"${sf()}/documents.parquet")
+    val corpus = all.where($"doc_id" % 7 =!= 0)
+    val bench = all.where($"doc_id" % 7 === 0)
+    val exact = Contamination.flagOverlap(corpus, bench, n = 8)
+      .orderBy("doc_id").as[(Long, Long, Boolean)].collect().toSeq
+    assert(exact.exists(_._3) && exact.exists(!_._3), "fixture must mix both classes")
+    // fpp=0.5 floods the prefilter with false positives; the exact-verify
+    // stage must zero every one — equality at both ends certifies the
+    // no-false-negative direction AND the verify stage
+    for (fpp <- Seq(0.001, 0.5)) {
+      val viaBloom = Contamination.flagOverlapBloom(corpus, bench, n = 8, fpp = fpp)
+        .orderBy("doc_id").as[(Long, Long, Boolean)].collect().toSeq
+      assert(viaBloom == exact, s"bloom path diverged at fpp=$fpp")
+    }
+    val cleanExact = Contamination.decontaminate(corpus, bench, n = 8)
+      .select("doc_id").as[Long].collect().toSeq.sorted
+    val cleanBloom = Contamination.decontaminateBloom(corpus, bench, n = 8)
+      .select("doc_id").as[Long].collect().toSeq.sorted
+    assert(cleanBloom == cleanExact)
+  }
+
   test("attribution names the benchmark doc with the most shared n-grams") {
     val g1 = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
     val g2 = "one two three four five six seven eight"
