@@ -116,6 +116,40 @@ object Contamination {
     corpus.join(bad, Seq(idCol), "left_anti")
   }
 
+  /** Bench-gram bloom + the join-free suspect scan — the prefilter half
+    * of [[flagOverlapBloom]], exposed so its economics (how much of the
+    * corpus the bloom actually prunes) are spec-measurable. Returns the
+    * ids of corpus docs with ≥1 bloom-positive gram. A doc's chance of
+    * being a FALSE suspect is union-bounded by `distinct_grams × fpp` —
+    * at the 1e-6 default a 1000-gram doc false-flags ~0.1% of the time,
+    * so the re-shingle+verify stage stays contamination-sized, not
+    * fpp-inflated. */
+  private[graft] def bloomSuspects(corpus: DataFrame, benchmark: DataFrame,
+                                   n: Int, idCol: String, textCol: String,
+                                   fpp: Double): DataFrame =
+    suspectsFromGrams(corpus,
+      ngramHashes(benchmark, n, idCol, textCol).select("gram").distinct(),
+      n, idCol, textCol, fpp)
+
+  private def suspectsFromGrams(corpus: DataFrame, benchGrams: DataFrame,
+                                n: Int, idCol: String, textCol: String,
+                                fpp: Double): DataFrame = {
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    val bloom = benchGrams.stat.bloomFilter(
+      "gram", math.max(benchGrams.count(), 1L), fpp)
+    val bloomBc = spark.sparkContext.broadcast(bloom)
+    spread(corpus, col(idCol))
+      .select(col(idCol), col(textCol)).as[(Long, String)]
+      .mapPartitions { it =>
+        val md = java.security.MessageDigest.getInstance("MD5")
+        val b = bloomBc.value
+        it.filter { case (_, text) =>
+          distinctGrams(text, n, md).exists(b.mightContainString)
+        }.map(_._1)
+      }.toDF(idCol)
+  }
+
   /** Bloom-prefiltered [[flagOverlap]] — the 100 TB shape, and still
     * EXACTLY equal to it (oracled against the same SQL): a Bloom filter
     * has no false negatives, so a doc with zero bloom hits is provably
@@ -127,42 +161,32 @@ object Contamination {
     * benchmark gram table into a broadcast hash join (32-char md5 per
     * gram — ~50 MB per million grams, rebuilt per stage), and every
     * corpus gram probes it. Here the benchmark compresses to
-    * ~`1.44*log2(1/fpp)` BITS per gram (~18 MB per 10 M grams at the
-    * 0.1% default), the corpus pass is scan → per-partition loop →
+    * ~`1.44*log2(1/fpp)` BITS per gram (~36 MB per 10 M grams at the
+    * 1e-6 default), the corpus pass is scan → per-partition loop →
     * short-circuit `exists` (first hit wins) with NO join, no shuffle
     * and nothing per-doc materialised, and only the contaminated sliver
-    * — in a real corpus a fraction of a percent — pays the join. The
-    * bloom build itself is one aggregate over the tiny benchmark side. */
+    * — in a real corpus a fraction of a percent, since the per-DOC
+    * false-positive rate is union-bounded by grams×fpp — pays the join.
+    * The bloom build itself is one aggregate over the tiny benchmark
+    * side. Default fpp 1e-6, not the customary 1e-3: bloom bits only
+    * double while false suspects drop ~1000x, and the whole point of
+    * the prefilter is that the verify stage stays contamination-sized. */
   def flagOverlapBloom(corpus: DataFrame, benchmark: DataFrame, n: Int = 8,
                        idCol: String = "doc_id", textCol: String = "text",
-                       fpp: Double = 0.001): DataFrame = {
-    val spark = corpus.sparkSession
-    import spark.implicits._
+                       fpp: Double = 1e-6): DataFrame = {
     val benchGrams = ngramHashes(benchmark, n, idCol, textCol)
       .select("gram").distinct()
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val bloom = benchGrams.stat.bloomFilter(
-      "gram", math.max(benchGrams.count(), 1L), fpp)
-    val bloomBc = spark.sparkContext.broadcast(bloom)
-    val suspects = spread(corpus, col(idCol))
-      .select(col(idCol), col(textCol)).as[(Long, String)]
-      .mapPartitions { it =>
-        val md = java.security.MessageDigest.getInstance("MD5")
-        val b = bloomBc.value
-        it.filter { case (_, text) =>
-          distinctGrams(text, n, md).exists(b.mightContainString)
-        }.map(_._1)
-      }.toDF(idCol)
+    val suspects = suspectsFromGrams(corpus, benchGrams, n, idCol, textCol, fpp)
     // exact verify for the bloom-flagged sliver only; eager so the
-    // bench-gram cache and bloom broadcast release before the caller
-    // materialises the (corpus-sized) report
+    // bench-gram cache releases before the caller materialises the
+    // (corpus-sized) report
     val hits = ngramHashes(corpus.join(suspects, Seq(idCol), "left_semi"),
         n, idCol, textCol)
       .join(benchGrams, "gram")
       .groupBy(idCol).agg(count(lit(1)).as("n_hits"))
       .localCheckpoint()
     benchGrams.unpersist(false)
-    bloomBc.unpersist(false)
     corpus.select(col(idCol))
       .join(hits, Seq(idCol), "left")
       .withColumn("n_hits", coalesce(col("n_hits"), lit(0L)))
@@ -172,7 +196,7 @@ object Contamination {
   /** Filtering form of [[flagOverlapBloom]]: corpus minus contaminated. */
   def decontaminateBloom(corpus: DataFrame, benchmark: DataFrame, n: Int = 8,
                          idCol: String = "doc_id", textCol: String = "text",
-                         fpp: Double = 0.001): DataFrame = {
+                         fpp: Double = 1e-6): DataFrame = {
     val bad = flagOverlapBloom(corpus, benchmark, n, idCol, textCol, fpp)
       .where(col("contaminated")).select(idCol)
     corpus.join(bad, Seq(idCol), "left_anti")

@@ -68,6 +68,28 @@ class PrepOperatorsSpec extends SparkSpec {
     assert(cleanBloom == cleanExact)
   }
 
+  test("bloom prefilter economics: suspects ⊇ contaminated, FP-sliver-sized") {
+    val all = spark.read.parquet(s"${sf()}/documents.parquet")
+    val corpus = all.where($"doc_id" % 7 =!= 0)
+    val bench = all.where($"doc_id" % 7 === 0)
+    val contaminated = Contamination.flagOverlap(corpus, bench, n = 8)
+      .where($"contaminated").select("doc_id").as[Long].collect().toSet
+    val suspects = Contamination
+      .bloomSuspects(corpus, bench, n = 8, "doc_id", "text", fpp = 1e-6)
+      .as[Long].collect().toSet
+    // no false negatives: every truly contaminated doc is a suspect
+    assert(contaminated.subsetOf(suspects))
+    // the prefilter prunes: false suspects are union-bounded by
+    // grams-per-doc x fpp ~ 0 at 1e-6 here, so the verify stage sees
+    // (essentially) only real contamination, and the clean majority
+    // provably never joins
+    assert(suspects.size <= contaminated.size + 2,
+      s"${suspects.size} suspects vs ${contaminated.size} contaminated")
+    val corpusDocs = corpus.count()
+    assert(suspects.size < corpusDocs / 2,
+      s"prefilter pruned nothing: ${suspects.size} of $corpusDocs docs")
+  }
+
   test("attribution names the benchmark doc with the most shared n-grams") {
     val g1 = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
     val g2 = "one two three four five six seven eight"
