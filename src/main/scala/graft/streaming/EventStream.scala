@@ -185,6 +185,33 @@ object EventStream {
     writeIdempotent(keptBuckets, bktDir)
   }
 
+  /** Streaming corpus ingestion with benchmark decontamination: each
+    * micro-batch drops documents sharing any n-gram with the STORED
+    * benchmark index ([[graft.operators.Contamination.buildBenchmarkIndex]])
+    * and appends the survivors to the corpus. The index is built once
+    * per eval-suite release — the per-batch cost is loading ~MBs of
+    * bloom bits plus the join-free suspect scan, with only the
+    * contaminated sliver paying the exact gram join; nothing
+    * benchmark-sized is recomputed per batch. Exactly-once: the filter
+    * is deterministic given the fixed index, and survivors land in a
+    * `__batch_id` partition via dynamic-partition overwrite, so a
+    * replayed batch rewrites its own partition instead of appending
+    * duplicates. */
+  def decontaminateIngestSink(stream: DataFrame, indexDir: String,
+                              corpusDir: String, checkpoint: String)
+      : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+    stream.writeStream
+      .option("checkpointLocation", checkpoint)
+      .outputMode("append")
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        graft.operators.Contamination.decontaminateIndexed(batch, indexDir)
+          .withColumn("__batch_id", lit(batchId))
+          .write.mode("overwrite")
+          .option("partitionOverwriteMode", "dynamic")
+          .partitionBy("__batch_id")
+          .parquet(corpusDir)
+      }
+
   /** Stream-stream interval join: each left event pairs with right
     * events for the same key within `[left.ts, left.ts + within]`. Both
     * sides carry watermarks + the time-range predicate, so the engine

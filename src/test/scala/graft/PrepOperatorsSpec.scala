@@ -68,6 +68,21 @@ class PrepOperatorsSpec extends SparkSpec {
     assert(cleanBloom == cleanExact)
   }
 
+  test("stored benchmark index round-trips: indexed report equals direct") {
+    val all = spark.read.parquet(s"${sf()}/documents.parquet")
+    val corpus = all.where($"doc_id" % 7 =!= 0)
+    val bench = all.where($"doc_id" % 7 === 0)
+    val dir = java.nio.file.Files.createTempDirectory("graft_benchidx").toString
+    Contamination.buildBenchmarkIndex(bench, dir, n = 8)
+    val direct = Contamination.flagOverlap(corpus, bench, n = 8)
+      .orderBy("doc_id").as[(Long, Long, Boolean)].collect().toSeq
+    val indexed = Contamination.flagOverlapIndexed(corpus, dir)
+      .orderBy("doc_id").as[(Long, Long, Boolean)].collect().toSeq
+    assert(indexed == direct)
+    // the meta table pins the gram width the index was shingled with
+    assert(spark.read.parquet(s"$dir/meta").select("n").as[Int].head() == 8)
+  }
+
   test("bloom prefilter economics: suspects ⊇ contaminated, FP-sliver-sized") {
     val all = spark.read.parquet(s"${sf()}/documents.parquet")
     val corpus = all.where($"doc_id" % 7 =!= 0)

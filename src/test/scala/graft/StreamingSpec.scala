@@ -144,6 +144,30 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming decontaminate ingest drops benchmark-overlapping docs per batch") {
+    implicit val sqlCtx = spark.sqlContext
+    val shared = (0 until 8).map(i => s"secret$i").mkString(" ")
+    val bench = Seq((100L, s"benchmark question $shared answer here"))
+      .toDF("doc_id", "text")
+    val idxDir = java.nio.file.Files.createTempDirectory("graft_decontam_idx").toString
+    graft.operators.Contamination.buildBenchmarkIndex(bench, idxDir, n = 8)
+    val clean1 = (0 until 20).map(i => s"alpha$i").mkString(" ")
+    val clean2 = (0 until 20).map(i => s"beta$i").mkString(" ")
+    val mem = MemoryStream[(Long, String)]
+    val base = java.nio.file.Files.createTempDirectory("graft_decontam_ingest").toString
+    val q = EventStream.decontaminateIngestSink(mem.toDF().toDF("doc_id", "text"),
+      idxDir, s"$base/corpus", s"$base/ckpt").start()
+    try {
+      mem.addData((1L, clean1), (2L, s"prefix $shared suffix words"))
+      q.processAllAvailable()
+      mem.addData((3L, clean2), (4L, s"also contains $shared embedded"))
+      q.processAllAvailable()
+      val ids = spark.read.parquet(s"$base/corpus")
+        .select("doc_id").as[Long].collect().toSet
+      assert(ids == Set(1L, 3L), s"got $ids")
+    } finally q.stop()
+  }
+
   test("streaming near-dup ingest drops near-duplicates arriving in later batches") {
     implicit val sqlCtx = spark.sqlContext
     val mem = MemoryStream[(Long, String)]
