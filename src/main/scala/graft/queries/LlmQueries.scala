@@ -29,6 +29,21 @@ object LlmQueries {
     dir
   }
 
+  /** Stored decontamination benchmark index for a corpus dir (the %7
+    * bench split); builds it on first use. `meta` is the LAST table the
+    * build writes, so its presence implies a complete index even if an
+    * earlier attempt crashed mid-build. */
+  private def benchIndexFor(s: SparkSession, d: String): String = {
+    val key = d.replaceAll("[^A-Za-z0-9._-]", "_")
+    val dir = s"${System.getProperty("java.io.tmpdir")}/graft_benchidx_v1_n8/$key"
+    val done = new org.apache.hadoop.fs.Path(s"$dir/meta")
+    val fs = done.getFileSystem(s.sparkContext.hadoopConfiguration)
+    if (!fs.exists(done))
+      Contamination.buildBenchmarkIndex(
+        docs(s, d).where(col("doc_id") % 7 === 0), dir, n = 8)
+    dir
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "dedup_exact" -> ((s, d) =>
       Dedup.exact(docs(s, d)).orderBy("keep_id")),
@@ -214,6 +229,18 @@ object LlmQueries {
       Contamination.flagOverlapBloom(
           all.where(col("doc_id") % 7 =!= 0),
           all.where(col("doc_id") % 7 === 0), n = 8)
+        .orderBy("doc_id")
+    }),
+
+    // probe-phase decontamination: the benchmark INDEX (grams + bloom +
+    // meta) is built once per corpus dir and every later run loads ~KBs
+    // of bloom bits and probes — the build-once/probe-forever economics
+    // of knn_ivfpq_probe, for decontamination. Same oracle as the
+    // direct forms (the index is exact-equivalent by construction).
+    "corpus_decontaminate_indexed" -> ((s, d) => {
+      val all = docs(s, d)
+      Contamination.flagOverlapIndexed(
+          all.where(col("doc_id") % 7 =!= 0), benchIndexFor(s, d))
         .orderBy("doc_id")
     }),
 
@@ -704,6 +731,7 @@ object LlmQueries {
     "corpus_decontaminate" -> decontaminateOracleSql(7),
     // bloom prefilter is exact-equivalent -> same oracle
     "corpus_decontaminate_bloom" -> decontaminateOracleSql(7),
+    "corpus_decontaminate_indexed" -> decontaminateOracleSql(7),
     "corpus_decontaminate_sparse" -> decontaminateOracleSql(29),
     "corpus_decontaminate_bloom_sparse" -> decontaminateOracleSql(29),
 
