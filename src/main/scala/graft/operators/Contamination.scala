@@ -231,6 +231,12 @@ object Contamination {
                           fpp: Double = 1e-6): Unit = {
     val spark = benchmark.sparkSession
     import spark.implicits._
+    // retract the completeness marker FIRST: a rebuild (possibly with a
+    // different n) that crashes mid-write must leave a dir that reads as
+    // incomplete, never an old meta describing new grams
+    val metaPath = new org.apache.hadoop.fs.Path(s"$dir/meta")
+    val mfs = metaPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (mfs.exists(metaPath)) mfs.delete(metaPath, true)
     val grams = ngramHashes(benchmark, n, idCol, textCol)
       .select("gram").distinct()
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
