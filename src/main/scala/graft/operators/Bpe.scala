@@ -1,0 +1,265 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import scala.collection.mutable
+
+/** Distributed BPE tokenizer training + encoding (Sennrich et al. 2016,
+  * the GPT-2 byte-pair shape), the tokenizer-construction stage of an
+  * LLM data pipeline (reference capability family: src/pipeline/
+  * transformation — corpus-derived transforms).
+  *
+  * Why this shape at 100 TB: BPE training NEVER iterates over the
+  * corpus. The corpus contributes exactly ONE aggregation — the
+  * pre-tokenized word-frequency histogram (map-side partial counts,
+  * one shuffle whose width is the DISTINCT vocabulary, not the corpus)
+  * — and the merge loop then runs on that histogram alone, exactly how
+  * the published trainers (subword-nmt, fastBPE, SentencePiece's BPE
+  * mode) operate on a word-count dict. The histogram collect is
+  * vocabulary-bounded (capped at `maxVocabWords` by descending count,
+  * with the dropped tail's mass measured and reported — never a silent
+  * cap), the same model-sized-driver-state economics as the IVF
+  * centroid and PQ codebook training loops. A 1000-shuffle "distributed
+  * merge loop" over the corpus would be strictly worse: each merge only
+  * re-counts pairs inside the words it touched, which is index-sized
+  * work on the histogram and a full-corpus job on a cluster.
+  *
+  * Encoding is one map-side pass: the learned merge ranks broadcast as
+  * a map (vocab-sized), each partition greedily merges lowest-rank
+  * pairs per word with an LRU-ish word→tokens memo (word soup repeats;
+  * the memo turns per-occurrence O(word²) into per-distinct-word). */
+object Bpe {
+
+  /** End-of-word marker on a word's last symbol, so word-final and
+    * word-internal units are distinct (Sennrich's `</w>` convention) —
+    * without it "low" as a word and "low" inside "lower" would merge
+    * into the same token and round-trip decoding would need external
+    * word boundaries. */
+  val EndOfWord = "</w>"
+
+  case class BpeModel(merges: IndexedSeq[(String, String)],
+                      cappedWords: Long, totalWords: Long,
+                      cappedMass: Long, totalMass: Long) {
+    /** pair -> merge rank (0 = learned first = applied first). */
+    lazy val ranks: Map[(String, String), Int] =
+      merges.iterator.zipWithIndex.toMap
+  }
+
+  /** A word as its initial symbol sequence: one symbol per character,
+    * end-of-word marker appended to the last. */
+  private def baseSymbols(word: String): mutable.ArrayBuffer[String] = {
+    val b = new mutable.ArrayBuffer[String](word.length)
+    var i = 0
+    while (i < word.length) { b += word.charAt(i).toString; i += 1 }
+    if (b.nonEmpty) b(b.size - 1) = b(b.size - 1) + EndOfWord
+    b
+  }
+
+  /** Corpus-scale phase: pre-tokenize (same GPT-2-ish splitter as
+    * [[TextAnalysis.bpeishPattern]]) and count distinct words. The only
+    * shuffle in training; partial aggregation makes its map output
+    * vocabulary-sized per task. */
+  def wordHistogram(docs: DataFrame, textCol: String = "text"): DataFrame =
+    docs.select(explode(
+        regexp_extract_all(col(textCol), lit(TextAnalysis.bpeishPattern), lit(0)))
+        .as("word"))
+      .groupBy("word").agg(count(lit(1)).as("cnt"))
+
+  /** Learn `numMerges` merge rules from `docs`. Deterministic: best
+    * pair = highest weighted count, ties by lexicographic (left,
+    * right) — reproducible across runs, partitionings, and engines.
+    * Stops early when no pair repeats (count < 2). */
+  def train(docs: DataFrame, numMerges: Int,
+            maxVocabWords: Int = 1 << 17,
+            textCol: String = "text"): BpeModel = {
+    val hist = wordHistogram(docs, textCol)
+    // vocabulary-bounded collect: top-`maxVocabWords` by count (word
+    // tie-break for determinism); the dropped tail is measured so the
+    // cap is visible in the model, not silent
+    val totals = hist.agg(count(lit(1)), coalesce(sum("cnt"), lit(0L)))
+      .head()
+    val (totalWords, totalMass) = (totals.getLong(0), totals.getLong(1))
+    val top = hist.orderBy(col("cnt").desc, col("word"))
+      .limit(maxVocabWords)
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    val cappedMass = top.iterator.map(_._2).sum
+
+    val words: Array[mutable.ArrayBuffer[String]] =
+      top.map { case (w, _) => baseSymbols(w) }
+    val counts: Array[Long] = top.map(_._2)
+
+    // pair -> weighted count, and pair -> word indices containing it,
+    // so each merge re-counts only the words it touches
+    val pairCounts = mutable.HashMap.empty[(String, String), Long]
+    val pairWords = mutable.HashMap.empty[(String, String), mutable.BitSet]
+    def addPairs(wi: Int, sign: Long): Unit = {
+      val s = words(wi); val c = counts(wi) * sign
+      var i = 0
+      while (i < s.size - 1) {
+        val p = (s(i), s(i + 1))
+        val nc = pairCounts.getOrElse(p, 0L) + c
+        if (nc == 0L) pairCounts.remove(p) else pairCounts(p) = nc
+        if (sign > 0) pairWords.getOrElseUpdate(p, mutable.BitSet.empty) += wi
+        i += 1
+      }
+    }
+    var wi = 0
+    while (wi < words.length) { addPairs(wi, 1L); wi += 1 }
+
+    val merges = mutable.ArrayBuffer.empty[(String, String)]
+    var done = false
+    while (merges.size < numMerges && !done) {
+      if (pairCounts.isEmpty) done = true
+      else {
+        // deterministic argmax: max count, then smallest (left, right)
+        var best: (String, String) = null
+        var bestC = 1L // require count >= 2 to merge
+        pairCounts.foreach { case (p, c) =>
+          if (c > bestC || (c == bestC && best != null &&
+              (p._1 < best._1 || (p._1 == best._1 && p._2 < best._2)))) {
+            best = p; bestC = c
+          }
+        }
+        if (best == null) done = true
+        else {
+          merges += best
+          val merged = best._1 + best._2
+          val affected = pairWords.getOrElse(best, mutable.BitSet.empty).toArray
+          pairWords.remove(best)
+          affected.foreach { w =>
+            addPairs(w, -1L)
+            val s = words(w)
+            var i = 0
+            while (i < s.size - 1) {
+              if (s(i) == best._1 && s(i + 1) == best._2) {
+                s(i) = merged; s.remove(i + 1)
+              } else i += 1
+            }
+            addPairs(w, 1L)
+          }
+        }
+      }
+    }
+    BpeModel(merges.toIndexedSeq, top.length.toLong, totalWords,
+      cappedMass, totalMass)
+  }
+
+  /** The learned merge table as a DataFrame (rank asc = application
+    * order) — the artifact a tokenizer release ships. */
+  def mergesDF(spark: SparkSession, model: BpeModel): DataFrame = {
+    import spark.implicits._
+    model.merges.zipWithIndex
+      .map { case ((l, r), i) => (i.toLong, l, r, l + r) }.toDF
+      .toDF("rank", "left", "right", "merged")
+  }
+
+  /** Persist / reload the merge table (parquet, rank-ordered) — the
+    * same train-once/encode-forever economics as the stored ANN and
+    * dedup indexes. Totals ride along as literal columns. */
+  def save(spark: SparkSession, model: BpeModel, dir: String): Unit =
+    mergesDF(spark, model)
+      .withColumn("capped_words", lit(model.cappedWords))
+      .withColumn("total_words", lit(model.totalWords))
+      .withColumn("capped_mass", lit(model.cappedMass))
+      .withColumn("total_mass", lit(model.totalMass))
+      .coalesce(1).write.mode("overwrite").parquet(dir)
+
+  def load(spark: SparkSession, dir: String): BpeModel = {
+    val rows = spark.read.parquet(dir)
+      .select("rank", "left", "right",
+        "capped_words", "total_words", "capped_mass", "total_mass")
+      .collect().sortBy(_.getLong(0))
+    val merges = rows.map(r => (r.getString(1), r.getString(2))).toIndexedSeq
+    if (rows.isEmpty) BpeModel(merges, 0L, 0L, 0L, 0L)
+    else {
+      val h = rows.head
+      BpeModel(merges, h.getLong(3), h.getLong(4), h.getLong(5), h.getLong(6))
+    }
+  }
+
+  /** Greedy encode of one word: repeatedly merge the present pair with
+    * the LOWEST rank (training order), exactly the GPT-2 encoder. */
+  private def encodeWord(word: String,
+                         ranks: Map[(String, String), Int]): Array[String] = {
+    val s = baseSymbols(word)
+    var continue = s.size >= 2
+    while (continue) {
+      var bi = -1; var br = Int.MaxValue
+      var i = 0
+      while (i < s.size - 1) {
+        ranks.get((s(i), s(i + 1))).foreach { r =>
+          if (r < br) { br = r; bi = i }
+        }
+        i += 1
+      }
+      if (bi < 0) continue = false
+      else {
+        // merge ALL occurrences of this pair left-to-right before
+        // rescanning (occurrences can't overlap after a left-first pass)
+        val (l, r) = (s(bi), s(bi + 1))
+        var j = 0
+        while (j < s.size - 1) {
+          if (s(j) == l && s(j + 1) == r) { s(j) = l + r; s.remove(j + 1) }
+          else j += 1
+        }
+        continue = s.size >= 2
+      }
+    }
+    s.toArray
+  }
+
+  /** Map-side corpus encode: (id, tokens) with the merge ranks
+    * broadcast and a per-partition word→tokens memo (bounded; word
+    * frequency is Zipfian so the memo's hit rate is ~the capped mass
+    * fraction). No shuffle — pure scan parallelism. */
+  def encode(model: BpeModel, docs: DataFrame,
+             idCol: String = "doc_id", textCol: String = "text",
+             memoBound: Int = 1 << 16): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val bRanks = spark.sparkContext.broadcast(model.ranks)
+    val pattern = TextAnalysis.bpeishPattern
+    docs.select(col(idCol).cast("long"), col(textCol))
+      .as[(Long, String)]
+      .mapPartitions { it =>
+        val ranks = bRanks.value
+        val re = java.util.regex.Pattern.compile(pattern)
+        val memo = mutable.HashMap.empty[String, Array[String]]
+        it.map { case (id, text) =>
+          val toks = mutable.ArrayBuffer.empty[String]
+          val m = re.matcher(if (text == null) "" else text)
+          while (m.find()) {
+            val w = m.group()
+            val enc = memo.getOrElse(w, {
+              val e = encodeWord(w, ranks)
+              if (memo.size < memoBound) memo(w) = e
+              e
+            })
+            toks ++= enc
+          }
+          (id, toks.toArray)
+        }
+      }.toDF(idCol, "tokens")
+  }
+
+  /** The `text_bpe` query shape: train on the corpus, encode the
+    * corpus, report per-doc base-symbol vs BPE token counts and the
+    * compression the learned merges bought. */
+  def tokenStats(docs: DataFrame, numMerges: Int = 200,
+                 idCol: String = "doc_id",
+                 textCol: String = "text"): DataFrame = {
+    val model = train(docs, numMerges, textCol = textCol)
+    encode(model, docs, idCol, textCol)
+      .select(col(idCol),
+        aggregate(col("tokens"), lit(0L),
+          (acc, t) => acc + length(t) -
+            when(t.endsWith(EndOfWord), lit(EndOfWord.length)).otherwise(0L))
+          .as("n_base_symbols"),
+        size(col("tokens")).cast("long").as("n_bpe_tokens"))
+      .withColumn("compression", round(
+        when(col("n_bpe_tokens") > 0,
+          col("n_base_symbols").cast("double") / col("n_bpe_tokens"))
+          .otherwise(lit(1.0)), 6))
+  }
+}

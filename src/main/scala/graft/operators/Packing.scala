@@ -131,6 +131,150 @@ object Packing {
         col("seq_offset"), col("n_seqs")): _*)
   }
 
+  /** Best-fit sequence packing WITHOUT document splitting (the
+    * histogram-packing design of Krell et al. 2021, "Efficient Sequence
+    * Packing without Cross-contamination"): each context window holds
+    * only whole documents, so no training sequence ever crosses a
+    * document boundary, and padding waste is minimised by bin packing
+    * instead of [[packSequences]]'s concat-and-chunk (zero padding, but
+    * documents split across windows).
+    *
+    * Scale shape — the corpus is never packed directly:
+    *   1. ONE tiny aggregation builds the length histogram (at most
+    *      `budget` distinct clamped lengths);
+    *   2. first-fit-decreasing runs driver-side ON THE HISTOGRAM in
+    *      grouped form (bins with identical remaining capacity and slot
+    *      profile advance as one unit), yielding "strategies" — slot
+    *      profiles with bin counts — exactly how the published packers
+    *      solve it; cost is histogram-sized, independent of corpus rows;
+    *   3. docs rank within their length by the same two-level scheme as
+    *      [[packSequencesBy]] (partitioned window per (length, id-range
+    *      bucket) + a driver prefix over histogram x buckets counts —
+    *      the collect is histogram-bounded, never corpus-bounded);
+    *   4. a broadcast of the strategy table maps (length, rank) to a
+    *      bin id arithmetically. One partitioned window + one broadcast
+    *      join; nothing global, nothing quadratic.
+    *
+    * Docs longer than `budget` are clamped to a full window and flagged
+    * (`clamped`) — the writer decides truncate-vs-chunk; empty docs
+    * pack as length 1 (a packed writer emits at least one EOS token per
+    * doc). Deterministic end to end: histogram order, grouped-FFD tie
+    * breaks, and rank order are all value-based. */
+  def packBestFit(docs: DataFrame, budget: Long, idCol: String = "doc_id",
+                  tokens: Column = null, buckets: Int = 64): DataFrame = {
+    require(budget > 0, "budget must be positive")
+    val tokCol = if (tokens == null) wsTokenCount(col("text")) else tokens
+    val base = docs.select(col(idCol), tokCol.cast("long").as("n_tokens"))
+      .withColumn("pack_len", least(greatest(col("n_tokens"), lit(1L)), lit(budget)))
+      .withColumn("clamped", col("n_tokens") > budget)
+
+    // 1. length histogram (at most `budget` rows on the driver)
+    val hist = base.groupBy("pack_len").agg(count(lit(1)).as("cnt"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).sortBy(-_._1)
+    if (hist.isEmpty) {
+      return base.withColumn("bin_id", lit(0L)).limit(0)
+        .select(col(idCol), col("n_tokens"), col("pack_len"),
+          col("clamped"), col("bin_id"))
+    }
+
+    // 2. grouped first-fit-decreasing on the histogram. A "group" is a
+    // set of bins with identical (remaining capacity, slot profile);
+    // assigning one doc of length l to every bin of the best-fitting
+    // group advances min(n, group size) docs per step, so the loop is
+    // histogram-shaped (groups x lengths), not doc-shaped.
+    final case class Group(rem: Long, slots: Vector[Long], var n: Long)
+    val groups = scala.collection.mutable.ArrayBuffer.empty[Group]
+    hist.foreach { case (len, cnt) =>
+      var left = cnt
+      while (left > 0) {
+        // best fit = smallest remaining capacity that still fits; ties
+        // by earliest-created group (stable index order)
+        var gi = -1
+        var i = 0
+        while (i < groups.size) {
+          val g = groups(i)
+          if (g.rem >= len && (gi < 0 || g.rem < groups(gi).rem)) gi = i
+          i += 1
+        }
+        if (gi < 0) {
+          // nothing open fits: open exactly the bins this length still
+          // needs at full-bin occupancy (ceil division) — later lengths
+          // best-fit into whatever slack remains
+          val perBin = budget / len
+          groups += Group(budget, Vector.empty,
+            (left + perBin - 1) / perBin)
+        } else {
+          val g = groups(gi)
+          val take = math.min(left, g.n)
+          if (take < g.n) {
+            groups += Group(g.rem, g.slots, g.n - take) // untouched split
+            g.n = take
+          }
+          groups(gi) = Group(g.rem - len, g.slots :+ len, g.n)
+          left -= take
+        }
+      }
+    }
+
+    // canonical strategy order (slot profile lexicographic) -> stable
+    // bin-id ranges regardless of mutation history
+    val strategies = groups.toIndexedSeq
+      .sortBy(g => g.slots.mkString(","))
+    val binBase = strategies.scanLeft(0L)((acc, g) => acc + g.n)
+
+    // 3. rank docs within their length: two-level distributed rank
+    val Array(minId, maxId) = base.agg(min(idCol), max(idCol)).collect()(0) match {
+      case r if r.isNullAt(0) => Array(0L, 0L)
+      case r => Array(r.getLong(0), r.getLong(1))
+    }
+    val width = math.max(1L, (maxId - minId + buckets) / buckets)
+    val bucketed = base.withColumn("bucket",
+      expr(s"($idCol - ${minId}L) div ${width}L"))
+    val w = Window.partitionBy("pack_len", "bucket").orderBy(idCol)
+    val ranked = bucketed.withColumn("local_rank", row_number().over(w).cast("long"))
+    val counts = bucketed.groupBy("pack_len", "bucket").agg(count(lit(1)).as("c"))
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getLong(2)))
+    val bucketOff = counts.groupBy(_._1._1).toSeq.flatMap { case (_, rows) =>
+      val sorted = rows.sortBy(_._1._2)
+      sorted.scanLeft(0L)((acc, r) => acc + r._2).zip(sorted).map {
+        case (off, ((len, b), _)) => (len, b, off)
+      }
+    }
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val offDf = bucketOff.toDF("pack_len", "bucket", "rank_off")
+
+    // 4. (length, rank) -> bin id: one row per (strategy, length) with
+    // the rank range that strategy's bins consume, in canonical order
+    val assignRows = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Long, Long, Long)]
+    val nextRank = scala.collection.mutable.HashMap.empty[Long, Long]
+    strategies.zipWithIndex.foreach { case (g, si) =>
+      g.slots.groupBy(identity).toSeq.sortBy(_._1).foreach { case (len, ss) =>
+        val k = ss.size.toLong
+        val start = nextRank.getOrElse(len, 0L)
+        assignRows += ((len, start, start + g.n * k, k, binBase(si)))
+        nextRank(len) = start + g.n * k
+      }
+    }
+    val assignDf = assignRows.toSeq
+      .toDF("pack_len", "rank_start", "rank_end", "k", "bin_base")
+
+    ranked.join(broadcast(offDf), Seq("pack_len", "bucket"))
+      .withColumn("rank", col("rank_off") + col("local_rank") - 1)
+      .join(broadcast(assignDf), Seq("pack_len"))
+      .where(col("rank") >= col("rank_start") && col("rank") < col("rank_end"))
+      .withColumn("bin_id",
+        col("bin_base") + expr("(rank - rank_start) div k"))
+      .select(col(idCol), col("n_tokens"), col("pack_len"), col("clamped"),
+        col("bin_id"))
+  }
+
+  /** Per-bin audit for [[packBestFit]] output: fill, padding waste. */
+  def binSummary(packed: DataFrame, budget: Long): DataFrame =
+    packed.groupBy("bin_id")
+      .agg(count(lit(1)).as("n_docs"), sum("pack_len").as("fill"))
+      .withColumn("waste", lit(budget) - col("fill"))
+
   /** Document chunking — the other half of sequence shaping: split each
     * long document into fixed `budget`-token windows (chunk 0 holds
     * tokens [0, budget), chunk 1 [budget, 2*budget), ...). One row per

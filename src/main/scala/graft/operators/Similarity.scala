@@ -26,13 +26,22 @@ object Similarity {
 
   /** Brute-force cosine top-k for the query rows selected by `isQuery`.
     * Rank is over the 6-dp-rounded similarity with id tie-break, which
-    * makes the ordering reproducible across engines and runs. */
-  def knnBrute(emb: DataFrame, isQuery: Column, k: Int = 10): DataFrame = {
+    * makes the ordering reproducible across engines and runs.
+    *
+    * `corpusFilter` restricts the SEARCHED side to rows matching a
+    * metadata predicate on the raw `emb` columns (label, source, ...) —
+    * pre-filter semantics: the top-k is exact over the eligible rows,
+    * and because the predicate is applied before vector prep it reaches
+    * the corpus scan as a pushed filter rather than discarding scored
+    * pairs after the fact. Queries are NOT required to satisfy it. */
+  def knnBrute(emb: DataFrame, isQuery: Column, k: Int = 10,
+               corpusFilter: Column = lit(true)): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val e = prepared(emb)
     val q = e.where(isQuery)
       .select(col("vec_id").as("q_id"), col("v").as("qv"), col("norm").as("qnorm"))
-    val scored = broadcast(q).join(e, col("q_id") =!= col("vec_id"))
+    val scored = broadcast(q).join(prepared(emb.where(corpusFilter)),
+      col("q_id") =!= col("vec_id"))
       .withColumn("cos_sim", round(
         cosineWithNorms(dotProduct(col("qv"), col("v")), col("qnorm"), col("norm")), 6))
     val w = Window.partitionBy("q_id").orderBy(col("cos_sim").desc, col("vec_id"))
@@ -199,13 +208,24 @@ object Similarity {
     * probes its `nprobe` nearest cells and brute-forces only those.
     * Expected candidate fraction ~ nprobe/k of the corpus — at 100 TB
     * the cell assignment is one narrow pass and the search joins
-    * hash-partition on centroid_id, so cost tracks cell occupancy. */
+    * hash-partition on centroid_id, so cost tracks cell occupancy.
+    *
+    * `corpusFilter` gives metadata-filtered ANN with the semantics a
+    * stored index forces at scale: cells are trained on the FULL corpus
+    * (an index is built once; filters vary per query batch), and the
+    * predicate restricts which indexed rows enter the candidate join —
+    * pre-filter, so every returned neighbour satisfies it and each
+    * query still gets a full top-k from its probed cells' eligible
+    * rows. Applied to the raw `emb` columns before vector prep, the
+    * predicate reaches the corpus scan as a pushed filter: the
+    * candidate join starts filter-sized, not corpus-sized. */
   def knnIvf(emb: DataFrame, isQuery: Column, k: Int = 10,
-             centroidsK: Int = 16, nprobe: Int = 4): DataFrame = {
+             centroidsK: Int = 16, nprobe: Int = 4,
+             corpusFilter: Column = lit(true)): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val e = prepared(emb)
     val centroids = trainIvfCentroids(e, centroidsK)
-    val corpus = assignToCentroid(e, centroids)
+    val corpus = assignToCentroid(prepared(emb.where(corpusFilter)), centroids)
     val probes = e.where(isQuery)
       .withColumn("probe",
         explode(slice(sort_array(centroidScores(col("v"), centroids), asc = false), 1, nprobe)))

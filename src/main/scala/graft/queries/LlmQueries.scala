@@ -2,7 +2,7 @@ package graft.queries
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import graft.operators.{Contamination, Dedup, Multimodal, Packing, Privacy, Similarity, Splits, TextAnalysis}
+import graft.operators.{Bpe, Contamination, Dedup, Multimodal, Packing, Privacy, QualityModel, Similarity, Splits, TextAnalysis}
 import graft.sources.Ingestor
 
 /** SURVEY §2.4 LLM-training-data operators over `documents` /
@@ -75,6 +75,13 @@ object LlmQueries {
       Similarity.knnBrute(emb(s, d), col("vec_id") < 10, k = 10)
         .orderBy("q_id", "rank")),
 
+    // metadata-filtered exact kNN: neighbours restricted to a label
+    // predicate, top-k exact over the eligible rows (pre-filter)
+    "knn_filtered" -> ((s, d) =>
+      Similarity.knnBrute(emb(s, d), col("vec_id") < 10, k = 10,
+          corpusFilter = col("label").isin(1, 3, 5))
+        .orderBy("q_id", "rank")),
+
     // rows-only: hyperplane projections not replicated in SQL
     "knn_lsh" -> ((s, d) =>
       Similarity.knnLsh(emb(s, d), col("vec_id") < 10, k = 10)
@@ -83,6 +90,14 @@ object LlmQueries {
     // rows-only: trained centroids not replicated in SQL
     "knn_ivf" -> ((s, d) =>
       Similarity.knnIvf(emb(s, d), col("vec_id") < 10, k = 10)
+        .orderBy("q_id", "rank")),
+
+    // rows-only: the filtered form of the indexed path — cells trained
+    // unfiltered, predicate restricts the candidate join's corpus side;
+    // eligibility + recall vs filtered brute are spec-certified
+    "knn_ivf_filtered" -> ((s, d) =>
+      Similarity.knnIvf(emb(s, d), col("vec_id") < 10, k = 10,
+          corpusFilter = col("label").isin(1, 3, 5))
         .orderBy("q_id", "rank")),
 
     // rows-only: trained centroids/codebooks not replicated in SQL
@@ -110,6 +125,23 @@ object LlmQueries {
         .select("doc_id", "n_chars_calc", "n_tokens", "alpha_ratio",
           "punct_ratio", "stopword_ratio", "quality_score")
         .orderBy("doc_id")),
+
+    // rows-only: learned scores have no SQL replica; held-out AUC vs
+    // the heuristic labels + determinism are spec-certified
+    "text_quality_model" -> ((s, d) =>
+      QualityModel.heldOutScores(docs(s, d)).orderBy("doc_id")),
+
+    // rows-only: the learned merge table (training has no SQL replica);
+    // determinism/round-trip/compression/cap specs certify it
+    "bpe_merges" -> ((s, d) =>
+      Bpe.mergesDF(s, Bpe.train(docs(s, d), numMerges = 200))
+        .orderBy("rank")),
+
+    // rows-only: train-then-encode corpus pass; base-symbol counts are
+    // spec-checked against a plain char count, token counts against the
+    // monotone-compression property
+    "text_bpe" -> ((s, d) =>
+      Bpe.tokenStats(docs(s, d), numMerges = 200).orderBy("doc_id")),
 
     "text_langid" -> ((s, d) =>
       TextAnalysis.languageId(docs(s, d))
@@ -297,6 +329,12 @@ object LlmQueries {
       Packing.packSequencesBy(docs(s, d), budget = 256L, Seq("lang"))
         .orderBy("lang", "doc_id")),
 
+    // rows-only: FFD bin packing has no SQL replica; the invariants
+    // (exactly-once, capacity, waste vs lower bound, determinism) are
+    // spec-certified
+    "seq_pack_bestfit" -> ((s, d) =>
+      Packing.packBestFit(docs(s, d), budget = 256L).orderBy("doc_id")),
+
     "doc_chunks" -> ((s, d) =>
       Packing.chunkDocuments(docs(s, d), budget = 32L)
         .orderBy("doc_id", "chunk_id")),
@@ -459,6 +497,21 @@ object LlmQueries {
       """WITH e AS (SELECT vec_id, [CAST(x AS DOUBLE) for x in embedding] AS v FROM embeddings),
         | n AS (SELECT vec_id, v, sqrt(list_sum([y*y for y in v])) AS norm FROM e),
         | q AS (SELECT vec_id AS q_id, v AS qv, norm AS qnorm FROM n WHERE vec_id < 10),
+        | s AS (SELECT q.q_id, n.vec_id AS n_id,
+        |   round(list_sum([q.qv[i] * n.v[i] for i in range(1, len(q.qv) + 1)])
+        |         / (q.qnorm * n.norm), 6) AS cos_sim
+        |  FROM q, n WHERE q.q_id != n.vec_id),
+        | r AS (SELECT q_id, n_id, cos_sim,
+        |   CAST(row_number() OVER (PARTITION BY q_id ORDER BY cos_sim DESC, n_id) AS BIGINT) AS rank
+        |  FROM s)
+        |SELECT q_id, n_id, rank, cos_sim FROM r WHERE rank <= 10
+        |ORDER BY q_id, rank""".stripMargin,
+
+    "knn_filtered" ->
+      """WITH e AS (SELECT vec_id, label, [CAST(x AS DOUBLE) for x in embedding] AS v FROM embeddings),
+        | n0 AS (SELECT vec_id, label, v, sqrt(list_sum([y*y for y in v])) AS norm FROM e),
+        | q AS (SELECT vec_id AS q_id, v AS qv, norm AS qnorm FROM n0 WHERE vec_id < 10),
+        | n AS (SELECT vec_id, v, norm FROM n0 WHERE label IN (1, 3, 5)),
         | s AS (SELECT q.q_id, n.vec_id AS n_id,
         |   round(list_sum([q.qv[i] * n.v[i] for i in range(1, len(q.qv) + 1)])
         |         / (q.qnorm * n.norm), 6) AS cos_sim

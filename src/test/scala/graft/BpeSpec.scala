@@ -1,0 +1,105 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.Bpe
+
+class BpeSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def docs = spark.read.parquet(s"${sf()}/documents.parquet")
+
+  test("bpe train: deterministic, valid contiguous ranks, count-ordered") {
+    val m1 = Bpe.train(docs, numMerges = 100)
+    val m2 = Bpe.train(docs, numMerges = 100)
+    assert(m1.merges == m2.merges, "training must be deterministic")
+    assert(m1.merges.nonEmpty && m1.merges.size <= 100)
+    // no duplicate rules, and every merged symbol is left+right by
+    // construction (mergesDF materializes that invariant)
+    assert(m1.merges.distinct.size == m1.merges.size)
+    val df = Bpe.mergesDF(spark, m1).collect()
+    assert(df.map(_.getLong(0)).toSeq == (0L until m1.merges.size).toSeq)
+    assert(df.forall(r => r.getString(3) == r.getString(1) + r.getString(2)))
+    // the word-soup corpus has few distinct words: the capped histogram
+    // must be the WHOLE histogram here (cap only bites at real scale)
+    assert(m1.cappedWords == m1.totalWords && m1.cappedMass == m1.totalMass)
+  }
+
+  test("bpe encode: round-trips the pre-tokenized text exactly") {
+    val model = Bpe.train(docs, numMerges = 150)
+    val enc = Bpe.encode(model, docs).as[(Long, Array[String])].collect().toMap
+    val pretok = docs.select(col("doc_id"),
+        regexp_extract_all(col("text"),
+          lit(graft.operators.TextAnalysis.bpeishPattern), lit(0)).as("w"))
+      .as[(Long, Seq[String])].collect().toMap
+    assert(enc.nonEmpty && enc.keySet == pretok.keySet)
+    enc.foreach { case (id, toks) =>
+      // stripping the end-of-word markers and concatenating must
+      // reproduce the concatenated pre-tokens — no characters lost,
+      // none invented, regardless of which merges fired
+      val decoded = toks.map(_.replace(Bpe.EndOfWord, "")).mkString
+      assert(decoded == pretok(id).mkString, s"doc $id round-trip")
+      // every word contributes exactly one end-of-word marker
+      assert(toks.count(_.endsWith(Bpe.EndOfWord)) == pretok(id).size)
+    }
+  }
+
+  test("bpe compression: more merges never lengthen the encoding") {
+    val m50 = Bpe.train(docs, numMerges = 50)
+    val m200 = Bpe.train(docs, numMerges = 200)
+    // greedy BPE merge lists are prefix-stable: the first 50 rules of
+    // the 200-rule model ARE the 50-rule model
+    assert(m200.merges.take(m50.merges.size) == m50.merges)
+    val t50 = Bpe.encode(m50, docs).select(col("doc_id"), size(col("tokens")))
+      .as[(Long, Int)].collect().toMap
+    val t200 = Bpe.encode(m200, docs).select(col("doc_id"), size(col("tokens")))
+      .as[(Long, Int)].collect().toMap
+    assert(t200.keySet == t50.keySet)
+    assert(t200.forall { case (id, n) => n <= t50(id) })
+    assert(t200.values.sum < t50.values.sum, "extra merges must pay somewhere")
+    // and the per-doc stats entry agrees with a direct char count
+    val stats = Bpe.tokenStats(docs, numMerges = 200)
+      .select("doc_id", "n_base_symbols", "n_bpe_tokens")
+      .as[(Long, Long, Long)].collect()
+    val chars = docs.select(col("doc_id"),
+        length(regexp_replace(col("text"), "\\s+", "")).cast("long"))
+      .as[(Long, Long)].collect().toMap
+    stats.foreach { case (id, base, bpe) =>
+      assert(base == chars(id), s"doc $id base symbols = non-ws chars")
+      assert(bpe == t200(id).toLong)
+    }
+  }
+
+  test("bpe save/load round-trip encodes identically") {
+    val model = Bpe.train(docs, numMerges = 80)
+    val dir = java.nio.file.Files.createTempDirectory("graft_bpe").toString
+    Bpe.save(spark, model, dir)
+    val back = Bpe.load(spark, dir)
+    assert(back.merges == model.merges)
+    assert(back.totalMass == model.totalMass &&
+      back.cappedWords == model.cappedWords)
+    val a = Bpe.encode(model, docs).select(col("doc_id"), concat_ws(" ", col("tokens")))
+      .as[(Long, String)].collect().sorted.toSeq
+    val b = Bpe.encode(back, docs).select(col("doc_id"), concat_ws(" ", col("tokens")))
+      .as[(Long, String)].collect().sorted.toSeq
+    assert(a == b && a.nonEmpty)
+  }
+
+  test("bpe vocab cap: measured, not silent — and merges still valid") {
+    // force the cap to bite: 8 words max on a corpus with many more
+    val model = Bpe.train(docs, numMerges = 30, maxVocabWords = 8)
+    assert(model.cappedWords == 8 && model.totalWords > 8)
+    assert(model.cappedMass < model.totalMass)
+    // encoding still round-trips: merges learned on the capped
+    // histogram apply wherever they match, unseen words fall back to
+    // base symbols
+    val enc = Bpe.encode(model, docs.limit(20))
+      .as[(Long, Array[String])].collect()
+    val pretok = docs.limit(20).select(col("doc_id"),
+        regexp_extract_all(col("text"),
+          lit(graft.operators.TextAnalysis.bpeishPattern), lit(0)).as("w"))
+      .as[(Long, Seq[String])].collect().toMap
+    enc.foreach { case (id, toks) =>
+      assert(toks.map(_.replace(Bpe.EndOfWord, "")).mkString == pretok(id).mkString)
+    }
+  }
+}

@@ -175,6 +175,39 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(ivf.size == brute.size) // still returns full top-k per query
   }
 
+  test("filtered kNN: neighbours satisfy the predicate; IVF recall vs filtered brute") {
+    val emb = spark.read.parquet(s"$docsDir/embeddings.parquet")
+    val filter = col("label").isin(1, 3, 5)
+    val eligible = emb.where(filter).select("vec_id").as[Long].collect().toSet
+    val brute = Similarity.knnBrute(emb, col("vec_id") < 5, k = 10,
+        corpusFilter = filter)
+      .select("q_id", "n_id").as[(Long, Long)].collect()
+    // eligibility: the pre-filter contract — nothing outside the
+    // predicate is ever returned, and each query still gets a full
+    // top-k (the eligible corpus is far larger than k)
+    assert(brute.nonEmpty && brute.forall { case (_, n) => eligible(n) })
+    assert(brute.length == 5 * 10)
+    // exactness, derived independently of the corpusFilter code path:
+    // rank the FULL corpus (k = corpus size), restrict to eligible ids,
+    // re-take the top 10 per query under the same (sim desc, id) order
+    val full = Similarity.knnBrute(emb, col("vec_id") < 5, k = 500)
+      .select("q_id", "n_id", "cos_sim").as[(Long, Long, Double)].collect()
+    val expected = full.filter { case (_, n, _) => eligible(n) }
+      .groupBy(_._1).toSeq.flatMap { case (q, rows) =>
+        rows.sortBy { case (_, n, s) => (-s, n) }.take(10).map(r => (q, r._2))
+      }.toSet
+    assert(brute.toSet == expected)
+    // IVF form: same eligibility guarantee, recall bounded only by the
+    // probed-cell fraction (same yardstick as the unfiltered IVF test)
+    val ivf = Similarity.knnIvf(emb, col("vec_id") < 5, k = 10,
+        centroidsK = 8, nprobe = 4, corpusFilter = filter)
+      .select("q_id", "n_id").as[(Long, Long)].collect()
+    assert(ivf.forall { case (_, n) => eligible(n) })
+    assert(ivf.length == brute.length)
+    val recall = ivf.toSet.intersect(brute.toSet).size.toDouble / brute.length
+    assert(recall >= 0.5, s"filtered IVF recall $recall vs filtered brute")
+  }
+
   test("knnLsh recall vs knnBrute on the same queries") {
     val emb = spark.read.parquet(s"$docsDir/embeddings.parquet")
     val brute = Similarity.knnBrute(emb, col("vec_id") < 5, k = 10)

@@ -179,6 +179,54 @@ class PrepOperatorsSpec extends SparkSpec {
     assert(grouped.count() == 120)
   }
 
+  test("best-fit packing: exactly-once, capacity, waste near lower bound") {
+    val docs = (0L until 300L)
+      .map(i => (i, Seq.fill(((i * 37) % 90 + 10).toInt)("w").mkString(" ")))
+      .toDF("doc_id", "text")
+    val budget = 128L
+    val packed = Packing.packBestFit(docs, budget, buckets = 4)
+    val rows = packed.select("doc_id", "pack_len", "bin_id")
+      .as[(Long, Long, Long)].collect()
+    // every doc assigned exactly once
+    assert(rows.length == 300 && rows.map(_._1).distinct.length == 300)
+    // no bin over budget
+    val fills = rows.groupBy(_._3).view.mapValues(_.map(_._2).sum).toMap
+    assert(fills.values.forall(_ <= budget))
+    // bin ids dense from 0 (strategy bases are exact)
+    assert(fills.keySet == (0L until fills.size).toSet)
+    // waste: within 15% of the ceil(total/budget) lower bound, and far
+    // better than the one-doc-per-bin naive (padding-heavy) packing
+    val total = rows.map(_._2).sum
+    val lower = (total + budget - 1) / budget
+    assert(fills.size >= lower)
+    assert(fills.size <= (lower * 1.15).toLong + 1,
+      s"${fills.size} bins vs lower bound $lower")
+    assert(fills.size < 300)
+    // deterministic
+    val again = Packing.packBestFit(docs, budget, buckets = 4)
+      .select("doc_id", "bin_id").as[(Long, Long)].collect().toSet
+    assert(again == rows.map(r => (r._1, r._3)).toSet)
+  }
+
+  test("best-fit packing: clamps overlong docs, packs empty docs once") {
+    val docs = Seq(
+      (0L, Seq.fill(50)("w").mkString(" ")), // overlong: clamped to 16
+      (1L, ""),                              // empty: packs as length 1
+      (2L, "w w w w w"), (3L, "w w w w w w w w w w w")) // 5 + 11 = one bin
+      .toDF("doc_id", "text")
+    val out = Packing.packBestFit(docs, budget = 16L)
+      .select("doc_id", "n_tokens", "pack_len", "clamped", "bin_id")
+      .as[(Long, Long, Long, Boolean, Long)].collect().sortBy(_._1)
+    assert(out(0) == ((0L, 50L, 16L, true, out(0)._5)))
+    assert(out(1)._3 == 1L && !out(1)._4)
+    // the clamped doc fills a whole bin alone; 11+5 share one; the
+    // empty doc lands wherever 1 token still fits
+    val fills = out.groupBy(_._5).view.mapValues(_.map(_._3).sum).toMap
+    assert(fills.values.forall(_ <= 16L))
+    assert(out(2)._5 == out(3)._5)
+    assert(out.map(_._1).distinct.length == 4)
+  }
+
   test("sequence packing: multi-bucket prefix sum equals a global cumsum") {
     import org.apache.spark.sql.expressions.Window
     val docs = (0L until 200L).map(i => (i * 3, s"t${i % 7}", ((i * 37) % 11 + 1).toInt))

@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.functions._
-import graft.operators.{Multimodal, TextAnalysis}
+import graft.operators.{Multimodal, QualityModel, TextAnalysis}
 
 class TextMultimodalSpec extends SparkSpec {
   import spark.implicits._
@@ -159,5 +159,38 @@ class TextMultimodalSpec extends SparkSpec {
     assert(re.getWidth == 128 && re.getHeight == 71)
     assert(out(2L).meta.width == 20 && out(2L).content.sameElements(pngBytes(20, 10)))
     assert(out(3L).meta.format == "raw" && out(3L).content.sameElements("junk".getBytes("UTF-8")))
+  }
+
+  test("learned quality model: held-out AUC vs heuristic labels, bounded scores") {
+    val docs = spark.read.parquet(s"${sf()}/documents.parquet")
+    val scored = QualityModel.heldOutScores(docs)
+      .as[(Long, Double)].collect()
+    assert(scored.nonEmpty)
+    assert(scored.forall { case (_, p) => p >= 0.0 && p <= 1.0 })
+    // rank-sum AUC of the model's held-out scores against the heuristic
+    // labels it was trained to mimic — generalisation, not memorisation
+    // (the scored docs never entered training)
+    val truth = graft.operators.TextAnalysis.qualityScore(docs)
+      .select(col("doc_id"), (col("quality_score") >= 0.75).as("pos"))
+      .as[(Long, Boolean)].collect().toMap
+    val (pos, neg) = scored.partition { case (id, _) => truth(id) }
+    assert(pos.nonEmpty && neg.nonEmpty, "held-out split needs both classes")
+    val concordant = (for { (_, ps) <- pos; (_, ns) <- neg } yield
+      if (ps > ns) 1.0 else if (ps == ns) 0.5 else 0.0).sum
+    val auc = concordant / (pos.size.toLong * neg.size)
+    assert(auc >= 0.8, s"held-out AUC $auc (${pos.size} pos / ${neg.size} neg)")
+  }
+
+  test("quality model save/load round-trip scores identically") {
+    val docs = spark.read.parquet(s"${sf()}/documents.parquet")
+    val labeled = graft.operators.TextAnalysis.qualityScore(docs)
+    val model = QualityModel.train(labeled, col("quality_score") >= 0.75)
+    val dir = java.nio.file.Files.createTempDirectory("graft_qmodel").toString
+    QualityModel.save(model, dir)
+    val direct = QualityModel.score(model, docs)
+      .as[(Long, Double)].collect().sorted.toSeq
+    val reloaded = QualityModel.score(QualityModel.load(dir), docs)
+      .as[(Long, Double)].collect().sorted.toSeq
+    assert(direct == reloaded && direct.nonEmpty)
   }
 }
