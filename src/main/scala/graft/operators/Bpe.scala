@@ -248,8 +248,19 @@ object Bpe {
     * compression the learned merges bought. */
   def tokenStats(docs: DataFrame, numMerges: Int = 200,
                  idCol: String = "doc_id",
-                 textCol: String = "text"): DataFrame = {
-    val model = train(docs, numMerges, textCol = textCol)
+                 textCol: String = "text"): DataFrame =
+    tokenStatsWith(train(docs, numMerges, textCol = textCol),
+      docs, idCol, textCol)
+
+  /** [[tokenStats]] against an ALREADY-TRAINED model (typically
+    * [[load]]ed from a stored merge table) — the probe-phase form a
+    * tokenizer release actually runs: merges train once per release,
+    * every corpus pass after that is one broadcast of the rank table +
+    * one map-side encode. Shared tail with [[tokenStats]], so the
+    * in-flight and stored paths can never diverge on the stats. */
+  def tokenStatsWith(model: BpeModel, docs: DataFrame,
+                     idCol: String = "doc_id",
+                     textCol: String = "text"): DataFrame = {
     encode(model, docs, idCol, textCol)
       .select(col(idCol),
         aggregate(col("tokens"), lit(0L),

@@ -41,7 +41,8 @@ object Contamination {
     * dedup raw grams, hash. */
   private def distinctGrams(text: String, n: Int,
                             md: java.security.MessageDigest): Array[String] = {
-    val toks = text.toLowerCase(java.util.Locale.ROOT)
+    // null text shingles as empty (no grams), matching Bpe.encode's guard
+    val toks = (if (text == null) "" else text).toLowerCase(java.util.Locale.ROOT)
       .split("[^a-z0-9]+").filter(_.nonEmpty)
     val seen = new scala.collection.mutable.HashSet[String]
     var i = 0

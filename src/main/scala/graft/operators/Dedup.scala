@@ -70,7 +70,9 @@ object Dedup {
     spread(docs, col(idCol)).select(col(idCol), col(textCol)).as[(Long, String)]
       .mapPartitions { it =>
         it.map { case (id, text) =>
-          val toks = text.toLowerCase(java.util.Locale.ROOT)
+          // null text tokenizes as empty, matching Bpe.encode's guard
+          val toks = (if (text == null) "" else text)
+            .toLowerCase(java.util.Locale.ROOT)
             .split("[^a-z0-9]+").filter(_.nonEmpty)
           val set = new scala.collection.mutable.HashSet[Long]
           var i = 0
@@ -91,7 +93,8 @@ object Dedup {
     spread(docs, col(idCol)).select(col(idCol), col(textCol)).as[(Long, String)]
       .mapPartitions { it =>
         it.flatMap { case (id, text) =>
-          val toks = text.toLowerCase(java.util.Locale.ROOT)
+          val toks = (if (text == null) "" else text)
+            .toLowerCase(java.util.Locale.ROOT)
             .split("[^a-z0-9]+").filter(_.nonEmpty)
           (0 to toks.length - n).iterator.map(i => (id, i.toLong, fnv1a(toks, i, n)))
         }
@@ -210,7 +213,8 @@ object Dedup {
         coalesce(col("__starts"), typedlit(Array.empty[Long])).as("__starts"))
       .as[(Long, String, Array[Long])]
       .map { case (id, text, st) =>
-        val toks = text.toLowerCase(java.util.Locale.ROOT)
+        val toks = (if (text == null) "" else text)
+          .toLowerCase(java.util.Locale.ROOT)
           .split("[^a-z0-9]+").filter(_.nonEmpty)
         val covered = new Array[Boolean](toks.length)
         st.foreach { p =>
@@ -376,26 +380,38 @@ object Dedup {
       .select(col(idCol), fold.as("simhash"))
   }
 
-  /** SimHash near-dup candidates: 4 blocks of 16 bits; a pair differing
-    * in ≤ maxHamming bits must agree on ≥1 whole block when
-    * maxHamming < 4·4 is spread across blocks (pigeonhole for ≤3).
-    * Block-bucket join + exact hamming filter. */
-  def simhashNearDups(docs: DataFrame, maxHamming: Int = 3): DataFrame = {
-    val fp = simhashed(docs)
-    val blocks = fp.select(col("doc_id"), col("simhash"),
+  /** Hamming-distance near-dup pairs over ANY 64-bit fingerprint
+    * column: 4 blocks of 16 bits; a pair differing in ≤ maxHamming ≤ 3
+    * bits must agree on ≥1 whole block (pigeonhole), so a block-bucket
+    * join + exact hamming filter finds every such pair without
+    * all-pairs. The bucket machinery shared by SimHash text near-dup
+    * ([[simhashNearDups]]) and perceptual-hash media near-dup
+    * ([[Multimodal.dHashNearDups]]). Buckets are 16-bit values — skew
+    * only when fingerprints themselves cluster, which AQE's skew-join
+    * split absorbs. */
+  def hammingNearDups(fp: DataFrame, idCol: String, hashCol: String,
+                      maxHamming: Int = 3): DataFrame = {
+    val base = fp.select(col(idCol).as("__id"), col(hashCol).as("__h"))
+    val blocks = base.select(col("__id"), col("__h"),
       posexplode(array((0 until 4).map(i =>
-        expr(s"shiftright(simhash, ${i * 16}) & 65535")): _*)).as(Seq("block_idx", "block_val")))
+        shiftright(col("__h"), i * 16).bitwiseAND(lit(65535L))): _*))
+        .as(Seq("block_idx", "block_val")))
     val a = blocks.as("a")
     val b = blocks.as("b")
     a.join(b,
         col("a.block_idx") === col("b.block_idx") &&
           col("a.block_val") === col("b.block_val") &&
-          col("a.doc_id") < col("b.doc_id"))
-      .select(col("a.doc_id").as("a_id"), col("b.doc_id").as("b_id"),
-        hamming64(col("a.simhash"), col("b.simhash")).cast("long").as("hamming"))
+          col("a.__id") < col("b.__id"))
+      .select(col("a.__id").as("a_id"), col("b.__id").as("b_id"),
+        hamming64(col("a.__h"), col("b.__h")).cast("long").as("hamming"))
       .distinct()
       .where(col("hamming") <= maxHamming)
   }
+
+  /** SimHash near-dup candidates: the 63-bit fingerprints through the
+    * shared [[hammingNearDups]] block-bucket join. */
+  def simhashNearDups(docs: DataFrame, maxHamming: Int = 3): DataFrame =
+    hammingNearDups(simhashed(docs), "doc_id", "simhash", maxHamming)
 
   /** Embedding-cosine near-dup pairs above `threshold`.
     *
@@ -624,44 +640,52 @@ object Dedup {
     (survivors, survivorSets, survivorBuckets)
   }
 
-  /** Incremental embedding-cosine dedup — the daily-drop form of
-    * [[embeddingNearDups]], completing the batch/incremental symmetry
-    * the text side has: drop incoming vectors ≥`threshold`
-    * cosine-similar to anything already in the corpus, or to an
-    * earlier (smaller-id) vector in the same increment. Candidates
-    * come from shared IVF cells BETWEEN the two sides plus
-    * cell-sharing pairs within the increment, exact-cosine verified —
-    * never incoming x existing all-pairs. Cells train over
-    * existing ∪ increment and the cell count scales with the UNION
-    * size: the in-batch self-dedup runs through the same cells, so
-    * they must be fine enough for whichever side is larger (a
-    * corpus-sized k from a tiny history — or vice versa — would make
-    * one side's cell occupancy quadraticly expensive). At 100 TB the
-    * corpus side's centroids and cell table are computed once per
-    * corpus build and stored (the embedding analog of
-    * [[minhashSignatureTable]]) — pass that model's size as
-    * `centroidsK` and the increment-side work stays
-    * assignment + cell-join only. Id spaces must be disjoint across
-    * the two inputs. */
-  def embeddingIncrement(existing: DataFrame, incoming: DataFrame,
-                         threshold: Double = 0.45, centroidsK: Int = 0,
-                         assign: Int = 2): DataFrame = {
-    val ex = Similarity.prepared(existing)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+  /** Two-sided exact-cosine verification of candidate (a_id, b_id)
+    * pairs: a_id resolves against `aSrc`, b_id against `bSrc` (both
+    * [[Similarity.prepared]]-shaped). ONE implementation so the batch,
+    * incremental, stored-model, and streaming embedding-dedup paths
+    * agree bit-for-bit on what counts as a duplicate — the embedding
+    * analog of [[verifyPairs]]. */
+  private def verifyCosine(cand: DataFrame, aSrc: DataFrame, bSrc: DataFrame,
+                           threshold: Double): DataFrame =
+    cand
+      .join(aSrc.select(col("vec_id").as("a_id"), col("v").as("av"),
+        col("norm").as("anorm")), "a_id")
+      .join(bSrc.select(col("vec_id").as("b_id"), col("v").as("bv"),
+        col("norm").as("bnorm")), "b_id")
+      .where(round(cosineWithNorms(dotProduct(col("av"), col("bv")),
+        col("anorm"), col("bnorm")), 6) >= threshold)
+
+  /** One embedding-dedup increment step against an EXISTING side given
+    * as (vectors, cell table, trained centroids) — the shared core of
+    * [[embeddingIncrement]] (existing side computed in-flight),
+    * [[embeddingIncrementStored]] (existing side loaded from a stored
+    * model), and the streaming ingest sink. The increment is assigned
+    * to its `assign` nearest cells, candidates come from shared cells
+    * BETWEEN the sides plus cell-sharing pairs within the increment,
+    * and both sets are exact-cosine verified — never incoming x
+    * existing all-pairs. Per-step cost is assignment (one broadcast
+    * of the k x dim centroid matrix) + two cell equi-joins: nothing
+    * retrains and nothing scans the corpus beyond the candidate-id
+    * vector lookups.
+    *
+    * Returns (survivors, survivorVecs, survivorCells); a stateful
+    * caller appends the last two to its durable state. Same
+    * `materializeState` contract as [[nearDupStateStep]]: the dropped
+    * set is always checkpointed (it is what survivors anti-join
+    * against), state outputs are checkpointed only when requested —
+    * a batch caller that discards them pays nothing. */
+  def embeddingStateStep(existingVecs: DataFrame, existingCells: DataFrame,
+                         centroids: Seq[Array[Double]], incoming: DataFrame,
+                         threshold: Double = 0.45, assign: Int = 2,
+                         materializeState: Boolean = true)
+      : (DataFrame, DataFrame, DataFrame) = {
     val inc = Similarity.prepared(incoming)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    // both sides are cached above; training persists (and releases) its
-    // own copy of the union for the Lloyd loop
-    val union = ex.unionByName(inc)
-    val k =
-      if (centroidsK > 0) centroidsK
-      else math.max(16L, math.min(4096L, union.count() / 64)).toInt
-    val centroids = Similarity.trainIvfCentroids(union, k)
-    val exCells = Similarity.cellAssignments(ex, centroids, assign)
     val incCells = Similarity.cellAssignments(inc, centroids, assign)
       .localCheckpoint()
     val candCross = incCells.as("i")
-      .join(exCells.as("e"), col("i.cell") === col("e.cell"))
+      .join(existingCells.as("e"), col("i.cell") === col("e.cell"))
       .select(col("i.vec_id").as("a_id"), col("e.vec_id").as("b_id"))
       .distinct()
     val candSelf = incCells.as("x")
@@ -669,22 +693,147 @@ object Dedup {
         col("x.cell") === col("y.cell") && col("x.vec_id") < col("y.vec_id"))
       .select(col("x.vec_id").as("a_id"), col("y.vec_id").as("b_id"))
       .distinct()
-    def verified(cand: DataFrame, aSrc: DataFrame, bSrc: DataFrame): DataFrame =
-      cand
-        .join(aSrc.select(col("vec_id").as("a_id"), col("v").as("av"),
-          col("norm").as("anorm")), "a_id")
-        .join(bSrc.select(col("vec_id").as("b_id"), col("v").as("bv"),
-          col("norm").as("bnorm")), "b_id")
-        .where(round(cosineWithNorms(dotProduct(col("av"), col("bv")),
-          col("anorm"), col("bnorm")), 6) >= threshold)
-    val dropped = verified(candCross, inc, ex).select(col("a_id").as("vec_id"))
-      .unionByName(verified(candSelf, inc, inc).select(col("b_id").as("vec_id")))
+    val dropped = verifyCosine(candCross, inc, existingVecs, threshold)
+      .select(col("a_id").as("vec_id"))
+      .unionByName(verifyCosine(candSelf, inc, inc, threshold)
+        .select(col("b_id").as("vec_id")))
       .distinct()
       .localCheckpoint()
-    ex.unpersist(false)
+    // survivors depend only on incoming + the checkpointed dropped set,
+    // so they stay correct after the vector cache is released either way
+    val survivorsLazy = incoming.join(dropped, Seq("vec_id"), "left_anti")
+    val survivors =
+      if (materializeState) survivorsLazy.localCheckpoint() else survivorsLazy
+    val survivorVecs = {
+      val v = inc.join(dropped, Seq("vec_id"), "left_anti")
+      if (materializeState) v.localCheckpoint() else v
+    }
+    val survivorCells = {
+      val c = incCells.join(dropped, Seq("vec_id"), "left_anti")
+      if (materializeState) c.localCheckpoint() else c
+    }
     inc.unpersist(false)
-    // survivors read only the source increment + the checkpointed drops
-    incoming.join(dropped, Seq("vec_id"), "left_anti")
+    (survivors, survivorVecs, survivorCells)
+  }
+
+  /** Incremental embedding-cosine dedup — the daily-drop form of
+    * [[embeddingNearDups]], completing the batch/incremental symmetry
+    * the text side has: drop incoming vectors ≥`threshold`
+    * cosine-similar to anything already in the corpus, or to an
+    * earlier (smaller-id) vector in the same increment. Candidates
+    * come from shared IVF cells BETWEEN the two sides plus
+    * cell-sharing pairs within the increment, exact-cosine verified
+    * through [[embeddingStateStep]] — never incoming x existing
+    * all-pairs. Cells train over existing ∪ increment and the cell
+    * count scales with the UNION size: the in-batch self-dedup runs
+    * through the same cells, so they must be fine enough for
+    * whichever side is larger (a corpus-sized k from a tiny history —
+    * or vice versa — would make one side's cell occupancy
+    * quadraticly expensive; measured 21 s → 4.5 s at sf1).
+    *
+    * This form RE-TRAINS centroids per run; at 100 TB the recurring
+    * job instead builds the corpus model once
+    * ([[buildEmbeddingDedupState]]) and probes it per increment
+    * ([[embeddingIncrementStored]]) — assignment + cell-join only, no
+    * Lloyd loop. Id spaces must be disjoint across the two inputs. */
+  def embeddingIncrement(existing: DataFrame, incoming: DataFrame,
+                         threshold: Double = 0.45, centroidsK: Int = 0,
+                         assign: Int = 2): DataFrame = {
+    val ex = Similarity.prepared(existing)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // training persists (and releases) its own copy of the union for
+    // the Lloyd loop; the increment side re-prepares inside the step
+    val union = ex.unionByName(Similarity.prepared(incoming))
+    val k =
+      if (centroidsK > 0) centroidsK
+      else math.max(16L, math.min(4096L, union.count() / 64)).toInt
+    val centroids = Similarity.trainIvfCentroids(union, k)
+    val exCells = Similarity.cellAssignments(ex, centroids, assign)
+    // batch form discards the state outputs — don't materialise them
+    val (survivors, _, _) = embeddingStateStep(ex, exCells, centroids,
+      incoming, threshold, assign, materializeState = false)
+    ex.unpersist(false)
+    survivors
+  }
+
+  /** Build + PERSIST the embedding-dedup corpus model at `dir` — the
+    * embedding analog of the text side's stored signature/bucket state
+    * ([[bandBuckets]]/[[nearDupStateStep]]) and of the stored ANN /
+    * decontamination indexes: four parquet tables — `centroids`
+    * (centroid_id, v: the trained IVF model), `vectors` (vec_id, v,
+    * norm), `cells` (vec_id, cell), and `meta` (k, assign, dim,
+    * n_vecs) written LAST so its presence implies a complete model
+    * even if a build attempt crashed between writes (and retracted
+    * FIRST on rebuild, so a crashed rebuild reads as incomplete).
+    * The Lloyd loop — the expensive part — runs ONCE per corpus
+    * build; every later increment probes via
+    * [[embeddingIncrementStored]] with assignment + cell-join
+    * economics. `centroidsK` auto-scales to ~N/64 vectors per cell
+    * (capped 4096) like [[embeddingNearDups]].
+    *
+    * Default multi-assign is 3 here (vs 2 for the union-trained
+    * forms): a stored model's centroids never saw the increments it
+    * will be probed with, so boundary vectors sit farther from their
+    * assigned cells than union-trained ones do — one extra assignment
+    * is the recall-compensating knob (measured: assign=2 missed a
+    * true cross pair at the oracle SF that assign=3 recovers, at
+    * ~2.25x candidate volume — still cell-occupancy-bound). */
+  def buildEmbeddingDedupState(emb: DataFrame, dir: String,
+                               centroidsK: Int = 0, assign: Int = 3): Unit = {
+    val spark = emb.sparkSession
+    import spark.implicits._
+    val metaPath = new org.apache.hadoop.fs.Path(s"$dir/meta")
+    val mfs = metaPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (mfs.exists(metaPath)) mfs.delete(metaPath, true)
+    val e = Similarity.prepared(emb)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val n = e.count()
+    val k =
+      if (centroidsK > 0) centroidsK
+      else math.max(16L, math.min(4096L, n / 64)).toInt
+    // dim read from the data (one row), not assumed: the stored model
+    // must describe whatever corpus it was built over
+    val dim = e.select(size(col("v"))).as[Int].head()
+    val centroids = Similarity.trainIvfCentroids(e, k, dim = dim)
+    e.write.mode("overwrite").parquet(s"$dir/vectors")
+    Similarity.cellAssignments(e, centroids, assign)
+      .write.mode("overwrite").parquet(s"$dir/cells")
+    e.unpersist(false)
+    centroids.zipWithIndex.map { case (v, i) => (i, v.toSeq) }.toSeq
+      .toDF("centroid_id", "v")
+      .write.mode("overwrite").parquet(s"$dir/centroids")
+    // meta LAST: completeness marker + the parameters a probe must reuse
+    Seq((k, assign, centroids.head.length, n))
+      .toDF("k", "assign", "dim", "n_vecs")
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/meta")
+  }
+
+  /** Probe-phase incremental embedding dedup against a STORED model
+    * ([[buildEmbeddingDedupState]]): the daily-drop job a 100 TB
+    * corpus actually runs. The driver loads only the k x dim centroid
+    * matrix; the corpus vector/cell tables stream from parquet into
+    * the candidate joins; increment-side work is assignment + two
+    * cell equi-joins + exact-cosine verification of the candidates —
+    * NO Lloyd loop, nothing corpus-sized recomputed. `assign` comes
+    * from the model's meta, so a probe can never bucket with
+    * different multi-assignment than the corpus was indexed with.
+    * Same duplicate contract as [[embeddingIncrement]] (shared
+    * [[embeddingStateStep]] core); agreement is spec-certified at the
+    * oracle SF. Increment ids must be disjoint from the corpus's. */
+  def embeddingIncrementStored(incoming: DataFrame, dir: String,
+                               threshold: Double = 0.45): DataFrame = {
+    val spark = incoming.sparkSession
+    import spark.implicits._
+    val assign = spark.read.parquet(s"$dir/meta").select("assign").as[Int].head()
+    val centroids: Seq[Array[Double]] = scala.collection.immutable.ArraySeq
+      .unsafeWrapArray(spark.read.parquet(s"$dir/centroids")
+        .select("centroid_id", "v").as[(Int, Array[Double])]
+        .collect().sortBy(_._1).map(_._2))
+    val (survivors, _, _) = embeddingStateStep(
+      spark.read.parquet(s"$dir/vectors"),
+      spark.read.parquet(s"$dir/cells"),
+      centroids, incoming, threshold, assign, materializeState = false)
+    survivors
   }
 
   /** Incremental exact dedup — the daily-drop form: dedup `incoming`

@@ -204,6 +204,108 @@ object Multimodal {
       }
   }
 
+  // ---------------------------------------------------------------------
+  // Perceptual near-dup: dHash fingerprints + hamming block buckets —
+  // the dedup × multimodal intersection (image near-dup at corpus scale).
+  // ---------------------------------------------------------------------
+
+  /** 64-bit difference hash from an 8-row × 9-column luminance grid:
+    * bit r*8+c set when grid(r)(c+1) > grid(r)(c) — the standard dHash
+    * layout (horizontal gradient signs survive rescaling/re-encoding,
+    * which is what makes it perceptual rather than byte-exact). */
+  private[operators] def dHashFromGrid(grid: Array[Array[Double]]): Long = {
+    var h = 0L
+    var r = 0
+    while (r < 8) {
+      var c = 0
+      while (c < 8) {
+        if (grid(r)(c + 1) > grid(r)(c)) h |= 1L << (r * 8 + c)
+        c += 1
+      }
+      r += 1
+    }
+    h
+  }
+
+  /** Deterministic 8×9 grid for NON-image payloads (the stub-codec
+    * path): cell = mean unsigned byte over the payload slice it covers,
+    * laid out row-major — a 1D box resample, locality-preserving like a
+    * real downscale: a small payload edit moves a few cells, not the
+    * whole grid, so near-identical payloads land within hamming reach
+    * (an avalanche hash here would scatter them uselessly). */
+  private[operators] def byteGrid(bytes: Array[Byte]): Array[Array[Double]] = {
+    val cells = 72
+    val out = Array.ofDim[Double](8, 9)
+    val n = bytes.length
+    var i = 0
+    while (i < cells) {
+      val from = (i.toLong * n / cells).toInt
+      val to = ((i + 1).toLong * n / cells).toInt
+      var s = 0.0
+      var j = from
+      while (j < to) { s += bytes(j) & 0xff; j += 1 }
+      out(i / 9)(i % 9) = if (to > from) s / (to - from) else 0.0
+      i += 1
+    }
+    out
+  }
+
+  /** 8×9 luminance grid from a REAL decoded image: one centre-sampled
+    * pixel per grid box — O(72) per image regardless of resolution, and
+    * stable under rescaling because box centres map to the same image
+    * regions at any size. */
+  private[operators] def luminanceGrid(
+      img: java.awt.image.BufferedImage): Array[Array[Double]] = {
+    val out = Array.ofDim[Double](8, 9)
+    val w = img.getWidth
+    val h = img.getHeight
+    var r = 0
+    while (r < 8) {
+      var c = 0
+      while (c < 9) {
+        val x = math.min(w - 1, ((c + 0.5) * w / 9).toInt)
+        val y = math.min(h - 1, ((r + 0.5) * h / 8).toInt)
+        val rgb = img.getRGB(x, y)
+        out(r)(c) = 0.299 * ((rgb >> 16) & 0xff) +
+          0.587 * ((rgb >> 8) & 0xff) + 0.114 * (rgb & 0xff)
+        c += 1
+      }
+      r += 1
+    }
+    out
+  }
+
+  /** Per-payload 64-bit perceptual hash (dHash): payloads that decode
+    * as real images hash their sampled luminance grid; everything else
+    * hashes the deterministic byte grid. One typed mapPartitions pass,
+    * codec configured once per partition — no shuffle, and the
+    * fingerprint is 8 bytes per payload no matter how large the media
+    * is, which is what makes corpus-scale media dedup joinable. */
+  def dHashes(media: DataFrame, idCol: String = "doc_id"): DataFrame = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.select(col(idCol), col("content")).as[(Long, Array[Byte])]
+      .mapPartitions { rows =>
+        javax.imageio.ImageIO.setUseCache(false)
+        rows.map { case (id, bytes) =>
+          val grid = imageioDecode(bytes) match {
+            case Some(img) => luminanceGrid(img)
+            case None => byteGrid(bytes)
+          }
+          (id, dHashFromGrid(grid))
+        }
+      }.toDF(idCol, "dhash")
+  }
+
+  /** Perceptual near-dup pairs over binary media: dHash fingerprints
+    * through the SAME hamming block-bucket machinery as SimHash text
+    * dedup ([[Dedup.hammingNearDups]]) — block-bucket join + exact
+    * hamming verify, never all-pairs. Returns (a_id, b_id, hamming)
+    * with a_id < b_id. */
+  def dHashNearDups(media: DataFrame, maxHamming: Int = 3,
+                    idCol: String = "doc_id"): DataFrame =
+    Dedup.hammingNearDups(dHashes(media, idCol), idCol, "dhash", maxHamming)
+
   /** REAL resize: decode with imageio, fit into `maxSide` via the SAME
     * [[fitDims]] geometry as the stub path, scale with Graphics2D
     * bilinear, re-encode as PNG. Payloads that fail to decode pass

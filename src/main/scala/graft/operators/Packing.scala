@@ -164,7 +164,11 @@ object Packing {
                   tokens: Column = null, buckets: Int = 64): DataFrame = {
     require(budget > 0, "budget must be positive")
     val tokCol = if (tokens == null) wsTokenCount(col("text")) else tokens
-    val base = docs.select(col(idCol), tokCol.cast("long").as("n_tokens"))
+    // the id is cast to long ONCE under an internal simple name, so an
+    // Int id column (or one whose name needs quoting) neither breaks the
+    // driver-side getLong bounds nor the bucket expression below
+    val base = docs.select(col(idCol).cast("long").as("__pb_id"),
+        tokCol.cast("long").as("n_tokens"))
       .withColumn("pack_len", least(greatest(col("n_tokens"), lit(1L)), lit(budget)))
       .withColumn("clamped", col("n_tokens") > budget)
 
@@ -173,7 +177,7 @@ object Packing {
       .collect().map(r => (r.getLong(0), r.getLong(1))).sortBy(-_._1)
     if (hist.isEmpty) {
       return base.withColumn("bin_id", lit(0L)).limit(0)
-        .select(col(idCol), col("n_tokens"), col("pack_len"),
+        .select(col("__pb_id").as(idCol), col("n_tokens"), col("pack_len"),
           col("clamped"), col("bin_id"))
     }
 
@@ -223,14 +227,14 @@ object Packing {
     val binBase = strategies.scanLeft(0L)((acc, g) => acc + g.n)
 
     // 3. rank docs within their length: two-level distributed rank
-    val Array(minId, maxId) = base.agg(min(idCol), max(idCol)).collect()(0) match {
+    val Array(minId, maxId) = base.agg(min("__pb_id"), max("__pb_id")).collect()(0) match {
       case r if r.isNullAt(0) => Array(0L, 0L)
       case r => Array(r.getLong(0), r.getLong(1))
     }
     val width = math.max(1L, (maxId - minId + buckets) / buckets)
     val bucketed = base.withColumn("bucket",
-      expr(s"($idCol - ${minId}L) div ${width}L"))
-    val w = Window.partitionBy("pack_len", "bucket").orderBy(idCol)
+      expr(s"(__pb_id - ${minId}L) div ${width}L"))
+    val w = Window.partitionBy("pack_len", "bucket").orderBy("__pb_id")
     val ranked = bucketed.withColumn("local_rank", row_number().over(w).cast("long"))
     val counts = bucketed.groupBy("pack_len", "bucket").agg(count(lit(1)).as("c"))
       .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getLong(2)))
@@ -265,8 +269,8 @@ object Packing {
       .where(col("rank") >= col("rank_start") && col("rank") < col("rank_end"))
       .withColumn("bin_id",
         col("bin_base") + expr("(rank - rank_start) div k"))
-      .select(col(idCol), col("n_tokens"), col("pack_len"), col("clamped"),
-        col("bin_id"))
+      .select(col("__pb_id").as(idCol), col("n_tokens"), col("pack_len"),
+        col("clamped"), col("bin_id"))
   }
 
   /** Per-bin audit for [[packBestFit]] output: fill, padding waste. */

@@ -28,19 +28,22 @@ object Similarity {
     * Rank is over the 6-dp-rounded similarity with id tie-break, which
     * makes the ordering reproducible across engines and runs.
     *
-    * `corpusFilter` restricts the SEARCHED side to rows matching a
-    * metadata predicate on the raw `emb` columns (label, source, ...) —
-    * pre-filter semantics: the top-k is exact over the eligible rows,
-    * and because the predicate is applied before vector prep it reaches
-    * the corpus scan as a pushed filter rather than discarding scored
-    * pairs after the fact. Queries are NOT required to satisfy it. */
+    * `corpusFilter` (null = unfiltered) restricts the SEARCHED side to
+    * rows matching a metadata predicate on the raw `emb` columns (label,
+    * source, ...) — pre-filter semantics: the top-k is exact over the
+    * eligible rows, and because the predicate is applied before vector
+    * prep it reaches the corpus scan as a pushed filter rather than
+    * discarding scored pairs after the fact. Queries are NOT required to
+    * satisfy it. Unfiltered searches reuse the single prepared relation
+    * for both sides — no second scan + norm pass of the corpus. */
   def knnBrute(emb: DataFrame, isQuery: Column, k: Int = 10,
-               corpusFilter: Column = lit(true)): DataFrame = {
+               corpusFilter: Column = null): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val e = prepared(emb)
     val q = e.where(isQuery)
       .select(col("vec_id").as("q_id"), col("v").as("qv"), col("norm").as("qnorm"))
-    val scored = broadcast(q).join(prepared(emb.where(corpusFilter)),
+    val corpus = if (corpusFilter == null) e else prepared(emb.where(corpusFilter))
+    val scored = broadcast(q).join(corpus,
       col("q_id") =!= col("vec_id"))
       .withColumn("cos_sim", round(
         cosineWithNorms(dotProduct(col("qv"), col("v")), col("qnorm"), col("norm")), 6))
@@ -210,8 +213,8 @@ object Similarity {
     * the cell assignment is one narrow pass and the search joins
     * hash-partition on centroid_id, so cost tracks cell occupancy.
     *
-    * `corpusFilter` gives metadata-filtered ANN with the semantics a
-    * stored index forces at scale: cells are trained on the FULL corpus
+    * `corpusFilter` (null = unfiltered) gives metadata-filtered ANN with
+    * the semantics a stored index forces at scale: cells are trained on the FULL corpus
     * (an index is built once; filters vary per query batch), and the
     * predicate restricts which indexed rows enter the candidate join —
     * pre-filter, so every returned neighbour satisfies it and each
@@ -221,11 +224,12 @@ object Similarity {
     * candidate join starts filter-sized, not corpus-sized. */
   def knnIvf(emb: DataFrame, isQuery: Column, k: Int = 10,
              centroidsK: Int = 16, nprobe: Int = 4,
-             corpusFilter: Column = lit(true)): DataFrame = {
+             corpusFilter: Column = null): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val e = prepared(emb)
     val centroids = trainIvfCentroids(e, centroidsK)
-    val corpus = assignToCentroid(prepared(emb.where(corpusFilter)), centroids)
+    val corpus = assignToCentroid(
+      if (corpusFilter == null) e else prepared(emb.where(corpusFilter)), centroids)
     val probes = e.where(isQuery)
       .withColumn("probe",
         explode(slice(sort_array(centroidScores(col("v"), centroids), asc = false), 1, nprobe)))
@@ -490,10 +494,22 @@ object Similarity {
     * streams from parquet, and the exact re-rank joins `emb` back for
     * the refine survivors alone. The vector dimension comes FROM the
     * stored centroids, so a query can never silently score against a
-    * mismatched subspace layout. Deterministic given a fixed index. */
+    * mismatched subspace layout. Deterministic given a fixed index.
+    *
+    * `corpusFilter` (null = unfiltered) gives metadata-filtered search
+    * over the STORED index — the serving-system shape: the index is
+    * built once, unfiltered (filters vary per query batch), and the
+    * predicate restricts which indexed rows enter the candidate join
+    * via a semi-join of the codes table against the eligible ids
+    * (pre-filter: every returned neighbour satisfies it, and each
+    * query's top-k comes from its probed cells' eligible rows). The
+    * predicate evaluates on the raw `emb` columns, so it reaches that
+    * scan as a pushed filter and the semi-join's build side is
+    * filter-sized ids, never vectors. */
   def searchIvfPqIndex(emb: DataFrame, isQuery: Column, dir: String,
                        k: Int = 10, nprobe: Int = 4,
-                       refine: Int = 5): DataFrame = {
+                       refine: Int = 5,
+                       corpusFilter: Column = null): DataFrame = {
     val spark = emb.sparkSession
     import spark.implicits._
     val centArr = spark.read.parquet(s"$dir/centroids")
@@ -509,7 +525,11 @@ object Similarity {
     val dim = centArr(0).length
     require(cb(0)(0).length * m == dim,
       s"index at $dir is inconsistent: ${cb(0)(0).length} x $m sub-dims vs dim $dim")
-    val codes = spark.read.parquet(s"$dir/codes")
+    val codesAll = spark.read.parquet(s"$dir/codes")
+    val codes =
+      if (corpusFilter == null) codesAll
+      else codesAll.join(emb.where(corpusFilter).select(col("vec_id")),
+        Seq("vec_id"), "left_semi")
     pqSearch(prepared(emb), codes, centArr, cb, isQuery, k, nprobe, refine, dim)
   }
 

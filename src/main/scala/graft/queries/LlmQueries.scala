@@ -14,15 +14,35 @@ object LlmQueries {
   private def docs(s: SparkSession, d: String) = Ingestor.table(s, d, "documents")
   private def emb(s: SparkSession, d: String) = Ingestor.table(s, d, "embeddings")
 
+  /** Content fingerprint of a source table: row count + bit-XOR of
+    * xxhash64 over the identifying columns — ONE narrow aggregation
+    * (order-independent, overflow-free). Every stored-index cache dir
+    * below is keyed by it, so data regenerated at the same path (new
+    * seed, schema, or a different dataset reusing the path) can never
+    * be served a stale index: the key changes and the index rebuilds.
+    * The probe entries pay one fingerprint scan per run — that is the
+    * honest cost of index-freshness validation, and it is narrow
+    * (id + content columns only) and join-free. */
+  private def contentKey(df: DataFrame, cols: Seq[String]): String = {
+    val r = df.select(org.apache.spark.sql.functions.xxhash64(
+        cols.map(col): _*).as("__h"))
+      .agg(count(lit(1)), expr("bit_xor(__h)")).head()
+    val x = if (r.isNullAt(1)) 0L else r.getLong(1)
+    s"${r.getLong(0)}_${java.lang.Long.toHexString(x)}"
+  }
+
   /** Stored IVF-PQ index location for a corpus dir; builds it on first
-    * use. The path is keyed by corpus dir + encoding parameters (bump
-    * the `v` tag if the encoding ever changes shape) so a stale index
-    * can never serve a differently-encoded layout; `codebooks` is the
-    * LAST table the build writes, so its presence implies a complete
-    * index even if an earlier attempt crashed mid-build. */
+    * use. The path is keyed by corpus dir + CONTENT fingerprint +
+    * encoding parameters (bump the `v` tag if the encoding ever
+    * changes shape) so neither regenerated data at the same path nor a
+    * differently-encoded layout can be served stale; `codebooks` is
+    * the LAST table the build writes, so its presence implies a
+    * complete index even if an earlier attempt crashed mid-build. */
   private def ivfPqIndexFor(s: SparkSession, d: String): String = {
     val key = d.replaceAll("[^A-Za-z0-9._-]", "_")
-    val dir = s"${System.getProperty("java.io.tmpdir")}/graft_ivfpq_v1_k16_m8_ks16/$key"
+    val fp = contentKey(emb(s, d), Seq("vec_id", "embedding"))
+    val dir =
+      s"${System.getProperty("java.io.tmpdir")}/graft_ivfpq_v1_k16_m8_ks16/${key}_$fp"
     val done = new org.apache.hadoop.fs.Path(s"$dir/codebooks")
     val fs = done.getFileSystem(s.sparkContext.hadoopConfiguration)
     if (!fs.exists(done)) Similarity.buildIvfPqIndex(emb(s, d), dir)
@@ -30,17 +50,53 @@ object LlmQueries {
   }
 
   /** Stored decontamination benchmark index for a corpus dir (the %7
-    * bench split); builds it on first use. `meta` is the LAST table the
+    * bench split); builds it on first use, keyed by dir + content
+    * fingerprint like [[ivfPqIndexFor]]. `meta` is the LAST table the
     * build writes, so its presence implies a complete index even if an
     * earlier attempt crashed mid-build. */
   private def benchIndexFor(s: SparkSession, d: String): String = {
     val key = d.replaceAll("[^A-Za-z0-9._-]", "_")
-    val dir = s"${System.getProperty("java.io.tmpdir")}/graft_benchidx_v1_n8/$key"
+    val fp = contentKey(docs(s, d), Seq("doc_id", "text"))
+    val dir =
+      s"${System.getProperty("java.io.tmpdir")}/graft_benchidx_v1_n8/${key}_$fp"
     val done = new org.apache.hadoop.fs.Path(s"$dir/meta")
     val fs = done.getFileSystem(s.sparkContext.hadoopConfiguration)
     if (!fs.exists(done))
       Contamination.buildBenchmarkIndex(
         docs(s, d).where(col("doc_id") % 7 === 0), dir, n = 8)
+    dir
+  }
+
+  /** Stored embedding-dedup corpus model for a corpus dir (the %10
+    * corpus split — the deployment shape: a large indexed corpus and a
+    * small daily increment); builds on first use, fingerprint-keyed.
+    * `meta` is written LAST by the build, so its presence implies a
+    * complete model. */
+  private def embDedupStateFor(s: SparkSession, d: String): String = {
+    val key = d.replaceAll("[^A-Za-z0-9._-]", "_")
+    val fp = contentKey(emb(s, d), Seq("vec_id", "embedding"))
+    val dir =
+      s"${System.getProperty("java.io.tmpdir")}/graft_embdedup_v1_a3/${key}_$fp"
+    val done = new org.apache.hadoop.fs.Path(s"$dir/meta")
+    val fs = done.getFileSystem(s.sparkContext.hadoopConfiguration)
+    if (!fs.exists(done))
+      Dedup.buildEmbeddingDedupState(
+        emb(s, d).where(col("vec_id") % 10 =!= 0), dir)
+    dir
+  }
+
+  /** Stored BPE merge table for a corpus dir; trains on first use,
+    * fingerprint-keyed. Parquet's `_SUCCESS` marker (committed last)
+    * is the completeness check for this single-table artifact. */
+  private def bpeMergesFor(s: SparkSession, d: String): String = {
+    val key = d.replaceAll("[^A-Za-z0-9._-]", "_")
+    val fp = contentKey(docs(s, d), Seq("doc_id", "text"))
+    val dir =
+      s"${System.getProperty("java.io.tmpdir")}/graft_bpe_v1_m200/${key}_$fp"
+    val done = new org.apache.hadoop.fs.Path(s"$dir/_SUCCESS")
+    val fs = done.getFileSystem(s.sparkContext.hadoopConfiguration)
+    if (!fs.exists(done))
+      Bpe.save(s, Bpe.train(docs(s, d), numMerges = 200), dir)
     dir
   }
 
@@ -115,6 +171,20 @@ object LlmQueries {
           ivfPqIndexFor(s, d), k = 10)
         .orderBy("q_id", "rank")),
 
+    // metadata-filtered search over the STORED index — how serving
+    // systems actually filter: index built once unfiltered, per-batch
+    // predicate semi-joins the codes table down to eligible rows.
+    // rows-only; eligibility + agreement-with-filtered-brute recall
+    // are spec-certified.
+    // nprobe doubled vs the unfiltered probe: a filter thins each
+    // probed cell's eligible rows, so serving systems scale nprobe
+    // with selectivity to keep recall — the standard filtered-ANN knob
+    "knn_ivfpq_probe_filtered" -> ((s, d) =>
+      Similarity.searchIvfPqIndex(emb(s, d), col("vec_id") < 10,
+          ivfPqIndexFor(s, d), k = 10, nprobe = 8,
+          corpusFilter = col("label").isin(1, 3, 5))
+        .orderBy("q_id", "rank")),
+
     "text_tokens" -> ((s, d) =>
       TextAnalysis.tokenCounts(docs(s, d))
         .select("doc_id", "ws_tokens", "bpe_tokens", "n_chars_calc")
@@ -143,6 +213,15 @@ object LlmQueries {
     "text_bpe" -> ((s, d) =>
       Bpe.tokenStats(docs(s, d), numMerges = 200).orderBy("doc_id")),
 
+    // probe-phase BPE: encode against a STORED merge table (trained
+    // once per corpus dir) — the tokenizer-release economics: every
+    // run after the first pays one broadcast of the rank table + one
+    // map-side encode, no training. rows-only; agreement with
+    // text_bpe is spec-certified.
+    "text_bpe_stored" -> ((s, d) =>
+      Bpe.tokenStatsWith(Bpe.load(s, bpeMergesFor(s, d)), docs(s, d))
+        .orderBy("doc_id")),
+
     "text_langid" -> ((s, d) =>
       TextAnalysis.languageId(docs(s, d))
         .select("doc_id", "cnt_en", "cnt_de", "cnt_fr", "cnt_es", "cnt_cjk", "lang_pred")
@@ -158,6 +237,14 @@ object LlmQueries {
       TextAnalysis.winnowingFingerprints(docs(s, d))
         .select(col("doc_id"), size(col("winnow_fp")).cast("long").as("n_fingerprints"))
         .orderBy("doc_id")),
+
+    // perceptual media near-dup: dHash fingerprints (real images via
+    // imageio, synthetic payloads via the deterministic byte grid)
+    // through the shared hamming block-bucket join. rows-only;
+    // known-pair recall on codec fixtures is spec-certified.
+    "multimodal_dhash" -> ((s, d) =>
+      Multimodal.dHashNearDups(Multimodal.withMedia(docs(s, d)), maxHamming = 3)
+        .orderBy("a_id", "b_id")),
 
     "multimodal_meta" -> ((s, d) =>
       Multimodal.withMedia(docs(s, d))
@@ -204,10 +291,30 @@ object LlmQueries {
         .select("doc_id", "source").orderBy("doc_id")
     }),
 
+    // probe-phase embedding dedup: the increment runs against the
+    // STORED corpus model (centroids + vector/cell tables built once
+    // per corpus dir by buildEmbeddingDedupState) — assignment +
+    // cell-join only, no Lloyd loop; the %10 split is the deployment
+    // shape (large indexed corpus, small daily drop). Oracled against
+    // the all-pairs incremental ground truth on the same basis as
+    // dedup_embedding_incr: cell-candidate recall is total at the
+    // oracle threshold/SF (spec-certified — the oracle-exact claim is
+    // CERTIFIED AT sf0.01 and re-verified every round by the gate, not
+    // assumed at other SFs), so survivors agree.
+    "dedup_embedding_probe" -> ((s, d) => {
+      val all = emb(s, d)
+      Dedup.embeddingIncrementStored(
+          all.where(col("vec_id") % 10 === 0), embDedupStateFor(s, d),
+          threshold = 0.45)
+        .select("vec_id", "label").orderBy("vec_id")
+    }),
+
     // embedding analog of dedup_neardup_incr: increment vectors probe
     // shared IVF cells, exact-cosine verified. Oracled against the
     // all-pairs incremental ground truth — cell-candidate recall is
-    // total at this threshold/SF (spec-certified), so survivors agree.
+    // total at this threshold/SF (spec-certified at sf0.01, the oracle
+    // gate's SF; a recall-floor spec guards the candidate generator
+    // itself), so survivors agree.
     "dedup_embedding_incr" -> ((s, d) => {
       val all = emb(s, d)
       Dedup.embeddingIncrement(
@@ -633,6 +740,26 @@ object LlmQueries {
         |SELECT doc_id, source FROM kept
         |WHERE rk = 1 AND fp NOT IN (SELECT fp FROM seen)
         |ORDER BY doc_id""".stripMargin,
+
+    // same ground-truth shape as dedup_embedding_incr, on the probe
+    // entry's deployment-shaped %10 split (the stored model's cell
+    // candidates must reproduce the all-pairs answer exactly)
+    "dedup_embedding_probe" ->
+      """WITH e AS (SELECT vec_id, label, [CAST(x AS DOUBLE) for x in embedding] AS v
+        |  FROM embeddings),
+        | n AS (SELECT vec_id, label, v, sqrt(list_sum([y*y for y in v])) AS norm FROM e),
+        | inc AS (SELECT * FROM n WHERE vec_id % 10 = 0),
+        | ex AS (SELECT * FROM n WHERE vec_id % 10 <> 0),
+        | crossdup AS (SELECT i.vec_id FROM inc i, ex x
+        |  WHERE round(list_sum([i.v[j] * x.v[j] for j in range(1, len(i.v) + 1)])
+        |        / (i.norm * x.norm), 6) >= 0.45),
+        | selfdup AS (SELECT b.vec_id FROM inc a, inc b WHERE a.vec_id < b.vec_id
+        |  AND round(list_sum([a.v[j] * b.v[j] for j in range(1, len(a.v) + 1)])
+        |        / (a.norm * b.norm), 6) >= 0.45),
+        | dropped AS (SELECT vec_id FROM crossdup UNION SELECT vec_id FROM selfdup)
+        |SELECT e2.vec_id, e2.label FROM embeddings e2
+        |WHERE e2.vec_id % 10 = 0 AND e2.vec_id NOT IN (SELECT vec_id FROM dropped)
+        |ORDER BY e2.vec_id""".stripMargin,
 
     "dedup_embedding_incr" ->
       """WITH e AS (SELECT vec_id, label, [CAST(x AS DOUBLE) for x in embedding] AS v

@@ -185,6 +185,82 @@ object EventStream {
     writeIdempotent(keptBuckets, bktDir)
   }
 
+  /** Streaming EMBEDDING corpus ingestion with all-history near-dup
+    * dedup — the vector counterpart of [[nearDupIngestSink]], built on
+    * the stored embedding-dedup model
+    * ([[graft.operators.Dedup.buildEmbeddingDedupState]]): each
+    * micro-batch assigns its vectors against the model's FIXED
+    * centroids (one model-sized broadcast — no Lloyd loop, ever),
+    * probes the durable cell table (the model's corpus cells plus the
+    * cells of every survivor admitted by earlier batches), exact-cosine
+    * verifies the candidates, and persists the survivors' source rows
+    * to the corpus and their (vector, cell) rows to the state — so a
+    * near-duplicate arriving months after its original is still caught,
+    * and per-batch cost tracks the batch and its cell collisions, not
+    * the corpus.
+    *
+    * Exactly-once exactly as [[nearDupIngestSink]]: all three tables
+    * are `__batch_id`-partitioned, written with dynamic-partition
+    * overwrite, and each batch reads state from STRICTLY EARLIER batch
+    * partitions (plus the immutable model tables), so a replayed batch
+    * recomputes the identical survivor set and overwrites its own
+    * partitions. */
+  def embeddingDedupIngestSink(stream: DataFrame, modelDir: String,
+                               corpusDir: String, stateDir: String,
+                               checkpoint: String, threshold: Double = 0.45)
+      : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+    stream.writeStream
+      .option("checkpointLocation", checkpoint)
+      .outputMode("append")
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        embeddingDedupIngestBatch(batch, batchId, modelDir, corpusDir,
+          stateDir, threshold)
+      }
+
+  /** One micro-batch of [[embeddingDedupIngestSink]], idempotent in
+    * `batchId` — package-visible so the replay contract is testable. */
+  private[graft] def embeddingDedupIngestBatch(batch: DataFrame, batchId: Long,
+                                               modelDir: String, corpusDir: String,
+                                               stateDir: String,
+                                               threshold: Double): Unit = {
+    val spark = batch.sparkSession
+    import spark.implicits._
+    val vecsDir = s"$stateDir/vectors"
+    val cellsDir = s"$stateDir/cells"
+    val fs = new org.apache.hadoop.fs.Path(stateDir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // the model's tables are immutable; batch-state partitions follow
+    // the same strictly-earlier read rule as the text sink (incl. the
+    // exists-but-empty crash window)
+    def earlier(dir: String): Option[DataFrame] =
+      if (!fs.exists(new org.apache.hadoop.fs.Path(dir))) None
+      else
+        try Some(spark.read.parquet(dir)
+          .where(col("__batch_id") < batchId).drop("__batch_id"))
+        catch { case _: org.apache.spark.sql.AnalysisException => None }
+    val assign = spark.read.parquet(s"$modelDir/meta")
+      .select("assign").as[Int].head()
+    val centroids: Seq[Array[Double]] = scala.collection.immutable.ArraySeq
+      .unsafeWrapArray(spark.read.parquet(s"$modelDir/centroids")
+        .select("centroid_id", "v").as[(Int, Array[Double])]
+        .collect().sortBy(_._1).map(_._2))
+    val baseVecs = spark.read.parquet(s"$modelDir/vectors")
+    val baseCells = spark.read.parquet(s"$modelDir/cells")
+    val exVecs = earlier(vecsDir).map(baseVecs.unionByName(_)).getOrElse(baseVecs)
+    val exCells = earlier(cellsDir).map(baseCells.unionByName(_)).getOrElse(baseCells)
+    val (kept, keptVecs, keptCells) = graft.operators.Dedup.embeddingStateStep(
+      exVecs, exCells, centroids, batch, threshold, assign)
+    def writeIdempotent(df: DataFrame, dir: String): Unit =
+      df.withColumn("__batch_id", lit(batchId))
+        .write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("__batch_id")
+        .parquet(dir)
+    writeIdempotent(kept, corpusDir)
+    writeIdempotent(keptVecs, vecsDir)
+    writeIdempotent(keptCells, cellsDir)
+  }
+
   /** Streaming corpus ingestion with benchmark decontamination: each
     * micro-batch drops documents sharing any n-gram with the STORED
     * benchmark index ([[graft.operators.Contamination.buildBenchmarkIndex]])

@@ -102,4 +102,22 @@ class BpeSpec extends SparkSpec {
       assert(toks.map(_.replace(Bpe.EndOfWord, "")).mkString == pretok(id).mkString)
     }
   }
+
+  test("stored-merge encoding agrees with the train-then-encode form (text_bpe_stored)") {
+    // the probe entry's contract: a merge table saved at release time
+    // and reloaded later must produce byte-identical per-doc stats to
+    // training in-flight — train once, encode forever.
+    val model = Bpe.train(docs, numMerges = 200)
+    val dir = java.nio.file.Files.createTempDirectory("graft_bpe_store").toString
+    Bpe.save(spark, model, dir)
+    val loaded = Bpe.load(spark, dir)
+    assert(loaded.merges == model.merges)
+    assert(loaded.cappedMass == model.cappedMass &&
+      loaded.totalMass == model.totalMass)
+    val stored = Bpe.tokenStatsWith(loaded, docs).orderBy("doc_id")
+      .as[(Long, Long, Long, Double)].collect().toSeq
+    val inflight = Bpe.tokenStats(docs, numMerges = 200).orderBy("doc_id")
+      .as[(Long, Long, Long, Double)].collect().toSeq
+    assert(stored == inflight)
+  }
 }

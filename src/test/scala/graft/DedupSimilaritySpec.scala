@@ -356,7 +356,126 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(spread == 8, s"expected 8 salt buckets for the hot key, got $spread")
   }
 
-  test("hash split is deterministic, id-stable, and near the requested fractions") {
+  test("stored embedding-dedup model: probe agrees with the re-training form AND ground truth") {
+    // dedup_embedding_probe's certificate, same contract as the stored
+    // ANN probe's: (a) the stored-model probe reproduces the all-pairs
+    // incremental ground truth on the deployment-shaped %10 split —
+    // corpus-trained cells lose no true pair at the oracle SF — and
+    // (b) it agrees with embeddingIncrement (union-trained cells) on
+    // the same inputs, so the train-per-run and train-once forms are
+    // interchangeable where both are certified.
+    val emb = spark.read.parquet(s"${sf("sf0.01")}/embeddings.parquet")
+    val corpus = emb.where(col("vec_id") % 10 =!= 0)
+    val inc = emb.where(col("vec_id") % 10 === 0)
+    val dir = java.nio.file.Files.createTempDirectory("graft_embdedup_model").toString
+    Dedup.buildEmbeddingDedupState(corpus, dir)
+    // the model is complete and sized to its corpus
+    val nCorpus = corpus.count()
+    assert(spark.read.parquet(s"$dir/vectors").count() == nCorpus)
+    assert(spark.read.parquet(s"$dir/cells").select("vec_id").distinct().count() == nCorpus)
+    val meta = spark.read.parquet(s"$dir/meta")
+      .select("k", "assign", "dim").as[(Int, Int, Int)].head()
+    assert(meta._2 == 3 && meta._3 == 64)
+    val probed = Dedup.embeddingIncrementStored(inc, dir, threshold = 0.45)
+      .select("vec_id").as[Long].collect().toSet
+    // ground truth from the exact all-pairs feed, incremental semantics
+    val pairs = Dedup.embeddingNearDups(emb, 0.45, allPairs = true)
+      .select("a_id", "b_id").as[(Long, Long)].collect()
+    val expectedDropped = pairs.flatMap { case (a, b) =>
+      (a % 10 == 0, b % 10 == 0) match {
+        case (false, true) => Seq(b)  // cross: drop the incoming side
+        case (true, false) => Seq(a)
+        case (true, true) => Seq(b)   // in-batch: larger id loses
+        case _ => Nil                 // both corpus: no drop
+      }
+    }.toSet
+    val incIds = inc.select("vec_id").as[Long].collect().toSet
+    assert(probed == incIds.diff(expectedDropped))
+    assert(expectedDropped.nonEmpty, "test data should exercise drops")
+    val retrained = Dedup.embeddingIncrement(corpus, inc, threshold = 0.45)
+      .select("vec_id").as[Long].collect().toSet
+    assert(probed == retrained)
+  }
+
+  test("stored IVF-PQ search with corpusFilter: eligibility + recall vs filtered brute") {
+    val emb = spark.read.parquet(s"$docsDir/embeddings.parquet")
+    val dir = java.nio.file.Files.createTempDirectory("graft_pq_filtered").toString
+    Similarity.buildIvfPqIndex(emb, dir)
+    val filter = col("label").isin(1, 3, 5)
+    val eligible = emb.where(filter).select("vec_id").as[Long].collect().toSet
+    // nprobe scaled up with the filter's selectivity, as a serving
+    // system would (the filter thins each probed cell's eligible rows)
+    val out = Similarity.searchIvfPqIndex(emb, col("vec_id") < 5, dir,
+        k = 10, nprobe = 8, refine = 10, corpusFilter = filter)
+      .select("q_id", "n_id").as[(Long, Long)].collect()
+    // pre-filter semantics: every neighbour satisfies the predicate
+    assert(out.nonEmpty && out.forall(t => eligible(t._2)))
+    val brute = Similarity.knnBrute(emb, col("vec_id") < 5, k = 10,
+        corpusFilter = filter)
+      .select("q_id", "n_id").as[(Long, Long)].collect().toSet
+    val recall = out.toSet.intersect(brute).size.toDouble / brute.size
+    assert(recall >= 0.5, s"filtered stored-index recall $recall vs filtered brute")
+    // filtering the probe can only restrict, never invent: the filtered
+    // result is a subset of the unfiltered search's eligible slice at
+    // the same refine budget... not in general (ranks shift), so assert
+    // determinism instead: a fixed index + fixed filter reproduces.
+    val again = Similarity.searchIvfPqIndex(emb, col("vec_id") < 5, dir,
+        k = 10, nprobe = 8, refine = 10, corpusFilter = filter)
+      .select("q_id", "n_id").as[(Long, Long)].collect()
+    assert(out.toSeq.sorted == again.toSeq.sorted)
+  }
+
+  test("dHash: identical payloads collide; near-identical within hamming reach; block buckets find known pairs") {
+    import graft.operators.Multimodal
+    val big = (0 until 300).map(i => s"word$i").mkString(" ")
+    val media = Seq(
+      (1L, big),
+      (2L, big),                        // byte-identical -> hamming 0
+      // SAME-LENGTH edit: the byte grid (like real dHash under crops)
+      // is robust to in-place edits, not to length-shifting ones
+      (3L, big.replace("word150", "zzzzzzz")),
+      (4L, (0 until 300).map(i => s"other${i * 7}").mkString(" "))
+    ).toDF("doc_id", "text")
+      .select(col("doc_id"), encode(col("text"), "UTF-8").as("content"))
+    val hashes = Multimodal.dHashes(media)
+      .as[(Long, Long)].collect().toMap
+    assert(hashes(1L) == hashes(2L))
+    assert(java.lang.Long.bitCount(hashes(1L) ^ hashes(3L)) <= 3,
+      "a one-token edit must stay within hamming reach of the original")
+    val pairs = Multimodal.dHashNearDups(media, maxHamming = 3)
+      .select("a_id", "b_id").as[(Long, Long)].collect().toSet
+    assert(pairs.contains((1L, 2L)) && pairs.contains((1L, 3L)))
+    assert(!pairs.exists(p => p._1 == 4L || p._2 == 4L),
+      "an unrelated payload must not pair up")
+  }
+
+  test("dHash real-image path: rescaled image collides, inverted image is far") {
+    import graft.operators.Multimodal
+    def gradientPng(w: Int, h: Int, invert: Boolean): Array[Byte] = {
+      val img = new java.awt.image.BufferedImage(w, h,
+        java.awt.image.BufferedImage.TYPE_INT_RGB)
+      for (y <- 0 until h; x <- 0 until w) {
+        val v = (x * 255) / math.max(w - 1, 1)
+        val g = if (invert) 255 - v else v
+        img.setRGB(x, y, (g << 16) | (g << 8) | g)
+      }
+      val buf = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, "png", buf)
+      buf.toByteArray
+    }
+    val media = Seq(
+      (1L, gradientPng(90, 40, invert = false)),
+      (2L, gradientPng(45, 20, invert = false)), // same image, rescaled
+      (3L, gradientPng(90, 40, invert = true))
+    ).toDF("doc_id", "content")
+    val hashes = Multimodal.dHashes(media).as[(Long, Long)].collect().toMap
+    // a horizontal gradient's sign pattern survives rescaling exactly
+    assert(java.lang.Long.bitCount(hashes(1L) ^ hashes(2L)) <= 3)
+    // the inverted gradient flips every comparison
+    assert(java.lang.Long.bitCount(hashes(1L) ^ hashes(3L)) >= 32)
+  }
+
+  test("hash splits: proportions, completeness, determinism") {
     val docs = Ingestor.table(spark, sf(), "documents")
     val split = Splits.byHash(docs, "doc_id", Seq("train" -> 0.8, "val" -> 0.1))
     val counts = split.groupBy("split").count()

@@ -218,6 +218,66 @@ class StreamingSpec extends SparkSpec {
       .as[Long].collect().toSet == Set(1L, 2L, 4L))
   }
 
+  // 64-dim unit-ish vector on `axis`, optionally nudged toward the next
+  // axis — cosine(vec(a), vec(a, eps)) ≈ 1 >> 0.45; different axes are
+  // orthogonal (cosine 0 < 0.45)
+  private def vec64(axis: Int, eps: Float = 0f): Seq[Float] =
+    Seq.tabulate(64)(i =>
+      if (i == axis) 1f else if (i == (axis + 1) % 64 && eps != 0f) eps else 0f)
+
+  test("streaming embedding-dedup ingest drops near-dups arriving in later batches") {
+    implicit val sqlCtx = spark.sqlContext
+    val base = java.nio.file.Files.createTempDirectory("graft_embsink").toString
+    // corpus model built once: vectors 1 (axis 0) and 2 (axis 1)
+    val corpus = Seq((1L, vec64(0)), (2L, vec64(1)))
+      .toDF("vec_id", "embedding")
+    graft.operators.Dedup.buildEmbeddingDedupState(corpus, s"$base/model")
+    val mem = MemoryStream[(Long, Seq[Float])]
+    val q = EventStream.embeddingDedupIngestSink(
+      mem.toDF().toDF("vec_id", "embedding"),
+      s"$base/model", s"$base/corpus", s"$base/state", s"$base/ckpt",
+      threshold = 0.45).start()
+    try {
+      // 10 = near-dup of MODEL vector 1; 11 = novel (axis 2)
+      mem.addData((10L, vec64(0, 0.1f)), (11L, vec64(2)))
+      q.processAllAvailable()
+      // 12 = near-dup of 11 from an EARLIER BATCH (durable state, not
+      // the model); 13 = novel; 14 = in-batch near-dup of 13 (larger
+      // id loses)
+      mem.addData((12L, vec64(2, 0.1f)), (13L, vec64(3)),
+        (14L, vec64(3, 0.1f)))
+      q.processAllAvailable()
+      val ids = spark.read.parquet(s"$base/corpus")
+        .select("vec_id").as[Long].collect().toSet
+      assert(ids == Set(11L, 13L))
+      // durable state covers exactly the admitted vectors
+      assert(spark.read.parquet(s"$base/state/vectors")
+        .select("vec_id").as[Long].collect().toSet == Set(11L, 13L))
+    } finally q.stop()
+  }
+
+  test("embedding-dedup ingest batch replay is idempotent: no duplicate corpus rows") {
+    val base = java.nio.file.Files.createTempDirectory("graft_embsink_replay").toString
+    val corpusDir = s"$base/corpus"
+    val state = s"$base/state"
+    graft.operators.Dedup.buildEmbeddingDedupState(
+      Seq((1L, vec64(0))).toDF("vec_id", "embedding"), s"$base/model")
+    val b0 = Seq((10L, vec64(2)), (11L, vec64(3))).toDF("vec_id", "embedding")
+    EventStream.embeddingDedupIngestBatch(b0, 0L, s"$base/model", corpusDir, state, 0.45)
+    // crash-replay of batch 0: same data, same batch id — partitions are
+    // overwritten, never appended, and the state read excludes the
+    // batch's own previous attempt
+    EventStream.embeddingDedupIngestBatch(b0, 0L, s"$base/model", corpusDir, state, 0.45)
+    assert(spark.read.parquet(corpusDir).select("vec_id")
+      .as[Long].collect().toSeq.sorted == Seq(10L, 11L))
+    // the NEXT batch still dedups against batch 0's state AND the model
+    val b1 = Seq((20L, vec64(2, 0.1f)), (21L, vec64(0, 0.1f)), (22L, vec64(4)))
+      .toDF("vec_id", "embedding")
+    EventStream.embeddingDedupIngestBatch(b1, 1L, s"$base/model", corpusDir, state, 0.45)
+    assert(spark.read.parquet(corpusDir).select("vec_id")
+      .as[Long].collect().toSet == Set(10L, 11L, 22L))
+  }
+
   test("stream-stream interval join bounds state with watermarks; matches batch") {
     implicit val sqlCtx = spark.sqlContext
     val clicks = MemoryStream[(Long, Timestamp, Long)]
