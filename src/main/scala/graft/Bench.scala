@@ -48,10 +48,16 @@ object Bench {
     // load is above `loadLimit` right after a query was timed, the
     // number is suspect — wait for the load to decay (bounded), re-run
     // the full median protocol once, and if load is STILL high, flag
-    // the query and mark the artifact non-official. r8's own bench
-    // keeps the 1-min load in the 2-5 band; >8 means something else is
-    // running on the machine.
-    val loadLimit = 8.0
+    // the query and mark the artifact non-official. The signal is the
+    // SYSTEM load average, which includes the bench's own threads: at
+    // sf0.1 queries are sub-second and the 1-min EMA stays in the 2-5
+    // band (so >8 means something ELSE is running), but at sf>=1
+    // seconds-long 32-thread queries legitimately hold the EMA at
+    // 8-16 — a fixed 8 would self-trigger on every heavy query. The
+    // default therefore scales with the campaign SF; override with
+    // SPARK_GRAFT_LOAD_LIMIT when the machine's quiet band differs.
+    val loadLimit = sys.env.get("SPARK_GRAFT_LOAD_LIMIT").map(_.toDouble)
+      .getOrElse(if (sfVal >= 1.0) 24.0 else 8.0)
     val results = selected.map { case (name, fn) =>
       // Untimed warmup at the smallest SF: compiles the query's generated
       // code + loads classes so the timed run measures execution, not

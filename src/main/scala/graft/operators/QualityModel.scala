@@ -71,21 +71,36 @@ object QualityModel {
 
   def load(dir: String): PipelineModel = PipelineModel.load(dir)
 
+  /** The deterministic held-out predicate shared by the train and probe
+    * phases: the same 20% is held out in every engine and every run, so
+    * a model trained by [[trainHeldOut]] never saw the rows the stored-
+    * model entry scores. */
+  def heldOutPred(idCol: String = "doc_id"): Column =
+    pmod(xxhash64(col(idCol)), lit(5)) === 0
+
+  /** Train-once phase of the held-out shape: fit on the NON-held-out
+    * 80% against the thresholded heuristic label. Persist the result
+    * with [[save]] and every later scoring run is [[score]] over a
+    * broadcast coefficient vector — no L-BFGS, no training scan. */
+  def trainHeldOut(docs: DataFrame, threshold: Double = 0.75,
+                   idCol: String = "doc_id",
+                   textCol: String = "text"): PipelineModel = {
+    val labeled = TextAnalysis.qualityScore(docs, textCol)
+      .withColumn("__held_out", heldOutPred(idCol))
+    // empty/degenerate docs score NaN on the heuristic (0/0 ratios):
+    // NaN >= t is false in ANSI SQL but surfaces as null through some
+    // rewrites — coalesce so the label column can never be null
+    train(labeled.where(!col("__held_out")),
+      coalesce(col("quality_score") >= threshold, lit(false)), textCol)
+  }
+
   /** The `text_quality_model` query shape: deterministic 80/20 split by
     * xxhash64(id), train on the 80% against the thresholded heuristic
     * score, emit model scores for the HELD-OUT 20% — so the entry
     * certifies generalisation, not memorisation. */
   def heldOutScores(docs: DataFrame, threshold: Double = 0.75,
                     idCol: String = "doc_id",
-                    textCol: String = "text"): DataFrame = {
-    val heldOut = pmod(xxhash64(col(idCol)), lit(5)) === 0
-    val labeled = TextAnalysis.qualityScore(docs, textCol)
-      .withColumn("__held_out", heldOut)
-    // empty/degenerate docs score NaN on the heuristic (0/0 ratios):
-    // NaN >= t is false in ANSI SQL but surfaces as null through some
-    // rewrites — coalesce so the label column can never be null
-    val model = train(labeled.where(!col("__held_out")),
-      coalesce(col("quality_score") >= threshold, lit(false)), textCol)
-    score(model, labeled.where(col("__held_out")), idCol)
-  }
+                    textCol: String = "text"): DataFrame =
+    score(trainHeldOut(docs, threshold, idCol, textCol),
+      docs.where(heldOutPred(idCol)), idCol)
 }

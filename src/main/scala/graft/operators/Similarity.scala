@@ -511,6 +511,21 @@ object Similarity {
                        refine: Int = 5,
                        corpusFilter: Column = null): DataFrame = {
     val spark = emb.sparkSession
+    val (centArr, cb, dim) = loadIvfPqModel(spark, dir)
+    val codesAll = spark.read.parquet(s"$dir/codes")
+    val codes =
+      if (corpusFilter == null) codesAll
+      else codesAll.join(emb.where(corpusFilter).select(col("vec_id")),
+        Seq("vec_id"), "left_semi")
+    pqSearch(prepared(emb), codes, centArr, cb, isQuery, k, nprobe, refine, dim)
+  }
+
+  /** Driver-side (model-sized) load of a stored index's centroid matrix
+    * and codebooks; the codes table is NOT loaded here — it streams
+    * from parquet at search time. */
+  private def loadIvfPqModel(spark: org.apache.spark.sql.SparkSession,
+                             dir: String)
+      : (Array[Array[Double]], Array[Array[Array[Double]]], Int) = {
     import spark.implicits._
     val centArr = spark.read.parquet(s"$dir/centroids")
       .select("centroid_id", "v").as[(Int, Array[Double])]
@@ -525,12 +540,30 @@ object Similarity {
     val dim = centArr(0).length
     require(cb(0)(0).length * m == dim,
       s"index at $dir is inconsistent: ${cb(0)(0).length} x $m sub-dims vs dim $dim")
-    val codesAll = spark.read.parquet(s"$dir/codes")
-    val codes =
-      if (corpusFilter == null) codesAll
-      else codesAll.join(emb.where(corpusFilter).select(col("vec_id")),
-        Seq("vec_id"), "left_semi")
-    pqSearch(prepared(emb), codes, centArr, cb, isQuery, k, nprobe, refine, dim)
+    (centArr, cb, dim)
+  }
+
+  /** Serving-shaped probe of a stored IVF-PQ index: a QUERY relation
+    * searched against a separate CORPUS relation (the one the index was
+    * built from — it supplies the true vectors for the exact re-rank,
+    * the way serving systems keep full vectors on disk beside the
+    * code table). Query ids must be disjoint from corpus ids (requests
+    * carry their own id space); results are (q_id, n_id, rank,
+    * cos_sim), deterministic given a fixed index. Per-batch cost is the
+    * probe economics: one model-sized driver load, the codes-table
+    * candidate join, and a refine-budget-sized join back to the corpus
+    * — nothing corpus-sized is trained or encoded. */
+  def searchIvfPqIndexFrom(queries: DataFrame, corpus: DataFrame,
+                           dir: String, k: Int = 10, nprobe: Int = 4,
+                           refine: Int = 5): DataFrame = {
+    val spark = corpus.sparkSession
+    val (centArr, cb, dim) = loadIvfPqModel(spark, dir)
+    val codes = spark.read.parquet(s"$dir/codes")
+    // tag AFTER prepared() (which projects to vec_id/v/norm) so the
+    // marker survives; pqSearch's re-rank join prunes it away
+    val e = prepared(corpus).withColumn("__q", lit(false))
+      .unionByName(prepared(queries).withColumn("__q", lit(true)))
+    pqSearch(e, codes, centArr, cb, col("__q"), k, nprobe, refine, dim)
   }
 
   /** LSH-bucketed approximate top-k: candidates = corpus vectors sharing

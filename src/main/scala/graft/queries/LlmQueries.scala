@@ -2,7 +2,7 @@ package graft.queries
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import graft.operators.{Bpe, Contamination, Dedup, Multimodal, Packing, Privacy, QualityModel, Similarity, Splits, TextAnalysis}
+import graft.operators.{Bpe, Contamination, Dedup, Multimodal, Packing, Privacy, QualityModel, ShardExport, Similarity, Splits, TextAnalysis}
 import graft.sources.Ingestor
 
 /** SURVEY §2.4 LLM-training-data operators over `documents` /
@@ -98,6 +98,26 @@ object LlmQueries {
     if (!fs.exists(done))
       Bpe.save(s, Bpe.train(docs(s, d), numMerges = 200), dir)
     dir
+  }
+
+  /** Stored quality model for a corpus dir (trained on the non-held-out
+    * 80%); trains on first use, fingerprint-keyed. ML Pipeline save
+    * writes a directory tree with no single natural completeness
+    * marker, so the build drops an explicit `_graft_done` file AFTER
+    * the save — its presence implies a complete model even if an
+    * earlier attempt crashed mid-write. */
+  private def qualityModelFor(s: SparkSession, d: String): String = {
+    val key = d.replaceAll("[^A-Za-z0-9._-]", "_")
+    val fp = contentKey(docs(s, d), Seq("doc_id", "text"))
+    val dir =
+      s"${System.getProperty("java.io.tmpdir")}/graft_qmodel_v1_t075/${key}_$fp"
+    val done = new org.apache.hadoop.fs.Path(s"$dir/_graft_done")
+    val fs = done.getFileSystem(s.sparkContext.hadoopConfiguration)
+    if (!fs.exists(done)) {
+      QualityModel.save(QualityModel.trainHeldOut(docs(s, d)), s"$dir/model")
+      fs.create(done, true).close()
+    }
+    s"$dir/model"
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -201,6 +221,18 @@ object LlmQueries {
     "text_quality_model" -> ((s, d) =>
       QualityModel.heldOutScores(docs(s, d)).orderBy("doc_id")),
 
+    // probe-phase quality scoring: the STORED model (trained once per
+    // corpus against the heuristic labels) scores the held-out split —
+    // one broadcast of the coefficient vector + one map-side pass, no
+    // L-BFGS. The classifier-release economics every curation rerun
+    // actually pays. rows-only; agreement with a fresh trainHeldOut
+    // model is spec-certified.
+    "text_quality_stored" -> ((s, d) => {
+      val m = QualityModel.load(qualityModelFor(s, d))
+      QualityModel.score(m, docs(s, d).where(QualityModel.heldOutPred()))
+        .orderBy("doc_id")
+    }),
+
     // rows-only: the learned merge table (training has no SQL replica);
     // determinism/round-trip/compression/cap specs certify it
     "bpe_merges" -> ((s, d) =>
@@ -221,6 +253,15 @@ object LlmQueries {
     "text_bpe_stored" -> ((s, d) =>
       Bpe.tokenStatsWith(Bpe.load(s, bpeMergesFor(s, d)), docs(s, d))
         .orderBy("doc_id")),
+
+    // the last mile: stored-merge-table encode -> fixed-budget context
+    // windows (distributed prefix-sum assignment) -> per-shard manifest
+    // with an order-independent content checksum. rows-only (BPE token
+    // streams have no SQL replica); round-trip/full-window/determinism
+    // specs certify it.
+    "corpus_shards" -> ((s, d) =>
+      ShardExport.shardManifest(docs(s, d), Bpe.load(s, bpeMergesFor(s, d)))
+        .orderBy("shard_id")),
 
     "text_langid" -> ((s, d) =>
       TextAnalysis.languageId(docs(s, d))

@@ -261,6 +261,48 @@ object EventStream {
     writeIdempotent(keptCells, cellsDir)
   }
 
+  /** Streaming ANN serving over a STORED IVF-PQ index
+    * ([[graft.operators.Similarity.buildIvfPqIndex]]): each micro-batch
+    * of query vectors probes the index
+    * ([[graft.operators.Similarity.searchIvfPqIndexFrom]]) and its
+    * top-k results land in a `__batch_id` partition of `resultsDir` —
+    * the similarity counterpart of the ingest sinks: the index is the
+    * immutable build-once artifact, the stream is the request log, and
+    * the per-batch cost is pure probe economics (model-sized driver
+    * load + codes-table candidate join + refine-sized re-rank join
+    * against `corpus`), never training or encoding. Query ids must be
+    * disjoint from corpus ids (requests carry their own id space).
+    *
+    * Exactly-once: the search is deterministic given the fixed index
+    * (6-dp-rounded similarity, id tie-break), so a replayed batch
+    * recomputes identical results and dynamic-partition overwrite
+    * rewrites its own partition instead of appending duplicates. */
+  def annServeSink(queryStream: DataFrame, corpus: DataFrame,
+                   indexDir: String, resultsDir: String, checkpoint: String,
+                   k: Int = 10, nprobe: Int = 4, refine: Int = 5)
+      : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+    queryStream.writeStream
+      .option("checkpointLocation", checkpoint)
+      .outputMode("append")
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        annServeBatch(batch, batchId, corpus, indexDir, resultsDir,
+          k, nprobe, refine)
+      }
+
+  /** One micro-batch of [[annServeSink]], idempotent in `batchId` —
+    * package-visible so the replay contract is testable directly. */
+  private[graft] def annServeBatch(batch: DataFrame, batchId: Long,
+                                   corpus: DataFrame, indexDir: String,
+                                   resultsDir: String, k: Int, nprobe: Int,
+                                   refine: Int): Unit =
+    graft.operators.Similarity
+      .searchIvfPqIndexFrom(batch, corpus, indexDir, k, nprobe, refine)
+      .withColumn("__batch_id", lit(batchId))
+      .write.mode("overwrite")
+      .option("partitionOverwriteMode", "dynamic")
+      .partitionBy("__batch_id")
+      .parquet(resultsDir)
+
   /** Streaming corpus ingestion with benchmark decontamination: each
     * micro-batch drops documents sharing any n-gram with the STORED
     * benchmark index ([[graft.operators.Contamination.buildBenchmarkIndex]])

@@ -1,12 +1,65 @@
 package graft
 
 import org.apache.spark.sql.functions._
-import graft.operators.Bpe
+import graft.operators.{Bpe, ShardExport}
 
 class BpeSpec extends SparkSpec {
   import spark.implicits._
 
   private def docs = spark.read.parquet(s"${sf()}/documents.parquet")
+
+  test("shard export: windows round-trip the corpus token stream in order") {
+    val model = Bpe.train(docs, numMerges = 150)
+    val enc = Bpe.encode(model, docs)
+    val vocab = ShardExport.vocabulary(enc)
+      .as[(String, Int)].collect().toMap
+    val budget = 64L
+    val wins = ShardExport.windows(enc, ShardExport.vocabulary(enc),
+        budget, windowsPerShard = 8)
+      .orderBy("seq_id")
+      .select("shard_id", "seq_id", "input_ids", "n_tokens", "n_docs")
+      .as[(Long, Long, Seq[Int], Long, Long)].collect()
+    // the reference stream: per-doc tokens in doc_id order, through the
+    // same vocabulary
+    val expected = Bpe.encode(model, docs).orderBy("doc_id")
+      .as[(Long, Seq[String])].collect()
+      .flatMap(_._2).map(vocab)
+    val flat = wins.flatMap(_._3)
+    assert(flat.sameElements(expected), "window concat != corpus token stream")
+    // seq_ids are dense from 0; every window but the last is exactly full
+    assert(wins.map(_._2).sameElements(wins.indices.map(_.toLong)))
+    assert(wins.init.forall(w => w._3.size == budget && w._4 == budget))
+    assert(wins.last._3.size == wins.last._4 && wins.last._4 <= budget)
+    // shard grouping is seq_id arithmetic; some window spans >=2 docs
+    assert(wins.forall(w => w._1 == w._2 / 8))
+    assert(wins.exists(_._5 >= 2), "expected a doc-spanning window at this budget")
+  }
+
+  test("shard export + manifest: deterministic receipt, consistent with windows") {
+    val model = Bpe.train(docs, numMerges = 150)
+    val enc = Bpe.encode(model, docs)
+    val vocab = ShardExport.vocabulary(enc)
+    val wins = ShardExport.windows(enc, vocab, budget = 64, windowsPerShard = 8)
+    val dir = java.nio.file.Files.createTempDirectory("graft_shards").toString
+    val man = ShardExport.export(wins, dir)
+      .orderBy("shard_id")
+      .as[(Long, Long, Long, Long, Long)].collect().toSeq
+    // the manifest read back from the exported files equals the one
+    // computed from the in-flight windows — the export lost nothing
+    val direct = ShardExport.manifest(wins).orderBy("shard_id")
+      .as[(Long, Long, Long, Long, Long)].collect().toSeq
+    assert(man == direct && man.nonEmpty)
+    // full shards carry exactly windowsPerShard windows
+    assert(man.init.forall(_._2 == 8L))
+    // and a second full run (fresh encode, fresh vocab) reproduces the
+    // same receipt: the whole path is deterministic
+    val again = ShardExport.manifest(ShardExport.windows(
+        Bpe.encode(model, docs), ShardExport.vocabulary(Bpe.encode(model, docs)),
+        budget = 64, windowsPerShard = 8))
+      .orderBy("shard_id")
+      .as[(Long, Long, Long, Long, Long)].collect().toSeq
+    assert(again == man)
+  }
 
   test("bpe train: deterministic, valid contiguous ranks, count-ordered") {
     val m1 = Bpe.train(docs, numMerges = 100)

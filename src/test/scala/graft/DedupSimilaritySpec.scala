@@ -281,6 +281,38 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(probed == inflight)
   }
 
+  test("serving-shaped stored-index search agrees with the in-corpus probe") {
+    val emb = spark.read.parquet(s"$docsDir/embeddings.parquet")
+    val dir = java.nio.file.Files.createTempDirectory("graft_pq_serve").toString
+    Similarity.buildIvfPqIndex(emb, dir)
+    // queries = clones of corpus vectors 0..4 in a disjoint id space
+    val offset = 1000000L
+    val queries = emb.where(col("vec_id") < 5)
+      .select((col("vec_id") + offset).as("vec_id"), col("embedding"))
+    val served = Similarity.searchIvfPqIndexFrom(queries, emb, dir,
+        k = 10, refine = 10)
+      .select("q_id", "n_id", "rank", "cos_sim")
+      .as[(Long, Long, Long, Double)].collect()
+    // each clone query finds its corpus twin at rank 1 with cos 1.0
+    // (the twin IS indexed; the query itself is not, so nothing is
+    // self-excluded)
+    val twins = served.filter(_._3 == 1L)
+    assert(twins.length == 5 &&
+      twins.forall { case (q, n, _, c) => n == q - offset && c == 1.0 })
+    // the serving shape is a pure re-expression of the single-relation
+    // API: running searchIvfPqIndex over the UNION relation with an
+    // id-space predicate must reproduce it bit-for-bit (ids are
+    // disjoint, so the self-exclusion filter never fires and both
+    // paths see identical candidates, budgets, and re-ranks)
+    val viaUnion = Similarity.searchIvfPqIndex(
+        emb.select("vec_id", "embedding").unionByName(queries),
+        col("vec_id") >= offset, dir,
+        k = 10, refine = 10)
+      .select("q_id", "n_id", "rank", "cos_sim")
+      .as[(Long, Long, Long, Double)].collect()
+    assert(served.toSet == viaUnion.toSet && served.length == viaUnion.length)
+  }
+
   test("applySpanMask rebuilds the corpus with one canonical copy per repeated span") {
     val boiler = (0 until 8).map(i => s"license$i").mkString(" ")
     val docs = Seq(

@@ -278,6 +278,58 @@ class StreamingSpec extends SparkSpec {
       .as[Long].collect().toSet == Set(10L, 11L, 22L))
   }
 
+  test("streaming ANN serving: query batches probe the stored index, results per batch") {
+    implicit val sqlCtx = spark.sqlContext
+    val base = java.nio.file.Files.createTempDirectory("graft_annserve").toString
+    val corpus = spark.read.parquet(s"${sf()}/embeddings.parquet")
+    graft.operators.Similarity.buildIvfPqIndex(corpus, s"$base/index")
+    val offset = 1000000L
+    val clones = corpus.where(col("vec_id") < 3)
+      .select((col("vec_id") + offset).as("vec_id"), col("embedding"))
+      .as[(Long, Seq[Float])].collect()
+    val mem = MemoryStream[(Long, Seq[Float])]
+    val q = EventStream.annServeSink(
+      mem.toDF().toDF("vec_id", "embedding"), corpus,
+      s"$base/index", s"$base/results", s"$base/ckpt", k = 5).start()
+    try {
+      mem.addData(clones(0), clones(1))
+      q.processAllAvailable()
+      mem.addData(clones(2))
+      q.processAllAvailable()
+      val res = spark.read.parquet(s"$base/results")
+        .select("q_id", "n_id", "rank", "cos_sim", "__batch_id")
+        .as[(Long, Long, Long, Double, Long)].collect()
+      // every query answered in its own batch partition, k rows each
+      assert(res.groupBy(_._1).keySet == clones.map(_._1).toSet)
+      assert(res.groupBy(_._1).values.forall(_.length == 5))
+      assert(res.filter(_._5 == 0L).map(_._1).toSet ==
+        Set(clones(0)._1, clones(1)._1))
+      assert(res.filter(_._5 == 1L).map(_._1).toSet == Set(clones(2)._1))
+      // each clone query finds its indexed twin at rank 1, cos 1.0
+      assert(res.filter(_._3 == 1L).forall {
+        case (qid, nid, _, c, _) => nid == qid - offset && c == 1.0 })
+    } finally q.stop()
+  }
+
+  test("ANN serving batch replay is idempotent: results overwrite, never append") {
+    val base = java.nio.file.Files.createTempDirectory("graft_annserve_replay").toString
+    val corpus = spark.read.parquet(s"${sf()}/embeddings.parquet")
+    graft.operators.Similarity.buildIvfPqIndex(corpus, s"$base/index")
+    val batch = corpus.where(col("vec_id") < 2)
+      .select((col("vec_id") + 1000000L).as("vec_id"), col("embedding"))
+    EventStream.annServeBatch(batch, 0L, corpus, s"$base/index",
+      s"$base/results", 5, 4, 5)
+    val first = spark.read.parquet(s"$base/results")
+      .select("q_id", "n_id", "rank").as[(Long, Long, Long)].collect().sorted.toSeq
+    // crash-replay: same batch id — deterministic search + dynamic
+    // overwrite rewrite the partition; row set is unchanged
+    EventStream.annServeBatch(batch, 0L, corpus, s"$base/index",
+      s"$base/results", 5, 4, 5)
+    val replayed = spark.read.parquet(s"$base/results")
+      .select("q_id", "n_id", "rank").as[(Long, Long, Long)].collect().sorted.toSeq
+    assert(first == replayed && first.size == 10)
+  }
+
   test("stream-stream interval join bounds state with watermarks; matches batch") {
     implicit val sqlCtx = spark.sqlContext
     val clicks = MemoryStream[(Long, Timestamp, Long)]

@@ -181,6 +181,25 @@ class TextMultimodalSpec extends SparkSpec {
     assert(auc >= 0.8, s"held-out AUC $auc (${pos.size} pos / ${neg.size} neg)")
   }
 
+  test("stored quality model: probe-phase scores agree with the fresh-trained path") {
+    val docs = spark.read.parquet(s"${sf()}/documents.parquet")
+    val dir = java.nio.file.Files.createTempDirectory("graft_qstored").toString
+    QualityModel.save(QualityModel.trainHeldOut(docs), dir)
+    val stored = QualityModel.score(
+        QualityModel.load(dir), docs.where(QualityModel.heldOutPred()))
+      .as[(Long, Double)].collect().sortBy(_._1)
+    val fresh = QualityModel.heldOutScores(docs)
+      .as[(Long, Double)].collect().sortBy(_._1)
+    assert(stored.nonEmpty && stored.map(_._1).sameElements(fresh.map(_._1)))
+    // identical ids; scores within float-combine tolerance (L-BFGS
+    // aggregation order may differ between fits)
+    assert(stored.zip(fresh).forall { case ((_, a), (_, b)) => math.abs(a - b) <= 1e-6 },
+      "stored-model scores diverge from fresh-trained scores")
+    // no held-out row ever entered training (the predicate partitions)
+    assert(docs.where(QualityModel.heldOutPred())
+      .join(docs.where(!QualityModel.heldOutPred()), Seq("doc_id"), "inner").count() == 0)
+  }
+
   test("quality model save/load round-trip scores identically") {
     val docs = spark.read.parquet(s"${sf()}/documents.parquet")
     val labeled = graft.operators.TextAnalysis.qualityScore(docs)
