@@ -63,4 +63,29 @@ object Cdc {
       .withColumn("is_current", col("valid_to").isNull)
       .drop("__run")
   }
+
+  /** Snapshot diff — the inverse direction of [[applyChangeLog]]:
+    * derive the change set BETWEEN two corpus snapshots (added /
+    * removed / changed / unchanged per key), the dataset-versioning
+    * delta a release pipeline publishes alongside each refresh.
+    *
+    * Scale shape: each side collapses to (key, md5-of-payload) BEFORE
+    * the join, so the one full-outer hash join ships an id and a
+    * 32-char fingerprint per row — never document payloads. At 100 TB
+    * the fingerprint scans are map-side column-pruned passes and the
+    * join is the only shuffle. */
+  def snapshotDiff(oldSnap: DataFrame, newSnap: DataFrame,
+                   idCol: String = "doc_id",
+                   payloadCols: Seq[String] = Seq("text")): DataFrame = {
+    def fp(df: DataFrame, as: String) = df.select(col(idCol),
+      md5(concat_ws("", payloadCols.map(col): _*)).as(as))
+    fp(oldSnap, "__old_fp")
+      .join(fp(newSnap, "__new_fp"), Seq(idCol), "full_outer")
+      .withColumn("change",
+        when(col("__old_fp").isNull, lit("added"))
+          .when(col("__new_fp").isNull, lit("removed"))
+          .when(col("__old_fp") =!= col("__new_fp"), lit("changed"))
+          .otherwise(lit("unchanged")))
+      .select(col(idCol), col("change"))
+  }
 }

@@ -2,7 +2,7 @@ package graft.queries
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import graft.operators.{Bpe, Contamination, Dedup, Multimodal, Packing, Privacy, QualityModel, ShardExport, Similarity, Splits, TextAnalysis}
+import graft.operators.{Bpe, Cdc, Contamination, Dedup, Multimodal, Packing, Privacy, QualityModel, Selection, ShardExport, Similarity, Splits, TextAnalysis}
 import graft.sources.Ingestor
 
 /** SURVEY §2.4 LLM-training-data operators over `documents` /
@@ -220,6 +220,25 @@ object LlmQueries {
     // the heuristic labels + determinism are spec-certified
     "text_quality_model" -> ((s, d) =>
       QualityModel.heldOutScores(docs(s, d)).orderBy("doc_id")),
+
+    // dataset-versioning delta: added/removed/changed/unchanged between
+    // two release snapshots (here: deterministic %-splits with a
+    // modified sliver) — each side collapses to id+md5 before the one
+    // full-outer join, so payloads never shuffle
+    "corpus_diff" -> ((s, d) => {
+      val all = docs(s, d)
+      val oldSnap = all.where(col("doc_id") % 5 =!= 4)
+      val newSnap = all.where(col("doc_id") % 5 =!= 0)
+        .withColumn("text", when(col("doc_id") % 7 === 0,
+          concat(col("text"), lit(" [v2]"))).otherwise(col("text")))
+      Cdc.snapshotDiff(oldSnap, newSnap).orderBy("doc_id")
+    }),
+
+    // budgeted selection: the best 9000 tokens in (quality DESC, id)
+    // order — the frontier-pruned two-level prefix sum; buckets past
+    // the budget never reach the window sort
+    "corpus_select_budget" -> ((s, d) =>
+      Selection.selectByBudget(docs(s, d), budget = 9000).orderBy("doc_id")),
 
     // probe-phase quality scoring: the STORED model (trained once per
     // corpus against the heuristic labels) scores the held-out split —
@@ -694,6 +713,37 @@ object LlmQueries {
         |   + 0.2 * (1.0 - (n - alpha - digits - ws) / n)
         |   + 0.1 * least(1.0, stops / toks * 5.0), 6) AS quality_score
         |FROM b ORDER BY doc_id""".stripMargin,
+
+    "corpus_diff" ->
+      """WITH o AS (SELECT doc_id, md5(text) AS fp FROM documents WHERE doc_id % 5 <> 4),
+        | n AS (SELECT doc_id, md5(CASE WHEN doc_id % 7 = 0 THEN text || ' [v2]' ELSE text END) AS fp
+        |  FROM documents WHERE doc_id % 5 <> 0)
+        |SELECT COALESCE(o.doc_id, n.doc_id) AS doc_id,
+        | CASE WHEN o.doc_id IS NULL THEN 'added'
+        |      WHEN n.doc_id IS NULL THEN 'removed'
+        |      WHEN o.fp <> n.fp THEN 'changed' ELSE 'unchanged' END AS change
+        |FROM o FULL OUTER JOIN n ON o.doc_id = n.doc_id
+        |ORDER BY doc_id""".stripMargin,
+
+    "corpus_select_budget" ->
+      """WITH b AS (SELECT doc_id,
+        |  CAST(length(text) AS BIGINT) AS n,
+        |  CAST(length(text) - length(regexp_replace(text, '[A-Za-z]', '', 'g')) AS BIGINT) AS alpha,
+        |  CAST(length(text) - length(regexp_replace(text, '[0-9]', '', 'g')) AS BIGINT) AS digits,
+        |  CAST(length(text) - length(regexp_replace(text, '\s', '', 'g')) AS BIGINT) AS ws,
+        |  CAST(len([x for x in regexp_split_to_array(text, '\s+') if x <> '']) AS BIGINT) AS toks,
+        |  CAST(len(regexp_extract_all(lower(text), '\b(the|and|of|to|a|in|is|it|that|for)\b')) AS BIGINT) AS stops
+        | FROM documents),
+        |q AS (SELECT doc_id, toks AS n_tokens,
+        |  round(0.4 * least(1.0, toks / 100.0) + 0.3 * (alpha / n)
+        |    + 0.2 * (1.0 - (n - alpha - digits - ws) / n)
+        |    + 0.1 * least(1.0, stops / toks * 5.0), 6) AS quality_score
+        | FROM b WHERE n > 0 AND toks > 0),
+        |c AS (SELECT doc_id, n_tokens, quality_score,
+        |  CAST(sum(n_tokens) OVER (ORDER BY quality_score DESC, doc_id) AS BIGINT) AS cum_tokens
+        | FROM q)
+        |SELECT doc_id, n_tokens, quality_score, cum_tokens FROM c
+        |WHERE cum_tokens <= 9000 ORDER BY doc_id""".stripMargin,
 
     "text_langid" ->
       """WITH c AS (SELECT doc_id,

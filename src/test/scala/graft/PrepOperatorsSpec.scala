@@ -1,12 +1,50 @@
 package graft
 
 import org.apache.spark.sql.functions._
-import graft.operators.{Cdc, Contamination, Packing, Privacy, Splits, TextAnalysis}
+import graft.operators.{Cdc, Contamination, Packing, Privacy, Selection, Splits, TextAnalysis}
 
 /** Round-5 corpus-prep operators: repetition signals, decontamination,
   * mixture sampling, sequence packing, CDC/SCD2, k-anonymity. */
 class PrepOperatorsSpec extends SparkSpec {
   import spark.implicits._
+
+  // ------------------------------------------------------------ selection
+  test("budget selection keeps exactly the greedy quality-ordered token prefix") {
+    val docs = spark.read.parquet(s"${sf()}/documents.parquet")
+    // local reference: full sort by (quality desc, id), strict prefix
+    val ref = TextAnalysis.qualityScore(docs)
+      .where(col("n_chars_calc") > 0 && col("n_tokens") > 0)
+      .select(col("doc_id"), col("n_tokens").cast("long"), col("quality_score"))
+      .as[(Long, Long, Double)].collect()
+      .sortBy { case (id, _, q) => (-q, id) }
+    val budget = ref.map(_._2).sum / 3 // a real cut: ~third of the corpus
+    val expected = ref.scanLeft((0L, 0L, 0.0, 0L)) {
+        case ((_, _, _, cum), (id, t, q)) => (id, t, q, cum + t)
+      }.tail.takeWhile(_._4 <= budget)
+    val got = Selection.selectByBudget(docs, budget)
+      .orderBy("doc_id")
+      .as[(Long, Long, Double, Long)].collect()
+    assert(got.sortBy(r => (-r._3, r._1)).toSeq == expected.toSeq)
+    assert(got.forall(_._4 <= budget) && got.nonEmpty)
+    // strictness: the next doc in quality order would overflow
+    assert(ref.length > expected.length &&
+      expected.last._4 + ref(expected.length)._2 > budget)
+    // few buckets (forces multi-doc buckets + a frontier mid-bucket)
+    // must agree with many buckets
+    val coarse = Selection.selectByBudget(docs, budget, buckets = 4)
+      .orderBy("doc_id").as[(Long, Long, Double, Long)].collect()
+    assert(coarse.toSeq == got.toSeq)
+  }
+
+  // ------------------------------------------------------------ snapshot diff
+  test("snapshotDiff classifies added/removed/changed/unchanged per key") {
+    val oldSnap = Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("doc_id", "text")
+    val newSnap = Seq((2L, "b"), (3L, "c-edited"), (4L, "d")).toDF("doc_id", "text")
+    val out = Cdc.snapshotDiff(oldSnap, newSnap).orderBy("doc_id")
+      .as[(Long, String)].collect().toSeq
+    assert(out == Seq(1L -> "removed", 2L -> "unchanged",
+      3L -> "changed", 4L -> "added"))
+  }
 
   // ------------------------------------------------------------ repetition
   test("repetition signals on degenerate vs healthy text") {
