@@ -550,6 +550,37 @@ object Dedup {
                       idCol: String = "doc_id"): DataFrame =
     connectedComponents(minhashNearDups(docs, threshold), docs, idCol)
 
+  /** Canonical-representative selection — the step that turns a cluster
+    * closure into an actual deduplicated corpus: within every multi-
+    * member cluster keep the HIGHEST-QUALITY member (not the min-id one
+    * — near-dup groups usually contain one clean original and N
+    * truncated/mangled copies, and min-id keeps an arbitrary one).
+    * `labels` is a (id, cluster_id) closure ([[nearDupClusters]] /
+    * [[connectedComponents]]); `scores` carries (idCol, scoreCol).
+    * Returns one row per clustered doc: (idCol, cluster_id, scoreCol,
+    * keep_id, kept) with keep_id = argmax score (ties -> smaller id).
+    *
+    * Scale shape: singleton clusters are filtered out FIRST (a
+    * dup-graph-sized semi-join), so the score join and the per-cluster
+    * window run over clustered docs only — in a mostly-unique corpus
+    * that is orders of magnitude smaller than the corpus the closure
+    * scanned. */
+  def canonicalKeep(labels: DataFrame, scores: DataFrame,
+                    idCol: String = "doc_id",
+                    scoreCol: String = "quality_score"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val multi = labels.where(col("id") =!= col("cluster_id"))
+      .select("cluster_id").distinct()
+    val w = Window.partitionBy("cluster_id")
+      .orderBy(col(scoreCol).desc, col("id"))
+    labels
+      .join(multi, Seq("cluster_id"), "left_semi")
+      .join(scores.select(col(idCol).as("id"), round(col(scoreCol), 6).as(scoreCol)), "id")
+      .withColumn("keep_id", first("id").over(w))
+      .select(col("id").as(idCol), col("cluster_id"), col(scoreCol),
+        col("keep_id"), (col("id") === col("keep_id")).as("kept"))
+  }
+
   /** Incremental NEAR-dup dedup — the daily-drop form of
     * [[minhashNearDups]]: drop incoming docs that are ≥`threshold`
     * Jaccard-similar to anything already in the corpus, or to an

@@ -95,6 +95,40 @@ object Splits {
       .drop((0 until phases - 1).map(i => s"t$i"): _*)
   }
 
+  /** Deterministic global training-order shuffle: assign every row a
+    * unique `shuffle_pos` in md5(seed:id) order — the "shuffle the
+    * corpus before sharding" step every training run needs, as a pure
+    * function of (seed, id) so the order is reproducible across runs,
+    * engines, and partitionings (a seeded `orderBy(rand())` is none of
+    * those). Changing the seed is a fresh independent permutation.
+    *
+    * The global rank is recovered WITHOUT a global sort via the same
+    * two-level trick as [[Packing.packSequences]]: the first 2 hex
+    * chars of the key are 256 arithmetic buckets whose lexicographic
+    * order IS key order, so a within-bucket window + a driver-side
+    * exclusive prefix over the 256 bucket counts yields the exact
+    * global position — no single-task ordering anywhere. */
+  def shufflePositions(df: DataFrame, idCol: String,
+                       seed: String = "42"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val base = df
+      .withColumn("__key",
+        md5(concat_ws(":", lit(seed), col(idCol).cast("string"))))
+      .withColumn("__bucket", substring(col("__key"), 1, 2))
+    val w = Window.partitionBy("__bucket").orderBy(col("__key"), col(idCol))
+    val totals = base.groupBy("__bucket").agg(count(lit(1)).as("n"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).sortBy(_._1)
+    val offsets = totals.scanLeft(("", 0L)) {
+      case ((_, acc), (b, n)) => (b, acc + n)
+    }.tail.zip(totals).map { case ((b, end), (_, n)) => (b, end - n) }
+    val spark = df.sparkSession
+    import spark.implicits._
+    base
+      .join(broadcast(offsets.toSeq.toDF("__bucket", "__off")), "__bucket")
+      .withColumn("shuffle_pos", col("__off") + row_number().over(w).cast("long"))
+      .drop("__key", "__bucket", "__off")
+  }
+
   def mixture(df: DataFrame, idCol: String, domainCol: String,
               weights: Seq[(String, Double)], budget: Double): DataFrame = {
     require(weights.nonEmpty && weights.forall(_._2 >= 0), "weights must be >= 0")

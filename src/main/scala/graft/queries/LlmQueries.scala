@@ -2,7 +2,7 @@ package graft.queries
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import graft.operators.{Bpe, Cdc, Contamination, Dedup, Multimodal, Packing, Privacy, QualityModel, Selection, ShardExport, Similarity, Splits, TextAnalysis}
+import graft.operators.{Boilerplate, Bpe, Cdc, Contamination, Dedup, Multimodal, Packing, Pca, Privacy, QualityModel, Selection, ShardExport, Similarity, Splits, TextAnalysis}
 import graft.sources.Ingestor
 
 /** SURVEY §2.4 LLM-training-data operators over `documents` /
@@ -282,6 +282,20 @@ object LlmQueries {
       ShardExport.shardManifest(docs(s, d), Bpe.load(s, bpeMergesFor(s, d)))
         .orderBy("shard_id")),
 
+    // deterministic global training-order shuffle — pure function of
+    // (seed, id), recovered without a global sort via 256 hex-prefix
+    // buckets + a driver prefix over the bucket counts
+    "corpus_shuffle" -> ((s, d) =>
+      Splits.shufflePositions(docs(s, d), "doc_id")
+        .select("doc_id", "shuffle_pos").orderBy("doc_id")),
+
+    // line-level boilerplate removal (CCNet/RefinedWeb line-wise dedup):
+    // a normalized line in >= 3 distinct docs is template chrome; the
+    // doc is rebuilt without those lines and fingerprinted
+    "text_boilerplate" -> ((s, d) =>
+      Boilerplate.removeBoilerplate(docs(s, d), minDocs = 3)
+        .orderBy("doc_id")),
+
     "text_langid" -> ((s, d) =>
       TextAnalysis.languageId(docs(s, d))
         .select("doc_id", "cnt_en", "cnt_de", "cnt_fr", "cnt_es", "cnt_cjk", "lang_pred")
@@ -330,6 +344,18 @@ object LlmQueries {
 
     "emb_centroids" -> ((s, d) =>
       Similarity.labelCentroids(emb(s, d)).orderBy("label", "pos")),
+
+    // distributed PCA: one dim^2 treeAggregate + driver Jacobi eig +
+    // codegen'd dot-product projection. rows-only; orthonormality /
+    // variance-accounting / reconstruction certified in PcaSpec
+    "emb_pca" -> ((s, d) => {
+      val e = emb(s, d)
+      val model = Pca.fit(e, k = 8)
+      Pca.transform(e, model)
+        .select(col("vec_id") +:
+          (1 to 8).map(i => round(col(s"pc$i"), 4).as(s"pc$i")): _*)
+        .orderBy("vec_id")
+    }),
 
     // incremental drop: docs with id >= 250 arrive as today's increment
     // and dedup against the accumulated corpus (id < 250)
@@ -525,6 +551,15 @@ object LlmQueries {
         .where(col("id") =!= col("cluster_id"))
         .orderBy("id")),
 
+    // canonical-representative selection: the closure turned into an
+    // actual deduplicated corpus — within every multi-member cluster
+    // keep the highest-quality member, not the arbitrary min-id one
+    "dedup_canonical" -> ((s, d) =>
+      Dedup.canonicalKeep(
+          Dedup.nearDupClusters(docs(s, d), threshold = 0.8),
+          TextAnalysis.qualityScore(docs(s, d)))
+        .orderBy("doc_id")),
+
     // semantic (SemDeDup-style) clusters: the SAME component closure
     // over embedding-cosine near-dup pairs instead of jaccard pairs —
     // pure composition of existing operators; keep one doc per
@@ -632,6 +667,50 @@ object LlmQueries {
         |   SELECT reach.id, e.dst FROM reach JOIN e ON reach.r = e.src)
         |SELECT id, MIN(r) AS cluster_id FROM reach GROUP BY id
         |HAVING id <> MIN(r) ORDER BY id""".stripMargin,
+
+    // the dedup_clusters closure + the text_quality score + a
+    // per-cluster argmax window — keep_id is the highest-quality member
+    "dedup_canonical" ->
+      """WITH RECURSIVE
+        | t AS (SELECT doc_id,
+        |   [x for x in regexp_split_to_array(lower(text), '[^a-z0-9]+') if x <> ''] AS w
+        |  FROM documents),
+        | g AS (SELECT doc_id,
+        |   list_distinct([w[i] || ' ' || w[i+1] || ' ' || w[i+2] for i in range(1, len(w) - 1)]) AS s
+        |  FROM t WHERE len(w) >= 3),
+        | p AS (SELECT a.doc_id AS a_id, b.doc_id AS b_id
+        |  FROM g a, g b WHERE a.doc_id < b.doc_id
+        |   AND CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
+        |       / len(list_distinct(list_concat(a.s, b.s))) >= 0.8),
+        | e AS (SELECT a_id AS src, b_id AS dst FROM p
+        |       UNION SELECT b_id, a_id FROM p),
+        | reach(id, r) AS (
+        |   SELECT src, src FROM e
+        |   UNION
+        |   SELECT reach.id, e.dst FROM reach JOIN e ON reach.r = e.src),
+        | lab AS (SELECT id, MIN(r) AS cluster_id FROM reach GROUP BY id),
+        | qb AS (SELECT doc_id,
+        |  CAST(length(text) AS BIGINT) AS n,
+        |  CAST(length(text) - length(regexp_replace(text, '[A-Za-z]', '', 'g')) AS BIGINT) AS alpha,
+        |  CAST(length(text) - length(regexp_replace(text, '[0-9]', '', 'g')) AS BIGINT) AS digits,
+        |  CAST(length(text) - length(regexp_replace(text, '\s', '', 'g')) AS BIGINT) AS ws,
+        |  CAST(len([x for x in regexp_split_to_array(text, '\s+') if x <> '']) AS BIGINT) AS toks,
+        |  CAST(len(regexp_extract_all(lower(text), '\b(the|and|of|to|a|in|is|it|that|for)\b')) AS BIGINT) AS stops
+        | FROM documents),
+        | q AS (SELECT doc_id,
+        |  round(0.4 * least(1.0, toks / 100.0) + 0.3 * (alpha / n)
+        |    + 0.2 * (1.0 - (n - alpha - digits - ws) / n)
+        |    + 0.1 * least(1.0, stops / toks * 5.0), 6) AS quality_score
+        | FROM qb),
+        | m AS (SELECT lab.id AS doc_id, lab.cluster_id, q.quality_score
+        |  FROM lab JOIN q ON lab.id = q.doc_id),
+        | k AS (SELECT doc_id, cluster_id, quality_score,
+        |   first_value(doc_id) OVER (PARTITION BY cluster_id
+        |     ORDER BY quality_score DESC, doc_id) AS keep_id
+        |  FROM m)
+        |SELECT doc_id, cluster_id, quality_score, keep_id,
+        | doc_id = keep_id AS kept
+        |FROM k ORDER BY doc_id""".stripMargin,
 
     "emb_clusters" ->
       """WITH RECURSIVE
@@ -744,6 +823,32 @@ object LlmQueries {
         | FROM q)
         |SELECT doc_id, n_tokens, quality_score, cum_tokens FROM c
         |WHERE cum_tokens <= 9000 ORDER BY doc_id""".stripMargin,
+
+    "corpus_shuffle" ->
+      """SELECT doc_id,
+        | CAST(row_number() OVER (
+        |   ORDER BY md5('42:' || CAST(doc_id AS VARCHAR)), doc_id) AS BIGINT) AS shuffle_pos
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    // line table via array indexing (generate_series keeps line order),
+    // doc-frequency per normalized line, rebuild drops flagged lines;
+    // string_agg(NULL-skipping) mirrors the Spark side's collect_list
+    "text_boilerplate" ->
+      """WITH t AS (SELECT doc_id, regexp_split_to_array(text, chr(10)) AS a FROM documents),
+        | l AS (SELECT doc_id, s.pos AS pos, a[s.pos] AS line, trim(lower(a[s.pos])) AS norm
+        |  FROM t, UNNEST(generate_series(1, len(a))) AS s(pos)),
+        | f AS (SELECT norm FROM l WHERE norm <> ''
+        |  GROUP BY norm HAVING COUNT(DISTINCT doc_id) >= 3),
+        | fl AS (SELECT l.doc_id, l.pos, l.line,
+        |   CASE WHEN f.norm IS NOT NULL THEN 1 ELSE 0 END AS boiler
+        |  FROM l LEFT JOIN f ON l.norm = f.norm)
+        |SELECT doc_id,
+        | CAST(COUNT(*) AS BIGINT) AS n_lines,
+        | CAST(SUM(boiler) AS BIGINT) AS n_boiler,
+        | round(SUM(boiler) / COUNT(*), 6) AS boiler_fraction,
+        | md5(coalesce(string_agg(CASE WHEN boiler = 0 THEN line END, chr(10) ORDER BY pos), ''))
+        |   AS clean_md5
+        |FROM fl GROUP BY doc_id ORDER BY doc_id""".stripMargin,
 
     "text_langid" ->
       """WITH c AS (SELECT doc_id,
