@@ -73,6 +73,12 @@ object Bench {
     val extLimit = sys.env.get("SPARK_GRAFT_EXT_CPU_LIMIT")
       .map(_.toDouble).getOrElse(2.0)
     var extPeak = 0.0
+    // Failed queries must be LOUD: a swallowed exception records a
+    // near-zero "time" that silently shrinks the total (r9 lost its 15
+    // event-table queries exactly this way when the testdata's ts type
+    // changed). Track failures per query; any failure makes the whole
+    // artifact non-official and is listed in the JSON.
+    val failed = scala.collection.mutable.LinkedHashSet.empty[String]
     val results = selected.map { case (name, fn) =>
       // Untimed warmup at the smallest SF: compiles the query's generated
       // code + loads classes so the timed run measures execution, not
@@ -83,7 +89,8 @@ object Bench {
         val t0 = System.nanoTime()
         try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
         catch { case e: Throwable =>
-          System.err.println(s"[bench] $name failed: ${e.getMessage}")
+          failed += name
+          System.err.println(s"[bench] $name FAILED: ${e.getMessage}")
         }
         (System.nanoTime() - t0) / 1e9
       }
@@ -129,10 +136,12 @@ object Bench {
     // protocol (see BASELINE.md) requires a quiet machine; load averages
     // are recorded AND enforced (queries re-measured once if the 1-min
     // load passed loadLimit; "official" is false when any stayed loaded).
+    val failedNames = failed.toSeq.map("\"" + _ + "\"").mkString("[", ",", "]")
     val ctx = f""""protocol":"median3 for loop-driven or >=0.3s queries; external CPU > $extLimit%.1f cores (/proc/stat minus own jiffies) => wait+remeasure, flag if persistent",""" +
       f""""load_avg_start":$loadStart%.2f,"load_avg_end":$loadEnd%.2f,""" +
       f""""ext_cpu_peak_cores":$extPeak%.2f,""" +
-      s""""load_flagged":$flaggedNames,"official":${results.forall(!_._3)},""" +
+      s""""load_flagged":$flaggedNames,"failed":$failedNames,""" +
+      s""""official":${results.forall(!_._3) && failed.isEmpty},""" +
       s""""skipped_oracle_only":$skippedNames"""
     val full =
       s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir",$ctx}"""
@@ -152,7 +161,7 @@ object Bench {
       .mkString("{", ",", "}")
     val n = results.size
     println(
-      s"""{"metric":"total","value":$total,"unit":"sec","n":$n,"queries":$top5,"sf":"$sfDir","full":"$outPath"}""")
+      s"""{"metric":"total","value":$total,"unit":"sec","n":$n,"failed":$failedNames,"queries":$top5,"sf":"$sfDir","full":"$outPath"}""")
     spark.stop()
   }
 }

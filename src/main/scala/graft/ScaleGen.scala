@@ -30,9 +30,9 @@ import org.apache.spark.sql.functions._
   *  - `embeddings.embedding` gets element 0 perturbed by `replica *
   *    1e-3`, so replicas are distinct points (no degenerate top-k ties)
   *    while the vector-space clustering structure survives.
-  *  - `events.ts` is read as raw int64 nanos (Sessions pins
-  *    `nanosAsLong`) and written back as plain INT64; Ingestor.events
-  *    treats both encodings identically.
+  *  - `events.ts` is copied through in whatever physical form the source
+  *    files carry (int64 nanos under `nanosAsLong`, or plain TIMESTAMP);
+  *    Ingestor.events is schema-adaptive and treats both identically.
   */
 object ScaleGen {
 

@@ -32,23 +32,33 @@ object Ingestor {
       case n        => spark.read.parquet(s"$dir/$n.parquet")
     }
 
-  /** `events` carries parquet TIMESTAMP(NANOS), which Spark's reader
-    * rejects outright ([PARQUET_TYPE_ILLEGAL]). Read the raw int64
-    * nanoseconds (`spark.sql.legacy.parquet.nanosAsLong`, set once in
-    * [[graft.Sessions.tuning]] — not flipped here, so reading events never
-    * silently changes how a neighbouring int64-nanos read behaves in the
-    * same session) and floor to microsecond precision
-    * — floor (not truncate-toward-zero) matches DuckDB's TIMESTAMP_NS →
-    * TIMESTAMP cast for pre-epoch instants too. The result is cast to
-    * TIMESTAMP_NTZ: the source column is a naive (wall-clock) timestamp,
-    * and keeping it NTZ end-to-end means derived timestamps round-trip
-    * through parquet as naive values, exactly like every other engine
-    * reading the same files (session TZ is pinned to UTC, so the
-    * LTZ→NTZ cast is value-preserving). */
+  /** `events.ts` normalised to TIMESTAMP_NTZ, schema-adaptive.
+    *
+    * The test generator has shipped this column in two physical forms:
+    * parquet TIMESTAMP(NANOS) — which Spark's reader rejects outright
+    * ([PARQUET_TYPE_ILLEGAL]) unless `spark.sql.legacy.parquet.nanosAsLong`
+    * (set once in [[graft.Sessions.tuning]]) surfaces it as raw int64 —
+    * and plain TIMESTAMP(MICROS). Branching on the dtype actually read
+    * keeps every downstream query working against either vintage of the
+    * files (and against [[graft.ScaleGen]] outputs, which persist the
+    * int64 form):
+    *  - LongType: int64 nanos → floor to microsecond precision. Floor
+    *    (not truncate-toward-zero) matches DuckDB's TIMESTAMP_NS →
+    *    TIMESTAMP cast for pre-epoch instants too.
+    *  - any timestamp type: already micros; just unify to NTZ.
+    * The result is TIMESTAMP_NTZ: the source column is a naive
+    * (wall-clock) timestamp, and keeping it NTZ end-to-end means derived
+    * timestamps round-trip through parquet as naive values, exactly like
+    * every other engine reading the same files (session TZ is pinned to
+    * UTC, so an LTZ→NTZ cast is value-preserving). */
   def events(spark: SparkSession, dir: String): DataFrame = {
-    spark.read.parquet(s"$dir/events.parquet")
-      .withColumn("ts",
-        timestamp_micros(expr("(ts - pmod(ts, 1000L)) div 1000L")).cast("timestamp_ntz"))
+    val raw = spark.read.parquet(s"$dir/events.parquet")
+    val ts = raw.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType =>
+        timestamp_micros(expr("(ts - pmod(ts, 1000L)) div 1000L"))
+      case _ => col("ts")
+    }
+    raw.withColumn("ts", ts.cast("timestamp_ntz"))
   }
 
   /** Generic batch read with explicit projection + predicate, the Spark
