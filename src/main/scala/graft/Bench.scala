@@ -57,7 +57,14 @@ object Bench {
     // box regardless of what the bench itself is doing; >extLimit
     // means something else really ran concurrently. Self-immune at
     // every SF, no scaling knob.
-    def cpuJiffies(): (Long, Long) = {
+    // (system busy, system iowait, own) jiffies. iowait is tracked as a
+    // SEPARATE signal: it is excluded from "busy" by design (our own
+    // parquet reads park there), but a contending process that is
+    // disk-bound rather than CPU-bound — the one contamination mode the
+    // ext-CPU guard can NOT see (r9's official artifact logged 3-5x
+    // slowdowns on 5 queries with ext_cpu_peak only 0.78) — shows up as
+    // a system-wide iowait spike during the measurement window.
+    def cpuJiffies(): (Long, Long, Long) = {
       import scala.jdk.CollectionConverters._
       val sys = java.nio.file.Files.readAllLines(
         java.nio.file.Paths.get("/proc/stat")).asScala.head
@@ -68,11 +75,18 @@ object Bench {
       val self = java.nio.file.Files.readAllLines(
         java.nio.file.Paths.get("/proc/self/stat")).asScala.head
         .split("\\s+")
-      (busy, self(13).toLong + self(14).toLong) // utime, stime
+      (busy, sys(4), self(13).toLong + self(14).toLong) // busy, iowait, own
     }
     val extLimit = sys.env.get("SPARK_GRAFT_EXT_CPU_LIMIT")
       .map(_.toDouble).getOrElse(2.0)
+    // System-wide iowait limit. Our own noop-sink queries read cached
+    // parquet and barely park in iowait (<0.5 cores observed at sf0.1),
+    // so a multi-core iowait delta during a window means a disk-bound
+    // intruder is evicting the page cache under us.
+    val ioLimit = sys.env.get("SPARK_GRAFT_IOWAIT_LIMIT")
+      .map(_.toDouble).getOrElse(4.0)
     var extPeak = 0.0
+    var ioPeak = 0.0
     // Failed queries must be LOUD: a swallowed exception records a
     // near-zero "time" that silently shrinks the total (r9 lost its 15
     // event-table queries exactly this way when the testdata's ts type
@@ -94,34 +108,36 @@ object Bench {
         }
         (System.nanoTime() - t0) / 1e9
       }
-      // (median time, external cores observed across the window)
-      def measured(): (Double, Double) = {
-        val (b0, o0) = cpuJiffies()
+      // (median time, external CPU cores, system iowait cores)
+      def measured(): (Double, Double, Double) = {
+        val (b0, w0, o0) = cpuJiffies()
         val t0 = System.nanoTime()
         val first = once()
         val t =
           if (iterative(name) || first >= 0.3)
             (first +: Seq.fill(2)(once())).sorted.apply(1)
           else first
-        val (b1, o1) = cpuJiffies()
+        val (b1, w1, o1) = cpuJiffies()
         val elapsed = (System.nanoTime() - t0) / 1e9
         val ext = ((b1 - b0) - (o1 - o0)) / 100.0 / math.max(elapsed, 1e-3)
-        (t, ext)
+        val io = (w1 - w0) / 100.0 / math.max(elapsed, 1e-3)
+        (t, ext, io)
       }
-      var (t, ext) = measured()
+      var (t, ext, io) = measured()
       var flagged = false
-      if (ext > extLimit) {
+      if (ext > extLimit || io > ioLimit) {
         // contaminated window: give the intruder a moment, re-measure
         // once; flag (and the artifact goes non-official) if the
         // window is STILL shared
         Thread.sleep(5000)
-        val (t2, ext2) = measured()
-        t = t2; ext = ext2
-        flagged = ext2 > extLimit
+        val (t2, ext2, io2) = measured()
+        t = t2; ext = ext2; io = io2
+        flagged = ext2 > extLimit || io2 > ioLimit
         if (flagged) System.err.println(
-          f"[bench] $name re-measured with external CPU $ext2%.1f cores > $extLimit — flagged")
+          f"[bench] $name re-measured with external CPU $ext2%.1f cores / iowait $io2%.1f cores (limits $extLimit / $ioLimit) — flagged")
       }
       extPeak = math.max(extPeak, ext)
+      ioPeak = math.max(ioPeak, io)
       (name, t, flagged)
     }
     val loadEnd = osBean.getSystemLoadAverage
@@ -137,9 +153,9 @@ object Bench {
     // are recorded AND enforced (queries re-measured once if the 1-min
     // load passed loadLimit; "official" is false when any stayed loaded).
     val failedNames = failed.toSeq.map("\"" + _ + "\"").mkString("[", ",", "]")
-    val ctx = f""""protocol":"median3 for loop-driven or >=0.3s queries; external CPU > $extLimit%.1f cores (/proc/stat minus own jiffies) => wait+remeasure, flag if persistent",""" +
+    val ctx = f""""protocol":"median3 for loop-driven or >=0.3s queries; external CPU > $extLimit%.1f cores (/proc/stat minus own jiffies) or system iowait > $ioLimit%.1f cores => wait+remeasure, flag if persistent",""" +
       f""""load_avg_start":$loadStart%.2f,"load_avg_end":$loadEnd%.2f,""" +
-      f""""ext_cpu_peak_cores":$extPeak%.2f,""" +
+      f""""ext_cpu_peak_cores":$extPeak%.2f,"iowait_peak_cores":$ioPeak%.2f,""" +
       s""""load_flagged":$flaggedNames,"failed":$failedNames,""" +
       s""""official":${results.forall(!_._3) && failed.isEmpty},""" +
       s""""skipped_oracle_only":$skippedNames"""
