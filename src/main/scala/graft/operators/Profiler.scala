@@ -148,6 +148,41 @@ object Profiler {
       .orderBy("bucket")
   }
 
+  /** Corpus datasheet ("Datasheets for Datasets", Gebru et al. 2021 —
+    * the release-notes rollup a training corpus ships with): per
+    * (lang, source) group plus ROLLUP subtotals and a grand total,
+    * report document / character / whitespace-token volumes, the
+    * exact-duplicate count (docs beyond the first per content hash)
+    * and the PII-bearing document count (any email/IPv4/phone match,
+    * the [[TextAnalysis]] patterns).
+    *
+    * Shape at 100 TB: ONE corpus scan computing doc-sized signals
+    * (hash, token count, three regex flags — all codegen'd), then a
+    * rollup aggregate whose only heavy member is the exact
+    * COUNT(DISTINCT fp); that distinct shuffles (group, fp) pairs,
+    * which dedup'd corpora keep near-unique — the same cost class as
+    * `dedup_exact`. Output is groups-sized (tiny). */
+  def corpusDatasheet(docs: DataFrame, textCol: String = "text"): DataFrame = {
+    val text = col(textCol)
+    def flags(pat: String): Column =
+      when(regexp_count(text, lit(pat)) > 0, 1L).otherwise(0L)
+    docs
+      .select(col("lang"), col("source"), text,
+        md5(text).as("fp"),
+        graft.functions.wsTokenCount(text).as("toks"),
+        greatest(flags(TextAnalysis.emailPattern),
+          flags(TextAnalysis.ipv4Pattern),
+          flags(TextAnalysis.phonePattern)).as("pii"))
+      .rollup("lang", "source")
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(length(text)).cast("long").as("n_chars"),
+        sum(col("toks")).cast("long").as("n_tokens"),
+        (count(lit(1)) - countDistinct(col("fp"))).cast("long").as("dup_docs"),
+        sum(col("pii")).cast("long").as("pii_docs"))
+      .orderBy(asc_nulls_first("lang"), asc_nulls_first("source"))
+  }
+
   private def flagByFences(df: DataFrame, valueCol: String, k: Double,
                            quartiles: DataFrame): DataFrame = {
     val q = quartiles

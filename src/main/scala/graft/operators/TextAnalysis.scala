@@ -28,6 +28,43 @@ object TextAnalysis {
 
   val enStopwords = "\\b(the|and|of|to|a|in|is|it|that|for)\\b"
 
+  /** Canonical text normalization — the stage every LLM corpus runs
+    * before tokenization/dedup so byte-level variants of the same text
+    * (decomposed accents, CRLF line endings, tab/space runs, stray
+    * control characters) stop defeating exact-hash dedup and inflating
+    * token counts. Deterministic contract, applied in this order:
+    *  1. Unicode NFC (canonical composition) — [[graft.expressions
+    *     .NfcNormalize]], a codegen'd native expression (no UDF);
+    *  2. CRLF / CR -> LF;
+    *  3. strip control chars other than tab + LF
+    *     (`\x00-\x08 \x0B \x0C \x0E-\x1F \x7F`);
+    *  4. collapse tab/space runs to one space;
+    *  5. strip spaces adjacent to newlines, then collapse 3+ newlines
+    *     to a paragraph break (two);
+    *  6. trim leading/trailing spaces + newlines.
+    * Every regex uses syntax with identical Java-regex/RE2 semantics, so
+    * the result is engine-exact vs the DuckDB oracle (`nfc_normalize` +
+    * the same replacement chain). Pure map stage: zero shuffle, one
+    * corpus scan, codegen end to end — at 100 TB this rides the same
+    * pass as any other per-doc signal. */
+  def normalizeText(docs: DataFrame, textCol: String = "text"): DataFrame = {
+    val steps =
+      Seq("\\r\\n?" -> "\n",
+          "[\\x00-\\x08\\x0B\\x0C\\x0E-\\x1F\\x7F]" -> "",
+          "[ \\t]+" -> " ",
+          " *\\n *" -> "\n",
+          "\\n{3,}" -> "\n\n")
+    val replaced = steps.foldLeft(
+        graft.expressions.StringExpressions.nfc(col(textCol))) {
+      case (c, (pat, rep)) => regexp_replace(c, pat, rep)
+    }
+    docs
+      .withColumn("norm_text", trim(replaced, " \n"))
+      .withColumn("n_chars_raw", length(col(textCol)).cast("long"))
+      .withColumn("n_chars_norm", length(col("norm_text")).cast("long"))
+      .withColumn("changed", col("norm_text") =!= col(textCol))
+  }
+
   /** Quality scoring from length / character-class / stopword ratios.
     * Formula kept to a fixed sequence of double ops so the score is
     * bit-reproducible across engines. */

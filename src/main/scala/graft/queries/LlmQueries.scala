@@ -2,7 +2,7 @@ package graft.queries
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import graft.operators.{Boilerplate, Bpe, Cdc, Contamination, Dedup, Multimodal, Packing, Pca, Privacy, QualityModel, Selection, ShardExport, Similarity, Splits, TextAnalysis}
+import graft.operators.{Boilerplate, Bpe, Cdc, Contamination, Dedup, Multimodal, Packing, Pca, Privacy, Profiler, QualityModel, Selection, ShardExport, Similarity, Splits, TextAnalysis}
 import graft.sources.Ingestor
 
 /** SURVEY §2.4 LLM-training-data operators over `documents` /
@@ -336,6 +336,19 @@ object LlmQueries {
         .select(col("doc_id"), col("n_emails"), col("n_ips"), col("n_phones"),
           md5(col("redacted_text")).as("redacted_md5"))
         .orderBy("doc_id")),
+
+    // canonical text normalization (NFC + control-strip + whitespace
+    // canonicalization) — md5 of the normalized text proves the full
+    // string engine-exact without shipping the corpus through compare
+    "text_normalize" -> ((s, d) =>
+      TextAnalysis.normalizeText(docs(s, d))
+        .select(col("doc_id"), md5(col("norm_text")).as("norm_md5"),
+          col("n_chars_raw"), col("n_chars_norm"), col("changed"))
+        .orderBy("doc_id")),
+
+    // corpus release datasheet: per (lang, source) + rollup subtotals
+    "corpus_datasheet" -> ((s, d) =>
+      Profiler.corpusDatasheet(docs(s, d))),
 
     "split_hash" -> ((s, d) =>
       Splits.byHash(docs(s, d), "doc_id",
@@ -906,6 +919,43 @@ object LlmQueries {
         | FROM scored)
         |SELECT doc_id, term, tf, df, tfidf, rk FROM ranked WHERE rk <= 10
         |ORDER BY doc_id, rk""".stripMargin,
+
+    "text_normalize" ->
+      """WITH n AS (SELECT doc_id, text,
+        |  trim(
+        |   regexp_replace(
+        |    regexp_replace(
+        |     regexp_replace(
+        |      regexp_replace(
+        |       regexp_replace(nfc_normalize(text), '\r\n?', chr(10), 'g'),
+        |       '[\x00-\x08\x0B\x0C\x0E-\x1F\x7F]', '', 'g'),
+        |      '[ \t]+', ' ', 'g'),
+        |     ' *\n *', chr(10), 'g'),
+        |    '\n{3,}', chr(10) || chr(10), 'g'),
+        |   ' ' || chr(10)) AS norm_text
+        | FROM documents)
+        |SELECT doc_id, md5(norm_text) AS norm_md5,
+        | CAST(length(text) AS BIGINT) AS n_chars_raw,
+        | CAST(length(norm_text) AS BIGINT) AS n_chars_norm,
+        | norm_text <> text AS changed
+        |FROM n ORDER BY doc_id""".stripMargin,
+
+    "corpus_datasheet" ->
+      """WITH b AS (SELECT lang, source, text, md5(text) AS fp,
+        |  CAST(len([x for x in regexp_split_to_array(text, '\s+') if x <> '']) AS BIGINT) AS toks,
+        |  CASE WHEN regexp_matches(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')
+        |     OR regexp_matches(text, '\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b')
+        |     OR regexp_matches(text, '\+?[0-9][0-9()\- ]{7,14}[0-9]')
+        |   THEN 1 ELSE 0 END AS pii
+        | FROM documents)
+        |SELECT lang, source,
+        | CAST(COUNT(*) AS BIGINT) AS n_docs,
+        | CAST(SUM(length(text)) AS BIGINT) AS n_chars,
+        | CAST(SUM(toks) AS BIGINT) AS n_tokens,
+        | CAST(COUNT(*) - COUNT(DISTINCT fp) AS BIGINT) AS dup_docs,
+        | CAST(SUM(pii) AS BIGINT) AS pii_docs
+        |FROM b GROUP BY ROLLUP(lang, source)
+        |ORDER BY lang NULLS FIRST, source NULLS FIRST""".stripMargin,
 
     "text_redact" ->
       """SELECT doc_id,

@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.functions._
-import graft.operators.{Multimodal, QualityModel, TextAnalysis}
+import graft.operators.{Multimodal, Profiler, QualityModel, TextAnalysis}
 
 class TextMultimodalSpec extends SparkSpec {
   import spark.implicits._
@@ -18,6 +18,54 @@ class TextMultimodalSpec extends SparkSpec {
     assert(out(0) == ((1L, 5L, 10L)))
     assert(out(1) == ((2L, 0L, 0L))) // whitespace-only
     assert(out(2) == ((3L, 1L, 3L))) // one|-|two
+  }
+
+  test("normalizeText: NFC composes, CRLF/controls/whitespace canonicalised, idempotent") {
+    val decomposed = "caf" + "e\u0301" // e + combining acute (5 codepoints)
+    val composed = "caf\u00e9"         // precomposed e-acute (4 codepoints)
+    val docs = Seq(
+      (1L, decomposed),
+      (2L, "a\r\nb\rc"),                           // CRLF + lone CR -> LF
+      (3L, "x\u0001y\u0007z"),                  // control chars stripped
+      (4L, "a \t  b"),                             // tab/space runs -> one space
+      (5L, "p1 \n \n\n\n q2"),                     // spaces around LFs + 3+ LFs -> para
+      (6L, "  already clean  "),                   // trim only
+      (7L, "untouched")).toDF("doc_id", "text")
+    val out = TextAnalysis.normalizeText(docs)
+      .select("doc_id", "norm_text", "changed")
+      .orderBy("doc_id").as[(Long, String, Boolean)].collect()
+    assert(out(0)._2 == composed && out(0)._3)
+    assert(out(0)._2.length == 4)                  // é is ONE codepoint after NFC
+    assert(out(1)._2 == "a\nb\nc")
+    assert(out(2)._2 == "xyz")
+    assert(out(3)._2 == "a b")
+    assert(out(4)._2 == "p1\n\nq2")
+    assert(out(5)._2 == "already clean")
+    assert(out(6)._2 == "untouched" && !out(6)._3)
+    // idempotence: normalizing the normalized corpus is the identity
+    val renorm = TextAnalysis.normalizeText(
+        out.toSeq.map(r => (r._1, r._2)).toDF("doc_id", "text"))
+      .select("doc_id", "changed").as[(Long, Boolean)].collect()
+    assert(renorm.forall(!_._2))
+  }
+
+  test("corpusDatasheet: group rows, rollup subtotals, dup + pii counts") {
+    val docs = Seq(
+      (1L, "en", "web", "the cat sat"),
+      (2L, "en", "web", "the cat sat"),            // exact dup of doc 1
+      (3L, "en", "book", "reach me at a@b.io ok"), // pii: email
+      (4L, "de", "web", "der hund 10.0.0.1 lief")  // pii: ipv4
+    ).toDF("doc_id", "lang", "source", "text")
+    val out = Profiler.corpusDatasheet(docs)
+      .select("lang", "source", "n_docs", "n_tokens", "dup_docs", "pii_docs")
+      .as[(Option[String], Option[String], Long, Long, Long, Long)]
+      .collect().toSeq
+    // rollup: grand total first (nulls first), then per-lang subtotals,
+    // then leaf groups
+    assert(out.head == ((None, None, 4L, 15L, 1L, 2L)))
+    assert(out.contains((Some("en"), None, 3L, 11L, 1L, 1L)))
+    assert(out.contains((Some("en"), Some("web"), 2L, 6L, 1L, 0L)))
+    assert(out.contains((Some("de"), Some("web"), 1L, 4L, 0L, 1L)))
   }
 
   test("quality score is bounded and penalises junk") {
