@@ -42,28 +42,26 @@ object TextAnalysis {
     *  5. strip spaces adjacent to newlines, then collapse 3+ newlines
     *     to a paragraph break (two);
     *  6. trim leading/trailing spaces + newlines.
-    * Every regex uses syntax with identical Java-regex/RE2 semantics, so
-    * the result is engine-exact vs the DuckDB oracle (`nfc_normalize` +
-    * the same replacement chain). Pure map stage: zero shuffle, one
-    * corpus scan, codegen end to end — at 100 TB this rides the same
-    * pass as any other per-doc signal. */
-  def normalizeText(docs: DataFrame, textCol: String = "text"): DataFrame = {
-    val steps =
-      Seq("\\r\\n?" -> "\n",
-          "[\\x00-\\x08\\x0B\\x0C\\x0E-\\x1F\\x7F]" -> "",
-          "[ \\t]+" -> " ",
-          " *\\n *" -> "\n",
-          "\\n{3,}" -> "\n\n")
-    val replaced = steps.foldLeft(
-        graft.expressions.StringExpressions.nfc(col(textCol))) {
-      case (c, (pat, rep)) => regexp_replace(c, pat, rep)
-    }
+    * The contract is engine-exact vs the DuckDB oracle, which runs it
+    * as `nfc_normalize` + the equivalent regexp_replace chain. The
+    * Spark side originally ran the same five-regex chain; that version
+    * measured 14x (not ~10x) across the sf1→sf10 decade — five
+    * intermediate strings per doc per pass is ~5x the corpus in
+    * allocation, which at 32 concurrent tasks turns into GC stalls —
+    * so steps 2-6 now run as ONE state-machine scan fused with NFC in
+    * [[graft.expressions.TextCanonicalize]] (codegen'd, at most one
+    * allocation per doc; scan-vs-regex equivalence spec-pinned on the
+    * crafted cases AND certified end-to-end by the regex-chain oracle).
+    * Pure map stage: zero shuffle, one corpus scan, codegen end to end
+    * — at 100 TB this rides the same pass as any other per-doc
+    * signal. */
+  def normalizeText(docs: DataFrame, textCol: String = "text"): DataFrame =
     docs
-      .withColumn("norm_text", trim(replaced, " \n"))
+      .withColumn("norm_text",
+        graft.expressions.StringExpressions.canonicalize(col(textCol)))
       .withColumn("n_chars_raw", length(col(textCol)).cast("long"))
       .withColumn("n_chars_norm", length(col("norm_text")).cast("long"))
       .withColumn("changed", col("norm_text") =!= col(textCol))
-  }
 
   /** Quality scoring from length / character-class / stopword ratios.
     * Formula kept to a fixed sequence of double ops so the score is

@@ -49,6 +49,40 @@ class TextMultimodalSpec extends SparkSpec {
     assert(renorm.forall(!_._2))
   }
 
+  test("canonicalize scan is equivalent to the five-regex chain on adversarial strings") {
+    // the contract's original implementation, kept here as the test oracle
+    def regexChain(df: org.apache.spark.sql.DataFrame) = {
+      val steps = Seq(
+        "\\r\\n?" -> "\n",
+        "[\\x00-\\x08\\x0B\\x0C\\x0E-\\x1F\\x7F]" -> "",
+        "[ \\t]+" -> " ",
+        " *\\n *" -> "\n",
+        "\\n{3,}" -> "\n\n")
+      val replaced = steps.foldLeft(
+          graft.expressions.StringExpressions.nfc(col("text"))) {
+        case (c, (pat, rep)) => regexp_replace(c, pat, rep)
+      }
+      df.withColumn("expect", trim(replaced, " \n"))
+    }
+    val rng = new scala.util.Random(42)
+    val alphabet: IndexedSeq[String] = IndexedSeq(
+      "a", "B", "9", ".", "\u00e9", "e\u0301", "\u4f60",
+      " ", "  ", "\t", "\n", "\n\n\n", "\r", "\r\n",
+      "\u0001", "\u0007", "\u000b", "\u000c", "\u001f", "\u007f")
+    val rows = (1L to 400L).map { i =>
+      (i, (0 until rng.nextInt(30)).map(_ => alphabet(rng.nextInt(alphabet.size))).mkString)
+    }
+    val df = rows.toDF("doc_id", "text")
+    val both = regexChain(df).withColumn("got",
+        graft.expressions.StringExpressions.canonicalize(col("text")))
+      .select("doc_id", "text", "expect", "got")
+      .as[(Long, String, String, String)].collect()
+    both.foreach { case (id, raw, expect, got) =>
+      assert(got == expect,
+        s"doc $id: scan != regex chain for ${raw.map(c => f"\\u${c.toInt}%04x").mkString}")
+    }
+  }
+
   test("corpusDatasheet: group rows, rollup subtotals, dup + pii counts") {
     val docs = Seq(
       (1L, "en", "web", "the cat sat"),
