@@ -284,4 +284,69 @@ object Contamination {
       .where(col("contaminated")).select(idCol)
     corpus.join(bad, Seq(idCol), "left_anti")
   }
+
+  /** SEMANTIC decontamination — the embedding-space member of the
+    * family. N-gram overlap ([[flagOverlap]]) catches verbatim
+    * contamination; a benchmark item that was paraphrased into the
+    * training set shares no 8-gram and sails through. This pass flags
+    * corpus vectors with cosine ≥ `threshold` to ANY benchmark vector,
+    * with audit columns per corpus row (`n_benchmark_matches`,
+    * `max_cos`, `contaminated`) mirroring [[flagOverlap]]'s report
+    * shape.
+    *
+    * Same candidate economics as the embedding-dedup family (Dedup
+    * .embeddingIncrement): IVF cells trained on the union (cell count
+    * scales with the larger side), corpus and benchmark each assigned
+    * to `assign` nearest cells, candidates from SHARED cells only —
+    * never corpus × benchmark all-pairs — then exact-cosine verified
+    * with the codegen'd dot product. The benchmark side is eval-suite
+    * sized, so its cell table broadcasts; the corpus-sized work is one
+    * assignment pass + one cell equi-join. */
+  def flagSemanticOverlap(corpus: DataFrame, benchmark: DataFrame,
+                          threshold: Double = 0.45, centroidsK: Int = 0,
+                          assign: Int = 2): DataFrame = {
+    val c = Similarity.prepared(corpus)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val b = Similarity.prepared(benchmark)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val union = c.unionByName(b)
+    val k =
+      if (centroidsK > 0) centroidsK
+      else math.max(16L, math.min(4096L, union.count() / 64)).toInt
+    val dim = c.select(size(col("v"))).head.getInt(0)
+    val centroids = Similarity.trainIvfCentroids(union, k, dim = dim)
+    val cand = Similarity.cellAssignments(c, centroids, assign).as("c")
+      .join(Similarity.cellAssignments(b, centroids, assign).as("b"),
+        col("c.cell") === col("b.cell"))
+      .select(col("c.vec_id").as("a_id"), col("b.vec_id").as("b_id"))
+      .distinct()
+    val matches = cand
+      .join(c.select(col("vec_id").as("a_id"), col("v").as("av"),
+        col("norm").as("anorm")), "a_id")
+      .join(b.select(col("vec_id").as("b_id"), col("v").as("bv"),
+        col("norm").as("bnorm")), "b_id")
+      .withColumn("cos", round(cosineWithNorms(
+        dotProduct(col("av"), col("bv")), col("anorm"), col("bnorm")), 6))
+      .where(col("cos") >= threshold)
+      .groupBy(col("a_id").as("vec_id"))
+      .agg(count(lit(1)).as("n_benchmark_matches"), max(col("cos")).as("max_cos"))
+      .localCheckpoint() // contamination-sized; lets the caches release
+    c.unpersist(false); b.unpersist(false)
+    corpus.select(col("vec_id"))
+      .join(matches, Seq("vec_id"), "left")
+      .select(col("vec_id"),
+        coalesce(col("n_benchmark_matches"), lit(0L)).as("n_benchmark_matches"),
+        col("max_cos"),
+        col("max_cos").isNotNull.as("contaminated"))
+  }
+
+  /** Filtering form of [[flagSemanticOverlap]]: the corpus with
+    * semantically-contaminated vectors removed. */
+  def decontaminateSemantic(corpus: DataFrame, benchmark: DataFrame,
+                            threshold: Double = 0.45, centroidsK: Int = 0,
+                            assign: Int = 2): DataFrame = {
+    val bad = flagSemanticOverlap(corpus, benchmark, threshold, centroidsK, assign)
+      .where(col("contaminated")).select("vec_id")
+    corpus.join(bad, Seq("vec_id"), "left_anti")
+  }
 }

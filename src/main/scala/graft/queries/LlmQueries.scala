@@ -459,6 +459,19 @@ object LlmQueries {
         .orderBy("doc_id")
     }),
 
+    // SEMANTIC decontamination: benchmark = every 11th embedding, corpus
+    // = the rest; flag corpus vectors cosine-similar to any benchmark
+    // vector via shared IVF cells + exact verify. Oracled against the
+    // DuckDB all-pairs ground truth (cell recall is total at this
+    // threshold — same certification the embedding-dedup family carries)
+    "corpus_decontaminate_semantic" -> ((s, d) => {
+      val all = emb(s, d)
+      Contamination.flagSemanticOverlap(
+          all.where(col("vec_id") % 11 =!= 0),
+          all.where(col("vec_id") % 11 === 0), threshold = 0.45)
+        .orderBy("vec_id")
+    }),
+
     // same contract through the bloom prefilter — identical oracle:
     // no false negatives, and positives are exact-verified, so the
     // report matches the join path bit-for-bit
@@ -1155,6 +1168,24 @@ object LlmQueries {
         |ORDER BY t.doc_id""".stripMargin,
 
     "corpus_decontaminate" -> decontaminateOracleSql(7),
+    "corpus_decontaminate_semantic" ->
+      """WITH e AS (SELECT vec_id, [CAST(x AS DOUBLE) for x in embedding] AS v FROM embeddings),
+        | n AS (SELECT vec_id, v, sqrt(list_sum([y*y for y in v])) AS norm FROM e),
+        | c AS (SELECT * FROM n WHERE vec_id % 11 <> 0),
+        | b AS (SELECT * FROM n WHERE vec_id % 11 = 0),
+        | p AS (SELECT c.vec_id,
+        |   round(list_sum([c.v[i] * b.v[i] for i in range(1, len(c.v) + 1)])
+        |         / (c.norm * b.norm), 6) AS cos
+        |  FROM c, b),
+        | m AS (SELECT vec_id, CAST(COUNT(*) AS BIGINT) AS n_benchmark_matches,
+        |   MAX(cos) AS max_cos
+        |  FROM p WHERE cos >= 0.45 GROUP BY vec_id)
+        |SELECT c.vec_id,
+        | COALESCE(m.n_benchmark_matches, CAST(0 AS BIGINT)) AS n_benchmark_matches,
+        | m.max_cos,
+        | m.max_cos IS NOT NULL AS contaminated
+        |FROM c LEFT JOIN m ON c.vec_id = m.vec_id
+        |ORDER BY c.vec_id""".stripMargin,
     // bloom prefilter is exact-equivalent -> same oracle
     "corpus_decontaminate_bloom" -> decontaminateOracleSql(7),
     "corpus_decontaminate_indexed" -> decontaminateOracleSql(7),

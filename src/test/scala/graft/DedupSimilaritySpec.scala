@@ -429,6 +429,45 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(probed == retrained)
   }
 
+  test("semantic decontamination: cell path reproduces the all-pairs ground truth + crafted cases") {
+    import graft.operators.Contamination
+    // crafted: benchmark vec, a near-paraphrase of it in the corpus
+    // (high cosine), and an orthogonal clean vec
+    val bench = Seq((11L, Array.fill(8)(1.0f))).toDF("vec_id", "embedding")
+    val near = Array.fill(8)(1.0f); near(0) = 0.8f
+    val ortho = Array.tabulate(8)(i => if (i % 2 == 0) 1.0f else -1.0f)
+    val corpus = Seq((1L, near), (2L, ortho)).toDF("vec_id", "embedding")
+    val flagged = Contamination.flagSemanticOverlap(corpus, bench, threshold = 0.45)
+      .orderBy("vec_id")
+      .select("vec_id", "n_benchmark_matches", "contaminated")
+      .as[(Long, Long, Boolean)].collect().toSeq
+    assert(flagged == Seq((1L, 1L, true), (2L, 0L, false)))
+    // the filtering form drops exactly the flagged vec
+    assert(Contamination.decontaminateSemantic(corpus, bench, 0.45)
+      .select("vec_id").as[Long].collect().toSeq == Seq(2L))
+
+    // ground truth on real data: the %11 split at the oracle SF — the
+    // cell path must flag EXACTLY the vectors an all-pairs exact-cosine
+    // join flags (recall totality; precision is by construction since
+    // every candidate is exact-verified)
+    val emb = spark.read.parquet(s"${sf("sf0.01")}/embeddings.parquet")
+    val c = emb.where(col("vec_id") % 11 =!= 0)
+    val b = emb.where(col("vec_id") % 11 === 0)
+    val got = Contamination.flagSemanticOverlap(c, b, threshold = 0.45)
+      .where(col("contaminated")).select("vec_id").as[Long].collect().toSet
+    val cp = Similarity.prepared(c).select(col("vec_id").as("a_id"),
+      col("v").as("av"), col("norm").as("anorm"))
+    val bp = Similarity.prepared(b).select(col("vec_id").as("b_id"),
+      col("v").as("bv"), col("norm").as("bnorm"))
+    val expect = cp.crossJoin(bp)
+      .where(round(graft.functions.cosineWithNorms(
+        graft.functions.dotProduct(col("av"), col("bv")),
+        col("anorm"), col("bnorm")), 6) >= 0.45)
+      .select("a_id").distinct().as[Long].collect().toSet
+    assert(got == expect, s"cell path flagged ${got.size} vs exact ${expect.size}")
+    assert(expect.nonEmpty, "fixture should contain semantic contamination")
+  }
+
   test("stored IVF-PQ search with corpusFilter: eligibility + recall vs filtered brute") {
     val emb = spark.read.parquet(s"$docsDir/embeddings.parquet")
     val dir = java.nio.file.Files.createTempDirectory("graft_pq_filtered").toString
