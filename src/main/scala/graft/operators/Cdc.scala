@@ -88,4 +88,43 @@ object Cdc {
           .otherwise(lit("unchanged")))
       .select(col(idCol), col("change"))
   }
+
+  /** Distribution DRIFT between two corpus releases — the statistical
+    * companion of [[snapshotDiff]]'s row-level report: a release can be
+    * row-wise healthy (every change intentional) while its COMPOSITION
+    * silently shifts (a crawler starts over-sampling one domain, a
+    * filter update halves one language), which changes what a model
+    * trained on it learns. For each monitored dimension (a named
+    * categorical expression: language, source, a length bucket, …)
+    * both sides aggregate to per-cell counts; cells full-outer join so
+    * appearing/vanishing cells surface with a zero side; shares and the
+    * per-cell total-variation contribution `drift = |share_new -
+    * share_old|` are reported at fixed 6-dp so the report is
+    * engine-exact. Σ drift / 2 per dimension is the TV distance.
+    *
+    * Scale shape: each dimension is one map-side-combined count
+    * aggregate per side (output = cell cardinality, a handful of rows);
+    * the join and window run on that group-sized relation. Document
+    * payloads never shuffle — at 100 TB the cost is the two
+    * column-pruned scans, shared across all dimensions via one
+    * unioned aggregate each. */
+  def distributionDrift(oldSnap: DataFrame, newSnap: DataFrame,
+                        dims: Seq[(String, Column)]): DataFrame = {
+    def sideCounts(df: DataFrame, as: String): DataFrame =
+      dims.map { case (name, expr) =>
+        df.groupBy(expr.cast("string").as("cell"))
+          .agg(count(lit(1)).as(as))
+          .select(lit(name).as("dim"), col("cell"), col(as))
+      }.reduce(_ unionByName _)
+    val joined = sideCounts(oldSnap, "n_old")
+      .join(sideCounts(newSnap, "n_new"), Seq("dim", "cell"), "full_outer")
+      .select(col("dim"), col("cell"),
+        coalesce(col("n_old"), lit(0L)).as("n_old"),
+        coalesce(col("n_new"), lit(0L)).as("n_new"))
+    val w = Window.partitionBy("dim")
+    joined
+      .withColumn("share_old", round(col("n_old") / sum("n_old").over(w), 6))
+      .withColumn("share_new", round(col("n_new") / sum("n_new").over(w), 6))
+      .withColumn("drift", round(abs(col("share_new") - col("share_old")), 6))
+  }
 }

@@ -59,6 +59,43 @@ object Multimodal {
         (lit(64) + (col("doc_id") % 8) * 32).cast("long").as("width"),
         (lit(64) + (col("doc_id") % 5) * 48).cast("long").as("height")).as("meta"))
 
+  /** Deterministic planted near-dup fixture: every `every`-th payload
+    * gains a REPLICA row (`doc_id + idOffset`) whose bytes carry a small
+    * in-place edit confined to ONE byte-grid cell (the slice one 8×9
+    * cell averages), so the replica sits within hamming ≤2 of its
+    * original by construction — the corpus-shaped ground truth the
+    * rows-only `multimodal_dhash` entry and its spec recover. Same-LENGTH
+    * edits only: the byte grid (like real dHash under crops) is robust to
+    * in-place edits, not length-shifting ones. Scales linearly — one
+    * typed flatMap, no shuffle, replica volume = corpus/`every`. */
+  def withNearDupReplicas(media: DataFrame, every: Int = 5,
+                          idOffset: Long = 1000000000L): DataFrame = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.select(col("doc_id"), col("content"),
+        col("meta.format"), col("meta.n_bytes"), col("meta.width"), col("meta.height"))
+      .as[(Long, Array[Byte], String, Long, Long, Long)]
+      .flatMap { case (id, bytes, fmt, nb, w, h) =>
+        val orig = MediaRow(id, bytes, MediaMeta(fmt, nb, w, h))
+        if (id % every != 0 || bytes.length == 0) Seq(orig)
+        else {
+          val out = bytes.clone()
+          // overwrite the slice cell #10 averages (row 1, col 1): the
+          // edit lands entirely inside one grid cell, flipping at most
+          // the two comparisons that cell participates in
+          val n = out.length
+          var i = (10L * n / 72).toInt
+          val to = (11L * n / 72).toInt
+          while (i < to) { out(i) = 'z'.toByte; i += 1 }
+          Seq(orig, MediaRow(id + idOffset, out, MediaMeta(fmt, nb, w, h)))
+        }
+      }
+      .toDF()
+      .select(col("doc_id"), col("content"),
+        struct(col("meta.format").as("format"), col("meta.nBytes").as("n_bytes"),
+          col("meta.width").as("width"), col("meta.height").as("height")).as("meta"))
+  }
+
   /** STUB CODEC — deterministic fake decode. A real deployment replaces
     * this with an actual image decode (e.g. TwelveMonkeys/ImageIO via
     * JNI); everything around it (typed Dataset, mapPartitions batching,

@@ -44,6 +44,32 @@ object Splits {
   def thresholdHex(cum: Double): String =
     f"${math.min((cum * 4294967296.0).toLong, 0xFFFFFFFFL)}%08x"
 
+  /** LEAKAGE-SAFE splits — the eval-integrity form of [[byHash]]: a
+    * near-duplicate of a test document must never land in train, or the
+    * model evals on a near-copy of its own training data, so the unit of
+    * assignment is the near-dup CLUSTER, not the document. `pairs` is a
+    * verified near-dup pair feed ((a_id, b_id) — [[Dedup.minhashNearDups]]
+    * for text, the embedding path for semantic near-dups); components
+    * close the pairs transitively, every doc inherits its cluster
+    * representative (component min id), and the split hashes the
+    * REPRESENTATIVE — an entire near-dup cluster moves between splits as
+    * one unit. Singletons hash their own id, so wherever no near-dup
+    * exists the assignment is byte-identical to [[byHash]] (the split
+    * upgrade never reshuffles the clean bulk of an existing corpus).
+    *
+    * Scale: the component closure is dup-graph-sized, never corpus-sized
+    * (see [[Dedup.connectedComponents]]); the label join-back is the one
+    * corpus-sized equi-join; the assignment itself stays a codegen'd
+    * projection of the representative id. */
+  def leakageSafe(df: DataFrame, pairs: DataFrame, idCol: String,
+                  fractions: Seq[(String, Double)] = Seq("train" -> 0.8, "val" -> 0.1),
+                  defaultLabel: String = "test"): DataFrame = {
+    val comps = Dedup.connectedComponents(pairs, df, idCol)
+      .withColumnRenamed("id", idCol)
+    df.join(comps, Seq(idCol))
+      .withColumn("split", splitExpr(col("cluster_id"), fractions, defaultLabel))
+  }
+
   /** Deterministic domain-mixture sampling — the "data mixture" step of
     * an LLM training pipeline: given target composition `weights` over a
     * domain column and a total document `budget`, sample each domain at

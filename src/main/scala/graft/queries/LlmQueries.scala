@@ -234,6 +234,21 @@ object LlmQueries {
       Cdc.snapshotDiff(oldSnap, newSnap).orderBy("doc_id")
     }),
 
+    // distribution DRIFT between two release snapshots: composition
+    // shift per dimension (language, source, 256-char length bucket) as
+    // per-cell total-variation contributions — group-sized output,
+    // document payloads never shuffle
+    "corpus_drift" -> ((s, d) => {
+      val all = docs(s, d)
+      val oldSnap = all.where(col("doc_id") % 5 =!= 4)
+      val newSnap = all.where(col("doc_id") % 5 =!= 0)
+      Cdc.distributionDrift(oldSnap, newSnap, Seq(
+          "lang" -> col("lang"),
+          "source" -> col("source"),
+          "len_bucket" -> floor(col("n_chars") / 256).cast("long")))
+        .orderBy("dim", "cell")
+    }),
+
     // budgeted selection: the best 9000 tokens in (quality DESC, id)
     // order — the frontier-pruned two-level prefix sum; buckets past
     // the budget never reach the window sort
@@ -314,10 +329,14 @@ object LlmQueries {
 
     // perceptual media near-dup: dHash fingerprints (real images via
     // imageio, synthetic payloads via the deterministic byte grid)
-    // through the shared hamming block-bucket join. rows-only;
-    // known-pair recall on codec fixtures is spec-certified.
+    // through the shared hamming block-bucket join, over a corpus with
+    // PLANTED single-cell-edit replicas (this testdata vintage has no
+    // organic byte-level near-dup media). rows-only; planted-pair recall
+    // + codec-fixture behavior are spec-certified.
     "multimodal_dhash" -> ((s, d) =>
-      Multimodal.dHashNearDups(Multimodal.withMedia(docs(s, d)), maxHamming = 3)
+      Multimodal.dHashNearDups(
+          Multimodal.withNearDupReplicas(Multimodal.withMedia(docs(s, d))),
+          maxHamming = 3)
         .orderBy("a_id", "b_id")),
 
     "multimodal_meta" -> ((s, d) =>
@@ -354,6 +373,16 @@ object LlmQueries {
       Splits.byHash(docs(s, d), "doc_id",
           Seq("train" -> 0.8, "val" -> 0.1))
         .select("doc_id", "split").orderBy("doc_id")),
+
+    // leakage-safe splits: a near-dup CLUSTER moves between train/val/
+    // test as one unit (a test doc's near-copy in train is eval
+    // leakage). Oracled by the recursive-CTE closure over the exact-
+    // jaccard pair graph + the same md5 hex thresholds as split_hash.
+    "split_leakage_safe" -> ((s, d) =>
+      Splits.leakageSafe(docs(s, d),
+          Dedup.minhashNearDups(docs(s, d), threshold = 0.8), "doc_id")
+        .select("doc_id", "cluster_id", "split")
+        .orderBy("doc_id")),
 
     "emb_centroids" -> ((s, d) =>
       Similarity.labelCentroids(emb(s, d)).orderBy("label", "pos")),
@@ -830,6 +859,28 @@ object LlmQueries {
         |FROM o FULL OUTER JOIN n ON o.doc_id = n.doc_id
         |ORDER BY doc_id""".stripMargin,
 
+    "corpus_drift" ->
+      """WITH o AS (SELECT * FROM documents WHERE doc_id % 5 <> 4),
+        | n AS (SELECT * FROM documents WHERE doc_id % 5 <> 0),
+        | oc AS (
+        |  SELECT 'lang' AS dim, CAST(lang AS VARCHAR) AS cell, CAST(COUNT(*) AS BIGINT) AS n_old FROM o GROUP BY 2
+        |  UNION ALL SELECT 'source', CAST(source AS VARCHAR), CAST(COUNT(*) AS BIGINT) FROM o GROUP BY 2
+        |  UNION ALL SELECT 'len_bucket', CAST(n_chars // 256 AS VARCHAR), CAST(COUNT(*) AS BIGINT) FROM o GROUP BY 2),
+        | nc AS (
+        |  SELECT 'lang' AS dim, CAST(lang AS VARCHAR) AS cell, CAST(COUNT(*) AS BIGINT) AS n_new FROM n GROUP BY 2
+        |  UNION ALL SELECT 'source', CAST(source AS VARCHAR), CAST(COUNT(*) AS BIGINT) FROM n GROUP BY 2
+        |  UNION ALL SELECT 'len_bucket', CAST(n_chars // 256 AS VARCHAR), CAST(COUNT(*) AS BIGINT) FROM n GROUP BY 2),
+        | j AS (SELECT COALESCE(oc.dim, nc.dim) AS dim, COALESCE(oc.cell, nc.cell) AS cell,
+        |  COALESCE(n_old, CAST(0 AS BIGINT)) AS n_old, COALESCE(n_new, CAST(0 AS BIGINT)) AS n_new
+        |  FROM oc FULL OUTER JOIN nc ON oc.dim = nc.dim AND oc.cell = nc.cell),
+        | sh AS (SELECT dim, cell, n_old, n_new,
+        |  round(CAST(n_old AS DOUBLE) / SUM(n_old) OVER (PARTITION BY dim), 6) AS share_old,
+        |  round(CAST(n_new AS DOUBLE) / SUM(n_new) OVER (PARTITION BY dim), 6) AS share_new
+        |  FROM j)
+        |SELECT dim, cell, n_old, n_new, share_old, share_new,
+        | round(abs(share_new - share_old), 6) AS drift
+        |FROM sh ORDER BY dim, cell""".stripMargin,
+
     "corpus_select_budget" ->
       """WITH b AS (SELECT doc_id,
         |  CAST(length(text) AS BIGINT) AS n,
@@ -1302,6 +1353,35 @@ object LlmQueries {
         |      WHEN substring(md5(CAST(doc_id AS VARCHAR)), 1, 8) < 'e6666666' THEN 'val'
         |      ELSE 'test' END AS split
         |FROM documents ORDER BY doc_id""".stripMargin,
+
+    // same closure as dedup_clusters, but every doc keeps a label
+    // (singletons label themselves) and the split hashes the label
+    "split_leakage_safe" ->
+      """WITH RECURSIVE
+        | t AS (SELECT doc_id,
+        |   [x for x in regexp_split_to_array(lower(text), '[^a-z0-9]+') if x <> ''] AS w
+        |  FROM documents),
+        | g AS (SELECT doc_id,
+        |   list_distinct([w[i] || ' ' || w[i+1] || ' ' || w[i+2] for i in range(1, len(w) - 1)]) AS s
+        |  FROM t WHERE len(w) >= 3),
+        | p AS (SELECT a.doc_id AS a_id, b.doc_id AS b_id
+        |  FROM g a, g b WHERE a.doc_id < b.doc_id
+        |   AND CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
+        |       / len(list_distinct(list_concat(a.s, b.s))) >= 0.8),
+        | e AS (SELECT a_id AS src, b_id AS dst FROM p
+        |       UNION SELECT b_id, a_id FROM p),
+        | reach(id, r) AS (
+        |   SELECT src, src FROM e
+        |   UNION
+        |   SELECT reach.id, e.dst FROM reach JOIN e ON reach.r = e.src),
+        | comp AS (SELECT id, MIN(r) AS cluster_id FROM reach GROUP BY id),
+        | lab AS (SELECT d.doc_id, COALESCE(c.cluster_id, d.doc_id) AS cluster_id
+        |  FROM documents d LEFT JOIN comp c ON d.doc_id = c.id)
+        |SELECT doc_id, cluster_id,
+        | CASE WHEN substring(md5(CAST(cluster_id AS VARCHAR)), 1, 8) < 'cccccccc' THEN 'train'
+        |      WHEN substring(md5(CAST(cluster_id AS VARCHAR)), 1, 8) < 'e6666666' THEN 'val'
+        |      ELSE 'test' END AS split
+        |FROM lab ORDER BY doc_id""".stripMargin,
 
     "training_corpus" ->
       """WITH b AS (SELECT doc_id, text,

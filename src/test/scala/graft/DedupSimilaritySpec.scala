@@ -520,6 +520,24 @@ class DedupSimilaritySpec extends SparkSpec {
       "an unrelated payload must not pair up")
   }
 
+  test("dHash planted replicas: every replica pairs with its original, none cross-pair") {
+    import graft.operators.Multimodal
+    val docs = Ingestor.table(spark, sf(), "documents")
+    val media = Multimodal.withNearDupReplicas(Multimodal.withMedia(docs))
+    val planted = docs.select("doc_id").as[Long].collect()
+      .filter(id => id % 5 == 0).map(id => (id, id + 1000000000L)).toSet
+    val pairs = Multimodal.dHashNearDups(media, maxHamming = 3)
+      .select("a_id", "b_id").as[(Long, Long)].collect().toSet
+    // a single-cell in-place edit flips at most 2 grid comparisons, so
+    // every planted pair must land inside hamming 3
+    assert(planted.subsetOf(pairs),
+      s"missing planted pairs: ${(planted -- pairs).take(5)}")
+    // replicas must not pair with unrelated originals
+    val cross = pairs.filter { case (a, b) =>
+      b >= 1000000000L && a < 1000000000L && b - 1000000000L != a }
+    assert(cross.isEmpty, s"unrelated cross pairs: ${cross.take(5)}")
+  }
+
   test("dHash real-image path: rescaled image collides, inverted image is far") {
     import graft.operators.Multimodal
     def gradientPng(w: Int, h: Int, invert: Boolean): Array[Byte] = {

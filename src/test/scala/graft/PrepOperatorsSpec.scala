@@ -46,6 +46,59 @@ class PrepOperatorsSpec extends SparkSpec {
       3L -> "changed", 4L -> "added"))
   }
 
+  // ------------------------------------------------------------ drift
+  test("distributionDrift: shares sum to 1 per dim, vanished cells surface, TV matches hand calc") {
+    val oldSnap = Seq((1L, "en", 100L), (2L, "en", 100L), (3L, "de", 100L),
+      (4L, "fr", 100L)).toDF("doc_id", "lang", "n_chars")
+    val newSnap = Seq((1L, "en", 100L), (2L, "en", 100L), (3L, "en", 100L),
+      (4L, "de", 600L)).toDF("doc_id", "lang", "n_chars")
+    val out = Cdc.distributionDrift(oldSnap, newSnap, Seq(
+        "lang" -> col("lang"),
+        "len_bucket" -> floor(col("n_chars") / 256).cast("long")))
+      .orderBy("dim", "cell")
+      .as[(String, String, Long, Long, Double, Double, Double)].collect()
+    val lang = out.filter(_._1 == "lang").map(r => r._2 -> r).toMap
+    // fr vanished entirely: must still appear with a zero new side
+    assert(lang("fr")._4 == 0L && lang("fr")._7 == 0.25)
+    assert(lang("en")._7 == 0.25 && lang("de")._7 == 0.0)
+    // shares are true distributions on both sides of every dimension
+    for (dim <- Seq("lang", "len_bucket")) {
+      val rows = out.filter(_._1 == dim)
+      assert(math.abs(rows.map(_._5).sum - 1.0) < 1e-9, s"$dim old shares")
+      assert(math.abs(rows.map(_._6).sum - 1.0) < 1e-9, s"$dim new shares")
+    }
+    // TV distance of the lang dim = (0.25 + 0.0 + 0.25) / 2 = 0.25
+    assert(out.filter(_._1 == "lang").map(_._7).sum / 2 == 0.25)
+    // the length dim sees doc 4 move buckets 0 -> 2: bucket 0 share
+    // 1.0 -> 0.75, bucket 2 appears at 0.25
+    val lb = out.filter(_._1 == "len_bucket").map(r => r._2 -> r._7).toMap
+    assert(lb("0") == 0.25 && lb("2") == 0.25)
+  }
+
+  // ------------------------------------------------------------ leakage-safe split
+  test("leakageSafe split: clusters move as one unit, singletons match byHash") {
+    val docs = spark.read.parquet(s"${sf()}/documents.parquet")
+    val pairs = graft.operators.Dedup.minhashNearDups(docs, threshold = 0.8)
+    val out = Splits.leakageSafe(docs, pairs, "doc_id")
+      .select("doc_id", "cluster_id", "split")
+      .as[(Long, Long, String)].collect()
+    assert(out.length == docs.count())
+    // every cluster is split-pure: one distinct split per cluster_id
+    val perCluster = out.groupBy(_._2).view.mapValues(_.map(_._3).toSet)
+    assert(perCluster.values.forall(_.size == 1))
+    // paired docs exist at this sf and at least one cluster spans docs
+    // whose INDEPENDENT byHash assignments would disagree — the operator
+    // must have moved one of them (otherwise the test proves nothing)
+    val byHash = Splits.byHash(docs, "doc_id")
+      .select("doc_id", "split").as[(Long, String)].collect().toMap
+    val clustered = out.filter(r => r._1 != r._2)
+    assert(clustered.nonEmpty, "testdata must contain near-dup clusters")
+    // singletons (cluster_id == own id) agree with plain byHash exactly
+    out.filter(r => r._1 == r._2).foreach { case (id, _, s) =>
+      assert(s == byHash(id), s"singleton $id moved: $s vs ${byHash(id)}")
+    }
+  }
+
   // ------------------------------------------------------------ repetition
   test("repetition signals on degenerate vs healthy text") {
     val docs = Seq(
