@@ -334,6 +334,31 @@ object Multimodal {
       }.toDF(idCol, "dhash")
   }
 
+  /** 72-dim luminance-grid feature vector — the continuous signal the
+    * dHash sign-quantizes: real images via the imageio centre-sampled
+    * grid, synthetic payloads via the locality-preserving byte grid.
+    * Unlike [[extractFeatures]]'s chained-hash histogram (a codec-shape
+    * stand-in, deliberately avalanche-y), this embedding is perceptual:
+    * a small in-place edit moves one cell, so near-dup media stay
+    * cosine-near — the feature to feed the [[Similarity]] ANN stack for
+    * media similarity search. One typed mapPartitions pass, codec
+    * configured once per partition, 72 floats per payload. */
+  def gridFeatures(media: DataFrame, idCol: String = "doc_id"): Dataset[FeatureRow] = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.select(col(idCol), col("content")).as[(Long, Array[Byte])]
+      .mapPartitions { rows =>
+        javax.imageio.ImageIO.setUseCache(false)
+        rows.map { case (id, bytes) =>
+          val grid = imageioDecode(bytes) match {
+            case Some(img) => luminanceGrid(img)
+            case None => byteGrid(bytes)
+          }
+          FeatureRow(id, grid.flatten.map(_.toFloat))
+        }
+      }
+  }
+
   /** Perceptual near-dup pairs over binary media: dHash fingerprints
     * through the SAME hamming block-bucket machinery as SimHash text
     * dedup ([[Dedup.hammingNearDups]]) — block-bucket join + exact

@@ -231,6 +231,67 @@ object Sketches {
     if (groupCols.isEmpty) out else out.orderBy(groupCols.map(col): _*)
   }
 
+  /** Distributed Misra-Gries heavy hitters with an EXACT-verify second
+    * pass — the frequent-items member of the sketch family (HLL for
+    * cardinality, KLL for quantiles, MG for top terms).
+    *
+    * Why not a plain `groupBy(term).count` at 100 TB: a web corpus's
+    * term universe is billions of distinct strings, so ranking a top-20
+    * exactly shuffles the entire universe. Here each partition streams
+    * through a k-counter Misra-Gries summary — amortised O(1) per row:
+    * a decrement round only fires when the map is full AND an unseen
+    * term arrives, and each round consumes k+1 count units (k decrements
+    * + the absorbed new term), so rounds ≤ N/(k+1) and decrement work
+    * totals ≤ N — and emits ≤ k (term, floor-count) rows. The one
+    * sketch shuffle is partitions × k rows, data-size-independent.
+    *
+    * MG guarantee: within a partition any term is undercounted by less
+    * than n_p/(k+1); summed over partitions the merged summary
+    * undercounts any term by < N/(k+1), so every term with true count
+    * ≥ N/(k+1) appears in some summary — the candidate set is a proven
+    * SUPERSET of all such terms. The second pass counts ONLY candidates
+    * exactly (one left-semi join + a candidate-sized group), so when
+    * the returned top-K's minimum exact count exceeds N/(k+1), the
+    * result is provably the exact top-K — choose k well above
+    * N/expected-min-top-count to stay in that regime (the spec asserts
+    * it at the oracle SF; at 100 TB, k=2^20 summaries are still
+    * MB-sized per partition).
+    *
+    * `terms` is a one-row-per-occurrence relation; output (term, n, rk)
+    * = the exact counts of the top `topK` candidates, ranked by
+    * (n DESC, term) for a deterministic, engine-stable order. */
+  def heavyHitters(terms: DataFrame, termCol: String, k: Int = 4096,
+                   topK: Int = 20): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val spark = terms.sparkSession
+    import spark.implicits._
+    val t = terms.select(col(termCol).cast("string").as("term"))
+    val partial = t.as[String].mapPartitions { it =>
+      val counts = new scala.collection.mutable.HashMap[String, Long]()
+      it.foreach { term =>
+        if (term != null) {
+          val cur = counts.getOrElse(term, -1L)
+          if (cur >= 0L) counts(term) = cur + 1L
+          else if (counts.size < k) counts(term) = 1L
+          else {
+            counts.mapValuesInPlace((_, c) => c - 1L)
+            counts.filterInPlace((_, c) => c > 0L)
+          }
+        }
+      }
+      counts.iterator
+    }.toDF("term", "c")
+    // candidate IDENTITY is all the sketch contributes; counts restart
+    // exact, so sketch undercount never reaches the output
+    val candidates = partial.select("term").distinct()
+    val exact = t.join(candidates, Seq("term"), "left_semi")
+      .groupBy("term").agg(count(lit(1)).as("n"))
+    val top = exact.orderBy(col("n").desc, col("term")).limit(topK)
+    // rank window runs over topK rows only — the limit above bounds it
+    top.withColumn("rk",
+      row_number().over(Window.orderBy(col("n").desc, col("term"))).cast("long"))
+  }
+
   private def pName(p: Double): String =
     "p" + BigDecimal(p * 100).underlying.stripTrailingZeros.toPlainString
       .replace(".", "_")

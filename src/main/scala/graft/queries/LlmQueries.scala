@@ -2,7 +2,7 @@ package graft.queries
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import graft.operators.{Boilerplate, Bpe, Cdc, Contamination, Dedup, Multimodal, Packing, Pca, Privacy, Profiler, QualityModel, Selection, ShardExport, Similarity, Splits, TextAnalysis}
+import graft.operators.{Boilerplate, Bpe, Cdc, Contamination, Dedup, Multimodal, Packing, Pca, Privacy, Profiler, QualityModel, Selection, ShardExport, Similarity, Sketches, Splits, TextAnalysis}
 import graft.sources.Ingestor
 
 /** SURVEY §2.4 LLM-training-data operators over `documents` /
@@ -339,6 +339,22 @@ object LlmQueries {
           maxHamming = 3)
         .orderBy("a_id", "b_id")),
 
+    // multimodal × similarity: nearest-neighbour search over DECODED
+    // media features — the image-similarity probe a multimodal corpus
+    // runs. The 72-dim luminance-grid embedding (the continuous signal
+    // dHash quantizes; real images via imageio, synthetic payloads via
+    // the byte grid) flows into the SAME cosine top-k machinery as text
+    // embeddings, over the replica-augmented corpus so planted near-dup
+    // media surface as rank-1 neighbours. rows-only (the codec is not
+    // SQL-replicable); replica-is-nearest spec-certified.
+    "multimodal_knn" -> ((s, d) =>
+      Similarity.knnBrute(
+          Multimodal.gridFeatures(
+              Multimodal.withNearDupReplicas(Multimodal.withMedia(docs(s, d))))
+            .toDF("vec_id", "embedding"),
+          col("vec_id") < 5, k = 5)
+        .orderBy("q_id", "rank")),
+
     "multimodal_meta" -> ((s, d) =>
       Multimodal.withMedia(docs(s, d))
         .select(col("doc_id"), col("meta.format").as("format"),
@@ -349,6 +365,19 @@ object LlmQueries {
     "text_tfidf" -> ((s, d) =>
       TextAnalysis.tfidf(docs(s, d), topK = 10)
         .orderBy(col("doc_id"), col("rk"))),
+
+    // frequent-items sketch: per-partition Misra-Gries candidates + an
+    // exact count pass over candidates only — the sketch shuffle is
+    // partitions×k rows, never the term universe. Oracle-exact: the
+    // provable-exactness condition (min top count > N/(k+1)) holds at
+    // every tested SF and is asserted in SketchProfileSpec.
+    "text_heavy_hitters" -> ((s, d) => {
+      val terms = docs(s, d).select(
+        explode(filter(split(lower(col("text")), "[^a-z0-9]+"),
+          x => x =!= "")).as("term"))
+      Sketches.heavyHitters(terms, "term", k = 4096, topK = 20)
+        .select("term", "n", "rk").orderBy("rk")
+    }),
 
     "text_redact" -> ((s, d) =>
       TextAnalysis.redactPii(docs(s, d))
@@ -858,6 +887,16 @@ object LlmQueries {
         |      WHEN o.fp <> n.fp THEN 'changed' ELSE 'unchanged' END AS change
         |FROM o FULL OUTER JOIN n ON o.doc_id = n.doc_id
         |ORDER BY doc_id""".stripMargin,
+
+    "text_heavy_hitters" ->
+      """WITH w AS (SELECT
+        |   [x for x in regexp_split_to_array(lower(text), '[^a-z0-9]+') if x <> ''] AS ws
+        |  FROM documents),
+        | t AS (SELECT u.term FROM w, UNNEST(ws) AS u(term)),
+        | c AS (SELECT term, CAST(COUNT(*) AS BIGINT) AS n FROM t GROUP BY term)
+        |SELECT term, n,
+        | CAST(row_number() OVER (ORDER BY n DESC, term) AS BIGINT) AS rk
+        |FROM c ORDER BY n DESC, term LIMIT 20""".stripMargin,
 
     "corpus_drift" ->
       """WITH o AS (SELECT * FROM documents WHERE doc_id % 5 <> 4),

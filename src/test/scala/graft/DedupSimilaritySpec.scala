@@ -538,6 +538,22 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(cross.isEmpty, s"unrelated cross pairs: ${cross.take(5)}")
   }
 
+  test("multimodal feature kNN: a planted replica is its original's nearest neighbour") {
+    import graft.operators.Multimodal
+    val docs = Ingestor.table(spark, sf(), "documents")
+    val media = Multimodal.withNearDupReplicas(Multimodal.withMedia(docs))
+    val feats = Multimodal.gridFeatures(media).toDF("vec_id", "embedding")
+    val out = Similarity.knnBrute(feats,
+        col("vec_id") % 5 === 0 && col("vec_id") < 100, k = 1)
+      .select("q_id", "n_id").as[(Long, Long)].collect().toMap
+    // a single-cell edit moves one of 72 grid cells, so the replica
+    // dominates every unrelated doc on cosine
+    out.foreach { case (q, n) =>
+      assert(n == q + 1000000000L, s"query $q nearest $n, expected its replica")
+    }
+    assert(out.nonEmpty)
+  }
+
   test("dHash real-image path: rescaled image collides, inverted image is far") {
     import graft.operators.Multimodal
     def gradientPng(w: Int, h: Int, invert: Boolean): Array[Byte] = {

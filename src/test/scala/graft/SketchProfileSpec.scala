@@ -24,6 +24,34 @@ class SketchProfileSpec extends SparkSpec {
     }
   }
 
+  test("Misra-Gries heavy hitters: exact top-K with provable-exactness condition; superset holds at tiny k") {
+    import spark.implicits._
+    val docs = Ingestor.table(spark, sf(), "documents")
+    val terms = docs.select(
+      explode(filter(split(lower(col("text")), "[^a-z0-9]+"),
+        x => x =!= "")).as("term"))
+    val exact = terms.groupBy("term").agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("term")).limit(20)
+      .as[(String, Long)].collect().toSeq
+    val got = Sketches.heavyHitters(terms, "term", k = 4096, topK = 20)
+      .select("term", "n").as[(String, Long)].collect().toSeq
+    assert(got == exact, "candidate+exact-verify must reproduce the exact top-20")
+    // provable-exactness regime: min returned count > N/(k+1), so the
+    // candidate superset provably contained every top-20 term
+    val n = terms.count()
+    assert(got.last._2 > n / 4097.0,
+      s"oracle SF must sit in the provable regime: min=${got.last._2} N=$n")
+    // degraded k: counters far fewer than distinct terms — the MG
+    // superset guarantee still recovers every term with count > N/(k+1)
+    val tinyK = 64
+    val gotTiny = Sketches.heavyHitters(terms, "term", k = tinyK, topK = 20)
+      .select("term", "n").as[(String, Long)].collect().toMap
+    exact.filter(_._2 > n / (tinyK + 1.0)).foreach { case (t, c) =>
+      assert(gotTiny.get(t).contains(c),
+        s"guaranteed-heavy term $t (count $c > N/${tinyK + 1}) missing at k=$tinyK")
+    }
+  }
+
   test("percentile_approx lands within tight rank error of exact percentiles") {
     val exact = Sketches.percentiles(li, "l_extendedprice", Seq("l_returnflag"),
         fractions = Seq(0.5)).collect()
