@@ -69,4 +69,66 @@ object Selection {
       .where(col("cum_tokens") <= budget)
       .select(col(idCol), col("n_tokens"), col("quality_score"), col("cum_tokens"))
   }
+
+  /** DSIR-style importance resampling (Xie et al. 2023, "Data Selection
+    * for Language Models via Importance Resampling"): pick raw-pool
+    * docs whose hashed-n-gram feature distribution looks like a TARGET
+    * domain, by sampling with weights p_target(doc)/p_raw(doc).
+    *
+    * Both distributions live on a `buckets`-sized hashed feature space
+    * (hashing trick — no vocabulary shuffle, like
+    * [[QualityModel]]'s features): each side contributes ONE
+    * map-side-combined bucket-count aggregate, the add-α-smoothed
+    * log-ratio table is buckets-sized and broadcast back onto the
+    * token stream, and each doc's log-importance-weight is a
+    * decimal-fixed associative sum of its positions' ratios. Sampling
+    * is Gumbel top-k — adding Gumbel noise to log-weights and taking
+    * the top `budget` draws exactly from the softmax of the weights —
+    * with the noise derived from md5(seed:doc_id), so membership is a
+    * pure function of content and seed: deterministic across runs,
+    * partitionings, and engines. The top-k itself is a TakeOrdered
+    * (per-partition heads merged on the driver), never a global sort;
+    * the final rank window runs over the budget-sized result only.
+    *
+    * Output: (doc_id, n_feats, log_weight, gumbel_key, rk) for the
+    * `budget` selected docs, rk in (gumbel_key DESC, doc_id) order. */
+  def dsir(docs: DataFrame, isTarget: org.apache.spark.sql.Column,
+           budget: Int, buckets: Int = 4096, alpha: Double = 1.0,
+           seed: String = "dsir-v1", textCol: String = "text",
+           idCol: String = "doc_id"): DataFrame = {
+    import graft.functions._
+    val toks = docs.withColumn("__t", isTarget)
+      .select(col(idCol), col("__t"), explode(wordTokens(col(textCol))).as("term"))
+      .withColumn("b",
+        conv(substring(md5(col("term")), 1, 6), 16, 10).cast("long") % buckets)
+    // one buckets-sized aggregate carrying both sides' counts
+    val feat = toks.groupBy("b").agg(
+      sum(when(col("__t"), 1L).otherwise(0L)).as("ct"),
+      sum(when(col("__t"), 0L).otherwise(1L)).as("cr"))
+    val totals = feat.agg(sum("ct").as("tt"), sum("cr").as("tr"))
+    val ratio = feat.crossJoin(broadcast(totals))
+      .withColumn("lr", dec(
+        log((col("ct") + lit(alpha)) / (col("tt") + lit(alpha * buckets))) -
+          log((col("cr") + lit(alpha)) / (col("tr") + lit(alpha * buckets)))))
+      .select("b", "lr")
+    val weights = toks.where(!col("__t"))
+      .join(broadcast(ratio), "b")
+      .groupBy(idCol).agg(
+        count(lit(1)).as("n_feats"),
+        sum("lr").cast("double").as("lw"))
+    // Gumbel key from the content-hash uniform: u in (0,1) exactly
+    // representable both engines; key rounded to 6dp BEFORE ranking so
+    // cross-engine double ulp drift can never flip an order
+    val u = (conv(substring(md5(concat_ws(":", lit(seed),
+      col(idCol).cast("string"))), 1, 8), 16, 10).cast("long") + lit(0.5)) /
+      lit(4294967296.0)
+    val keyed = weights
+      .withColumn("gumbel_key", round(col("lw") - log(-log(u)), 6))
+      .withColumn("log_weight", round(col("lw"), 6))
+    val top = keyed.orderBy(col("gumbel_key").desc, col(idCol)).limit(budget)
+    top.withColumn("rk", row_number().over(
+        Window.orderBy(col("gumbel_key").desc, col(idCol))).cast("long"))
+      .select(col(idCol), col("n_feats"), col("log_weight"),
+        col("gumbel_key"), col("rk"))
+  }
 }

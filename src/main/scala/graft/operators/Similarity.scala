@@ -53,6 +53,36 @@ object Similarity {
       .select(col("q_id"), col("vec_id").as("n_id"), col("rank"), col("cos_sim"))
   }
 
+  /** Hard-negative mining for contrastive / embedding-model training
+    * data: for each query vector, the top-k most cosine-similar corpus
+    * vectors whose `labelCol` DIFFERS from the query's — the
+    * near-the-margin negatives a triplet/InfoNCE curriculum wants,
+    * found by the same broadcast-query scored join as [[knnBrute]] with
+    * the label inequality fused into the join condition (pairs sharing
+    * a label are never scored, not scored-then-discarded). Exact over
+    * the corpus; at 100 TB the candidate generation composes with the
+    * IVF machinery the same way [[knnBrute]] does — mine within probed
+    * cells, label predicate still inside the join. */
+  def hardNegatives(emb: DataFrame, isQuery: Column, k: Int = 10,
+                    labelCol: String = "label"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val e = spread(emb, col("vec_id"))
+      .select(col("vec_id"), col(labelCol).cast("long").as("lbl"),
+        vecD(col("embedding")).as("v"))
+      .withColumn("norm", l2Norm(col("v")))
+    val q = e.where(isQuery).select(col("vec_id").as("q_id"),
+      col("lbl").as("q_label"), col("v").as("qv"), col("norm").as("qnorm"))
+    val scored = broadcast(q).join(e,
+        col("q_id") =!= col("vec_id") && col("q_label") =!= col("lbl"))
+      .withColumn("cos_sim", round(
+        cosineWithNorms(dotProduct(col("qv"), col("v")), col("qnorm"), col("norm")), 6))
+    val w = Window.partitionBy("q_id").orderBy(col("cos_sim").desc, col("vec_id"))
+    scored.withColumn("rank", row_number().over(w).cast("long"))
+      .where(col("rank") <= k)
+      .select(col("q_id"), col("q_label"), col("vec_id").as("n_id"),
+        col("lbl").as("n_label"), col("rank"), col("cos_sim"))
+  }
+
   /** (vec_id, v, norm) -> one row per (table_idx, bucket). The bucket is
     * the integer formed by the sign bits of the hyperplane projections. */
   def lshBuckets(e: DataFrame, vecCol: String, dim: Int = 64,

@@ -231,6 +231,41 @@ object Sketches {
     if (groupCols.isEmpty) out else out.orderBy(groupCols.map(col): _*)
   }
 
+  /** Sketch-based overlap between two corpus releases — the 100 TB twin
+    * of the exact snapshot diff (`Cdc.snapshotDiff`): how much of release
+    * B is already in release A, without EVER joining the two.
+    *
+    * Each side collapses to one KB-sized HLL sketch of its content keys
+    * in a single scan (map-side partial sketches merge in the agg);
+    * |A∩B| falls out of inclusion-exclusion over three estimates, giving
+    * Jaccard + per-side containment. At lgK=14 the per-sketch relative
+    * error is ~0.8%, so the intersection estimate's absolute error is
+    * bounded by ~0.8% of |A|+|B|+|A∪B| — tight enough for the release
+    * questions this answers ("did the new crawl add anything?", "what
+    * fraction of the vendor drop is already ours?") at ZERO join cost;
+    * when the answer warrants per-doc action, the exact diff runs. The
+    * spec certifies the estimates against exact counts at the oracle SF.
+    *
+    * Output: one row — n_old/n_new/n_union/n_intersect estimates,
+    * jaccard, containment_old (|A∩B|/|A|), containment_new. */
+  def releaseOverlap(oldDf: DataFrame, newDf: DataFrame, keyCol: Column,
+                     lgK: Int = 14): DataFrame = {
+    def side(df: DataFrame, name: String) =
+      df.select(keyCol.as("k"))
+        .agg(hll_sketch_agg(col("k"), lit(lgK)).as("sk"))
+        .select(lit(name).as("side"), col("sk"))
+    val sketches = side(oldDf, "old").unionByName(side(newDf, "new"))
+    sketches.agg(
+        max(when(col("side") === "old", hll_sketch_estimate(col("sk")))).as("n_old"),
+        max(when(col("side") === "new", hll_sketch_estimate(col("sk")))).as("n_new"),
+        hll_sketch_estimate(hll_union_agg(col("sk"), lit(false))).as("n_union"))
+      .withColumn("n_intersect",
+        greatest(lit(0L), col("n_old") + col("n_new") - col("n_union")))
+      .withColumn("jaccard", round(col("n_intersect") / col("n_union"), 6))
+      .withColumn("containment_old", round(col("n_intersect") / col("n_old"), 6))
+      .withColumn("containment_new", round(col("n_intersect") / col("n_new"), 6))
+  }
+
   /** Distributed Misra-Gries heavy hitters with an EXACT-verify second
     * pass — the frequent-items member of the sketch family (HLL for
     * cardinality, KLL for quantiles, MG for top terms).

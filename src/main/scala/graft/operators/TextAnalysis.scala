@@ -315,6 +315,50 @@ object TextAnalysis {
       .withColumn("n_toks", coalesce(col("n_toks"), lit(0L)))
   }
 
+  /** Interpolated BIGRAM log-probability score — the next rung of the
+    * CCNet-style statistical-LM quality ladder above [[unigramLogProb]]:
+    * word-salad spam can fool a unigram model by using common words, but
+    * its TRANSITIONS are rare, and the bigram term punishes exactly
+    * that. Each bigram position scores
+    * ln(λ·c(ab)/c(a) + (1−λ)·c(b)/N) — interpolation (Jelinek-Mercer)
+    * rather than backoff so unseen corpus bigrams still get mass and no
+    * per-history normalizer table is needed.
+    *
+    * Scale shape mirrors the unigram scorer: the corpus contributes one
+    * unigram and one bigram count shuffle (both vocabulary-sized, both
+    * map-side combined), scoring is equi-joins on the count relations
+    * (AQE broadcasts them when they fit), and the corpus total comes
+    * from the unigram relation — never a second token scan. Per-bigram
+    * ln(p) terms are fixed to exact decimals BEFORE the per-doc sum, so
+    * the mean is associative — identical on any engine/partitioning.
+    * Docs with fewer than two tokens keep n_bigrams=0, null score. */
+  def bigramLogProb(docs: DataFrame, textCol: String = "text",
+                    lambda: Double = 0.75): DataFrame = {
+    val w = docs.select(col("doc_id"), wordTokens(col(textCol)).as("w"))
+    val toks = w.select(col("doc_id"), explode(col("w")).as("a"))
+    val uni = toks.groupBy("a").agg(count(lit(1)).as("ca"))
+    val total = uni.agg(sum("ca").as("total"))
+    val pairs = w.where(size(col("w")) >= 2).select(col("doc_id"),
+      explode(transform(sequence(lit(0), size(col("w")) - 2),
+        i => struct(element_at(col("w"), i + 1).as("a"),
+          element_at(col("w"), i + 2).as("b")))).as("p"))
+      .select(col("doc_id"), col("p.a").as("a"), col("p.b").as("b"))
+    val bi = pairs.groupBy("a", "b").agg(count(lit(1)).as("cab"))
+    val scored = pairs
+      .join(bi, Seq("a", "b"))
+      .join(uni, Seq("a"))
+      .join(uni.select(col("a").as("b"), col("ca").as("cb")), Seq("b"))
+      .crossJoin(broadcast(total))
+      .withColumn("lp", dec(log(
+        lit(lambda) * col("cab") / col("ca") +
+          lit(1.0 - lambda) * col("cb") / col("total"))))
+    val agg = scored.groupBy("doc_id").agg(
+      count(lit(1)).as("n_bigrams"),
+      round(sum(col("lp")).cast("double") / count(lit(1)), 6).as("avg_logprob"))
+    docs.select("doc_id").join(agg, Seq("doc_id"), "left")
+      .withColumn("n_bigrams", coalesce(col("n_bigrams"), lit(0L)))
+  }
+
   /** Content fingerprints: exact (md5 of the raw text) and structural
     * (min-md5 over distinct word 5-gram shingles — a 1-permutation
     * MinHash, stable under whitespace/reordering-free edits). Returns

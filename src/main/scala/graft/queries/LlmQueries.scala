@@ -2,7 +2,7 @@ package graft.queries
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import graft.operators.{Boilerplate, Bpe, Cdc, Contamination, Dedup, Multimodal, Packing, Pca, Privacy, Profiler, QualityModel, Selection, ShardExport, Similarity, Sketches, Splits, TextAnalysis}
+import graft.operators.{Boilerplate, Bpe, Cdc, Contamination, Dedup, Funnel, Multimodal, Packing, Pca, Privacy, Profiler, QualityModel, Selection, ShardExport, Similarity, Sketches, Splits, TextAnalysis}
 import graft.sources.Ingestor
 
 /** SURVEY §2.4 LLM-training-data operators over `documents` /
@@ -221,6 +221,41 @@ object LlmQueries {
     "text_quality_model" -> ((s, d) =>
       QualityModel.heldOutScores(docs(s, d)).orderBy("doc_id")),
 
+    // curation-funnel attrition: every doc attributed to the FIRST
+    // pipeline stage that drops it (length -> language -> alpha-ratio
+    // quality -> exact dup), volumes rolled up per stage — one when
+    // cascade inside the scan + a stage-sized group; the dup-rank
+    // window is the same fingerprint shuffle dedup_exact pays, composed
+    // by the caller so the operator itself never hides a shuffle
+    "corpus_funnel" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val base = docs(s, d).withColumn("__dup_rk",
+        row_number().over(
+          Window.partitionBy(md5(col("text"))).orderBy(col("doc_id"))))
+      val alpha = length(col("text")) -
+        length(regexp_replace(col("text"), "[A-Za-z]", ""))
+      Funnel.attrition(base, Seq(
+          "too_short" -> (col("n_chars") < 80),
+          "lang_filtered" -> !col("lang").isin("en", "de", "fr", "es"),
+          "low_alpha" -> (alpha / length(col("text")) < 0.55),
+          "exact_dup" -> (col("__dup_rk") > 1)),
+        volumes = Seq("chars" -> col("n_chars")))
+    }),
+
+    // sketch-based release overlap — the 100 TB twin of corpus_diff:
+    // each side collapses to one KB HLL sketch of its content md5s in a
+    // single scan, |A∩B| via inclusion-exclusion, NO join anywhere.
+    // rows-only (HLL internals are engine-specific); the estimates are
+    // certified against exact counts in SketchProfileSpec.
+    "corpus_overlap_sketch" -> ((s, d) => {
+      val all = docs(s, d)
+      val oldSnap = all.where(col("doc_id") % 5 =!= 4)
+      val newSnap = all.where(col("doc_id") % 5 =!= 0)
+        .withColumn("text", when(col("doc_id") % 7 === 0,
+          concat(col("text"), lit(" [v2]"))).otherwise(col("text")))
+      Sketches.releaseOverlap(oldSnap, newSnap, md5(col("text")))
+    }),
+
     // dataset-versioning delta: added/removed/changed/unchanged between
     // two release snapshots (here: deterministic %-splits with a
     // modified sliver) — each side collapses to id+md5 before the one
@@ -254,6 +289,14 @@ object LlmQueries {
     // the budget never reach the window sort
     "corpus_select_budget" -> ((s, d) =>
       Selection.selectByBudget(docs(s, d), budget = 9000).orderBy("doc_id")),
+
+    // DSIR importance resampling: sample the raw pool towards the
+    // src0 target domain's hashed-feature distribution — Gumbel top-k
+    // over md5-derived noise, so membership is a pure function of
+    // (content, seed); TakeOrdered top-k, never a global sort
+    "corpus_dsir" -> ((s, d) =>
+      Selection.dsir(docs(s, d), col("source") === "src0", budget = 40)
+        .orderBy("rk")),
 
     // probe-phase quality scoring: the STORED model (trained once per
     // corpus against the heuristic labels) scores the held-out split —
@@ -416,6 +459,14 @@ object LlmQueries {
     "emb_centroids" -> ((s, d) =>
       Similarity.labelCentroids(emb(s, d)).orderBy("label", "pos")),
 
+    // hard-negative mining for contrastive training data: per query,
+    // the top-5 most-similar vectors with a DIFFERENT label — the label
+    // inequality is fused into the broadcast join condition, so
+    // same-label pairs are never scored. oracle-exact.
+    "emb_hard_negatives" -> ((s, d) =>
+      Similarity.hardNegatives(emb(s, d), col("vec_id") < 10, k = 5)
+        .orderBy("q_id", "rank")),
+
     // distributed PCA: one dim^2 treeAggregate + driver Jacobi eig +
     // codegen'd dot-product projection. rows-only; orthonormality /
     // variance-accounting / reconstruction certified in PcaSpec
@@ -483,6 +534,13 @@ object LlmQueries {
     "text_unigram_lp" -> ((s, d) =>
       TextAnalysis.unigramLogProb(docs(s, d))
         .select("doc_id", "n_toks", "avg_logprob").orderBy("doc_id")),
+
+    // interpolated bigram LM score (Jelinek-Mercer): punishes rare
+    // TRANSITIONS that common-word spam hides from the unigram model;
+    // two vocab-sized count shuffles, decimal-fixed ln terms
+    "text_bigram_lp" -> ((s, d) =>
+      TextAnalysis.bigramLogProb(docs(s, d))
+        .select("doc_id", "n_bigrams", "avg_logprob").orderBy("doc_id")),
 
     "text_repetition" -> ((s, d) =>
       TextAnalysis.repetitionSignals(docs(s, d))
@@ -877,6 +935,41 @@ object LlmQueries {
         |   + 0.1 * least(1.0, stops / toks * 5.0), 6) AS quality_score
         |FROM b ORDER BY doc_id""".stripMargin,
 
+    "corpus_funnel" ->
+      """WITH b AS (SELECT doc_id, lang, n_chars,
+        |  CAST(row_number() OVER (PARTITION BY md5(text) ORDER BY doc_id) AS BIGINT) AS dup_rk,
+        |  CAST(length(text) - length(regexp_replace(text, '[A-Za-z]', '', 'g')) AS BIGINT) AS alpha,
+        |  CAST(length(text) AS BIGINT) AS n
+        | FROM documents),
+        | s AS (SELECT CASE
+        |    WHEN n_chars < 80 THEN 'too_short'
+        |    WHEN lang NOT IN ('en','de','fr','es') THEN 'lang_filtered'
+        |    WHEN alpha / n < 0.55 THEN 'low_alpha'
+        |    WHEN dup_rk > 1 THEN 'exact_dup'
+        |    ELSE 'kept' END AS stage, n_chars FROM b),
+        | g AS (SELECT stage, CAST(COUNT(*) AS BIGINT) AS docs,
+        |    CAST(SUM(n_chars) AS BIGINT) AS chars FROM s GROUP BY stage)
+        |SELECT CAST(CASE stage WHEN 'too_short' THEN 0 WHEN 'lang_filtered' THEN 1
+        |    WHEN 'low_alpha' THEN 2 WHEN 'exact_dup' THEN 3 ELSE 4 END AS BIGINT) AS stage_idx,
+        | stage, docs, chars,
+        | round(docs / (SELECT SUM(docs) FROM g), 6) AS doc_share
+        |FROM g ORDER BY stage_idx""".stripMargin,
+
+    "emb_hard_negatives" ->
+      """WITH e AS (SELECT vec_id, CAST(label AS BIGINT) AS lbl,
+        |   [CAST(x AS DOUBLE) for x in embedding] AS v FROM embeddings),
+        | n AS (SELECT vec_id, lbl, v, sqrt(list_sum([y*y for y in v])) AS norm FROM e),
+        | q AS (SELECT vec_id AS q_id, lbl AS q_label, v AS qv, norm AS qnorm FROM n WHERE vec_id < 10),
+        | s AS (SELECT q.q_id, q.q_label, n.vec_id AS n_id, n.lbl AS n_label,
+        |   round(list_sum([q.qv[i] * n.v[i] for i in range(1, len(q.qv) + 1)])
+        |         / (q.qnorm * n.norm), 6) AS cos_sim
+        |  FROM q, n WHERE q.q_id != n.vec_id AND q.q_label != n.lbl),
+        | r AS (SELECT q_id, q_label, n_id, n_label, cos_sim,
+        |   CAST(row_number() OVER (PARTITION BY q_id ORDER BY cos_sim DESC, n_id) AS BIGINT) AS rank
+        |  FROM s)
+        |SELECT q_id, q_label, n_id, n_label, rank, cos_sim FROM r WHERE rank <= 5
+        |ORDER BY q_id, rank""".stripMargin,
+
     "corpus_diff" ->
       """WITH o AS (SELECT doc_id, md5(text) AS fp FROM documents WHERE doc_id % 5 <> 4),
         | n AS (SELECT doc_id, md5(CASE WHEN doc_id % 7 = 0 THEN text || ' [v2]' ELSE text END) AS fp
@@ -1162,6 +1255,27 @@ object LlmQueries {
         |FROM documents d LEFT JOIN agg a ON d.doc_id = a.doc_id
         |ORDER BY d.doc_id""".stripMargin,
 
+    "text_bigram_lp" ->
+      """WITH t AS (SELECT doc_id,
+        |   [x for x in regexp_split_to_array(lower(text), '[^a-z0-9]+') if x <> ''] AS w
+        |  FROM documents),
+        | uni AS (SELECT u.term AS a, CAST(COUNT(*) AS BIGINT) AS ca
+        |  FROM t, UNNEST(w) AS u(term) GROUP BY u.term),
+        | tot AS (SELECT CAST(SUM(ca) AS BIGINT) AS total FROM uni),
+        | bg AS (SELECT doc_id, w[i] AS a, w[i+1] AS b
+        |  FROM t, UNNEST(range(1, len(w))) AS r(i) WHERE len(w) >= 2),
+        | cb AS (SELECT a, b, CAST(COUNT(*) AS BIGINT) AS cab FROM bg GROUP BY a, b),
+        | scored AS (SELECT bg.doc_id,
+        |   CAST(ln(0.75 * cb.cab / ua.ca + 0.25 * ub.ca / tot.total) AS DECIMAL(38,6)) AS lp
+        |  FROM bg JOIN cb USING (a, b) JOIN uni ua ON bg.a = ua.a
+        |   JOIN uni ub ON bg.b = ub.a, tot),
+        | agg AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+        |   round(CAST(SUM(lp) AS DOUBLE) / COUNT(*), 6) AS avg_logprob
+        |  FROM scored GROUP BY doc_id)
+        |SELECT d.doc_id, COALESCE(a.n_bigrams, CAST(0 AS BIGINT)) AS n_bigrams, a.avg_logprob
+        |FROM documents d LEFT JOIN agg a ON d.doc_id = a.doc_id
+        |ORDER BY d.doc_id""".stripMargin,
+
     "text_repetition" ->
       """WITH t AS (SELECT doc_id,
         |   [x for x in regexp_split_to_array(lower(text), '[^a-z0-9]+') if x <> ''] AS w
@@ -1318,6 +1432,31 @@ object LlmQueries {
         | CAST((CASE WHEN quality_score >= c.t0 THEN 1 ELSE 0 END)
         |    + (CASE WHEN quality_score >= c.t1 THEN 1 ELSE 0 END) AS BIGINT) AS phase
         |FROM q, c ORDER BY doc_id""".stripMargin,
+
+    "corpus_dsir" ->
+      """WITH t AS (SELECT doc_id, (source = 'src0') AS tgt,
+        |   [x for x in regexp_split_to_array(lower(text), '[^a-z0-9]+') if x <> ''] AS w
+        |  FROM documents),
+        | tok AS (SELECT doc_id, tgt,
+        |   CAST('0x' || substring(md5(u.term), 1, 6) AS BIGINT) % 4096 AS b
+        |  FROM t, UNNEST(w) AS u(term)),
+        | feat AS (SELECT b,
+        |   CAST(SUM(CASE WHEN tgt THEN 1 ELSE 0 END) AS BIGINT) AS ct,
+        |   CAST(SUM(CASE WHEN tgt THEN 0 ELSE 1 END) AS BIGINT) AS cr
+        |  FROM tok GROUP BY b),
+        | tot AS (SELECT CAST(SUM(ct) AS BIGINT) AS tt, CAST(SUM(cr) AS BIGINT) AS tr FROM feat),
+        | ratio AS (SELECT b, CAST(ln((ct + 1.0) / (tt + 4096.0))
+        |     - ln((cr + 1.0) / (tr + 4096.0)) AS DECIMAL(38,6)) AS lr FROM feat, tot),
+        | wts AS (SELECT tok.doc_id, CAST(COUNT(*) AS BIGINT) AS n_feats,
+        |   CAST(SUM(lr) AS DOUBLE) AS lw
+        |  FROM tok JOIN ratio USING (b) WHERE NOT tgt GROUP BY tok.doc_id),
+        | keyed AS (SELECT doc_id, n_feats, round(lw, 6) AS log_weight,
+        |   round(lw - ln(-ln((CAST('0x' || substring(md5('dsir-v1:' || CAST(doc_id AS VARCHAR)), 1, 8) AS BIGINT) + 0.5)
+        |     / 4294967296.0)), 6) AS gumbel_key
+        |  FROM wts),
+        | r AS (SELECT *, CAST(row_number() OVER (ORDER BY gumbel_key DESC, doc_id) AS BIGINT) AS rk FROM keyed)
+        |SELECT doc_id, n_feats, log_weight, gumbel_key, rk FROM r WHERE rk <= 40
+        |ORDER BY rk""".stripMargin,
 
     "corpus_mix" ->
       """WITH w(source, wt) AS (VALUES ('src0', 0.5), ('src1', 0.3), ('src2', 0.2)),

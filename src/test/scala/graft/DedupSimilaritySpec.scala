@@ -538,6 +538,31 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(cross.isEmpty, s"unrelated cross pairs: ${cross.take(5)}")
   }
 
+  test("hard negatives: never same-label, k per query, equals label-filtered brute kNN") {
+    val e = Ingestor.table(spark, sf(), "embeddings")
+    val out = Similarity.hardNegatives(e, col("vec_id") < 10, k = 5)
+      .collect()
+    assert(out.length == 50, "5 negatives per query for 10 queries")
+    out.foreach { r =>
+      assert(r.getAs[Long]("q_label") != r.getAs[Long]("n_label"),
+        s"same-label pair leaked: $r")
+    }
+    out.groupBy(_.getAs[Long]("q_id")).foreach { case (_, rs) =>
+      val byRank = rs.sortBy(_.getAs[Long]("rank")).map(_.getAs[Double]("cos_sim"))
+      assert(byRank.zip(byRank.tail).forall { case (a, b) => a >= b },
+        "similarity must be non-increasing in rank")
+    }
+    // per-query equivalence with the static-filter brute path
+    val q0Label = e.where(col("vec_id") === 0).select(col("label").cast("long"))
+      .as[Long].collect().head
+    val viaFilter = Similarity.knnBrute(e, col("vec_id") === 0, k = 5,
+        corpusFilter = col("label").cast("long") =!= q0Label)
+      .select("q_id", "n_id", "rank").as[(Long, Long, Long)].collect().toSet
+    val viaHard = out.filter(_.getAs[Long]("q_id") == 0L)
+      .map(r => (r.getAs[Long]("q_id"), r.getAs[Long]("n_id"), r.getAs[Long]("rank"))).toSet
+    assert(viaHard == viaFilter)
+  }
+
   test("multimodal feature kNN: a planted replica is its original's nearest neighbour") {
     import graft.operators.Multimodal
     val docs = Ingestor.table(spark, sf(), "documents")

@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.functions._
-import graft.operators.{Cdc, Contamination, Packing, Privacy, Selection, Splits, TextAnalysis}
+import graft.operators.{Cdc, Contamination, Funnel, Packing, Privacy, Selection, Splits, TextAnalysis}
 
 /** Round-5 corpus-prep operators: repetition signals, decontamination,
   * mixture sampling, sequence packing, CDC/SCD2, k-anonymity. */
@@ -37,6 +37,30 @@ class PrepOperatorsSpec extends SparkSpec {
   }
 
   // ------------------------------------------------------------ snapshot diff
+  test("funnel attrition: first-stage-wins attribution, volumes partition the corpus") {
+    val rows = Seq(
+      (1L, "zz", 5L),             // fails stage 1
+      (2L, "good enough doc", 15L),
+      (3L, "good enough doc", 15L), // dup of 2 -> dup stage
+      (4L, "zz", 2L),             // fails stage 1 AND is a dup -> stage 1 wins
+      (5L, "another fine doc", 16L)
+    ).toDF("doc_id", "text", "n_chars")
+    import org.apache.spark.sql.expressions.Window
+    val base = rows.withColumn("__rk",
+      row_number().over(Window.partitionBy(md5(col("text"))).orderBy(col("doc_id"))))
+    val out = Funnel.attrition(base, Seq(
+        "too_short" -> (col("n_chars") < 10),
+        "is_dup" -> (col("__rk") > 1)),
+      volumes = Seq("chars" -> col("n_chars")))
+      .collect().map(r => r.getString(1) ->
+        (r.getLong(0), r.getLong(2), r.getLong(3), r.getDouble(4))).toMap
+    assert(out("too_short") == (0L, 2L, 7L, 0.4))   // docs 1 (wins over dup) + 4
+    assert(out("is_dup") == (1L, 1L, 15L, 0.2))     // doc 3 only
+    assert(out("kept") == (2L, 2L, 31L, 0.4))       // docs 2, 5
+    assert(out.values.map(_._2).sum == 5, "stages must partition the corpus")
+    assert(out.values.map(_._4).sum == 1.0, "shares must sum to 1")
+  }
+
   test("snapshotDiff classifies added/removed/changed/unchanged per key") {
     val oldSnap = Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("doc_id", "text")
     val newSnap = Seq((2L, "b"), (3L, "c-edited"), (4L, "d")).toDF("doc_id", "text")
@@ -419,6 +443,54 @@ class PrepOperatorsSpec extends SparkSpec {
     def r6(x: Double) = BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
     val expected = r6((4 * r6(math.log(5.0 / 13)) + 3 * r6(math.log(4.0 / 13))) / 7)
     assert(out(1L) == expected)
+  }
+
+  test("DSIR: target-like pool docs outweigh junk; deterministic; pool-only") {
+    // target domain speaks "spark sql" vocabulary; the pool mixes
+    // target-like docs with junk from a disjoint vocabulary
+    val target = (1L to 10L).map(i =>
+      (i, "spark sql query plan shuffle join aggregate", "tgt"))
+    val likeTarget = (101L to 110L).map(i =>
+      (i, "spark sql join shuffle plan", "pool"))
+    val junk = (201L to 210L).map(i =>
+      (i, "banana umbrella walrus kazoo pretzel", "pool"))
+    val docs = (target ++ likeTarget ++ junk).toDF("doc_id", "text", "source")
+    val out = Selection.dsir(docs, col("source") === "tgt", budget = 12)
+      .collect()
+    assert(out.length == 12)
+    assert(out.forall(_.getAs[Long]("doc_id") > 100L), "target docs never selected")
+    val byId = out.map(r => r.getAs[Long]("doc_id") -> r.getAs[Double]("log_weight")).toMap
+    val likeW = (101L to 110L).flatMap(byId.get)
+    val junkW = (201L to 210L).flatMap(byId.get)
+    assert(likeW.size == 10, "every target-like doc beats every junk doc into a 12-slot budget")
+    if (junkW.nonEmpty)
+      assert(likeW.min > junkW.max, s"weights must separate: $likeW vs $junkW")
+    // membership is a pure function of (content, seed)
+    val again = Selection.dsir(docs, col("source") === "tgt", budget = 12).collect()
+    assert(out.map(_.toString).toSeq == again.map(_.toString).toSeq)
+  }
+
+  test("bigram log-prob punishes scrambled transitions the unigram model can't see") {
+    // docs 1 and 2 have IDENTICAL unigram distributions; doc 2's
+    // transitions are novel (scrambled), doc 1 repeats the corpus's
+    // dominant transitions — only a bigram model separates them
+    val docs = Seq(
+      (1L, "the cat sat on the mat the cat sat on the mat"),
+      (2L, "mat the on sat cat the mat the on sat cat the"),
+      (3L, "the cat sat on the mat"),
+      (4L, "x")).toDF("doc_id", "text")
+    val uni = TextAnalysis.unigramLogProb(docs)
+      .select("doc_id", "avg_logprob").as[(Long, Double)].collect().toMap
+    val bi = TextAnalysis.bigramLogProb(docs)
+      .select(col("doc_id"), col("n_bigrams"),
+        coalesce(col("avg_logprob"), lit(0.0)).as("lp"))
+      .as[(Long, Long, Double)].collect().map(r => r._1 -> (r._2, r._3)).toMap
+    assert(math.abs(uni(1L) - uni(2L)) < 1e-9,
+      "unigram model must NOT separate the permuted doc")
+    assert(bi(1L)._2 > bi(2L)._2 + 0.15,
+      s"bigram model must punish scrambled transitions: ${bi(1L)._2} vs ${bi(2L)._2}")
+    assert(bi(1L)._1 == 11 && bi(3L)._1 == 5)
+    assert(bi(4L)._1 == 0, "single-token doc has no bigram positions")
   }
 
   // ------------------------------------------------------------ k-anonymity

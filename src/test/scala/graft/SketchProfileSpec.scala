@@ -52,6 +52,37 @@ class SketchProfileSpec extends SparkSpec {
     }
   }
 
+  test("releaseOverlap estimates track exact overlap within HLL error") {
+    import spark.implicits._
+    val docs = Ingestor.table(spark, sf(), "documents")
+    val oldSnap = docs.where(col("doc_id") % 5 =!= 4)
+    val newSnap = docs.where(col("doc_id") % 5 =!= 0)
+      .withColumn("text", when(col("doc_id") % 7 === 0,
+        concat(col("text"), lit(" [v2]"))).otherwise(col("text")))
+    val got = Sketches.releaseOverlap(oldSnap, newSnap, md5(col("text")))
+      .collect().head
+    val oldKeys = oldSnap.select(md5(col("text"))).distinct()
+      .as[String].collect().toSet
+    val newKeys = newSnap.select(md5(col("text"))).distinct()
+      .as[String].collect().toSet
+    val exact = Map(
+      "n_old" -> oldKeys.size, "n_new" -> newKeys.size,
+      "n_union" -> (oldKeys ++ newKeys).size,
+      "n_intersect" -> (oldKeys & newKeys).size)
+    // lgK=14 per-sketch rsd ~0.8%; inclusion-exclusion amplifies the
+    // intersection's ABSOLUTE error to ~0.8% of the three estimates'
+    // sum, so certify against that bound rather than a relative one
+    val absBound = 0.03 * (exact("n_old") + exact("n_new") + exact("n_union"))
+    exact.foreach { case (k, v) =>
+      val est = got.getAs[Long](k)
+      assert(math.abs(est - v) <= math.max(absBound, 1.0),
+        s"$k: exact=$v est=$est bound=$absBound")
+    }
+    val jac = got.getAs[Double]("jaccard")
+    val exactJac = exact("n_intersect").toDouble / exact("n_union")
+    assert(math.abs(jac - exactJac) < 0.05, s"jaccard est=$jac exact=$exactJac")
+  }
+
   test("percentile_approx lands within tight rank error of exact percentiles") {
     val exact = Sketches.percentiles(li, "l_extendedprice", Seq("l_returnflag"),
         fractions = Seq(0.5)).collect()
