@@ -96,29 +96,88 @@ object Selection {
            budget: Int, buckets: Int = 4096, alpha: Double = 1.0,
            seed: String = "dsir-v1", textCol: String = "text",
            idCol: String = "doc_id"): DataFrame = {
+    val toks = tokenBuckets(docs.withColumn("__t", isTarget),
+      buckets, textCol, idCol)
+    selectWeighted(toks.where(!col("__t")),
+      ratioTable(toks, buckets, alpha), budget, seed, idCol)
+  }
+
+  /** Persist the trained DSIR bucket log-ratio table — train-once /
+    * probe-forever for importance resampling: the target domain's
+    * distribution is estimated ONCE (per target release), then any raw
+    * pool — today's crawl, tomorrow's — is scored against the stored
+    * `buckets`-row table with one broadcast join and no target-side
+    * work at all. Single parquet table; its `_SUCCESS` marker
+    * (committed last) is the completeness check. */
+  def buildDsirModel(docs: DataFrame, isTarget: org.apache.spark.sql.Column,
+                     dir: String, buckets: Int = 4096, alpha: Double = 1.0,
+                     textCol: String = "text", idCol: String = "doc_id"): Unit = {
+    val toks = tokenBuckets(docs.withColumn("__t", isTarget),
+      buckets, textCol, idCol)
+    ratioTable(toks, buckets, alpha)
+      .coalesce(1).write.mode("overwrite").parquet(dir)
+  }
+
+  /** Probe phase of [[dsir]]: select from `pool` against a STORED
+    * log-ratio model — identical selection given the same data and
+    * seed (the spec asserts byte-equality with the in-flight form),
+    * at pure probe cost: one pool tokenize + one broadcast join. */
+  def dsirStored(pool: DataFrame, modelDir: String, budget: Int,
+                 buckets: Int = 4096, seed: String = "dsir-v1",
+                 textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
+    val ratio = pool.sparkSession.read.parquet(modelDir)
+    selectWeighted(tokenBuckets(pool, buckets, textCol, idCol),
+      broadcast(ratio), budget, seed, idCol)
+  }
+
+  /** (idCol, [__t,] term, b): lowercase word tokens bucketed by the
+    * md5 hashing trick — engine-stable, no vocabulary anywhere. */
+  private def tokenBuckets(docs: DataFrame, buckets: Int,
+                           textCol: String, idCol: String): DataFrame = {
     import graft.functions._
-    val toks = docs.withColumn("__t", isTarget)
-      .select(col(idCol), col("__t"), explode(wordTokens(col(textCol))).as("term"))
+    val keep = docs.columns.filter(_ == "__t").map(col).toSeq
+    docs.select((col(idCol) +: keep :+
+        explode(wordTokens(col(textCol))).as("term")): _*)
       .withColumn("b",
         conv(substring(md5(col("term")), 1, 6), 16, 10).cast("long") % buckets)
-    // one buckets-sized aggregate carrying both sides' counts
+  }
+
+  /** Add-α-smoothed per-bucket log(p_target/p_raw) from a two-sided
+    * token stream. One buckets-sized aggregate carries both sides'
+    * counts; side totals come from a window over that BUCKETS-SIZED
+    * relation — a separate .agg would re-tokenize the corpus (Spark
+    * recomputes a relation used twice in the DAG), while this window's
+    * single partition holds <= `buckets` rows at any corpus size. */
+  private def ratioTable(toks: DataFrame, buckets: Int,
+                         alpha: Double): DataFrame = {
+    import graft.functions._
     val feat = toks.groupBy("b").agg(
       sum(when(col("__t"), 1L).otherwise(0L)).as("ct"),
       sum(when(col("__t"), 0L).otherwise(1L)).as("cr"))
-    val totals = feat.agg(sum("ct").as("tt"), sum("cr").as("tr"))
-    val ratio = feat.crossJoin(broadcast(totals))
+    val wAll = Window.partitionBy(lit(1))
+    feat
+      .withColumn("tt", sum("ct").over(wAll))
+      .withColumn("tr", sum("cr").over(wAll))
       .withColumn("lr", dec(
         log((col("ct") + lit(alpha)) / (col("tt") + lit(alpha * buckets))) -
           log((col("cr") + lit(alpha)) / (col("tr") + lit(alpha * buckets)))))
       .select("b", "lr")
-    val weights = toks.where(!col("__t"))
+  }
+
+  /** Per-doc decimal-fixed weight sums + Gumbel top-k selection. The
+    * Gumbel key derives from md5(seed:id) — u in (0,1), key rounded to
+    * 6dp BEFORE ranking so cross-engine double ulp drift can never
+    * flip an order — making membership a pure function of (content,
+    * seed). Top-k is a TakeOrdered merge; the rank window runs over
+    * the budget-sized result only. */
+  private def selectWeighted(poolToks: DataFrame, ratio: DataFrame,
+                             budget: Int, seed: String,
+                             idCol: String): DataFrame = {
+    val weights = poolToks
       .join(broadcast(ratio), "b")
       .groupBy(idCol).agg(
         count(lit(1)).as("n_feats"),
         sum("lr").cast("double").as("lw"))
-    // Gumbel key from the content-hash uniform: u in (0,1) exactly
-    // representable both engines; key rounded to 6dp BEFORE ranking so
-    // cross-engine double ulp drift can never flip an order
     val u = (conv(substring(md5(concat_ws(":", lit(seed),
       col(idCol).cast("string"))), 1, 8), 16, 10).cast("long") + lit(0.5)) /
       lit(4294967296.0)

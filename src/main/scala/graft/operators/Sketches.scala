@@ -231,6 +231,76 @@ object Sketches {
     if (groupCols.isEmpty) out else out.orderBy(groupCols.map(col): _*)
   }
 
+  /** Build a persistent KLL quantile sketch table: one row per
+    * (partition, groupCols) carrying a serialized DataSketches
+    * KllDoublesSketch blob — the QUANTILE member of the sketch-table
+    * family ([[distinctSketch]] is the cardinality member). Sketch each
+    * day/partition ONCE as data lands; answer "p99 latency over any
+    * date range" later by merging a handful of KB-sized blobs with
+    * [[mergeQuantileSketches]] — no rescan, with KLL's a-priori rank
+    * error (~1.65% two-sided at k=200, shrinking with k).
+    *
+    * One typed mapPartitions pass (no shuffle at all — the partial
+    * blobs land where the data lives, the table itself is
+    * partitions × groups rows); group columns are carried as strings
+    * (sketch tables are keyed by partition labels like day/source, and
+    * string keys survive parquet round-trips unambiguously). */
+  def quantileSketch(df: DataFrame, valueCol: String,
+                     groupCols: Seq[String], k: Int = 200): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    import org.apache.datasketches.kll.KllDoublesSketch
+    val packed = df.select(
+      groupKey(groupCols).as("gk"),
+      col(valueCol).cast("double").as("v"))
+      .as[(Seq[String], Option[Double])]
+    val partials = packed.mapPartitions { it =>
+      val sketches = scala.collection.mutable.HashMap
+        .empty[Seq[String], KllDoublesSketch]
+      it.foreach {
+        case (gk, Some(v)) =>
+          sketches.getOrElseUpdate(gk,
+            KllDoublesSketch.newHeapInstance(k)).update(v)
+        case _ => ()
+      }
+      sketches.iterator.map { case (gk, sk) => (gk, sk.toByteArray) }
+    }.toDF("gk", "sketch")
+    partials.select(groupCols.zipWithIndex.map { case (n, i) =>
+      element_at(col("gk"), i + 1).as(n) }.toSeq :+ col("sketch"): _*)
+  }
+
+  /** Merge KLL sketch blobs (from [[quantileSketch]]) down to quantile
+    * estimates, re-grouped by `groupCols` (pass Nil for global).
+    * Output columns `a<pct>` per requested fraction, rounded to 6 dp.
+    * Input is the sketch table — typically thousands of rows — so this
+    * runs in milliseconds regardless of original data size. */
+  def mergeQuantileSketches(sketches: DataFrame, fractions: Seq[Double],
+                            groupCols: Seq[String]): DataFrame = {
+    val spark = sketches.sparkSession
+    import spark.implicits._
+    import org.apache.datasketches.kll.{KllDoublesSketch => Kll}
+    import org.apache.datasketches.memory.Memory
+    val fr = fractions
+    val keyed = sketches.select(
+      groupKey(groupCols).as("gk"),
+      col("sketch")).as[(Seq[String], Array[Byte])]
+    val merged = keyed.groupByKey(_._1).mapGroups { (gk, rows) =>
+      val acc = Kll.newHeapInstance(200)
+      rows.foreach { case (_, bytes) =>
+        acc.merge(Kll.heapify(Memory.wrap(bytes))) }
+      val qs = fr.map(f => if (acc.isEmpty) Double.NaN
+        else BigDecimal(acc.getQuantile(f))
+          .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
+      (gk, qs)
+    }
+    val out = merged.toDF("gk", "qs").select(
+      groupCols.zipWithIndex.map { case (n, i) =>
+        element_at(col("gk"), i + 1).as(n) }.toSeq ++
+        fractions.zipWithIndex.map { case (f, i) =>
+          element_at(col("qs"), i + 1).as("a" + pName(f)) }: _*)
+    if (groupCols.isEmpty) out else out.orderBy(groupCols.map(col): _*)
+  }
+
   /** Sketch-based overlap between two corpus releases — the 100 TB twin
     * of the exact snapshot diff (`Cdc.snapshotDiff`): how much of release
     * B is already in release A, without EVER joining the two.
@@ -298,10 +368,28 @@ object Sketches {
   def heavyHitters(terms: DataFrame, termCol: String, k: Int = 4096,
                    topK: Int = 20): DataFrame = {
     import org.apache.spark.sql.expressions.Window
+    val t = terms.select(col(termCol).cast("string").as("term"))
+    // candidate IDENTITY is all the sketch contributes; counts restart
+    // exact, so sketch undercount never reaches the output
+    val candidates = mgPartials(t, k).select("term").distinct()
+    val exact = t.join(candidates, Seq("term"), "left_semi")
+      .groupBy("term").agg(count(lit(1)).as("n"))
+    val top = exact.orderBy(col("n").desc, col("term")).limit(topK)
+    // rank window runs over topK rows only — the limit above bounds it
+    top.withColumn("rk",
+      row_number().over(Window.orderBy(col("n").desc, col("term"))).cast("long"))
+  }
+
+  /** Per-partition Misra-Gries k-counter summaries of a (term) stream:
+    * <= k (term, floor-count) rows per partition, each term undercounted
+    * by less than n_partition/(k+1). The shared partial stage of
+    * [[heavyHitters]] (which follows with an exact-verify pass) and the
+    * streaming all-history summary ([[mergeHeavyHitterSummaries]],
+    * where history is gone and the floor counts ARE the answer). */
+  def mgPartials(terms: DataFrame, k: Int): DataFrame = {
     val spark = terms.sparkSession
     import spark.implicits._
-    val t = terms.select(col(termCol).cast("string").as("term"))
-    val partial = t.as[String].mapPartitions { it =>
+    terms.select(col("term").cast("string")).as[String].mapPartitions { it =>
       val counts = new scala.collection.mutable.HashMap[String, Long]()
       it.foreach { term =>
         if (term != null) {
@@ -316,16 +404,39 @@ object Sketches {
       }
       counts.iterator
     }.toDF("term", "c")
-    // candidate IDENTITY is all the sketch contributes; counts restart
-    // exact, so sketch undercount never reaches the output
-    val candidates = partial.select("term").distinct()
-    val exact = t.join(candidates, Seq("term"), "left_semi")
-      .groupBy("term").agg(count(lit(1)).as("n"))
-    val top = exact.orderBy(col("n").desc, col("term")).limit(topK)
-    // rank window runs over topK rows only — the limit above bounds it
-    top.withColumn("rk",
-      row_number().over(Window.orderBy(col("n").desc, col("term"))).cast("long"))
   }
+
+  /** Merge Misra-Gries summaries down to one <= k-entry summary — the
+    * mergeable-summaries reduction (Agarwal et al.): sum counts per
+    * term, then subtract the (k+1)-th largest merged count from every
+    * term and drop the non-positive. The result keeps the MG
+    * guarantee — any term's floor count undercounts its true count by
+    * less than N_total/(k+1) — so summaries built per partition, per
+    * batch, or per day compose associatively. All work is
+    * summary-sized (<= inputs' total rows, never the data): the rank
+    * window and the one-row threshold lookup run over at most a few k
+    * rows. */
+  def mergeHeavyHitterSummaries(summaries: DataFrame, k: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val summed = summaries.groupBy("term").agg(sum("c").as("c"))
+    val ranked = summed.withColumn("rk",
+      row_number().over(Window.orderBy(col("c").desc, col("term"))))
+    val thresh = ranked.where(col("rk") === k + 1)
+      .select(col("c").as("__t"))
+    ranked.where(col("rk") <= k).drop("rk")
+      .crossJoin(broadcast(thresh.unionByName(
+        thresh.sparkSession.range(1).select(lit(0L).as("__t")))
+        .orderBy(col("__t").desc).limit(1)))
+      .withColumn("c", col("c") - col("__t"))
+      .where(col("c") > 0).drop("__t")
+  }
+
+  /** Group columns packed as a string array (empty-safe: a typed empty
+    * array when there are no group columns — `array()` alone would
+    * carry an untyped null element type the tuple encoder rejects). */
+  private def groupKey(groupCols: Seq[String]): Column =
+    if (groupCols.isEmpty) typedlit(Seq.empty[String])
+    else array(groupCols.map(c => col(c).cast("string")): _*)
 
   private def pName(p: Double): String =
     "p" + BigDecimal(p * 100).underlying.stripTrailingZeros.toPlainString

@@ -328,10 +328,15 @@ object TextAnalysis {
     * unigram and one bigram count shuffle (both vocabulary-sized, both
     * map-side combined), scoring is equi-joins on the count relations
     * (AQE broadcasts them when they fit), and the corpus total comes
-    * from the unigram relation — never a second token scan. Per-bigram
-    * ln(p) terms are fixed to exact decimals BEFORE the per-doc sum, so
-    * the mean is associative — identical on any engine/partitioning.
-    * Docs with fewer than two tokens keep n_bigrams=0, null score. */
+    * from the unigram relation — never a second token scan. The
+    * unigram relation feeds three consumers (history join, continuation
+    * join, total); physical exchange reuse dedupes the identical
+    * aggregate subtrees at runtime (measured: ReusedExchange nodes in
+    * the executed adaptive plan), so the diamond costs no extra corpus
+    * pass. Per-bigram ln(p) terms are fixed to exact decimals BEFORE
+    * the per-doc sum, so the mean is associative — identical on any
+    * engine/partitioning. Docs with fewer than two tokens keep
+    * n_bigrams=0, null score. */
   def bigramLogProb(docs: DataFrame, textCol: String = "text",
                     lambda: Double = 0.75): DataFrame = {
     val w = docs.select(col("doc_id"), wordTokens(col(textCol)).as("w"))

