@@ -108,14 +108,21 @@ object Cdc {
     * payloads never shuffle — at 100 TB the cost is the two
     * column-pruned scans, shared across all dimensions via one
     * unioned aggregate each. */
+  /** Per-(dim, cell) counts for every monitored dimension — the one
+    * aggregate shape [[distributionDrift]], the stored reference
+    * profile, and the streaming drift monitor all share. */
+  private[graft] def sideCountsFor(df: DataFrame, dims: Seq[(String, Column)],
+                                   as: String): DataFrame =
+    dims.map { case (name, expr) =>
+      df.groupBy(expr.cast("string").as("cell"))
+        .agg(count(lit(1)).as(as))
+        .select(lit(name).as("dim"), col("cell"), col(as))
+    }.reduce(_ unionByName _)
+
   def distributionDrift(oldSnap: DataFrame, newSnap: DataFrame,
                         dims: Seq[(String, Column)]): DataFrame = {
     def sideCounts(df: DataFrame, as: String): DataFrame =
-      dims.map { case (name, expr) =>
-        df.groupBy(expr.cast("string").as("cell"))
-          .agg(count(lit(1)).as(as))
-          .select(lit(name).as("dim"), col("cell"), col(as))
-      }.reduce(_ unionByName _)
+      sideCountsFor(df, dims, as)
     val joined = sideCounts(oldSnap, "n_old")
       .join(sideCounts(newSnap, "n_new"), Seq("dim", "cell"), "full_outer")
       .select(col("dim"), col("cell"),
@@ -126,5 +133,56 @@ object Cdc {
       .withColumn("share_old", round(col("n_old") / sum("n_old").over(w), 6))
       .withColumn("share_new", round(col("n_new") / sum("n_new").over(w), 6))
       .withColumn("drift", round(abs(col("share_new") - col("share_old")), 6))
+  }
+
+  /** Persist a composition REFERENCE PROFILE for `df` over `dims` —
+    * the baseline the streaming drift monitor compares every arriving
+    * batch against. The profile is cell-cardinality-sized (a handful of
+    * rows per dimension), built in one unioned map-side-combined
+    * aggregate; `meta` records the dimension names LAST as the
+    * completeness marker, and a monitor refuses a profile whose
+    * dimensions don't match its own — comparing `lang` shares against a
+    * `source` profile must be a loud error, not a quiet zero-drift. */
+  def buildDriftReference(df: DataFrame, dims: Seq[(String, Column)],
+                          dir: String): Unit = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val metaPath = new org.apache.hadoop.fs.Path(s"$dir/meta")
+    val f = metaPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (f.exists(metaPath)) f.delete(metaPath, true)
+    sideCountsFor(df, dims, "n_ref")
+      .write.mode("overwrite").parquet(s"$dir/ref")
+    Seq(dims.map(_._1).mkString(",")).toDF("dims")
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/meta")
+  }
+
+  /** One batch's composition vs a stored reference profile
+    * ([[buildDriftReference]]): per (dim, cell) the reference and batch
+    * shares plus the total-variation contribution, full-outer joined so
+    * cells the reference never saw (and cells the batch is missing)
+    * surface with a zero side. 6-dp-rounded — deterministic given
+    * (batch, profile), which is what makes the streaming monitor's
+    * replay idempotent. The profile relation is cell-sized, so at any
+    * corpus scale the batch pays its own aggregate + a broadcast-sized
+    * join. */
+  def driftAgainstReference(batch: DataFrame, dims: Seq[(String, Column)],
+                            refDir: String): DataFrame = {
+    val spark = batch.sparkSession
+    import spark.implicits._
+    val stored = spark.read.parquet(s"$refDir/meta")
+      .select("dims").as[String].head()
+    val mine = dims.map(_._1).mkString(",")
+    require(stored == mine,
+      s"drift profile at $refDir monitors [$stored] but the caller asked for [$mine]")
+    val ref = spark.read.parquet(s"$refDir/ref")
+    val w = Window.partitionBy("dim")
+    sideCountsFor(batch, dims, "n_batch")
+      .join(ref, Seq("dim", "cell"), "full_outer")
+      .select(col("dim"), col("cell"),
+        coalesce(col("n_ref"), lit(0L)).as("n_ref"),
+        coalesce(col("n_batch"), lit(0L)).as("n_batch"))
+      .withColumn("share_ref", round(col("n_ref") / sum("n_ref").over(w), 6))
+      .withColumn("share_batch", round(col("n_batch") / sum("n_batch").over(w), 6))
+      .withColumn("drift", round(abs(col("share_batch") - col("share_ref")), 6))
   }
 }

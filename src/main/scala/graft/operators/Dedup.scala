@@ -867,6 +867,60 @@ object Dedup {
     survivors
   }
 
+  /** Build and PERSIST near-dup (minhash) dedup state for an
+    * accumulated corpus: the `shingle_sets` ((doc_id, shash)) and
+    * `band_buckets` ((id, bucket)) tables [[nearDupStateStep]] probes,
+    * plus `meta` — written LAST as the completeness marker — pinning
+    * (k, bands, n_docs) so a probe can never band with a different
+    * signature layout than the corpus was indexed with. This is the
+    * TEXT analog of [[buildEmbeddingDedupState]], and the batch-built
+    * form of the state the streaming ingest sink accumulates: one
+    * corpus shingle pass at build time, then every daily increment
+    * runs [[nearDupIncrementStored]] at pure probe cost — history is
+    * never re-shingled again. */
+  def buildNearDupState(docs: DataFrame, dir: String, k: Int = 128,
+                        bands: Int = 32, idCol: String = "doc_id",
+                        textCol: String = "text"): Unit = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val metaPath = new org.apache.hadoop.fs.Path(s"$dir/meta")
+    val mfs = metaPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (mfs.exists(metaPath)) mfs.delete(metaPath, true)
+    val sets = shingleHashSets(docs, idCol = idCol, textCol = textCol)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    sets.write.mode("overwrite").parquet(s"$dir/shingle_sets")
+    bandBuckets(sets, k, bands, idCol)
+      .write.mode("overwrite").parquet(s"$dir/band_buckets")
+    val n = sets.count()
+    sets.unpersist(false)
+    Seq((k, bands, n)).toDF("k", "bands", "n_docs")
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/meta")
+  }
+
+  /** Probe-phase incremental near-dup dedup against a STORED state dir
+    * ([[buildNearDupState]]) — the text counterpart of
+    * [[embeddingIncrementStored]] and the form a recurring daily drop
+    * actually runs: the increment is shingled once, its band buckets
+    * equi-join the stored bucket table for cross-corpus candidates,
+    * and only candidates' shingle sets are fetched for the exact
+    * Jaccard verify. Per-run cost tracks the increment and its bucket
+    * collisions; the corpus contributes two parquet-streamed joins and
+    * zero recomputation. Same duplicate contract as
+    * [[nearDupIncrement]] (shared [[nearDupStateStep]] core), so the
+    * all-pairs oracle transfers. */
+  def nearDupIncrementStored(incoming: DataFrame, dir: String,
+                             threshold: Double = 0.8): DataFrame = {
+    val spark = incoming.sparkSession
+    import spark.implicits._
+    val (k, bands) = spark.read.parquet(s"$dir/meta")
+      .select("k", "bands").as[(Int, Int)].head()
+    val (survivors, _, _) = nearDupStateStep(
+      spark.read.parquet(s"$dir/shingle_sets"),
+      spark.read.parquet(s"$dir/band_buckets"),
+      incoming, threshold, k, bands, materializeState = false)
+    survivors
+  }
+
   /** Incremental exact dedup — the daily-drop form: dedup `incoming`
     * within itself (smallest id per fingerprint wins, as [[exact]]),
     * then drop anything whose content already exists in the accumulated

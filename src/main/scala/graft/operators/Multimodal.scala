@@ -176,6 +176,113 @@ object Multimodal {
       }
   }
 
+  /** Per-payload corruption/quality screen row: every flag an ingest
+    * gate filters on, plus the raw measurements behind them so audits
+    * can re-threshold without rescanning payloads. */
+  case class ScreenRow(doc_id: Long, format: String,
+                       n_bytes_meta: Long, n_bytes_actual: Long,
+                       width: Long, height: Long,
+                       distinct_bytes: Int,
+                       is_empty: Boolean, truncated: Boolean,
+                       oversize: Boolean, format_unknown: Boolean,
+                       geometry_bad: Boolean, low_entropy: Boolean,
+                       ok: Boolean)
+
+  /** Media corruption/quality screen — the multimodal counterpart of the
+    * text quality gate: one typed pass over (payload, metadata) emitting
+    * per-row flags and the measurements behind them. Catches the failure
+    * modes a crawl's media actually arrives with:
+    *  - `is_empty`        zero-byte payload (dead fetch);
+    *  - `truncated`       actual bytes < declared `meta.n_bytes` (a cut
+    *                      transfer — the #1 corrupt-image mode at crawl
+    *                      scale: the container is valid up to the cut);
+    *  - `oversize`        payload over the byte budget (decode-bomb
+    *                      guard: cap BEFORE any codec touches it);
+    *  - `format_unknown`  declared format outside the allow-list;
+    *  - `geometry_bad`    non-positive or budget-exceeding declared
+    *                      pixel dimensions (allocation guard — width x
+    *                      height is what the decoder will malloc);
+    *  - `low_entropy`     fewer distinct byte values than a plausible
+    *                      compressed image has (constant-fill / dead
+    *                      sensor / placeholder payloads; real JPEG/PNG
+    *                      streams are near-uniform in byte histogram).
+    * `ok` = none of the above. For payloads that really are images, the
+    * imageio path ([[decodeImages]]'s `ok` flag) adds a true parse
+    * check downstream of this screen; the screen itself never runs a
+    * codec, which is exactly why it is safe to run FIRST on untrusted
+    * bytes.
+    *
+    * Scale shape: embarrassingly parallel — one scan, no shuffle, no
+    * codec; the byte histogram is a 256-int array per task. Flags land
+    * beside the measurements so the gate (`where ok`) and the audit
+    * (`groupBy` flags) both run off this one pass. */
+  def screenMedia(media: DataFrame, maxBytes: Long = 1L << 20,
+                  maxPixels: Long = 1L << 22,
+                  allowedFormats: Seq[String] = Seq("jpeg", "png", "webp"),
+                  minDistinctBytes: Int = 8): Dataset[ScreenRow] = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    val allowed = allowedFormats.toSet
+    media.select(col("doc_id"), col("content"),
+        col("meta.format"), col("meta.n_bytes"), col("meta.width"), col("meta.height"))
+      .as[(Long, Array[Byte], String, Long, Long, Long)]
+      .mapPartitions { rows =>
+        val seen = new Array[Boolean](256)
+        rows.map { case (id, bytes, fmt, nbMeta, w, h) =>
+          java.util.Arrays.fill(seen, false)
+          var distinct = 0
+          var i = 0
+          val n = if (bytes == null) 0 else bytes.length
+          while (i < n) {
+            val b = bytes(i) & 0xff
+            if (!seen(b)) { seen(b) = true; distinct += 1 }
+            i += 1
+          }
+          val isEmpty = n == 0
+          val truncated = n < nbMeta
+          val oversize = n > maxBytes
+          val formatUnknown = !allowed.contains(fmt)
+          val geometryBad = w <= 0 || h <= 0 || w * h > maxPixels
+          // an empty payload is already flagged; don't double-count it
+          val lowEntropy = !isEmpty && distinct < minDistinctBytes
+          ScreenRow(id, fmt, nbMeta, n.toLong, w, h, distinct,
+            isEmpty, truncated, oversize, formatUnknown, geometryBad,
+            lowEntropy,
+            ok = !(isEmpty || truncated || oversize || formatUnknown ||
+              geometryBad || lowEntropy))
+        }
+      }
+  }
+
+  /** Deterministic planted-corruption fixture for [[screenMedia]]'s
+    * spec and the corpus-shaped query: every `every`-th payload is
+    * damaged in one of three ways by id (truncate to half the declared
+    * bytes / empty / constant-fill), metadata left claiming the
+    * original — exactly the mismatch shapes a cut transfer, dead fetch,
+    * and placeholder payload produce. Other rows pass through
+    * untouched. One typed map, no shuffle. */
+  def withCorruptPayloads(media: DataFrame, every: Int = 7): DataFrame = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.select(col("doc_id"), col("content"),
+        col("meta.format"), col("meta.n_bytes"), col("meta.width"), col("meta.height"))
+      .as[(Long, Array[Byte], String, Long, Long, Long)]
+      .map { case (id, bytes, fmt, nb, w, h) =>
+        val out =
+          if (id % every != 0 || bytes.length == 0) bytes
+          else (id / every) % 3 match {
+            case 0 => bytes.take(math.max(1, bytes.length / 2)) // truncated
+            case 1 => Array.empty[Byte]                         // dead fetch
+            case _ => Array.fill(bytes.length)('x'.toByte)      // placeholder
+          }
+        MediaRow(id, out, MediaMeta(fmt, nb, w, h))
+      }
+      .toDF()
+      .select(col("doc_id"), col("content"),
+        struct(col("meta.format").as("format"), col("meta.nBytes").as("n_bytes"),
+          col("meta.width").as("width"), col("meta.height").as("height")).as("meta"))
+  }
+
   // ---------------------------------------------------------------------
   // REAL codec path: JDK javax.imageio (PNG/JPEG/BMP/GIF) — no external
   // libraries. Used for payloads that actually ARE images; the fake codec

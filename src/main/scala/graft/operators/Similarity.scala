@@ -518,6 +518,92 @@ object Similarity {
       .write.mode("overwrite").parquet(s"$dir/codebooks")
   }
 
+  /** Extend a stored IVF-PQ index ([[buildIvfPqIndex]]) with NEW
+    * vectors WITHOUT retraining — the index-maintenance operation a
+    * daily corpus drop runs: assign each new vector to its nearest
+    * stored centroid, PQ-encode its residual against the stored
+    * codebooks (the exact encoder the build used, so extension codes
+    * are bit-compatible with build codes), and land the rows in an
+    * `__increment_id=<id>` partition of `codes_inc` via dynamic
+    * overwrite — replaying the same increment OVERWRITES its own
+    * partition instead of double-inserting, the same idempotency
+    * contract as the streaming sinks. Search reads `codes` ∪
+    * `codes_inc` transparently, so a vector added this morning is
+    * searchable this morning while the expensive build (Lloyd + PQ
+    * training + full-corpus encode) still runs once per index release.
+    *
+    * The quantization model is FROZEN: centroids/codebooks trained on
+    * the base corpus quantize drift-free increments well, but a large
+    * increment from a new distribution degrades cell balance and
+    * residual fit — the classic IVF maintenance trade. Rebuild when
+    * increments outgrow a fraction of the base (the serving-system
+    * rule of thumb); until then every increment pays one narrow
+    * assignment/encode pass over ITS OWN rows only. New ids must be
+    * disjoint from ids already in the index.
+    *
+    * At 100 TB: the increment encode is embarrassingly parallel (one
+    * model broadcast, no shuffle), and the appended partition is
+    * ~1/32nd the increment's vector payload — the only thing future
+    * searches ship for it. */
+  def extendIvfPqIndex(emb: DataFrame, isNew: Column, dir: String,
+                       incrementId: Long): Unit = {
+    val spark = emb.sparkSession
+    import spark.implicits._
+    val (centArr, cb, dim) = loadIvfPqModel(spark, dir)
+    val m = cb.length
+    val subDim = dim / m
+    val bcCent = spark.sparkContext.broadcast(centArr)
+    val bcCb = spark.sparkContext.broadcast(cb)
+    prepared(emb.where(isNew))
+      .select(col("vec_id"), col("v"), col("norm"))
+      .as[(Long, Array[Double], Double)]
+      .mapPartitions { it =>
+        val cents = bcCent.value
+        val books = bcCb.value
+        it.map { case (id, v, norm) =>
+          // same tie-break as assignToCentroid / cellAssignments:
+          // highest dot product, ties toward the HIGHER centroid_id
+          var best = 0; var bestS = Double.NegativeInfinity; var ci = 0
+          while (ci < cents.length) {
+            val c = cents(ci); var s = 0.0; var d = 0
+            while (d < dim) { s += v(d) * c(d); d += 1 }
+            if (s > bestS || (s == bestS && ci > best)) { bestS = s; best = ci }
+            ci += 1
+          }
+          val cvec = cents(best)
+          val r = new Array[Double](dim)
+          var d = 0
+          while (d < dim) { r(d) = v(d) - cvec(d); d += 1 }
+          (id, best,
+            Array.tabulate(m)(i => nearestSub(r, i * subDim, books(i), subDim)),
+            norm)
+        }
+      }
+      .toDF("vec_id", "centroid_id", "codes", "norm")
+      .withColumn("__increment_id", lit(incrementId))
+      .write.mode("overwrite")
+      .option("partitionOverwriteMode", "dynamic")
+      .partitionBy("__increment_id")
+      .parquet(s"$dir/codes_inc")
+  }
+
+  /** A stored index's full codes relation: the build-time `codes`
+    * table plus every [[extendIvfPqIndex]] increment — shared by all
+    * stored-index searches so an extended index is transparently
+    * searchable. Tolerates a crash-created empty `codes_inc` dir the
+    * same way the streaming state readers do. */
+  private def loadCodes(spark: org.apache.spark.sql.SparkSession,
+                        dir: String): DataFrame = {
+    val base = spark.read.parquet(s"$dir/codes")
+    val incPath = new org.apache.hadoop.fs.Path(s"$dir/codes_inc")
+    val f = incPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!f.exists(incPath)) base
+    else
+      try base.unionByName(
+        spark.read.parquet(s"$dir/codes_inc").drop("__increment_id"))
+      catch { case _: org.apache.spark.sql.AnalysisException => base }
+  }
+
   /** Probe a stored IVF-PQ index ([[buildIvfPqIndex]]) with the query
     * rows of `emb` selected by `isQuery`: the driver loads only the
     * centroid matrix and codebooks (model-sized), the codes table
@@ -542,7 +628,7 @@ object Similarity {
                        corpusFilter: Column = null): DataFrame = {
     val spark = emb.sparkSession
     val (centArr, cb, dim) = loadIvfPqModel(spark, dir)
-    val codesAll = spark.read.parquet(s"$dir/codes")
+    val codesAll = loadCodes(spark, dir)
     val codes =
       if (corpusFilter == null) codesAll
       else codesAll.join(emb.where(corpusFilter).select(col("vec_id")),
@@ -588,7 +674,7 @@ object Similarity {
                            refine: Int = 5): DataFrame = {
     val spark = corpus.sparkSession
     val (centArr, cb, dim) = loadIvfPqModel(spark, dir)
-    val codes = spark.read.parquet(s"$dir/codes")
+    val codes = loadCodes(spark, dir)
     // tag AFTER prepared() (which projects to vec_id/v/norm) so the
     // marker survives; pqSearch's re-rank join prunes it away
     val e = prepared(corpus).withColumn("__q", lit(false))

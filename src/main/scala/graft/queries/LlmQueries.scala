@@ -2,7 +2,7 @@ package graft.queries
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import graft.operators.{Boilerplate, Bpe, Cdc, Contamination, Dedup, Funnel, Multimodal, Packing, Pca, Privacy, Profiler, QualityModel, Selection, ShardExport, Similarity, Sketches, Splits, TextAnalysis}
+import graft.operators.{Boilerplate, Bpe, Cdc, Contamination, Dedup, Forget, Funnel, Multimodal, Packing, Pca, Privacy, Profiler, QualityModel, Selection, ShardExport, Similarity, Sketches, Splits, TextAnalysis}
 import graft.sources.Ingestor
 
 /** SURVEY §2.4 LLM-training-data operators over `documents` /
@@ -49,6 +49,29 @@ object LlmQueries {
     dir
   }
 
+  /** Stored EXTENDED IVF-PQ index for a corpus dir — the index-
+    * maintenance shape: base index trained+built on the %10≠0 corpus
+    * split, then the %10==0 increment appended WITHOUT retraining via
+    * [[Similarity.extendIvfPqIndex]] (assign + encode against the
+    * frozen model, dynamic-overwrite into an `__increment_id`
+    * partition). Built on first use, fingerprint-keyed; `codes_inc` is
+    * written LAST, so its presence implies base + extension are both
+    * complete. */
+  private def ivfPqExtIndexFor(s: SparkSession, d: String): String = {
+    val key = d.replaceAll("[^A-Za-z0-9._-]", "_")
+    val fp = contentKey(emb(s, d), Seq("vec_id", "embedding"))
+    val dir =
+      s"${System.getProperty("java.io.tmpdir")}/graft_ivfpqext_v1_k16_m8_ks16/${key}_$fp"
+    val done = new org.apache.hadoop.fs.Path(s"$dir/codes_inc")
+    val fs = done.getFileSystem(s.sparkContext.hadoopConfiguration)
+    if (!fs.exists(done)) {
+      Similarity.buildIvfPqIndex(emb(s, d).where(col("vec_id") % 10 =!= 0), dir)
+      Similarity.extendIvfPqIndex(emb(s, d), col("vec_id") % 10 === 0, dir,
+        incrementId = 1L)
+    }
+    dir
+  }
+
   /** Stored decontamination benchmark index for a corpus dir (the %7
     * bench split); builds it on first use, keyed by dir + content
     * fingerprint like [[ivfPqIndexFor]]. `meta` is the LAST table the
@@ -82,6 +105,22 @@ object LlmQueries {
     if (!fs.exists(done))
       Dedup.buildEmbeddingDedupState(
         emb(s, d).where(col("vec_id") % 10 =!= 0), dir)
+    dir
+  }
+
+  /** Stored near-dup (minhash) state for a corpus dir (the accumulated
+    * corpus = doc_id < 250, matching the incremental entries' split);
+    * builds on first use, fingerprint-keyed. `meta` is written LAST by
+    * the build, so its presence implies complete state. */
+  private def nearDupStateFor(s: SparkSession, d: String): String = {
+    val key = d.replaceAll("[^A-Za-z0-9._-]", "_")
+    val fp = contentKey(docs(s, d), Seq("doc_id", "text"))
+    val dir =
+      s"${System.getProperty("java.io.tmpdir")}/graft_neardup_v1_k128_b32/${key}_$fp"
+    val done = new org.apache.hadoop.fs.Path(s"$dir/meta")
+    val fs = done.getFileSystem(s.sparkContext.hadoopConfiguration)
+    if (!fs.exists(done))
+      Dedup.buildNearDupState(docs(s, d).where(col("doc_id") < 250), dir)
     dir
   }
 
@@ -221,6 +260,19 @@ object LlmQueries {
           corpusFilter = col("label").isin(1, 3, 5))
         .orderBy("q_id", "rank")),
 
+    // index MAINTENANCE: search a stored index whose base was built on
+    // the %10≠0 corpus split and whose %10==0 increment was appended
+    // WITHOUT retraining (assign + PQ-encode against the frozen model
+    // into an __increment_id partition) — the daily-drop economics of a
+    // serving index: vectors added this morning are searchable this
+    // morning, the Lloyd+PQ train runs once per release. rows-only;
+    // encode-equivalence with the build encoder + searchability of
+    // increment vectors are spec-certified.
+    "knn_index_extend" -> ((s, d) =>
+      Similarity.searchIvfPqIndex(emb(s, d), col("vec_id") < 10,
+          ivfPqExtIndexFor(s, d), k = 10)
+        .orderBy("q_id", "rank")),
+
     "text_tokens" -> ((s, d) =>
       TextAnalysis.tokenCounts(docs(s, d))
         .select("doc_id", "ws_tokens", "bpe_tokens", "n_chars_calc")
@@ -284,6 +336,17 @@ object LlmQueries {
           concat(col("text"), lit(" [v2]"))).otherwise(col("text")))
       Cdc.snapshotDiff(oldSnap, newSnap).orderBy("doc_id")
     }),
+
+    // right-to-be-forgotten audit: the report a deletion run publishes
+    // (per source: rows/chars deleted vs kept, one codegen'd
+    // conditional aggregate over the corpus scan). The stored-state
+    // propagation this fronts — fingerprint tables, near-dup buckets,
+    // embedding models, ANN codes — is spec-certified (ForgetSpec):
+    // a forgotten doc's near-copy is admitted again, a kept doc's is
+    // still dropped, and no search can return a forgotten vector.
+    "corpus_forget" -> ((s, d) =>
+      Forget.forgetAudit(docs(s, d),
+        docs(s, d).where(col("doc_id") % 17 === 3).select("doc_id"))),
 
     // distribution DRIFT between two release snapshots: composition
     // shift per dimension (language, source, 256-char length bucket) as
@@ -430,6 +493,17 @@ object LlmQueries {
           col("meta.height").as("height"), md5(col("content")).as("content_md5"))
         .orderBy("doc_id")),
 
+    // multimodal corruption/quality screen over PLANTED damage (every
+    // 7th payload: truncated / dead-fetch-empty / constant-fill, with
+    // metadata still claiming the original) — the codec-free gate that
+    // runs FIRST on untrusted bytes. One typed scan, no shuffle.
+    // rows-only; planted-flag recovery is spec-certified.
+    "multimodal_screen" -> ((s, d) =>
+      Multimodal.screenMedia(
+          Multimodal.withCorruptPayloads(Multimodal.withMedia(docs(s, d))),
+          minDistinctBytes = 2)
+        .toDF().orderBy("doc_id")),
+
     "text_tfidf" -> ((s, d) =>
       TextAnalysis.tfidf(docs(s, d), topK = 10)
         .orderBy(col("doc_id"), col("rk"))),
@@ -523,6 +597,17 @@ object LlmQueries {
           all.where(col("doc_id") >= 250), threshold = 0.8)
         .select("doc_id", "source").orderBy("doc_id")
     }),
+
+    // probe-phase TEXT near-dup dedup: the increment probes the STORED
+    // shingle-set + band-bucket state (built once per corpus release —
+    // the batch form of the streaming sink's durable state), so history
+    // is never re-shingled. Same duplicate contract as
+    // dedup_neardup_incr (shared nearDupStateStep core), so the same
+    // all-pairs ground-truth oracle applies.
+    "dedup_neardup_probe" -> ((s, d) =>
+      Dedup.nearDupIncrementStored(
+          docs(s, d).where(col("doc_id") >= 250), nearDupStateFor(s, d))
+        .select("doc_id", "source").orderBy("doc_id")),
 
     // probe-phase embedding dedup: the increment runs against the
     // STORED corpus model (centroids + vector/cell tables built once
@@ -1023,6 +1108,13 @@ object LlmQueries {
         |SELECT q_id, q_label, n_id, n_label, rank, cos_sim FROM r WHERE rank <= 5
         |ORDER BY q_id, rank""".stripMargin,
 
+    "corpus_forget" ->
+      """SELECT source,
+        | CAST(sum(CASE WHEN doc_id % 17 = 3 THEN 1 ELSE 0 END) AS BIGINT) AS n_deleted,
+        | CAST(sum(CASE WHEN doc_id % 17 = 3 THEN 0 ELSE 1 END) AS BIGINT) AS n_kept,
+        | CAST(sum(CASE WHEN doc_id % 17 = 3 THEN length(text) ELSE 0 END) AS BIGINT) AS chars_deleted
+        |FROM documents GROUP BY source ORDER BY source""".stripMargin,
+
     "corpus_diff" ->
       """WITH o AS (SELECT doc_id, md5(text) AS fp FROM documents WHERE doc_id % 5 <> 4),
         | n AS (SELECT doc_id, md5(CASE WHEN doc_id % 7 = 0 THEN text || ' [v2]' ELSE text END) AS fp
@@ -1272,6 +1364,30 @@ object LlmQueries {
         |SELECT e2.vec_id, e2.label FROM embeddings e2
         |WHERE e2.vec_id >= 250 AND e2.vec_id NOT IN (SELECT vec_id FROM dropped)
         |ORDER BY e2.vec_id""".stripMargin,
+
+    // same ground truth as dedup_neardup_incr: the stored-state probe
+    // shares nearDupStateStep with the in-flight form, and candidate
+    // recall is total at the oracle SF (spec-certified), so the
+    // survivor set is identical
+    "dedup_neardup_probe" ->
+      """WITH t AS (SELECT doc_id,
+        |   [x for x in regexp_split_to_array(lower(text), '[^a-z0-9]+') if x <> ''] AS w
+        |  FROM documents),
+        | g AS (SELECT doc_id,
+        |   list_distinct([w[i] || ' ' || w[i+1] || ' ' || w[i+2] for i in range(1, len(w) - 1)]) AS s
+        |  FROM t WHERE len(w) >= 3),
+        | inc AS (SELECT * FROM g WHERE doc_id >= 250),
+        | ex AS (SELECT * FROM g WHERE doc_id < 250),
+        | crossdup AS (SELECT i.doc_id FROM inc i, ex e
+        |  WHERE round(CAST(len(list_intersect(i.s, e.s)) AS DOUBLE)
+        |        / len(list_distinct(list_concat(i.s, e.s))), 6) >= 0.8),
+        | selfdup AS (SELECT b.doc_id FROM inc a, inc b WHERE a.doc_id < b.doc_id
+        |  AND round(CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
+        |        / len(list_distinct(list_concat(a.s, b.s))), 6) >= 0.8),
+        | dropped AS (SELECT doc_id FROM crossdup UNION SELECT doc_id FROM selfdup)
+        |SELECT d.doc_id, d.source FROM documents d
+        |WHERE d.doc_id >= 250 AND d.doc_id NOT IN (SELECT doc_id FROM dropped)
+        |ORDER BY d.doc_id""".stripMargin,
 
     "dedup_neardup_incr" ->
       """WITH t AS (SELECT doc_id,

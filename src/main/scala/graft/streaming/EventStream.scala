@@ -411,6 +411,97 @@ object EventStream {
       .select("term", "c", "rk", "err_bound")
   }
 
+  /** Streaming composition-DRIFT monitor: each micro-batch's
+    * composition over the monitored dimensions is compared against a
+    * STORED reference profile
+    * ([[graft.operators.Cdc.buildDriftReference]] — built once from
+    * the release the pipeline is supposed to look like) and the
+    * per-cell report (shares + total-variation contributions,
+    * [[graft.operators.Cdc.driftAgainstReference]]) lands in a
+    * `__batch_id` partition of `reportDir`. This is the monitoring
+    * twin of the batch `corpus_drift` operator: batch-vs-release
+    * drift is a release-qualification check, while a crawler that
+    * starts over-sampling one domain shows up HERE, batches before
+    * the release report would catch it.
+    *
+    * Per-batch cost: the batch's own map-side-combined count aggregate
+    * plus a join against the cell-sized profile — nothing corpus-sized,
+    * ever. Exactly-once: the report is a pure 6-dp-rounded function of
+    * (batch, profile), so a replayed batch recomputes identical rows
+    * and dynamic-partition overwrite rewrites its own partition. */
+  def driftMonitorSink(stream: DataFrame,
+                       dims: Seq[(String, org.apache.spark.sql.Column)],
+                       refDir: String, reportDir: String, checkpoint: String)
+      : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+    stream.writeStream
+      .option("checkpointLocation", checkpoint)
+      .outputMode("append")
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        driftMonitorBatch(batch, batchId, dims, refDir, reportDir)
+      }
+
+  /** One micro-batch of [[driftMonitorSink]], idempotent in `batchId`
+    * — package-visible so the replay contract is testable directly. */
+  private[graft] def driftMonitorBatch(batch: DataFrame, batchId: Long,
+                                       dims: Seq[(String, org.apache.spark.sql.Column)],
+                                       refDir: String, reportDir: String): Unit =
+    graft.operators.Cdc.driftAgainstReference(batch, dims, refDir)
+      .withColumn("__batch_id", lit(batchId))
+      .write.mode("overwrite")
+      .option("partitionOverwriteMode", "dynamic")
+      .partitionBy("__batch_id")
+      .parquet(reportDir)
+
+  /** Streaming media ingestion behind the codec-free corruption screen
+    * ([[graft.operators.Multimodal.screenMedia]]): each micro-batch of
+    * media rows (doc_id, content, meta) is screened BEFORE any codec
+    * would touch it; survivors land in a `__batch_id` partition of
+    * `corpusDir`, and flagged rows land in `quarantineDir` WITH their
+    * screen measurements — the quarantine is an audit table, not a
+    * discard, so re-screening with different budgets never needs the
+    * original stream. The screen is a pure per-row function, so a
+    * replayed batch recomputes identical verdicts and dynamic-partition
+    * overwrite rewrites its own partitions. Per-batch cost: one typed
+    * scan of the batch, no shuffle, no state. */
+  def mediaScreenIngestSink(stream: DataFrame, corpusDir: String,
+                            quarantineDir: String, checkpoint: String,
+                            maxBytes: Long = 1L << 20,
+                            maxPixels: Long = 1L << 22,
+                            allowedFormats: Seq[String] = Seq("jpeg", "png", "webp"),
+                            minDistinctBytes: Int = 8)
+      : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+    stream.writeStream
+      .option("checkpointLocation", checkpoint)
+      .outputMode("append")
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        mediaScreenIngestBatch(batch, batchId, corpusDir, quarantineDir,
+          maxBytes, maxPixels, allowedFormats, minDistinctBytes)
+      }
+
+  /** One micro-batch of [[mediaScreenIngestSink]], idempotent in
+    * `batchId` — package-visible so the replay contract is testable. */
+  private[graft] def mediaScreenIngestBatch(batch: DataFrame, batchId: Long,
+                                            corpusDir: String, quarantineDir: String,
+                                            maxBytes: Long, maxPixels: Long,
+                                            allowedFormats: Seq[String],
+                                            minDistinctBytes: Int): Unit = {
+    val screened = graft.operators.Multimodal
+      .screenMedia(batch, maxBytes, maxPixels, allowedFormats, minDistinctBytes)
+      .toDF()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    def writeIdempotent(df: DataFrame, dir: String): Unit =
+      df.withColumn("__batch_id", lit(batchId))
+        .write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("__batch_id")
+        .parquet(dir)
+    writeIdempotent(
+      batch.join(screened.where(col("ok")).select("doc_id"), Seq("doc_id"), "left_semi"),
+      corpusDir)
+    writeIdempotent(screened.where(!col("ok")), quarantineDir)
+    screened.unpersist(false)
+  }
+
   def decontaminateIngestSink(stream: DataFrame, indexDir: String,
                               corpusDir: String, checkpoint: String)
       : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =

@@ -620,4 +620,28 @@ class DedupSimilaritySpec extends SparkSpec {
     val first = split.select("doc_id", "split").as[(Long, String)].collect().toMap
     assert(first == again)
   }
+
+  test("stored near-dup state: probe agrees with the re-shingling incremental form") {
+    // dedup_neardup_probe's certificate, mirroring the stored embedding
+    // model's: state built once from the corpus split, the increment
+    // probes it, and the survivor set is byte-identical to
+    // nearDupIncrement (which re-shingles the corpus per run) — the
+    // train-per-run and build-once forms are interchangeable, so the
+    // probe inherits the incr entry's all-pairs oracle.
+    val docs = spark.read.parquet(s"${sf("sf0.01")}/documents.parquet")
+    val corpus = docs.where(col("doc_id") < 250)
+    val inc = docs.where(col("doc_id") >= 250)
+    val dir = java.nio.file.Files.createTempDirectory("graft_neardup_state").toString
+    Dedup.buildNearDupState(corpus, dir)
+    // complete, corpus-sized state with pinned banding params
+    assert(spark.read.parquet(s"$dir/meta")
+      .select("k", "bands", "n_docs").as[(Int, Int, Long)].head()
+      == ((128, 32, corpus.count())))
+    assert(spark.read.parquet(s"$dir/shingle_sets").count() == corpus.count())
+    val probed = Dedup.nearDupIncrementStored(inc, dir)
+      .select("doc_id").as[Long].collect().sorted.toSeq
+    val inflight = Dedup.nearDupIncrement(corpus, inc)
+      .select("doc_id").as[Long].collect().sorted.toSeq
+    assert(probed.nonEmpty && probed == inflight)
+  }
 }
