@@ -17,7 +17,12 @@ object Bench {
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    // default to ALL cores: the bench contract is local[32]-shaped, and
+    // an un-exported SPARK_GRAFT_CPUS silently benching on local[4]
+    // costs ~35% wall at sf1 (274 s vs 203 s, measured this round) and
+    // mis-measures per-core-bound queries far worse (q1 4.5 s vs 1.6 s)
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS",
+      Runtime.getRuntime.availableProcessors.toString)
     val builder = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)

@@ -25,6 +25,18 @@ object Sessions {
     "spark.sql.adaptive.enabled" -> "true",
     "spark.sql.adaptive.coalescePartitions.enabled" -> "true",
     "spark.sql.adaptive.skewJoin.enabled" -> "true",
+    // Scan-split sizing. The default 128 MB maxPartitionBytes is right
+    // when per-task data is huge (a 100 TB table is >100k such splits —
+    // set it back upward in a cluster submit conf); on the single-node
+    // SFs this library's entrypoints actually run, it UNDER-PARALLELIZES
+    // catastrophically: sf1 lineitem is ~124 MB in 16 files, which the
+    // 128 MB bin-packer folds into ~2 scan tasks on 32 cores — measured
+    // 3x end-to-end on a plain groupBy (q1 4.5 s -> 1.4 s with 16 MB
+    // splits). 16 MB splits + 1 MB file-open cost keep every benched
+    // table at >= cores scan tasks while leaving row-group alignment to
+    // the reader.
+    "spark.sql.files.maxPartitionBytes" -> (16L * 1024 * 1024).toString,
+    "spark.sql.files.openCostInBytes" -> (1L * 1024 * 1024).toString,
     "spark.sql.autoBroadcastJoinThreshold" -> (64L * 1024 * 1024).toString,
     "spark.sql.legacy.parquet.nanosAsLong" -> "true",
     "spark.sql.parquet.outputTimestampType" -> "TIMESTAMP_MICROS",

@@ -380,6 +380,55 @@ object Sketches {
       row_number().over(Window.orderBy(col("n").desc, col("term"))).cast("long"))
   }
 
+  /** GROUPED heavy hitters: the per-group form of [[heavyHitters]] —
+    * top `topK` terms per group (per-language vocabularies, per-source
+    * spam signatures), with the same two-stage shape: per-partition
+    * Misra-Gries summaries PER GROUP bound the candidate set
+    * (partitions × groups × ≤k rows — never the term universe), then
+    * one exact count pass over candidates restores true counts, so MG
+    * undercount never reaches the output. Executor memory is
+    * groups-on-partition × k counters; the final rank window partitions
+    * by group over candidate counts only. Exactness condition per
+    * group mirrors the global one (every true top-K term survives some
+    * partition's summary — guaranteed when per-partition per-group
+    * distinct terms ≤ k, asserted at the oracle SF in its spec). */
+  def groupedHeavyHitters(rows: DataFrame, groupCol: String,
+                          termCol: String, k: Int = 4096,
+                          topK: Int = 10): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val spark = rows.sparkSession
+    import spark.implicits._
+    val t = rows.select(col(groupCol).cast("string").as("grp"),
+      col(termCol).cast("string").as("term"))
+    val partials = t.as[(String, String)].mapPartitions { it =>
+      val byGroup = new scala.collection.mutable.HashMap[
+        String, scala.collection.mutable.HashMap[String, Long]]()
+      it.foreach { case (grp, term) =>
+        if (grp != null && term != null) {
+          val counts = byGroup.getOrElseUpdate(grp,
+            new scala.collection.mutable.HashMap[String, Long]())
+          val cur = counts.getOrElse(term, -1L)
+          if (cur >= 0L) counts(term) = cur + 1L
+          else if (counts.size < k) counts(term) = 1L
+          else {
+            counts.mapValuesInPlace((_, c) => c - 1L)
+            counts.filterInPlace((_, c) => c > 0L)
+          }
+        }
+      }
+      byGroup.iterator.flatMap { case (grp, counts) =>
+        counts.iterator.map { case (term, c) => (grp, term, c) }
+      }
+    }.toDF("grp", "term", "c")
+    val candidates = partials.select("grp", "term").distinct()
+    val exact = t.join(candidates, Seq("grp", "term"), "left_semi")
+      .groupBy("grp", "term").agg(count(lit(1)).as("n"))
+    val w = Window.partitionBy("grp").orderBy(col("n").desc, col("term"))
+    exact.withColumn("rk", row_number().over(w).cast("long"))
+      .where(col("rk") <= topK)
+      .select(col("grp"), col("term"), col("n"), col("rk"))
+  }
+
   /** Per-partition Misra-Gries k-counter summaries of a (term) stream:
     * <= k (term, floor-count) rows per partition, each term undercounted
     * by less than n_partition/(k+1). The shared partial stage of

@@ -155,6 +155,31 @@ object Splits {
       .drop("__key", "__bucket", "__off")
   }
 
+  /** Deterministic EXACT-SIZE uniform sample: exactly `n` rows, chosen
+    * as the n smallest md5(id ‖ seed) values — membership is a pure
+    * function of (id, seed), stable across partitioning, runs, and
+    * engines (unlike `df.sample`, which is rate-based, partition-
+    * dependent, and only approximately sized). The rate-based twin is
+    * [[mixture]]; this is the form a fixed-size eval pool or a
+    * human-annotation batch needs.
+    *
+    * Scale shape: the hash ranking runs on a NARROW (id, hash)
+    * projection — a TakeOrdered merge of per-partition top-n, never a
+    * global sort and never payload-bearing rows — and the winners join
+    * back broadcast, so a 10k-row sample of a 100 TB corpus ships 10k
+    * ids plus one column-pruned scan. */
+  def sampleExact(df: DataFrame, n: Int, seed: String = "graft",
+                  idCol: String = "doc_id"): DataFrame = {
+    import org.apache.spark.sql.functions.broadcast
+    val winners = df
+      .select(col(idCol),
+        md5(concat(col(idCol).cast("string"), lit(seed))).as("__h"))
+      .orderBy(col("__h"), col(idCol))
+      .limit(n)
+      .select(col(idCol))
+    df.join(broadcast(winners), Seq(idCol), "left_semi")
+  }
+
   def mixture(df: DataFrame, idCol: String, domainCol: String,
               weights: Seq[(String, Double)], budget: Double): DataFrame = {
     require(weights.nonEmpty && weights.forall(_._2 >= 0), "weights must be >= 0")

@@ -363,6 +363,15 @@ object LlmQueries {
         .orderBy("dim", "cell")
     }),
 
+    // deterministic exact-size uniform sample (a fixed-size eval pool /
+    // annotation batch): exactly 100 rows by smallest md5(id||seed),
+    // membership a pure function of (id, seed) — TakeOrdered over a
+    // narrow (id, hash) projection + broadcast semi-join back, never a
+    // global sort of payloads
+    "corpus_sample_exact" -> ((s, d) =>
+      Splits.sampleExact(docs(s, d), n = 100)
+        .select("doc_id", "source", "lang").orderBy("doc_id")),
+
     // budgeted selection: the best 9000 tokens in (quality DESC, id)
     // order — the frontier-pruned two-level prefix sum; buckets past
     // the budget never reach the window sort
@@ -519,6 +528,19 @@ object LlmQueries {
           x => x =!= "")).as("term"))
       Sketches.heavyHitters(terms, "term", k = 4096, topK = 20)
         .select("term", "n", "rk").orderBy("rk")
+    }),
+
+    // per-language vocabularies: the grouped form of the frequent-items
+    // sketch — per-partition per-group MG candidates + one exact count
+    // pass; rank window runs per group over candidate counts only.
+    // Oracle-exact under the same provable-exactness condition as the
+    // global form (asserted per group in SketchProfileSpec).
+    "text_heavy_hitters_grouped" -> ((s, d) => {
+      val terms = docs(s, d).select(col("lang"),
+        explode(filter(split(lower(col("text")), "[^a-z0-9]+"),
+          x => x =!= "")).as("term"))
+      Sketches.groupedHeavyHitters(terms, "lang", "term", k = 4096, topK = 10)
+        .orderBy("grp", "rk")
     }),
 
     "text_redact" -> ((s, d) =>
@@ -1135,6 +1157,24 @@ object LlmQueries {
         |SELECT term, n,
         | CAST(row_number() OVER (ORDER BY n DESC, term) AS BIGINT) AS rk
         |FROM c ORDER BY n DESC, term LIMIT 20""".stripMargin,
+
+    "corpus_sample_exact" ->
+      """WITH r AS (SELECT doc_id, source, lang,
+        |   md5(CAST(doc_id AS VARCHAR) || 'graft') AS h
+        |  FROM documents ORDER BY h, doc_id LIMIT 100)
+        |SELECT doc_id, source, lang FROM r ORDER BY doc_id""".stripMargin,
+
+    "text_heavy_hitters_grouped" ->
+      """WITH w AS (SELECT lang,
+        |   [x for x in regexp_split_to_array(lower(text), '[^a-z0-9]+') if x <> ''] AS ws
+        |  FROM documents),
+        | t AS (SELECT w.lang AS grp, u.term FROM w, UNNEST(ws) AS u(term)),
+        | c AS (SELECT grp, term, CAST(COUNT(*) AS BIGINT) AS n FROM t GROUP BY grp, term),
+        | r AS (SELECT grp, term, n,
+        |   CAST(row_number() OVER (PARTITION BY grp ORDER BY n DESC, term) AS BIGINT) AS rk
+        |  FROM c)
+        |SELECT grp, term, n, rk FROM r WHERE rk <= 10
+        |ORDER BY grp, rk""".stripMargin,
 
     "corpus_drift" ->
       """WITH o AS (SELECT * FROM documents WHERE doc_id % 5 <> 4),

@@ -621,6 +621,23 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(first == again)
   }
 
+  test("sampleExact: exact size, partitioning-invariant, seed-sensitive") {
+    val docs = Ingestor.table(spark, sf(), "documents")
+    val s1 = Splits.sampleExact(docs, 50)
+      .select("doc_id").as[Long].collect().toSet
+    assert(s1.size == 50)
+    // same membership regardless of physical partitioning
+    val s2 = Splits.sampleExact(docs.repartition(13), 50)
+      .select("doc_id").as[Long].collect().toSet
+    assert(s1 == s2)
+    // a different seed draws a different pool (overwhelmingly likely)
+    val s3 = Splits.sampleExact(docs, 50, seed = "other")
+      .select("doc_id").as[Long].collect().toSet
+    assert(s3.size == 50 && s1 != s3)
+    // n >= corpus: everything sampled
+    assert(Splits.sampleExact(docs, 100000).count() == docs.count())
+  }
+
   test("stored near-dup state: probe agrees with the re-shingling incremental form") {
     // dedup_neardup_probe's certificate, mirroring the stored embedding
     // model's: state built once from the corpus split, the increment

@@ -52,6 +52,34 @@ class SketchProfileSpec extends SparkSpec {
     }
   }
 
+  test("grouped heavy hitters: exact per-group top-K in the provable regime") {
+    import spark.implicits._
+    val docs = Ingestor.table(spark, sf(), "documents")
+    val terms = docs.select(col("lang"),
+      explode(filter(split(lower(col("text")), "[^a-z0-9]+"),
+        x => x =!= "")).as("term"))
+    val got = Sketches.groupedHeavyHitters(terms, "lang", "term",
+        k = 4096, topK = 10)
+      .select("grp", "term", "n", "rk")
+      .as[(String, String, Long, Long)].collect().toSeq.sorted
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("lang").orderBy(col("n").desc, col("term"))
+    val exact = terms.groupBy("lang", "term").agg(count(lit(1)).as("n"))
+      .withColumn("rk", row_number().over(w).cast("long"))
+      .where(col("rk") <= 10)
+      .select(col("lang"), col("term"), col("n"), col("rk"))
+      .as[(String, String, Long, Long)].collect().toSeq.sorted
+    assert(got.nonEmpty && got == exact,
+      "per-group candidates + exact verify must reproduce the exact per-group top-10")
+    // each group sits in its provable regime: min returned count >
+    // n_group/(k+1), so the group's candidate superset provably
+    // contained its whole top-10
+    val groupN = terms.groupBy("lang").count().as[(String, Long)].collect().toMap
+    got.groupBy(_._1).foreach { case (g, rows) =>
+      assert(rows.map(_._3).min > groupN(g) / 4097.0, s"group $g outside provable regime")
+    }
+  }
+
   test("releaseOverlap estimates track exact overlap within HLL error") {
     import spark.implicits._
     val docs = Ingestor.table(spark, sf(), "documents")
