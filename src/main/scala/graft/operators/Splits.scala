@@ -195,4 +195,76 @@ object Splits {
     df.join(broadcast(rates), domainCol)
       .where(u < col("rate"))
   }
+
+  /** Temperature-scaled mixture — [[mixture]] with the target weights
+    * DERIVED from the corpus's own composition instead of hand-picked:
+    * the multilingual-sampling scheme of mT5/XLM-R (Conneau et al. 2020
+    * §3.1; Xue et al. 2021 §3.2), where domain i's target share is
+    * q_i = p_i^alpha / sum_j p_j^alpha over the observed shares p_i.
+    * alpha=1 reproduces the corpus as-is; alpha=0 flattens to uniform;
+    * the published sweet spot (~0.3) upsamples the tail without
+    * drowning the head. Per-domain keep rate = min(1, budget*q_i/n_i).
+    *
+    * Determinism: per-row membership is the same pure md5(id) threshold
+    * test as [[mixture]]; the one non-IEEE-portable step is `pow`, whose
+    * last-ulp can differ across libm builds, so rates are rounded to 6dp
+    * BEFORE the comparison — membership is then a pure function of
+    * (id, rounded rate) and engine-exact (a flip would need the hash to
+    * land inside the 1e-6 rounding window, ~2^-21 of the key space).
+    *
+    * Scale: two domain-sized aggregates (counts, then the driver-free
+    * normalizer via a broadcast cross join) + one broadcast rate join —
+    * document payloads are scanned once and never shuffle. */
+  def mixtureTemperature(df: DataFrame, idCol: String, domainCol: String,
+                         alpha: Double, budget: Double): DataFrame = {
+    require(alpha >= 0 && alpha <= 1, "alpha must be in [0, 1]")
+    import org.apache.spark.sql.functions.broadcast
+    val counts = df.groupBy(domainCol).agg(count(lit(1)).as("n_domain"))
+    val total = counts.agg(sum("n_domain").as("n_total"))
+    val pa = counts.crossJoin(broadcast(total))
+      .withColumn("pa", pow(col("n_domain") / col("n_total"), alpha))
+    // decimal-exact normalizer: a double sum over the domain rows would
+    // be partition-order-dependent (graft.functions.dec discipline)
+    val z = pa.agg(graft.functions.dsum(col("pa")).as("z"))
+    val rates = pa.crossJoin(broadcast(z))
+      .withColumn("rate",
+        round(least(lit(1.0), lit(budget) * (col("pa") / col("z")) / col("n_domain")), 6))
+      .select(domainCol, "n_domain", "rate")
+    val u = conv(substring(md5(col(idCol).cast("string")), 1, 8), 16, 10)
+      .cast("long") / lit(4294967296.0)
+    df.join(broadcast(rates), domainCol)
+      .where(u < col("rate"))
+  }
+
+  /** STRATIFIED exact-size sample: exactly `n` rows per group (an eval
+    * pool per language, an annotation batch per source) — the grouped
+    * form of [[sampleExact]], with the same determinism contract:
+    * membership is a pure function of (id, group size permitting, seed),
+    * stable across partitioning, runs, and engines. Groups smaller than
+    * `n` contribute all their rows.
+    *
+    * Scale shape: the rank runs on a NARROW (group, id, hash) projection
+    * through one window shuffle on the group key — per-group top-n of
+    * hashes, never payload-bearing rows — and the winners (groups × n
+    * ids) join back broadcast, so payloads ride one column-pruned scan.
+    * A skewed group costs the hash sort of ITS ids only, and the sort
+    * input can be pre-pruned per partition the day a group outgrows a
+    * task (the [[graft.operators.Sketches]] heavy-hitter shape); at
+    * eval-pool sizes the window on the narrow projection is already the
+    * right plan. */
+  def sampleStratified(df: DataFrame, n: Int, groupCol: String,
+                       seed: String = "graft",
+                       idCol: String = "doc_id"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.functions.broadcast
+    val w = Window.partitionBy(col(groupCol))
+      .orderBy(col("__h"), col(idCol))
+    val winners = df
+      .select(col(groupCol), col(idCol),
+        md5(concat(col(idCol).cast("string"), lit(seed))).as("__h"))
+      .withColumn("__rk", row_number().over(w))
+      .where(col("__rk") <= n)
+      .select(col(idCol))
+    df.join(broadcast(winners), Seq(idCol), "left_semi")
+  }
 }

@@ -226,6 +226,76 @@ object TextAnalysis {
         col("tfidf"), col("rk").cast("long").as("rk"))
   }
 
+  /** BM25 ranked retrieval (Robertson/Spärck Jones Okapi weighting, the
+    * scoring function behind Lucene/Elasticsearch defaults): top-`topK`
+    * documents per query for a fixed query set — the retrieval operator
+    * a training-data pipeline uses for targeted corpus search (find
+    * documents about X), retrieval-augmented filtering, and seed-query
+    * expansion, where [[tfidf]] only profiles terms WITHIN a doc.
+    *
+    * score(q, d) = sum over query terms t of
+    *   ln(1 + (N - df + 0.5)/(df + 0.5)) ·
+    *   tf·(k1+1) / (tf + k1·(1 − b + b·dl/avgdl))
+    *
+    * Engine-exact determinism: per-term contributions are cast to exact
+    * decimals before the per-(query, doc) sum (the [[graft.functions.dec]]
+    * discipline — double summation order would drift run-to-run), and
+    * the final score rounds to 6dp; ties break on doc_id.
+    *
+    * Scale shape (the inverted-index-free form a 100 TB scan wants):
+    *  - doc lengths come from a codegen'd `regexp_extract_all` count in
+    *    the corpus scan — no explode, no HOF fallback;
+    *  - the token stream is filtered to QUERY terms by a broadcast join
+    *    BEFORE any aggregation, so the tf shuffle carries only matching
+    *    tokens (query-sized vocabulary · their occurrences), never the
+    *    corpus vocabulary;
+    *  - df for query terms and the (N, total_dl) stats are term-sized /
+    *    single-row aggregates broadcast back;
+    *  - the per-query ranking is a TakeOrdered-shaped window over docs
+    *    that matched ≥1 query term only.
+    * Reference analogue: the platform has no retrieval operator; this is
+    * a mandated-extension capability (SURVEY §2.4). */
+  def bm25(docs: DataFrame, queries: Seq[(Long, String)],
+           textCol: String = "text", topK: Int = 10,
+           k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(queries.nonEmpty, "query set must be non-empty")
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val qterms = queries.flatMap { case (qid, q) =>
+      q.toLowerCase(java.util.Locale.ROOT).split("[^a-z0-9]+")
+        .filter(_.nonEmpty).distinct.map(t => (qid, t))
+    }.toDF("query_id", "term")
+    val termSet = qterms.select("term").distinct()
+    val doclen = docs.select(col("doc_id"),
+      size(regexp_extract_all(lower(col(textCol)), lit("[a-z0-9]+"), lit(0)))
+        .cast("long").as("dl"))
+    val stats = doclen.agg(count(lit(1)).as("n_docs"), sum("dl").as("total_dl"))
+    val tf = docs
+      .select(col("doc_id"), explode(wordTokens(col(textCol))).as("term"))
+      .join(broadcast(termSet), "term")
+      .groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+    val dfreq = tf.groupBy("term").agg(count(lit(1)).as("df"))
+    val contrib = tf
+      .join(broadcast(dfreq), "term")
+      .join(broadcast(qterms), "term")
+      .join(doclen, "doc_id")
+      .crossJoin(broadcast(stats))
+      .withColumn("avgdl", col("total_dl") / col("n_docs"))
+      .withColumn("term_score", dec(
+        log(lit(1.0) + (col("n_docs") - col("df") + lit(0.5)) / (col("df") + lit(0.5))) *
+          (col("tf") * lit(k1 + 1.0)) /
+          (col("tf") + lit(k1) * (lit(1.0 - b) + lit(b) * col("dl") / col("avgdl")))))
+    val scored = contrib.groupBy("query_id", "doc_id")
+      .agg(round(sum(col("term_score")).cast("double"), 6).as("score"),
+        count(lit(1)).as("n_terms"))
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("score").desc, col("doc_id"))
+    scored.withColumn("rk", row_number().over(w).cast("long"))
+      .where(col("rk") <= topK)
+      .select(col("query_id"), col("doc_id"), col("score"), col("n_terms"), col("rk"))
+  }
+
   /** Repetition quality signals (Gopher-style, Rae et al. 2021 §A1.1,
     * adapted to word n-grams — the corpus has no line structure): the
     * filters that catch boilerplate/spam documents a perplexity filter

@@ -14,6 +14,14 @@ object LlmQueries {
   private def docs(s: SparkSession, d: String) = Ingestor.table(s, d, "documents")
   private def emb(s: SparkSession, d: String) = Ingestor.table(s, d, "embeddings")
 
+  /** Fixed retrieval query set for `text_bm25` (terms from the corpus
+    * vocabulary so every query matches; the oracle inlines the same
+    * tokenized pairs as a VALUES relation). */
+  private val bm25Queries: Seq[(Long, String)] = Seq(
+    0L -> "sort merge join",
+    1L -> "stream window batch",
+    2L -> "hash table scan")
+
   /** Content fingerprint of a source table: row count + bit-XOR of
     * xxhash64 over the identifying columns — ONE narrow aggregation
     * (order-independent, overflow-free). Every stored-index cache dir
@@ -786,6 +794,31 @@ object LlmQueries {
         .select(col("doc_id"), col("source"), col("n_domain"),
           round(col("rate"), 6).as("rate"))
         .orderBy("doc_id")),
+
+    // temperature-scaled mixture (mT5/XLM-R alpha-sampling): target
+    // shares derived from the corpus's own composition, p_i^0.3
+    // renormalized — upsamples tail domains without drowning the head;
+    // same pure-hash membership as corpus_mix, rates rounded to 6dp
+    // before the threshold test so pow's last ulp can't flip a doc
+    "corpus_mix_temp" -> ((s, d) =>
+      Splits.mixtureTemperature(docs(s, d), "doc_id", "source",
+          alpha = 0.3, budget = 120.0)
+        .select(col("doc_id"), col("source"), col("n_domain"), col("rate"))
+        .orderBy("doc_id")),
+
+    // stratified exact-size sample: exactly 20 docs per language (the
+    // per-language eval-pool shape) by smallest md5(id||seed) within
+    // group — narrow (lang, id, hash) window + broadcast semi-join back
+    "corpus_sample_stratified" -> ((s, d) =>
+      Splits.sampleStratified(docs(s, d), n = 20, groupCol = "lang")
+        .select("doc_id", "lang", "source").orderBy("doc_id")),
+
+    // BM25 ranked retrieval: top-10 docs per query for a fixed query
+    // set — broadcast-filtered token stream (only query-term tokens
+    // shuffle), decimal-exact per-term sums, 6dp scores
+    "text_bm25" -> ((s, d) =>
+      TextAnalysis.bm25(docs(s, d), bm25Queries, topK = 10)
+        .orderBy("query_id", "rk")),
 
     "seq_pack" -> ((s, d) =>
       Packing.packSequences(docs(s, d), budget = 256L).orderBy("doc_id")),
@@ -1658,6 +1691,65 @@ object LlmQueries {
         |WHERE CAST('0x' || substring(md5(CAST(d.doc_id AS VARCHAR)), 1, 8) AS BIGINT)
         |      / 4294967296.0 < r.rate
         |ORDER BY d.doc_id""".stripMargin,
+
+    "corpus_mix_temp" ->
+      """WITH n AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS n_domain FROM documents GROUP BY source),
+        | t AS (SELECT CAST(SUM(n_domain) AS BIGINT) AS n_total FROM n),
+        | p AS (SELECT source, n_domain, pow(n_domain / t.n_total, CAST(0.3 AS DOUBLE)) AS pa FROM n, t),
+        | z AS (SELECT CAST(SUM(CAST(pa AS DECIMAL(38,6))) AS DOUBLE) AS z FROM p),
+        | r AS (SELECT source, n_domain,
+        |   round(least(CAST(1.0 AS DOUBLE), CAST(120.0 AS DOUBLE) * (pa / z.z) / n_domain), 6) AS rate
+        |  FROM p, z)
+        |SELECT d.doc_id, d.source, r.n_domain, r.rate
+        |FROM documents d JOIN r ON d.source = r.source
+        |WHERE CAST('0x' || substring(md5(CAST(d.doc_id AS VARCHAR)), 1, 8) AS BIGINT)
+        |      / 4294967296.0 < r.rate
+        |ORDER BY d.doc_id""".stripMargin,
+
+    "corpus_sample_stratified" ->
+      """SELECT doc_id, lang, source FROM documents
+        |WHERE doc_id IN (
+        | SELECT doc_id FROM (
+        |  SELECT doc_id, row_number() OVER (PARTITION BY lang
+        |    ORDER BY md5(CAST(doc_id AS VARCHAR) || 'graft'), doc_id) AS rk
+        |  FROM documents)
+        | WHERE rk <= 20)
+        |ORDER BY doc_id""".stripMargin,
+
+    "text_bm25" ->
+      """WITH q(query_id, term) AS (VALUES
+        |  (0, 'sort'), (0, 'merge'), (0, 'join'),
+        |  (1, 'stream'), (1, 'window'), (1, 'batch'),
+        |  (2, 'hash'), (2, 'table'), (2, 'scan')),
+        | dl AS (SELECT doc_id,
+        |   CAST(len(regexp_extract_all(lower(text), '[a-z0-9]+')) AS BIGINT) AS dl
+        |  FROM documents),
+        | st AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_docs, CAST(SUM(dl) AS BIGINT) AS total_dl FROM dl),
+        | toks AS (SELECT doc_id, u.term AS term
+        |  FROM documents,
+        |   UNNEST([x for x in regexp_split_to_array(lower(text), '[^a-z0-9]+') if x <> '']) AS u(term)
+        |  WHERE u.term IN (SELECT DISTINCT term FROM q)),
+        | tf AS (SELECT doc_id, term, CAST(COUNT(*) AS BIGINT) AS tf FROM toks GROUP BY 1, 2),
+        | dfreq AS (SELECT term, CAST(COUNT(*) AS BIGINT) AS df FROM tf GROUP BY 1),
+        | contrib AS (SELECT q.query_id, tf.doc_id,
+        |   CAST(ln(CAST(1.0 AS DOUBLE) + (st.n_docs - dfreq.df + CAST(0.5 AS DOUBLE)) / (dfreq.df + CAST(0.5 AS DOUBLE)))
+        |     * (tf.tf * CAST(2.2 AS DOUBLE))
+        |     / (tf.tf + CAST(1.2 AS DOUBLE) * (CAST(0.25 AS DOUBLE) + CAST(0.75 AS DOUBLE) * dl.dl / (st.total_dl / st.n_docs)))
+        |    AS DECIMAL(38,6)) AS term_score
+        |  FROM tf
+        |  JOIN dfreq ON tf.term = dfreq.term
+        |  JOIN q ON tf.term = q.term
+        |  JOIN dl ON tf.doc_id = dl.doc_id, st),
+        | scored AS (SELECT query_id, doc_id,
+        |   round(CAST(SUM(term_score) AS DOUBLE), 6) AS score,
+        |   CAST(COUNT(*) AS BIGINT) AS n_terms
+        |  FROM contrib GROUP BY 1, 2),
+        | ranked AS (SELECT query_id, doc_id, score, n_terms,
+        |   CAST(row_number() OVER (PARTITION BY query_id ORDER BY score DESC, doc_id) AS BIGINT) AS rk
+        |  FROM scored)
+        |SELECT CAST(query_id AS BIGINT) AS query_id, doc_id, score, n_terms, rk
+        |FROM ranked WHERE rk <= 10
+        |ORDER BY query_id, rk""".stripMargin,
 
     "seq_pack" ->
       """WITH t AS (SELECT doc_id,

@@ -265,6 +265,55 @@ class PrepOperatorsSpec extends SparkSpec {
     assert(all.count() == 100)
   }
 
+  test("temperature mixture: alpha=0 flattens to uniform targets, tail upsampled") {
+    // skewed composition: 200 / 80 / 20
+    val docs = (0L until 300L).map { i =>
+      val d = if (i < 200) "head" else if (i < 280) "mid" else "tail"
+      (i, d)
+    }.toDF("id", "domain")
+    val out0 = Splits.mixtureTemperature(docs, "id", "domain", alpha = 0.0, budget = 90.0)
+    val rates0 = out0.select("domain", "rate").distinct()
+      .as[(String, Double)].collect().toMap
+    // alpha=0: every target share is 1/3 (after 6dp decimal z), so
+    // rate_i = round(min(1, 30/n_i), 6) modulo the decimal normalizer
+    assert(math.abs(rates0("head") - 0.15) < 1e-5)
+    assert(math.abs(rates0("mid") - 0.375) < 1e-5)
+    assert(rates0("tail") == 1.0) // 30/20 caps at 1 -> all 20 kept
+    assert(out0.where($"domain" === "tail").count() == 20)
+    // 0 < alpha < 1: tail keeps a larger FRACTION than head (upsampling)
+    val out3 = Splits.mixtureTemperature(docs, "id", "domain", alpha = 0.3, budget = 90.0)
+    val rates3 = out3.select("domain", "rate").distinct()
+      .as[(String, Double)].collect().toMap
+    assert(rates3("tail") > rates3("mid") && rates3("mid") > rates3("head"))
+    // alpha=1 reproduces the corpus's own shares: equal keep rates
+    val out1 = Splits.mixtureTemperature(docs, "id", "domain", alpha = 1.0, budget = 90.0)
+    val rates1 = out1.select("rate").distinct().as[Double].collect()
+    assert(rates1.length == 1 && math.abs(rates1(0) - 0.3) < 1e-5)
+    // deterministic membership under repartitioning
+    val again = Splits.mixtureTemperature(docs.repartition(11), "id", "domain",
+        alpha = 0.3, budget = 90.0)
+      .select("id").as[Long].collect().toSet
+    assert(again == out3.select("id").as[Long].collect().toSet)
+  }
+
+  test("stratified sample: exactly n per group, small groups whole, invariant") {
+    val docs = (0L until 260L).map { i =>
+      val g = if (i < 120) "a" else if (i < 250) "b" else "c" // c has 10 < n
+      (i, g)
+    }.toDF("doc_id", "grp")
+    val out = Splits.sampleStratified(docs, n = 25, groupCol = "grp")
+    val byGroup = out.groupBy("grp").count().as[(String, Long)].collect().toMap
+    assert(byGroup("a") == 25 && byGroup("b") == 25 && byGroup("c") == 10)
+    // membership is a pure function of (id, seed): partitioning-invariant
+    val again = Splits.sampleStratified(docs.repartition(13), n = 25, groupCol = "grp")
+      .select("doc_id").as[Long].collect().toSet
+    assert(again == out.select("doc_id").as[Long].collect().toSet)
+    // a different seed is a different (same-sized) pool
+    val other = Splits.sampleStratified(docs, n = 25, groupCol = "grp", seed = "other")
+      .select("doc_id").as[Long].collect().toSet
+    assert(other != again && other.size == again.size)
+  }
+
   // -------------------------------------------------------- sequence packing
   test("sequence packing: known offsets and window spans") {
     val docs = Seq(

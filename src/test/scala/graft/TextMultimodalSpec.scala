@@ -83,6 +83,35 @@ class TextMultimodalSpec extends SparkSpec {
     }
   }
 
+  test("bm25: tf saturation ranks, only matching docs, partitioning-invariant") {
+    val docs = Seq(
+      (1L, "apple banana"),
+      (2L, "banana cherry banana"),
+      (3L, "cherry cherry"),
+      (4L, "durian unique")).toDF("doc_id", "text")
+    val out = TextAnalysis.bm25(docs, Seq(0L -> "banana", 1L -> "durian cherry"))
+      .orderBy("query_id", "rk")
+      .select("query_id", "doc_id", "rk", "score")
+      .as[(Long, Long, Long, Double)].collect().toSeq
+    // q0 "banana": only docs 1, 2 match; d2 (tf=2) outranks d1 (tf=1)
+    val q0 = out.filter(_._1 == 0L)
+    assert(q0.map(r => (r._2, r._3)) == Seq((2L, 1L), (1L, 2L)))
+    // q1 "durian cherry": docs 2, 3, 4 match (never doc 1); d4's term is
+    // rarer (df=1 vs cherry's df=2) so idf puts d4 first despite d3's tf=2
+    val q1 = out.filter(_._1 == 1L)
+    assert(q1.map(_._2).toSet == Set(2L, 3L, 4L))
+    assert(q1.head._2 == 4L)
+    // scores positive, ranks contiguous from 1
+    assert(out.forall(_._4 > 0))
+    assert(q1.map(_._3) == Seq(1L, 2L, 3L))
+    // deterministic under repartitioning
+    val again = TextAnalysis.bm25(docs.repartition(7), Seq(0L -> "banana", 1L -> "durian cherry"))
+      .orderBy("query_id", "rk")
+      .select("query_id", "doc_id", "rk", "score")
+      .as[(Long, Long, Long, Double)].collect().toSeq
+    assert(again == out)
+  }
+
   test("corpusDatasheet: group rows, rollup subtotals, dup + pii counts") {
     val docs = Seq(
       (1L, "en", "web", "the cat sat"),
