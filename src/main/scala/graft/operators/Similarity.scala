@@ -53,6 +53,86 @@ object Similarity {
       .select(col("q_id"), col("vec_id").as("n_id"), col("rank"), col("cos_sim"))
   }
 
+  /** MMR (maximal-marginal-relevance, Carbonell & Goldstein 1998)
+    * diversified top-k: re-rank each query's nearest neighbours so the
+    * result set trades relevance against redundancy — the eval-pool /
+    * annotation-batch / RAG-context selection a plain [[knnBrute]]
+    * fails when the corpus is near-dup heavy (top-k collapses to k
+    * copies of one passage). Greedy MMR selects, at each step, the
+    * candidate maximising
+    *   lambdaRel · rel(q, c) − (1 − lambdaRel) · max sim(c, selected);
+    * lambdaRel=1 degenerates to plain top-k (spec-pinned).
+    *
+    * Scale shape: stage 1 is the exact broadcast-query top-C candidate
+    * pass (C = candFactor·k; compose with the IVF candidate machinery
+    * at 100 TB the same way [[knnBrute]] does); stage 2 ships each
+    * query's C candidate vectors to ONE executor task via groupByKey —
+    * the greedy loop is inherently sequential per query, but C is
+    * result-set-sized (~50), so the O(C²·dim) work is microseconds and
+    * queries parallelise across tasks; nothing corpus-sized ever
+    * reaches a single task or the driver. Determinism: relevance and
+    * pairwise sims round to 6dp before comparison, ties break to the
+    * smaller id. */
+  def mmrRerank(emb: DataFrame, isQuery: Column, k: Int = 10,
+                lambdaRel: Double = 0.7, candFactor: Int = 5): DataFrame = {
+    require(lambdaRel >= 0 && lambdaRel <= 1, "lambdaRel must be in [0, 1]")
+    val spark = emb.sparkSession
+    import spark.implicits._
+    val e = prepared(emb)
+    val cands = knnBrute(emb, isQuery, k = candFactor * k)
+    val rows = cands
+      .join(e.select(col("vec_id").as("n_id"), col("v"), col("norm")), "n_id")
+      .select(col("q_id"), col("n_id"), col("cos_sim").as("rel"),
+        col("v"), col("norm"))
+      .as[(Long, Long, Double, Array[Double], Double)]
+    rows.groupByKey(_._1)
+      .flatMapGroups { (qid, it) =>
+        val cs = it.toArray.sortBy(c => (-c._3, c._2))
+        val n = cs.length
+        def sim(i: Int, j: Int): Double = {
+          val (vi, ni) = (cs(i)._4, cs(i)._5)
+          val (vj, nj) = (cs(j)._4, cs(j)._5)
+          var s = 0.0; var d = 0
+          while (d < vi.length) { s += vi(d) * vj(d); d += 1 }
+          val c = if (ni == 0 || nj == 0) 0.0 else s / (ni * nj)
+          math.rint(c * 1e6) / 1e6
+        }
+        val picked = new Array[Int](math.min(k, n))
+        val maxSim = Array.fill(n)(0.0) // max sim of cand i to selected set
+        val used = new Array[Boolean](n)
+        var r = 0
+        while (r < picked.length) {
+          var best = -1; var bestScore = Double.NegativeInfinity
+          var i = 0
+          while (i < n) {
+            if (!used(i)) {
+              val s = lambdaRel * cs(i)._3 -
+                (if (r == 0) 0.0 else (1 - lambdaRel) * maxSim(i))
+              // strict > : ties fall to the earlier (rel desc, id) slot
+              if (s > bestScore) { bestScore = s; best = i }
+            }
+            i += 1
+          }
+          picked(r) = best; used(best) = true
+          var j = 0
+          while (j < n) {
+            if (!used(j)) {
+              val s = sim(best, j)
+              if (s > maxSim(j)) maxSim(j) = s
+            }
+            j += 1
+          }
+          r += 1
+        }
+        picked.iterator.zipWithIndex.map { case (i, rk) =>
+          (qid, cs(i)._2, (rk + 1).toLong, cs(i)._3,
+            math.rint((lambdaRel * cs(i)._3 -
+              (if (rk == 0) 0.0 else (1 - lambdaRel) * maxSim(i))) * 1e6) / 1e6)
+        }
+      }
+      .toDF("q_id", "n_id", "rank", "rel", "mmr_score")
+  }
+
   /** Hard-negative mining for contrastive / embedding-model training
     * data: for each query vector, the top-k most cosine-similar corpus
     * vectors whose `labelCol` DIFFERS from the query's — the
@@ -592,8 +672,8 @@ object Similarity {
     * stored-index searches so an extended index is transparently
     * searchable. Tolerates a crash-created empty `codes_inc` dir the
     * same way the streaming state readers do. */
-  private def loadCodes(spark: org.apache.spark.sql.SparkSession,
-                        dir: String): DataFrame = {
+  private[graft] def loadCodes(spark: org.apache.spark.sql.SparkSession,
+                               dir: String): DataFrame = {
     val base = spark.read.parquet(s"$dir/codes")
     val incPath = new org.apache.hadoop.fs.Path(s"$dir/codes_inc")
     val f = incPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
@@ -602,6 +682,69 @@ object Similarity {
       try base.unionByName(
         spark.read.parquet(s"$dir/codes_inc").drop("__increment_id"))
       catch { case _: org.apache.spark.sql.AnalysisException => base }
+  }
+
+  /** COMPACT a stored IVF-PQ index: fold every [[extendIvfPqIndex]]
+    * increment partition into the base `codes` table and clear
+    * `codes_inc` — the maintenance step that keeps a long-lived serving
+    * index from accreting one small parquet directory per daily drop
+    * (the LSM-tree compaction of the index world; quantization is
+    * unchanged, so search results are bit-identical before and after).
+    * The rewrite repartitions on `centroid_id`, so post-compaction
+    * files cluster cell-locally — a probe of n cells touches n file
+    * groups instead of every increment file.
+    *
+    * Crash-safe protocol (same staged-swap discipline as
+    * [[graft.operators.Forget]]'s rewrites, ordered so every crash
+    * point is recoverable by [[recoverIvfPqCompaction]] and no rows are
+    * ever readable twice):
+    *  1. write `codes__new` = codes ∪ codes_inc (both inputs intact);
+    *  2. delete `codes_inc`   (crash after: `codes__new/_SUCCESS`
+    *     exists → recovery finishes the swap);
+    *  3. swap `codes` → `codes__old`, `codes__new` → `codes`;
+    *  4. drop `codes__old`.
+    * A crash BEFORE step 2 leaves the live tables untouched (stray
+    * partial `codes__new` is dropped by recovery); readers racing step
+    * 3's renames can observe a missing dir — stored indexes are
+    * maintained offline, exactly like the Forget rewrites. */
+  def compactIvfPqIndex(spark: org.apache.spark.sql.SparkSession,
+                        dir: String): Unit = {
+    def p(s: String) = new org.apache.hadoop.fs.Path(s)
+    val f = p(dir).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!f.exists(p(s"$dir/codes_inc"))) return // nothing to fold
+    loadCodes(spark, dir)
+      .repartition(col("centroid_id"))
+      .write.mode("overwrite").parquet(s"$dir/codes__new")
+    f.delete(p(s"$dir/codes_inc"), true)
+    f.delete(p(s"$dir/codes__old"), true)
+    if (!f.rename(p(s"$dir/codes"), p(s"$dir/codes__old")))
+      sys.error(s"compaction swap failed: cannot stage $dir/codes")
+    if (!f.rename(p(s"$dir/codes__new"), p(s"$dir/codes")))
+      sys.error(s"compaction swap failed: cannot promote $dir/codes__new")
+    f.delete(p(s"$dir/codes__old"), true)
+  }
+
+  /** Recover an index dir from a crashed [[compactIvfPqIndex]]. Run on
+    * open-for-maintenance; idempotent. A COMPLETE `codes__new`
+    * (`_SUCCESS` present) supersedes `codes_inc` and the old base —
+    * finish the swap; a partial one is garbage from a crash mid-write —
+    * drop it (live tables were untouched). A stranded `codes__old`
+    * beside a live `codes` is post-swap residue — drop; without a live
+    * `codes` it IS the base — restore. */
+  def recoverIvfPqCompaction(spark: org.apache.spark.sql.SparkSession,
+                             dir: String): Unit = {
+    def p(s: String) = new org.apache.hadoop.fs.Path(s)
+    val f = p(dir).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (f.exists(p(s"$dir/codes__new/_SUCCESS"))) {
+      f.delete(p(s"$dir/codes_inc"), true)
+      f.delete(p(s"$dir/codes__old"), true)
+      if (f.exists(p(s"$dir/codes")))
+        f.rename(p(s"$dir/codes"), p(s"$dir/codes__old"))
+      f.rename(p(s"$dir/codes__new"), p(s"$dir/codes"))
+    } else if (!f.exists(p(s"$dir/codes")) && f.exists(p(s"$dir/codes__old")))
+      f.rename(p(s"$dir/codes__old"), p(s"$dir/codes"))
+    f.delete(p(s"$dir/codes__new"), true)
+    f.delete(p(s"$dir/codes__old"), true)
   }
 
   /** Probe a stored IVF-PQ index ([[buildIvfPqIndex]]) with the query

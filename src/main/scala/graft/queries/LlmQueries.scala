@@ -80,6 +80,29 @@ object LlmQueries {
     dir
   }
 
+  /** Stored COMPACTED extended IVF-PQ index: the [[ivfPqExtIndexFor]]
+    * scenario (base %10≠0, increment %10==0 appended frozen-model) with
+    * [[Similarity.compactIvfPqIndex]] run after — increments folded
+    * into the base table, `codes_inc` gone. Post-compaction the inc
+    * table's absence is the NORMAL state, so completion is marked by an
+    * explicit `_graft_done` file written LAST. */
+  private def ivfPqCompactIndexFor(s: SparkSession, d: String): String = {
+    val key = d.replaceAll("[^A-Za-z0-9._-]", "_")
+    val fp = contentKey(emb(s, d), Seq("vec_id", "embedding"))
+    val dir =
+      s"${System.getProperty("java.io.tmpdir")}/graft_ivfpqcmp_v1_k16_m8_ks16/${key}_$fp"
+    val done = new org.apache.hadoop.fs.Path(s"$dir/_graft_done")
+    val fs = done.getFileSystem(s.sparkContext.hadoopConfiguration)
+    if (!fs.exists(done)) {
+      Similarity.buildIvfPqIndex(emb(s, d).where(col("vec_id") % 10 =!= 0), dir)
+      Similarity.extendIvfPqIndex(emb(s, d), col("vec_id") % 10 === 0, dir,
+        incrementId = 1L)
+      Similarity.compactIvfPqIndex(s, dir)
+      fs.create(done).close()
+    }
+    dir
+  }
+
   /** Stored decontamination benchmark index for a corpus dir (the %7
     * bench split); builds it on first use, keyed by dir + content
     * fingerprint like [[ivfPqIndexFor]]. `meta` is the LAST table the
@@ -279,6 +302,24 @@ object LlmQueries {
     "knn_index_extend" -> ((s, d) =>
       Similarity.searchIvfPqIndex(emb(s, d), col("vec_id") < 10,
           ivfPqExtIndexFor(s, d), k = 10)
+        .orderBy("q_id", "rank")),
+
+    // index-maintenance COMPACTION: the same extend scenario with the
+    // increments folded into the base codes table (LSM-style) — search
+    // results are bit-identical to knn_index_extend's (spec-certified:
+    // quantization unchanged, rows just relocate), the probe now reads
+    // one cell-clustered table instead of base + per-drop directories
+    "knn_index_compact" -> ((s, d) =>
+      Similarity.searchIvfPqIndex(emb(s, d), col("vec_id") < 10,
+          ivfPqCompactIndexFor(s, d), k = 10)
+        .orderBy("q_id", "rank")),
+
+    // MMR diversified top-k (rows-only): greedy relevance-vs-redundancy
+    // re-rank of the top-5k candidate pool per query; lambda=1 degrades
+    // to knn_brute (spec-pinned), diversity gain spec-certified
+    "knn_mmr" -> ((s, d) =>
+      Similarity.mmrRerank(emb(s, d), col("vec_id") < 10, k = 10,
+          lambdaRel = 0.7)
         .orderBy("q_id", "rank")),
 
     "text_tokens" -> ((s, d) =>

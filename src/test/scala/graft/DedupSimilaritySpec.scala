@@ -538,6 +538,48 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(cross.isEmpty, s"unrelated cross pairs: ${cross.take(5)}")
   }
 
+  test("MMR rerank: lambda=1 equals brute top-k, diversity improves, deterministic") {
+    val emb = spark.read.parquet(s"$docsDir/embeddings.parquet")
+    val isQ = col("vec_id") < 5
+    // lambda=1: pure relevance — must reproduce knnBrute exactly
+    val pure = Similarity.mmrRerank(emb, isQ, k = 10, lambdaRel = 1.0)
+      .select("q_id", "n_id", "rank").as[(Long, Long, Long)].collect().toSeq.sorted
+    val brute = Similarity.knnBrute(emb, isQ, k = 10)
+      .select("q_id", "n_id", "rank").as[(Long, Long, Long)].collect().toSeq.sorted
+    assert(pure == brute)
+    // diversified: selected set is a subset of the candidate pool and
+    // its mean pairwise similarity never exceeds plain top-k's
+    val mmr = Similarity.mmrRerank(emb, isQ, k = 10, lambdaRel = 0.5)
+    val mmrRows = mmr.select("q_id", "n_id").as[(Long, Long)].collect()
+    val pool = Similarity.knnBrute(emb, isQ, k = 50)
+      .select("q_id", "n_id").as[(Long, Long)].collect().toSet
+    assert(mmrRows.forall(pool.contains))
+    val vecs = emb.select(col("vec_id"), col("embedding").cast("array<double>"))
+      .as[(Long, Array[Double])].collect().toMap
+    def cos(a: Array[Double], b: Array[Double]): Double = {
+      val dot = a.zip(b).map { case (x, y) => x * y }.sum
+      dot / (math.sqrt(a.map(x => x * x).sum) * math.sqrt(b.map(x => x * x).sum))
+    }
+    def meanPairSim(sel: Seq[Long]): Double = {
+      val ps = for (i <- sel.indices; j <- i + 1 until sel.size)
+        yield cos(vecs(sel(i)), vecs(sel(j)))
+      ps.sum / ps.size
+    }
+    val bruteByQ = Similarity.knnBrute(emb, isQ, k = 10)
+      .select("q_id", "n_id").as[(Long, Long)].collect()
+      .groupBy(_._1).map { case (q, r) => q -> r.map(_._2).toSeq }
+    val mmrByQ = mmrRows.groupBy(_._1).map { case (q, r) => q -> r.map(_._2).toSeq }
+    val diffs = bruteByQ.keys.map(q => meanPairSim(bruteByQ(q)) - meanPairSim(mmrByQ(q)))
+    assert(diffs.forall(_ >= -1e-9), "MMR must never be LESS diverse than top-k")
+    assert(diffs.exists(_ > 1e-6), "MMR should measurably diversify some query")
+    // ranks contiguous per query; deterministic under repartitioning
+    assert(mmrByQ.values.forall(_.size == 10))
+    val again = Similarity.mmrRerank(emb.repartition(7), isQ, k = 10, lambdaRel = 0.5)
+      .select("q_id", "n_id", "rank").as[(Long, Long, Long)].collect().toSeq.sorted
+    assert(again == mmr.select("q_id", "n_id", "rank")
+      .as[(Long, Long, Long)].collect().toSeq.sorted)
+  }
+
   test("hard negatives: never same-label, k per query, equals label-filtered brute kNN") {
     val e = Ingestor.table(spark, sf(), "embeddings")
     val out = Similarity.hardNegatives(e, col("vec_id") < 10, k = 5)
