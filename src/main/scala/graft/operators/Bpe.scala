@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import scala.collection.mutable
@@ -272,5 +272,58 @@ object Bpe {
         when(col("n_bpe_tokens") > 0,
           col("n_base_symbols").cast("double") / col("n_bpe_tokens"))
           .otherwise(lit(1.0)), 6))
+  }
+
+  /** Tokenizer-fit audit per group (language / source / domain): encode
+    * with a — typically [[load]]ed — model and report, per group, the
+    * three numbers a tokenizer-release review reads:
+    *  - `fertility`: BPE tokens per pre-tokenizer word (≥ 1 by
+    *    construction — merges never cross words; high fertility on a
+    *    language means its words fragment, the inequity signal of
+    *    Ahia et al. 2023 "Do All Languages Cost the Same?");
+    *  - `chars_per_token`: base symbols per emitted token — the
+    *    compression the vocab actually buys this group;
+    *  - `unmerged_frac`: fraction of emitted tokens that are SINGLE
+    *    base symbols. A BPE vocab is never OOV — it degrades to
+    *    characters — and this measures exactly that degradation
+    *    (high = the group's script/vocabulary is effectively outside
+    *    the merge table).
+    * Cost: one map-side [[encode]] pass (no training), one doc-sized
+    * equi-join of token stats back to the group column, one
+    * group-sized aggregate — no vocabulary-sized shuffle anywhere, so
+    * at 100 TB this is an encode-pass rider like [[tokenStatsWith]]. */
+  def tokenizerCoverage(model: BpeModel, docs: DataFrame,
+                        groupCol: String = "lang",
+                        idCol: String = "doc_id",
+                        textCol: String = "text"): DataFrame = {
+    val symCount = (t: Column) =>
+      length(t) - when(t.endsWith(EndOfWord), lit(EndOfWord.length)).otherwise(0)
+    val perDoc = encode(model, docs, idCol, textCol)
+      .select(col(idCol),
+        size(col("tokens")).cast("long").as("n_tokens"),
+        aggregate(col("tokens"), lit(0L), (acc, t) => acc + symCount(t))
+          .as("n_base_symbols"),
+        size(filter(col("tokens"), t => symCount(t) <= 1)).cast("long")
+          .as("n_unmerged"))
+    val words = docs.select(col(idCol), col(groupCol),
+      size(regexp_extract_all(col(textCol), lit(TextAnalysis.bpeishPattern), lit(0)))
+        .cast("long").as("n_words"))
+    words.join(perDoc, idCol)
+      .groupBy(groupCol)
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum("n_words").as("n_words"),
+        sum("n_tokens").as("n_tokens"),
+        sum("n_base_symbols").as("n_base_symbols"),
+        sum("n_unmerged").as("n_unmerged"))
+      .withColumn("fertility", round(
+        when(col("n_words") > 0, col("n_tokens").cast("double") / col("n_words"))
+          .otherwise(lit(0.0)), 6))
+      .withColumn("chars_per_token", round(
+        when(col("n_tokens") > 0, col("n_base_symbols").cast("double") / col("n_tokens"))
+          .otherwise(lit(0.0)), 6))
+      .withColumn("unmerged_frac", round(
+        when(col("n_tokens") > 0, col("n_unmerged").cast("double") / col("n_tokens"))
+          .otherwise(lit(0.0)), 6))
   }
 }

@@ -409,29 +409,108 @@ object TextAnalysis {
     * n_bigrams=0, null score. */
   def bigramLogProb(docs: DataFrame, textCol: String = "text",
                     lambda: Double = 0.75): DataFrame = {
-    val w = docs.select(col("doc_id"), wordTokens(col(textCol)).as("w"))
+    val w = tokenArrays(docs, textCol)
     val toks = w.select(col("doc_id"), explode(col("w")).as("a"))
     val uni = toks.groupBy("a").agg(count(lit(1)).as("ca"))
     val total = uni.agg(sum("ca").as("total"))
-    val pairs = w.where(size(col("w")) >= 2).select(col("doc_id"),
+    val bi = bigramPairs(w).groupBy("a", "b").agg(count(lit(1)).as("cab"))
+    scoreBigramsWith(docs, textCol, uni, bi, total, lambda)
+  }
+
+  private def tokenArrays(docs: DataFrame, textCol: String) =
+    docs.select(col("doc_id"), wordTokens(col(textCol)).as("w"))
+
+  private def bigramPairs(w: DataFrame) =
+    w.where(size(col("w")) >= 2).select(col("doc_id"),
       explode(transform(sequence(lit(0), size(col("w")) - 2),
         i => struct(element_at(col("w"), i + 1).as("a"),
           element_at(col("w"), i + 2).as("b")))).as("p"))
       .select(col("doc_id"), col("p.a").as("a"), col("p.b").as("b"))
-    val bi = pairs.groupBy("a", "b").agg(count(lit(1)).as("cab"))
+
+  /** Shared scoring tail for the in-flight and stored bigram-LM paths
+    * (they can never diverge on text the LM has seen). Count joins are
+    * LEFT so a STORED model can score text outside its training pool:
+    * an unseen history contributes only the continuation term; an
+    * unseen continuation word gets a half-count floor instead of
+    * ln(0) = −∞ (Jelinek-Mercer keeps no mass for unseen continuations;
+    * the floor is the standard fix and touches no seen path — on the
+    * training pool every count exists and the arithmetic is
+    * bit-identical to the inner-join form). */
+  private def scoreBigramsWith(docs: DataFrame, textCol: String,
+                               uni: DataFrame, bi: DataFrame,
+                               total: DataFrame, lambda: Double): DataFrame = {
+    val pairs = bigramPairs(tokenArrays(docs, textCol))
     val scored = pairs
-      .join(bi, Seq("a", "b"))
-      .join(uni, Seq("a"))
-      .join(uni.select(col("a").as("b"), col("ca").as("cb")), Seq("b"))
+      .join(bi, Seq("a", "b"), "left")
+      .join(uni, Seq("a"), "left")
+      .join(uni.select(col("a").as("b"), col("ca").as("cb")), Seq("b"), "left")
       .crossJoin(broadcast(total))
       .withColumn("lp", dec(log(
-        lit(lambda) * col("cab") / col("ca") +
-          lit(1.0 - lambda) * col("cb") / col("total"))))
+        when(col("ca").isNotNull,
+          lit(lambda) * coalesce(col("cab"), lit(0L)) / col("ca"))
+          .otherwise(lit(0.0)) +
+          lit(1.0 - lambda) * coalesce(col("cb"), lit(0.5)) / col("total"))))
     val agg = scored.groupBy("doc_id").agg(
       count(lit(1)).as("n_bigrams"),
       round(sum(col("lp")).cast("double") / count(lit(1)), 6).as("avg_logprob"))
     docs.select("doc_id").join(agg, Seq("doc_id"), "left")
       .withColumn("n_bigrams", coalesce(col("n_bigrams"), lit(0L)))
+  }
+
+  /** Persist the bigram LM's count tables — `uni` (a, ca), `bi`
+    * (a, b, cab), and `meta` (corpus token total), meta written LAST so
+    * its presence implies a complete model (the same crash-safe build
+    * marker as the stored dedup/ANN/decontamination artifacts). Both
+    * count relations are vocabulary-sized, never corpus-sized. */
+  def buildBigramLm(docs: DataFrame, dir: String,
+                    textCol: String = "text"): Unit = {
+    val w = tokenArrays(docs, textCol)
+    val uni = w.select(col("doc_id"), explode(col("w")).as("a"))
+      .groupBy("a").agg(count(lit(1)).as("ca"))
+    uni.write.mode("overwrite").parquet(s"$dir/uni")
+    bigramPairs(w).groupBy("a", "b").agg(count(lit(1)).as("cab"))
+      .write.mode("overwrite").parquet(s"$dir/bi")
+    val spark = docs.sparkSession
+    spark.read.parquet(s"$dir/uni").agg(sum("ca").as("total"))
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/meta")
+  }
+
+  /** Score a pool against a STORED bigram LM ([[buildBigramLm]]) — the
+    * train-once/score-forever form of [[bigramLogProb]]: per run, one
+    * pool tokenize + the count-table joins, zero training-side work.
+    * On the LM's own training pool the output is byte-identical to the
+    * in-flight path (shared scoring tail, all counts present). */
+  def bigramLogProbStored(docs: DataFrame, dir: String,
+                          textCol: String = "text",
+                          lambda: Double = 0.75): DataFrame = {
+    val spark = docs.sparkSession
+    scoreBigramsWith(docs, textCol,
+      spark.read.parquet(s"$dir/uni"),
+      spark.read.parquet(s"$dir/bi"),
+      spark.read.parquet(s"$dir/meta"), lambda)
+  }
+
+  /** Wordlist (blocklist) screen — the C4-style "badwords" filtering
+    * stage: per doc, total and distinct blocklist-token occurrences
+    * over the standard word tokenization, plus the drop flag — emitted
+    * as an AUDIT (every doc kept, callers filter on `blocked`) so the
+    * same pass feeds both the filter and the attrition report. Pure
+    * per-doc column expressions against a literal term array: no join,
+    * no shuffle, rides the corpus scan. A blocklist too large for a
+    * literal array becomes a broadcast semi-join on exploded tokens —
+    * same semantics, still no corpus shuffle. */
+  def blocklistScreen(docs: DataFrame, terms: Seq[String],
+                      textCol: String = "text"): DataFrame = {
+    require(terms.nonEmpty, "blocklist must be non-empty")
+    val list = terms.map(_.toLowerCase(java.util.Locale.ROOT)).distinct
+    val litArr = array(list.map(lit): _*)
+    val toks = wordTokens(col(textCol))
+    docs
+      .withColumn("n_blocked",
+        size(filter(toks, t => t.isin(list: _*))).cast("long"))
+      .withColumn("n_distinct_blocked",
+        size(array_intersect(array_distinct(toks), litArr)).cast("long"))
+      .withColumn("blocked", col("n_blocked") > 0)
   }
 
   /** Content fingerprints: exact (md5 of the raw text) and structural

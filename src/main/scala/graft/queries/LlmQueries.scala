@@ -171,6 +171,21 @@ object LlmQueries {
     dir
   }
 
+  /** Stored bigram LM for a corpus dir; counts built on first use,
+    * fingerprint-keyed. `meta` is written LAST by the build, so its
+    * presence implies a complete model. */
+  private def bigramLmFor(s: SparkSession, d: String): String = {
+    val key = d.replaceAll("[^A-Za-z0-9._-]", "_")
+    val fp = contentKey(docs(s, d), Seq("doc_id", "text"))
+    val dir =
+      s"${System.getProperty("java.io.tmpdir")}/graft_bigramlm_v1/${key}_$fp"
+    val done = new org.apache.hadoop.fs.Path(s"$dir/meta")
+    val fs = done.getFileSystem(s.sparkContext.hadoopConfiguration)
+    if (!fs.exists(done))
+      TextAnalysis.buildBigramLm(docs(s, d), dir)
+    dir
+  }
+
   /** Stored BPE merge table for a corpus dir; trains on first use,
     * fingerprint-keyed. Parquet's `_SUCCESS` marker (committed last)
     * is the completeness check for this single-table artifact. */
@@ -723,6 +738,32 @@ object LlmQueries {
       TextAnalysis.bigramLogProb(docs(s, d))
         .select("doc_id", "n_bigrams", "avg_logprob").orderBy("doc_id")),
 
+    // probe phase: the STORED count tables (built once per corpus
+    // release) score the pool — one pool tokenize + vocabulary-sized
+    // count joins, zero training-side work; same oracle as
+    // text_bigram_lp because the scoring tail is shared and every
+    // count exists on the training pool
+    "text_bigram_lp_stored" -> ((s, d) =>
+      TextAnalysis.bigramLogProbStored(docs(s, d), bigramLmFor(s, d))
+        .select("doc_id", "n_bigrams", "avg_logprob").orderBy("doc_id")),
+
+    // C4-style badwords screen as an audit: occurrence + distinct-hit
+    // counts and the drop flag, every doc kept — pure per-doc column
+    // expressions, no join, no shuffle
+    "text_blocklist" -> ((s, d) =>
+      TextAnalysis.blocklistScreen(docs(s, d),
+          Seq("merge", "stream", "batch"))
+        .select("doc_id", "n_blocked", "n_distinct_blocked", "blocked")
+        .orderBy("doc_id")),
+
+    // tokenizer-fit audit: per-language fertility / compression /
+    // character-fallback fraction of the STORED merge table — the
+    // release review a multilingual tokenizer gets (rows-only; the
+    // encode has no SQL replica, properties spec-certified)
+    "text_tokenizer_audit" -> ((s, d) =>
+      Bpe.tokenizerCoverage(Bpe.load(s, bpeMergesFor(s, d)), docs(s, d))
+        .orderBy("lang")),
+
     "text_repetition" -> ((s, d) =>
       TextAnalysis.repetitionSignals(docs(s, d))
         .select("doc_id", "n_words", "n_uniq_words", "n_bigrams", "top_bigram_n",
@@ -958,6 +999,27 @@ object LlmQueries {
   /** Shared by `corpus_dsir` and `corpus_dsir_probe`: the stored-model
     * probe selects identically to the in-flight form (same data, same
     * model parameters, same seed), so both verify against this SQL. */
+  private val oracleBigramSql: String =
+    """WITH t AS (SELECT doc_id,
+      |   [x for x in regexp_split_to_array(lower(text), '[^a-z0-9]+') if x <> ''] AS w
+      |  FROM documents),
+      | uni AS (SELECT u.term AS a, CAST(COUNT(*) AS BIGINT) AS ca
+      |  FROM t, UNNEST(w) AS u(term) GROUP BY u.term),
+      | tot AS (SELECT CAST(SUM(ca) AS BIGINT) AS total FROM uni),
+      | bg AS (SELECT doc_id, w[i] AS a, w[i+1] AS b
+      |  FROM t, UNNEST(range(1, len(w))) AS r(i) WHERE len(w) >= 2),
+      | cb AS (SELECT a, b, CAST(COUNT(*) AS BIGINT) AS cab FROM bg GROUP BY a, b),
+      | scored AS (SELECT bg.doc_id,
+      |   CAST(ln(0.75 * cb.cab / ua.ca + 0.25 * ub.ca / tot.total) AS DECIMAL(38,6)) AS lp
+      |  FROM bg JOIN cb USING (a, b) JOIN uni ua ON bg.a = ua.a
+      |   JOIN uni ub ON bg.b = ub.a, tot),
+      | agg AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+      |   round(CAST(SUM(lp) AS DOUBLE) / COUNT(*), 6) AS avg_logprob
+      |  FROM scored GROUP BY doc_id)
+      |SELECT d.doc_id, COALESCE(a.n_bigrams, CAST(0 AS BIGINT)) AS n_bigrams, a.avg_logprob
+      |FROM documents d LEFT JOIN agg a ON d.doc_id = a.doc_id
+      |ORDER BY d.doc_id""".stripMargin
+
   private val oracleDsirSql: String =
     """WITH t AS (SELECT doc_id, (source = 'src0') AS tgt,
       |   [x for x in regexp_split_to_array(lower(text), '[^a-z0-9]+') if x <> ''] AS w
@@ -1538,26 +1600,21 @@ object LlmQueries {
         |FROM documents d LEFT JOIN agg a ON d.doc_id = a.doc_id
         |ORDER BY d.doc_id""".stripMargin,
 
-    "text_bigram_lp" ->
+    "text_bigram_lp" -> oracleBigramSql,
+
+    // the stored probe scores the LM's own training pool through the
+    // shared tail (every count present), so its oracle is verbatim
+    "text_bigram_lp_stored" -> oracleBigramSql,
+
+    "text_blocklist" ->
       """WITH t AS (SELECT doc_id,
         |   [x for x in regexp_split_to_array(lower(text), '[^a-z0-9]+') if x <> ''] AS w
-        |  FROM documents),
-        | uni AS (SELECT u.term AS a, CAST(COUNT(*) AS BIGINT) AS ca
-        |  FROM t, UNNEST(w) AS u(term) GROUP BY u.term),
-        | tot AS (SELECT CAST(SUM(ca) AS BIGINT) AS total FROM uni),
-        | bg AS (SELECT doc_id, w[i] AS a, w[i+1] AS b
-        |  FROM t, UNNEST(range(1, len(w))) AS r(i) WHERE len(w) >= 2),
-        | cb AS (SELECT a, b, CAST(COUNT(*) AS BIGINT) AS cab FROM bg GROUP BY a, b),
-        | scored AS (SELECT bg.doc_id,
-        |   CAST(ln(0.75 * cb.cab / ua.ca + 0.25 * ub.ca / tot.total) AS DECIMAL(38,6)) AS lp
-        |  FROM bg JOIN cb USING (a, b) JOIN uni ua ON bg.a = ua.a
-        |   JOIN uni ub ON bg.b = ub.a, tot),
-        | agg AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_bigrams,
-        |   round(CAST(SUM(lp) AS DOUBLE) / COUNT(*), 6) AS avg_logprob
-        |  FROM scored GROUP BY doc_id)
-        |SELECT d.doc_id, COALESCE(a.n_bigrams, CAST(0 AS BIGINT)) AS n_bigrams, a.avg_logprob
-        |FROM documents d LEFT JOIN agg a ON d.doc_id = a.doc_id
-        |ORDER BY d.doc_id""".stripMargin,
+        |  FROM documents)
+        |SELECT doc_id,
+        | CAST(len([x for x in w if list_contains(['merge','stream','batch'], x)]) AS BIGINT) AS n_blocked,
+        | CAST(len(list_intersect(list_distinct(w), ['merge','stream','batch'])) AS BIGINT) AS n_distinct_blocked,
+        | len([x for x in w if list_contains(['merge','stream','batch'], x)]) > 0 AS blocked
+        |FROM t ORDER BY doc_id""".stripMargin,
 
     "text_repetition" ->
       """WITH t AS (SELECT doc_id,

@@ -156,6 +156,34 @@ class BpeSpec extends SparkSpec {
     }
   }
 
+  test("tokenizer coverage: fertility >= 1, totals agree with tokenStats, OOV pool degrades") {
+    val model = Bpe.train(docs, numMerges = 200)
+    val cov = Bpe.tokenizerCoverage(model, docs)
+      .orderBy("lang").collect()
+    assert(cov.nonEmpty)
+    cov.foreach { r =>
+      val (words, toks) = (r.getAs[Long]("n_words"), r.getAs[Long]("n_tokens"))
+      assert(words > 0 && toks >= words, "BPE merges never cross words")
+      assert(r.getAs[Double]("fertility") >= 1.0)
+      val uf = r.getAs[Double]("unmerged_frac")
+      assert(uf >= 0.0 && uf <= 1.0)
+      assert(r.getAs[Double]("chars_per_token") >= 1.0)
+    }
+    // group sums reconcile with the per-doc stats path (shared encoder)
+    val tok = Bpe.tokenStatsWith(model, docs)
+      .agg(sum("n_bpe_tokens"), sum("n_base_symbols"))
+      .as[(Long, Long)].head()
+    assert(cov.map(_.getAs[Long]("n_tokens")).sum == tok._1)
+    assert(cov.map(_.getAs[Long]("n_base_symbols")).sum == tok._2)
+    // a vocabulary the model never saw must fall back to characters
+    // harder than the training corpus does
+    val oov = Seq((900001L, "xq", "zyxwvut qponml kjihgf xqzzyy wvutsrq"))
+      .toDF("doc_id", "lang", "text")
+    val covOov = Bpe.tokenizerCoverage(model, oov).collect()(0)
+    val trainUf = cov.map(_.getAs[Double]("unmerged_frac")).max
+    assert(covOov.getAs[Double]("unmerged_frac") > trainUf)
+  }
+
   test("stored-merge encoding agrees with the train-then-encode form (text_bpe_stored)") {
     // the probe entry's contract: a merge table saved at release time
     // and reloaded later must produce byte-identical per-doc stats to

@@ -112,6 +112,47 @@ class TextMultimodalSpec extends SparkSpec {
     assert(again == out)
   }
 
+  test("stored bigram LM: probe == in-flight on the pool, finite on unseen text") {
+    val pool = Seq(
+      (1L, "the cat sat on the mat"),
+      (2L, "the dog sat on the rug"),
+      (3L, "a cat and a dog")).toDF("doc_id", "text")
+    val dir = java.nio.file.Files.createTempDirectory("graft_bglm").toString
+    TextAnalysis.buildBigramLm(pool, dir)
+    val fresh = TextAnalysis.bigramLogProb(pool)
+      .select("doc_id", "n_bigrams", "avg_logprob").orderBy("doc_id")
+      .as[(Long, Long, Double)].collect().toSeq
+    val stored = TextAnalysis.bigramLogProbStored(pool, dir)
+      .select("doc_id", "n_bigrams", "avg_logprob").orderBy("doc_id")
+      .as[(Long, Long, Double)].collect().toSeq
+    assert(stored == fresh)
+    // unseen text: unseen history/continuation words must yield finite
+    // scores (half-count floor), and rarer transitions score lower
+    val unseen = Seq(
+      (10L, "the cat sat on the mat"),      // all seen
+      (11L, "zebra quagga okapi zebra"))    // nothing seen
+      .toDF("doc_id", "text")
+    val out = TextAnalysis.bigramLogProbStored(unseen, dir)
+      .orderBy("doc_id").select("doc_id", "n_bigrams", "avg_logprob")
+      .as[(Long, Long, Double)].collect()
+    assert(out.forall(r => !r._3.isNaN && !r._3.isInfinite))
+    assert(out(0)._3 > out(1)._3, "fully-unseen text must score lower")
+  }
+
+  test("blocklist screen: exact counts, distinct hits, audit keeps all docs") {
+    val docs = Seq(
+      (1L, "clean text here"),
+      (2L, "bad BAD worse"),
+      (3L, "bad-adjacent badger")).toDF("doc_id", "text") // badger != bad
+    val out = TextAnalysis.blocklistScreen(docs, Seq("bad", "worse"))
+      .select("doc_id", "n_blocked", "n_distinct_blocked", "blocked")
+      .orderBy("doc_id").as[(Long, Long, Long, Boolean)].collect().toSeq
+    assert(out == Seq(
+      (1L, 0L, 0L, false),
+      (2L, 3L, 2L, true),   // bad, BAD (case-folded), worse
+      (3L, 1L, 1L, true)))  // "bad-adjacent" tokenizes to bad + adjacent
+  }
+
   test("corpusDatasheet: group rows, rollup subtotals, dup + pii counts") {
     val docs = Seq(
       (1L, "en", "web", "the cat sat"),
