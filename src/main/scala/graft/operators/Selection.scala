@@ -70,6 +70,50 @@ object Selection {
       .select(col(idCol), col("n_tokens"), col("quality_score"), col("cum_tokens"))
   }
 
+  /** Max-min fair ("water-filling") token-budget allocation across
+    * domains — the budget-split step BEFORE sampling: given each
+    * domain's token count n_i and a total budget B, every domain gets
+    * alloc_i = min(n_i, θ) with the water level θ set so the budget is
+    * exactly spent (domains smaller than θ are fully satisfied, the
+    * rest share the remainder equally — the allocation that maximises
+    * the minimum per-domain share, the classic fairness objective).
+    * If B ≥ Σn_i every domain is satisfied. Feed the output to
+    * [[Splits.mixture]]/[[Splits.capPerDomain]] as per-domain targets.
+    *
+    * Everything after the one corpus-scan count aggregate runs on the
+    * DOMAIN-sized relation: the classic sorted-prefix construction —
+    * domain j (ascending by n) is satisfied iff P_{j−1} + (m−j+1)·n_j
+    * ≤ B — as one domain-sized window plus a broadcast one-row
+    * aggregate; θ and allocations round to 6dp, engine-exact.
+    * Output (domain, n_tokens, satisfied, allocated). */
+  def waterFill(docs: DataFrame, domainCol: String, budget: Double,
+                textCol: String = "text"): DataFrame = {
+    require(budget > 0, "budget must be positive")
+    import graft.functions.wsTokenCount
+    val sizes = docs
+      .select(col(domainCol), wsTokenCount(col(textCol)).as("__t"))
+      .groupBy(domainCol).agg(sum("__t").as("n_tokens"))
+    val w = Window.orderBy(col("n_tokens"), col(domainCol))
+    val wAll = Window.partitionBy(lit(1))
+    val marked = sizes
+      .withColumn("__p", sum("n_tokens").over(w))
+      .withColumn("__j", row_number().over(w).cast("long"))
+      .withColumn("__m", count(lit(1)).over(wAll))
+      .withColumn("satisfied",
+        (col("__p") - col("n_tokens")) +
+          (col("__m") - col("__j") + 1) * col("n_tokens") <= lit(budget))
+    val agg = marked.agg(
+      coalesce(sum(when(col("satisfied"), col("n_tokens"))), lit(0L)).as("__s"),
+      sum(when(col("satisfied"), 1L).otherwise(0L)).as("__k"),
+      count(lit(1)).as("__mm"))
+    marked.crossJoin(broadcast(agg))
+      .withColumn("allocated", round(
+        when(col("satisfied"), col("n_tokens").cast("double"))
+          .otherwise((lit(budget) - col("__s")) / (col("__mm") - col("__k"))),
+        6))
+      .select(col(domainCol), col("n_tokens"), col("satisfied"), col("allocated"))
+  }
+
   /** DSIR-style importance resampling (Xie et al. 2023, "Data Selection
     * for Language Models via Importance Resampling"): pick raw-pool
     * docs whose hashed-n-gram feature distribution looks like a TARGET

@@ -825,6 +825,50 @@ object Similarity {
     pqSearch(e, codes, centArr, cb, col("__q"), k, nprobe, refine, dim)
   }
 
+  /** Embedding-space DRIFT between two corpus releases — the vector
+    * twin of [[Cdc.distributionDrift]]: a release can hold categorical
+    * composition steady while the embedding distribution silently moves
+    * (new encoder checkpoint, upstream content shift), so per label
+    * this compares the two releases' centroids directly: cosine between
+    * them (1 = no directional drift) and the L2 shift, beside both
+    * sides' counts. Missing-on-one-side labels surface with null
+    * geometry rather than vanishing (full outer join on the label).
+    *
+    * Scale: two [[labelCentroids]] passes (shuffle = labels × dim
+    * each), then everything runs on the labels × dim centroid relation
+    * — corpus vectors are scanned once per side and never joined.
+    * Determinism: centroids are 6dp ([[labelCentroids]]), per-dimension
+    * products fix to exact decimals before the label sums, results
+    * round to 6dp — engine-exact. */
+  def centroidDrift(oldEmb: DataFrame, newEmb: DataFrame,
+                    labelCol: String = "label",
+                    vecCol: String = "embedding"): DataFrame = {
+    val o = labelCentroids(oldEmb, labelCol, vecCol)
+      .select(col(labelCol), col("pos"), col("centroid").as("c_old"),
+        col("n_vecs").as("n_old"))
+    val n = labelCentroids(newEmb, labelCol, vecCol)
+      .select(col(labelCol), col("pos"), col("centroid").as("c_new"),
+        col("n_vecs").as("n_new"))
+    o.join(n, Seq(labelCol, "pos"), "full_outer")
+      .groupBy(labelCol)
+      .agg(
+        max(col("n_old")).as("n_old"),
+        max(col("n_new")).as("n_new"),
+        dsum(col("c_old") * col("c_new")).as("__dot"),
+        dsum(col("c_old") * col("c_old")).as("__no"),
+        dsum(col("c_new") * col("c_new")).as("__nn"),
+        dsum((col("c_old") - col("c_new")) * (col("c_old") - col("c_new")))
+          .as("__d2"))
+      .withColumn("cos_sim",
+        when(col("__no") > 0 && col("__nn") > 0,
+          round(col("__dot") / (sqrt(col("__no")) * sqrt(col("__nn"))), 6)))
+      .withColumn("l2_shift",
+        when(col("n_old").isNotNull && col("n_new").isNotNull,
+          round(sqrt(col("__d2")), 6)))
+      .select(col(labelCol), col("n_old"), col("n_new"),
+        col("cos_sim"), col("l2_shift"))
+  }
+
   /** LSH-bucketed approximate top-k: candidates = corpus vectors sharing
     * any (table, bucket) with the query; exact cosine re-rank within the
     * candidate set. Recall is tunable via tables × bits (more tables =

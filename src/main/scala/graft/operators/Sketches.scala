@@ -174,6 +174,43 @@ object Sketches {
     * Spark's 1/relative-rank-error knob: 10000 ≈ rank error ≤ 0.01%.
     * Array-form for the same reason as [[percentiles]]: one quantile
     * summary per group, not one per fraction. */
+  /** Distributed SQL `percent_rank()` of a BOUNDED value column —
+    * (rank−1)/(n−1), ties share a rank — appended as `outCol`, without
+    * the single-task global window the naive form costs: deterministic
+    * arithmetic buckets over [lo, hi] (equal values always land in the
+    * same bucket, so tie groups never straddle a boundary), a
+    * per-bucket rank window, and a driver-side exclusive prefix over
+    * the buckets-sized count table — the same two-level shape as
+    * [[Selection.selectByBudget]] / [[Splits.shufflePositions]].
+    * Values outside [lo, hi] must be clamped by the caller (clamping
+    * is a semantic choice — e.g. "below −30 avg-logprob is equally
+    * garbage" — not a mechanical one). */
+  def percentRank(df: DataFrame, valueCol: String, outCol: String,
+                  lo: Double, hi: Double, buckets: Int = 4096): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(hi > lo, "hi must exceed lo")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val b = least(greatest(
+      floor((col(valueCol) - lit(lo)) / lit(hi - lo) * buckets), lit(0L)),
+      lit(buckets - 1L)).cast("long")
+    val base = df.withColumn("__pr_bucket", b)
+    val totals = base.groupBy("__pr_bucket").agg(count(lit(1)).as("c"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).sortBy(_._1)
+    val n = totals.map(_._2).sum
+    val offsets = totals.scanLeft((Long.MinValue, 0L)) {
+      case ((_, acc), (bk, c)) => (bk, acc + c)
+    }.tail.zip(totals).map { case ((bk, end), (_, c)) => (bk, end - c) }
+    val w = Window.partitionBy("__pr_bucket").orderBy(col(valueCol))
+    base
+      .join(broadcast(offsets.toSeq.toDF("__pr_bucket", "__pr_off")), "__pr_bucket")
+      .withColumn(outCol,
+        if (n <= 1) lit(0.0)
+        else round((col("__pr_off") + rank().over(w) - lit(1L)).cast("double") /
+          lit((n - 1).toDouble), 6))
+      .drop("__pr_bucket", "__pr_off")
+  }
+
   def approxPercentiles(df: DataFrame, valueCol: String,
                         groupCols: Seq[String],
                         fractions: Seq[Double] = Seq(0.5, 0.9, 0.99),

@@ -490,6 +490,36 @@ object TextAnalysis {
       spark.read.parquet(s"$dir/meta"), lambda)
   }
 
+  /** Multi-signal quality ENSEMBLE (the FineWeb-style "blend of weak
+    * signals beats any one" curation scorer): rank-normalize three
+    * independent quality families — the heuristic surface score
+    * ([[qualityScore]]), statistical-LM fit ([[unigramLogProb]],
+    * clamped to [−30, 0] so degenerate docs tie at the floor instead of
+    * stretching the scale), and vocabulary diversity
+    * ([[repetitionSignals]]' unique-word ratio) — to percent-ranks
+    * (scale-free, so no signal dominates by unit) and average them.
+    * Rank-normalization uses [[Sketches.percentRank]]'s two-level
+    * bucketed form: no global single-task window anywhere, each signal
+    * costs one bucket count table + one per-bucket window. Output
+    * percent-ranks and the blend are 6dp, engine-exact. */
+  def qualityBlend(docs: DataFrame, textCol: String = "text"): DataFrame = {
+    val q = qualityScore(docs, textCol).select(col("doc_id"), col("quality_score"))
+    val lm = unigramLogProb(docs, textCol).select(col("doc_id"),
+      greatest(coalesce(col("avg_logprob"), lit(-30.0)), lit(-30.0)).as("lm_score"))
+    val rep = repetitionSignals(docs, textCol).select(col("doc_id"),
+      coalesce(col("uniq_word_ratio"), lit(0.0)).as("uniq_ratio"))
+    val joined = q.join(lm, "doc_id").join(rep, "doc_id")
+    val ranked = Seq(
+      ("quality_score", "pr_quality", 0.0, 1.0),
+      ("lm_score", "pr_lm", -30.0, 0.0),
+      ("uniq_ratio", "pr_uniq", 0.0, 1.0))
+      .foldLeft(joined) { case (df, (in, out, lo, hi)) =>
+        Sketches.percentRank(df, in, out, lo, hi)
+      }
+    ranked.withColumn("blend",
+      round((col("pr_quality") + col("pr_lm") + col("pr_uniq")) / 3, 6))
+  }
+
   /** Wordlist (blocklist) screen — the C4-style "badwords" filtering
     * stage: per doc, total and distinct blocklist-token occurrences
     * over the standard word tokenization, plus the drop flag — emitted

@@ -764,6 +764,33 @@ object LlmQueries {
       Bpe.tokenizerCoverage(Bpe.load(s, bpeMergesFor(s, d)), docs(s, d))
         .orderBy("lang")),
 
+    // multi-signal quality ensemble: percent-rank-normalized heuristic
+    // quality + unigram-LM fit + vocabulary diversity, averaged — the
+    // FineWeb-style blend; every rank via the two-level bucketed
+    // percent_rank (no global single-task window)
+    "text_quality_blend" -> ((s, d) =>
+      TextAnalysis.qualityBlend(docs(s, d))
+        .select("doc_id", "pr_quality", "pr_lm", "pr_uniq", "blend")
+        .orderBy("doc_id")),
+
+    // embedding-space drift between releases: per-label centroid cosine
+    // + L2 shift over the same %5 release split as corpus_drift — the
+    // vector twin of the categorical drift report
+    "emb_drift" -> ((s, d) => {
+      val all = emb(s, d)
+      Similarity.centroidDrift(
+          all.where(col("vec_id") % 5 =!= 4),
+          all.where(col("vec_id") % 5 =!= 0))
+        .orderBy("label")
+    }),
+
+    // max-min fair token-budget split across domains (water-filling):
+    // small domains fully satisfied, the rest share the remainder at
+    // the water level — domain-sized arithmetic after one count scan
+    "corpus_budget_fill" -> ((s, d) =>
+      Selection.waterFill(docs(s, d), "source", budget = 26000.0)
+        .orderBy("source")),
+
     "text_repetition" -> ((s, d) =>
       TextAnalysis.repetitionSignals(docs(s, d))
         .select("doc_id", "n_words", "n_uniq_words", "n_bigrams", "top_bigram_n",
@@ -1605,6 +1632,89 @@ object LlmQueries {
     // the stored probe scores the LM's own training pool through the
     // shared tail (every count present), so its oracle is verbatim
     "text_bigram_lp_stored" -> oracleBigramSql,
+
+    "text_quality_blend" ->
+      """WITH w AS (SELECT doc_id,
+        |   [x for x in regexp_split_to_array(lower(text), '[^a-z0-9]+') if x <> ''] AS w
+        |  FROM documents),
+        | q AS (SELECT doc_id,
+        |   round(0.4 * least(1.0, toks / 100.0) + 0.3 * (alpha / n)
+        |     + 0.2 * (1.0 - (n - alpha - digits - ws) / n)
+        |     + 0.1 * least(1.0, stops / toks * 5.0), 6) AS quality_score
+        |  FROM (SELECT doc_id,
+        |    CAST(length(text) AS BIGINT) AS n,
+        |    CAST(length(text) - length(regexp_replace(text, '[A-Za-z]', '', 'g')) AS BIGINT) AS alpha,
+        |    CAST(length(text) - length(regexp_replace(text, '[0-9]', '', 'g')) AS BIGINT) AS digits,
+        |    CAST(length(text) - length(regexp_replace(text, '\s', '', 'g')) AS BIGINT) AS ws,
+        |    CAST(len([x for x in regexp_split_to_array(text, '\s+') if x <> '']) AS BIGINT) AS toks,
+        |    CAST(len(regexp_extract_all(lower(text), '\b(the|and|of|to|a|in|is|it|that|for)\b')) AS BIGINT) AS stops
+        |   FROM documents)),
+        | toks AS (SELECT doc_id, u.term AS term FROM w, UNNEST(w.w) AS u(term)),
+        | vocab AS (SELECT term, CAST(COUNT(*) AS BIGINT) AS c FROM toks GROUP BY term),
+        | tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS total FROM toks),
+        | lp AS (SELECT doc_id,
+        |   round(CAST(SUM(CAST(ln(v.c / tot.total) AS DECIMAL(38,6))) AS DOUBLE) / COUNT(*), 6) AS avg_logprob
+        |  FROM toks t JOIN vocab v ON t.term = v.term, tot GROUP BY doc_id),
+        | rep AS (SELECT doc_id, CASE WHEN len(w) = 0 THEN 0.0
+        |   ELSE round(CAST(len(list_distinct(w)) AS DOUBLE) / len(w), 6) END AS uniq_ratio FROM w),
+        | j AS (SELECT q.doc_id, q.quality_score,
+        |   greatest(coalesce(lp.avg_logprob, CAST(-30.0 AS DOUBLE)), CAST(-30.0 AS DOUBLE)) AS lm_score,
+        |   coalesce(rep.uniq_ratio, 0.0) AS uniq_ratio
+        |  FROM q LEFT JOIN lp ON q.doc_id = lp.doc_id
+        |  LEFT JOIN rep ON q.doc_id = rep.doc_id),
+        | p AS (SELECT doc_id,
+        |   round(CAST(percent_rank() OVER (ORDER BY quality_score) AS DOUBLE), 6) AS pr_quality,
+        |   round(CAST(percent_rank() OVER (ORDER BY lm_score) AS DOUBLE), 6) AS pr_lm,
+        |   round(CAST(percent_rank() OVER (ORDER BY uniq_ratio) AS DOUBLE), 6) AS pr_uniq
+        |  FROM j)
+        |SELECT doc_id, pr_quality, pr_lm, pr_uniq,
+        | round((pr_quality + pr_lm + pr_uniq) / 3, 6) AS blend
+        |FROM p ORDER BY doc_id""".stripMargin,
+
+    "emb_drift" ->
+      """WITH e AS (SELECT vec_id, label, CAST(s.pos AS BIGINT) AS pos,
+        |   CAST(embedding[s.pos] AS DOUBLE) AS v
+        |  FROM embeddings, UNNEST(generate_series(1, len(embedding))) AS s(pos)),
+        | o AS (SELECT label, pos,
+        |   round(CAST(SUM(CAST(v AS DECIMAL(38,6))) AS DOUBLE) / COUNT(v), 6) AS c_old,
+        |   CAST(COUNT(*) AS BIGINT) AS n_old
+        |  FROM e WHERE vec_id % 5 <> 4 GROUP BY label, pos),
+        | n AS (SELECT label, pos,
+        |   round(CAST(SUM(CAST(v AS DECIMAL(38,6))) AS DOUBLE) / COUNT(v), 6) AS c_new,
+        |   CAST(COUNT(*) AS BIGINT) AS n_new
+        |  FROM e WHERE vec_id % 5 <> 0 GROUP BY label, pos),
+        | g AS (SELECT COALESCE(o.label, n.label) AS label,
+        |   MAX(o.n_old) AS n_old, MAX(n.n_new) AS n_new,
+        |   CAST(SUM(CAST(o.c_old * n.c_new AS DECIMAL(38,6))) AS DOUBLE) AS dot,
+        |   CAST(SUM(CAST(o.c_old * o.c_old AS DECIMAL(38,6))) AS DOUBLE) AS no,
+        |   CAST(SUM(CAST(n.c_new * n.c_new AS DECIMAL(38,6))) AS DOUBLE) AS nn,
+        |   CAST(SUM(CAST((o.c_old - n.c_new) * (o.c_old - n.c_new) AS DECIMAL(38,6))) AS DOUBLE) AS d2
+        |  FROM o FULL OUTER JOIN n ON o.label = n.label AND o.pos = n.pos
+        |  GROUP BY 1)
+        |SELECT label, n_old, n_new,
+        | CASE WHEN no > 0 AND nn > 0 THEN round(dot / (sqrt(no) * sqrt(nn)), 6) END AS cos_sim,
+        | CASE WHEN n_old IS NOT NULL AND n_new IS NOT NULL THEN round(sqrt(d2), 6) END AS l2_shift
+        |FROM g ORDER BY label""".stripMargin,
+
+    "corpus_budget_fill" ->
+      """WITH s AS (SELECT source,
+        |   CAST(SUM(len([x for x in regexp_split_to_array(text, '\s+') if x <> ''])) AS BIGINT) AS n_tokens
+        |  FROM documents GROUP BY source),
+        | m AS (SELECT source, n_tokens,
+        |   CAST(SUM(n_tokens) OVER (ORDER BY n_tokens, source) AS BIGINT) AS p,
+        |   CAST(row_number() OVER (ORDER BY n_tokens, source) AS BIGINT) AS j,
+        |   CAST(COUNT(*) OVER () AS BIGINT) AS mm
+        |  FROM s),
+        | t AS (SELECT source, n_tokens,
+        |   (p - n_tokens) + (mm - j + 1) * n_tokens <= 26000.0 AS satisfied
+        |  FROM m),
+        | a AS (SELECT CAST(COALESCE(SUM(CASE WHEN satisfied THEN n_tokens END), 0) AS BIGINT) AS ssum,
+        |   CAST(SUM(CASE WHEN satisfied THEN 1 ELSE 0 END) AS BIGINT) AS k,
+        |   CAST(COUNT(*) AS BIGINT) AS mm2 FROM t)
+        |SELECT t.source, t.n_tokens, t.satisfied,
+        | round(CASE WHEN t.satisfied THEN CAST(t.n_tokens AS DOUBLE)
+        |   ELSE (CAST(26000.0 AS DOUBLE) - a.ssum) / (a.mm2 - a.k) END, 6) AS allocated
+        |FROM t, a ORDER BY t.source""".stripMargin,
 
     "text_blocklist" ->
       """WITH t AS (SELECT doc_id,

@@ -538,6 +538,32 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(cross.isEmpty, s"unrelated cross pairs: ${cross.take(5)}")
   }
 
+  test("centroidDrift: identity release drifts nowhere, shifts and gaps surface") {
+    val emb = spark.read.parquet(s"$docsDir/embeddings.parquet")
+    // identical releases: cosine 1, zero shift, every label present
+    val same = Similarity.centroidDrift(emb, emb)
+      .select("label", "cos_sim", "l2_shift")
+      .as[(Int, Option[Double], Option[Double])].collect()
+    assert(same.nonEmpty)
+    assert(same.forall { case (_, c, d) => c.contains(1.0) && d.contains(0.0) })
+    // a deliberately shifted new release: add 0.5 to dimension 0
+    val shifted = emb.withColumn("embedding",
+      concat(array((element_at(col("embedding"), 1) + lit(0.5f)).as("h")),
+        slice(col("embedding"), 2, 10000)))
+    val drift = Similarity.centroidDrift(emb, shifted)
+      .select("label", "cos_sim", "l2_shift")
+      .as[(Int, Option[Double], Option[Double])].collect()
+    assert(drift.forall { case (_, c, d) => c.exists(_ < 1.0) && d.exists(_ > 0.4) })
+    // a label absent from the new release: counts survive, geometry null
+    val gone = Similarity.centroidDrift(emb, emb.where(col("label") =!= 0))
+      .where(col("label") === 0)
+      .select("n_old", "n_new", "cos_sim", "l2_shift")
+      .as[(Option[Long], Option[Long], Option[Double], Option[Double])].collect()
+    assert(gone.length == 1 &&
+      gone(0)._1.isDefined && gone(0)._2.isEmpty &&
+      gone(0)._3.isEmpty && gone(0)._4.isEmpty)
+  }
+
   test("MMR rerank: lambda=1 equals brute top-k, diversity improves, deterministic") {
     val emb = spark.read.parquet(s"$docsDir/embeddings.parquet")
     val isQ = col("vec_id") < 5

@@ -314,6 +314,49 @@ class PrepOperatorsSpec extends SparkSpec {
     assert(other != again && other.size == again.size)
   }
 
+  test("percentRank: SQL semantics with ties, no ordering dependence") {
+    // values with tie groups; expected percent_rank = count_less/(n-1)
+    val vals = Seq(0.1, 0.3, 0.3, 0.3, 0.7, 0.7, 0.9, 1.0)
+    val df = vals.zipWithIndex.map { case (v, i) => (i.toLong, v) }.toDF("id", "v")
+    val out = graft.operators.Sketches.percentRank(df, "v", "pr", 0.0, 1.0)
+      .select("id", "pr").as[(Long, Double)].collect().toMap
+    val n = vals.size
+    vals.zipWithIndex.foreach { case (v, i) =>
+      val expected = math.rint(vals.count(_ < v).toDouble / (n - 1) * 1e6) / 1e6
+      assert(out(i.toLong) == expected, s"id $i value $v")
+    }
+    // partitioning-invariant
+    val again = graft.operators.Sketches.percentRank(df.repartition(5), "v", "pr", 0.0, 1.0)
+      .select("id", "pr").as[(Long, Double)].collect().toMap
+    assert(again == out)
+  }
+
+  test("waterFill: fair level spends the budget, never exceeds a domain, fairness holds") {
+    def doc(id: Long, dom: String, words: Int) =
+      (id, dom, Seq.fill(words)("w").mkString(" "))
+    val docs = (
+      (0L until 10L).map(doc(_, "small", 5)) ++    // 50 tokens
+      (10L until 20L).map(doc(_, "mid", 20)) ++    // 200 tokens
+      (20L until 30L).map(doc(_, "big", 100))      // 1000 tokens
+    ).toDF("doc_id", "domain", "text")
+    // budget below everything: equal split, nobody satisfied... except
+    // domains smaller than the equal share
+    val out = Selection.waterFill(docs, "domain", budget = 400.0)
+      .select("domain", "n_tokens", "satisfied", "allocated")
+      .as[(String, Long, Boolean, Double)].collect()
+      .map(r => r._1 -> r).toMap
+    // level: small (50) satisfied since 3*50=150<=400; remaining 350/2=175
+    assert(out("small") == (("small", 50L, true, 50.0)))
+    assert(out("mid") == (("mid", 200L, false, 175.0)))
+    assert(out("big") == (("big", 1000L, false, 175.0)))
+    assert(math.abs(out.values.map(_._4).sum - 400.0) < 1e-6, "budget exactly spent")
+    assert(out.values.forall(r => r._4 <= r._2 + 1e-9), "never exceeds a domain")
+    // budget covers everything: every domain fully satisfied
+    val all = Selection.waterFill(docs, "domain", budget = 5000.0)
+      .select("satisfied").as[Boolean].collect()
+    assert(all.forall(identity))
+  }
+
   // -------------------------------------------------------- sequence packing
   test("sequence packing: known offsets and window spans") {
     val docs = Seq(
