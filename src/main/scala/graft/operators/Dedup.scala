@@ -550,6 +550,22 @@ object Dedup {
                       idCol: String = "doc_id"): DataFrame =
     connectedComponents(minhashNearDups(docs, threshold), docs, idCol)
 
+  /** Near-dup cluster SIZE PROFILE — the report a curation run reads
+    * before committing to a threshold: how many clusters of each size
+    * the verified pair graph closes into, singletons included (size 1
+    * = untouched docs). A corpus that is "90% near-duplicate in groups
+    * of 10" vs "9% in pairs" needs different handling, and this is the
+    * one-table answer. Cost on top of [[nearDupClusters]]: two
+    * group-sized aggregations of the label relation — the closure
+    * itself stays dup-graph-sized, singletons only join back for the
+    * final count. Output (cluster_size, n_clusters, n_docs). */
+  def clusterSizeProfile(docs: DataFrame, threshold: Double = 0.8,
+                         idCol: String = "doc_id"): DataFrame =
+    nearDupClusters(docs, threshold, idCol)
+      .groupBy("cluster_id").agg(count(lit(1)).as("cluster_size"))
+      .groupBy("cluster_size").agg(count(lit(1)).as("n_clusters"))
+      .withColumn("n_docs", col("cluster_size") * col("n_clusters"))
+
   /** Canonical-representative selection — the step that turns a cluster
     * closure into an actual deduplicated corpus: within every multi-
     * member cluster keep the HIGHEST-QUALITY member (not the min-id one

@@ -180,6 +180,36 @@ object Splits {
     df.join(broadcast(winners), Seq(idCol), "left_semi")
   }
 
+  /** Deterministic exact-size WEIGHTED sample without replacement
+    * (Efraimidis–Spirakis 2006 "A-ES"): keep the `n` rows with the
+    * largest key u_i^(1/w_i), u_i uniform from md5(id‖seed) — the
+    * inclusion law of sequential weighted sampling without
+    * replacement, with membership a pure function of (id, weight,
+    * seed): stable across runs, partitionings, and engines. The
+    * quality-weighted eval pool / annotation batch [[sampleExact]]'s
+    * uniform law can't express.
+    *
+    * Keys compare as round(ln(u)/w, 6) — monotone in u^(1/w), and
+    * fixing to 6dp keeps libm last-ulp differences from ever flipping
+    * an inclusion (ties break to the smaller id). u is (hash+1)/2^32+1
+    * so ln(0) can't occur. Non-positive weights are excluded — their
+    * inclusion probability is 0 in the limit. Same scale shape as
+    * [[sampleExact]]: TakeOrdered over a narrow (id, key) projection +
+    * broadcast semi-join back, never a payload sort. */
+  def sampleWeighted(df: DataFrame, n: Int, weightCol: String,
+                     seed: String = "graft",
+                     idCol: String = "doc_id"): DataFrame = {
+    import org.apache.spark.sql.functions.broadcast
+    val u = (conv(substring(md5(concat(col(idCol).cast("string"), lit(seed))),
+      1, 8), 16, 10).cast("long") + 1) / lit(4294967297.0)
+    val winners = df.where(col(weightCol) > 0)
+      .select(col(idCol), round(log(u) / col(weightCol), 6).as("__k"))
+      .orderBy(col("__k").desc, col(idCol))
+      .limit(n)
+      .select(col(idCol))
+    df.join(broadcast(winners), Seq(idCol), "left_semi")
+  }
+
   def mixture(df: DataFrame, idCol: String, domainCol: String,
               weights: Seq[(String, Double)], budget: Double): DataFrame = {
     require(weights.nonEmpty && weights.forall(_._2 >= 0), "weights must be >= 0")

@@ -967,6 +967,23 @@ object LlmQueries {
         .where(col("id") =!= col("cluster_id"))
         .orderBy("id")),
 
+    // cluster-size profile: how many clusters of each size the verified
+    // pair graph closes into, singletons included — the threshold-
+    // choosing report; two group-sized aggregations over the labels
+    "dedup_cluster_sizes" -> ((s, d) =>
+      Dedup.clusterSizeProfile(docs(s, d), threshold = 0.8)
+        .orderBy("cluster_size")),
+
+    // Efraimidis-Spirakis exact-size WEIGHTED sample: inclusion odds
+    // proportional to quality_score, membership a pure function of
+    // (id, weight, seed) — the quality-weighted eval-pool form
+    "corpus_sample_weighted" -> ((s, d) =>
+      Splits.sampleWeighted(
+          TextAnalysis.qualityScore(docs(s, d))
+            .select(col("doc_id"), col("quality_score")),
+          n = 50, weightCol = "quality_score")
+        .orderBy("doc_id")),
+
     // canonical-representative selection: the closure turned into an
     // actual deduplicated corpus — within every multi-member cluster
     // keep the highest-quality member, not the arbitrary min-id one
@@ -1132,6 +1149,58 @@ object LlmQueries {
         |   SELECT reach.id, e.dst FROM reach JOIN e ON reach.r = e.src)
         |SELECT id, MIN(r) AS cluster_id FROM reach GROUP BY id
         |HAVING id <> MIN(r) ORDER BY id""".stripMargin,
+
+    // the dedup_clusters closure grouped to sizes; singletons appear as
+    // the corpus count minus clustered ids (reach lacks them)
+    "dedup_cluster_sizes" ->
+      """WITH RECURSIVE
+        | t AS (SELECT doc_id,
+        |   [x for x in regexp_split_to_array(lower(text), '[^a-z0-9]+') if x <> ''] AS w
+        |  FROM documents),
+        | g AS (SELECT doc_id,
+        |   list_distinct([w[i] || ' ' || w[i+1] || ' ' || w[i+2] for i in range(1, len(w) - 1)]) AS s
+        |  FROM t WHERE len(w) >= 3),
+        | p AS (SELECT a.doc_id AS a_id, b.doc_id AS b_id
+        |  FROM g a, g b WHERE a.doc_id < b.doc_id
+        |   AND CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
+        |       / len(list_distinct(list_concat(a.s, b.s))) >= 0.8),
+        | e AS (SELECT a_id AS src, b_id AS dst FROM p
+        |       UNION SELECT b_id, a_id FROM p),
+        | reach(id, r) AS (
+        |   SELECT src, src FROM e
+        |   UNION
+        |   SELECT reach.id, e.dst FROM reach JOIN e ON reach.r = e.src),
+        | c AS (SELECT id, MIN(r) AS cluster_id FROM reach GROUP BY id),
+        | sz AS (SELECT cluster_id, CAST(COUNT(*) AS BIGINT) AS cluster_size FROM c GROUP BY cluster_id),
+        | h AS (SELECT cluster_size, CAST(COUNT(*) AS BIGINT) AS n_clusters FROM sz GROUP BY cluster_size),
+        | tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM documents),
+        | cl AS (SELECT CAST(COUNT(*) AS BIGINT) AS nc FROM c)
+        |SELECT cluster_size, n_clusters,
+        | CAST(cluster_size * n_clusters AS BIGINT) AS n_docs FROM h
+        |UNION ALL
+        |SELECT CAST(1 AS BIGINT), tot.n - cl.nc, tot.n - cl.nc
+        |FROM tot, cl WHERE tot.n > cl.nc
+        |ORDER BY cluster_size""".stripMargin,
+
+    "corpus_sample_weighted" ->
+      """WITH q AS (SELECT doc_id,
+        |  round(0.4 * least(1.0, toks / 100.0) + 0.3 * (alpha / n)
+        |    + 0.2 * (1.0 - (n - alpha - digits - ws) / n)
+        |    + 0.1 * least(1.0, stops / toks * 5.0), 6) AS quality_score
+        | FROM (SELECT doc_id,
+        |   CAST(length(text) AS BIGINT) AS n,
+        |   CAST(length(text) - length(regexp_replace(text, '[A-Za-z]', '', 'g')) AS BIGINT) AS alpha,
+        |   CAST(length(text) - length(regexp_replace(text, '[0-9]', '', 'g')) AS BIGINT) AS digits,
+        |   CAST(length(text) - length(regexp_replace(text, '\s', '', 'g')) AS BIGINT) AS ws,
+        |   CAST(len([x for x in regexp_split_to_array(text, '\s+') if x <> '']) AS BIGINT) AS toks,
+        |   CAST(len(regexp_extract_all(lower(text), '\b(the|and|of|to|a|in|is|it|that|for)\b')) AS BIGINT) AS stops
+        |  FROM documents)),
+        | k AS (SELECT doc_id, quality_score,
+        |   round(ln((CAST('0x' || substring(md5(CAST(doc_id AS VARCHAR) || 'graft'), 1, 8) AS BIGINT) + 1)
+        |     / 4294967297.0) / quality_score, 6) AS key
+        |  FROM q WHERE quality_score > 0),
+        | w AS (SELECT doc_id, quality_score FROM k ORDER BY key DESC, doc_id LIMIT 50)
+        |SELECT doc_id, quality_score FROM w ORDER BY doc_id""".stripMargin,
 
     // the dedup_clusters closure + the text_quality score + a
     // per-cluster argmax window — keep_id is the highest-quality member
