@@ -77,6 +77,124 @@ case class TextCanonicalize(child: Expression) extends UnaryExpression {
     copy(child = newChild)
 }
 
+/** PII redaction (emails / IPv4s / phone-like runs) + the three audit
+  * counts as ONE codegen'd expression returning a struct.
+  *
+  * The first implementation ran six independent Catalyst regex
+  * expressions per document — three `regexp_extract_all` counts over the
+  * original text and three nested `regexp_replace`s — six UTF8String ->
+  * String conversions, three materialised intermediate documents, and
+  * three boxed match arrays per row; it was the single most expensive
+  * entry in the r10 bench profile. This expression converts the text
+  * ONCE and runs five compiled-`Matcher` passes (email count+replace
+  * share the original text, so they fuse into one pass) with at most
+  * three output strings, none of which round-trips through a Column.
+  * Match semantics are UNCHANGED: `java.util.regex` is exactly what
+  * Spark's own regexp functions call, the patterns are byte-identical
+  * ([[graft.operators.TextAnalysis.emailPattern]] etc.), and the
+  * regex-chain form survives as
+  * [[graft.operators.TextAnalysis.redactPiiRegex]] for the
+  * equivalence spec + the DuckDB oracle, which still certifies this
+  * end to end. */
+case class PiiRedact(child: Expression) extends UnaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires a string input, got ${t.simpleString(10)}")
+  }
+
+  override def dataType: DataType = PiiScan.schema
+
+  override def prettyName: String = "pii_redact"
+
+  override def nullSafeEval(input: Any): Any =
+    PiiScan.scan(input.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.expressions.PiiScan.scan($c)")
+
+  override protected def withNewChildInternal(newChild: Expression): PiiRedact =
+    copy(child = newChild)
+}
+
+object PiiScan {
+  import org.apache.spark.sql.types.{LongType, StructField, StructType}
+
+  val schema: StructType = StructType(Seq(
+    StructField("redacted_text", StringType, nullable = false),
+    StructField("n_emails", LongType, nullable = false),
+    StructField("n_ips", LongType, nullable = false),
+    StructField("n_phones", LongType, nullable = false)))
+
+  // Compiled once per JVM; patterns are the public TextAnalysis ones and
+  // restrict themselves to Java/RE2-identical syntax (no lookaround, no
+  // backrefs) so the DuckDB oracle stays engine-exact.
+  private val email = java.util.regex.Pattern.compile(
+    "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}")
+  private val ip = java.util.regex.Pattern.compile(
+    "\\b[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\b")
+  private val phone = java.util.regex.Pattern.compile(
+    "\\+?[0-9][0-9()\\- ]{7,14}[0-9]")
+
+  /** Non-overlapping replace-all with a LITERAL replacement (no `$`
+    * group refs, so the appendReplacement escaping machinery is skipped);
+    * returns the input reference untouched when nothing matches — the
+    * overwhelming case, and then no bytes are copied. Semantics match
+    * `Matcher.find()` iteration exactly as Spark's RegexpReplace does. */
+  private def replaceAll(p: java.util.regex.Pattern, s: String,
+                         repl: String): String = {
+    val m = p.matcher(s)
+    if (!m.find()) s
+    else {
+      val sb = new java.lang.StringBuilder(s.length)
+      var last = 0
+      do {
+        sb.append(s, last, m.start()).append(repl)
+        last = m.end()
+      } while (m.find())
+      sb.append(s, last, s.length).toString
+    }
+  }
+
+  private def countAll(p: java.util.regex.Pattern, s: String): Long = {
+    val m = p.matcher(s)
+    var n = 0L
+    while (m.find()) n += 1
+    n
+  }
+
+  /** Counts on the ORIGINAL text; replacement nests email -> ip -> phone
+    * (a number inside an already-redacted span is not re-redacted) —
+    * the exact contract of the regex-chain form. */
+  def scan(u: UTF8String): org.apache.spark.sql.catalyst.InternalRow = {
+    val s = u.toString
+    var nEmails = 0L
+    // email count + replace share the original text: one fused pass
+    val m = email.matcher(s)
+    val afterEmail =
+      if (!m.find()) s
+      else {
+        val sb = new java.lang.StringBuilder(s.length)
+        var last = 0
+        do {
+          nEmails += 1
+          sb.append(s, last, m.start()).append("<EMAIL>")
+          last = m.end()
+        } while (m.find())
+        sb.append(s, last, s.length).toString
+      }
+    val nIps = countAll(ip, s)
+    val afterIp = replaceAll(ip, afterEmail, "<IP>")
+    val nPhones = countAll(phone, s)
+    val out = replaceAll(phone, afterIp, "<PHONE>")
+    new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+      Array[Any](
+        if (out eq s) u else UTF8String.fromString(out),
+        nEmails, nIps, nPhones))
+  }
+}
+
 /** Static helper the generated code calls (top-level Scala objects emit
   * static forwarders, so `StringNorm.nfc(...)` is valid generated Java). */
 object StringNorm {
@@ -134,4 +252,9 @@ object StringExpressions {
   /** Column-API surface for [[TextCanonicalize]]. */
   def canonicalize(c: Column): Column =
     CatalystBridge.column(TextCanonicalize(CatalystBridge.expression(c)))
+
+  /** Column-API surface for [[PiiRedact]] — a struct of
+    * (redacted_text, n_emails, n_ips, n_phones). */
+  def piiScan(c: Column): Column =
+    CatalystBridge.column(PiiRedact(CatalystBridge.expression(c)))
 }

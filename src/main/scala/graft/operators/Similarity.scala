@@ -735,14 +735,30 @@ object Similarity {
                              dir: String): Unit = {
     def p(s: String) = new org.apache.hadoop.fs.Path(s)
     val f = p(dir).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // Every rename result is checked: Hadoop FileSystem.rename signals
+    // most failures by returning false, not by throwing, and a false
+    // here means the only complete copy of the index is still under its
+    // staging name — falling through to the trailing deletes would
+    // destroy it. On any failed step we abort loudly and leave the dir
+    // exactly as found; recovery is idempotent, so rerunning after the
+    // filesystem heals is always safe.
     if (f.exists(p(s"$dir/codes__new/_SUCCESS"))) {
       f.delete(p(s"$dir/codes_inc"), true)
       f.delete(p(s"$dir/codes__old"), true)
-      if (f.exists(p(s"$dir/codes")))
-        f.rename(p(s"$dir/codes"), p(s"$dir/codes__old"))
-      f.rename(p(s"$dir/codes__new"), p(s"$dir/codes"))
-    } else if (!f.exists(p(s"$dir/codes")) && f.exists(p(s"$dir/codes__old")))
-      f.rename(p(s"$dir/codes__old"), p(s"$dir/codes"))
+      if (f.exists(p(s"$dir/codes")) &&
+          !f.rename(p(s"$dir/codes"), p(s"$dir/codes__old")))
+        sys.error(s"recovery aborted: cannot stage $dir/codes aside")
+      if (!f.rename(p(s"$dir/codes__new"), p(s"$dir/codes")))
+        sys.error(s"recovery aborted: cannot promote $dir/codes__new " +
+          s"(old base staged at $dir/codes__old)")
+    } else if (!f.exists(p(s"$dir/codes")) && f.exists(p(s"$dir/codes__old")) &&
+               !f.rename(p(s"$dir/codes__old"), p(s"$dir/codes")))
+      sys.error(s"recovery aborted: cannot restore $dir/codes__old")
+    // Reached only with a live `codes` in place (or nothing to recover):
+    // now the staging dirs really are residue.
+    if (!f.exists(p(s"$dir/codes")) &&
+        (f.exists(p(s"$dir/codes__new")) || f.exists(p(s"$dir/codes__old"))))
+      sys.error(s"recovery aborted: $dir/codes missing but staging dirs remain")
     f.delete(p(s"$dir/codes__new"), true)
     f.delete(p(s"$dir/codes__old"), true)
   }

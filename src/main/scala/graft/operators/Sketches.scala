@@ -184,7 +184,12 @@ object Sketches {
     * [[Selection.selectByBudget]] / [[Splits.shufflePositions]].
     * Values outside [lo, hi] must be clamped by the caller (clamping
     * is a semantic choice — e.g. "below −30 avg-logprob is equally
-    * garbage" — not a mechanical one). */
+    * garbage" — not a mechanical one). `valueCol` must be non-null:
+    * a null has no defensible rank, so the contract is the caller
+    * coalesces first (every in-repo caller does) and a violation fails
+    * LOUDLY below instead of NPE-ing in the collect or silently
+    * dropping the row in the bucket join. (NaN already fails at the
+    * ANSI cast of the bucket expression.) */
   def percentRank(df: DataFrame, valueCol: String, outCol: String,
                   lo: Double, hi: Double, buckets: Int = 4096): DataFrame = {
     import org.apache.spark.sql.expressions.Window
@@ -196,7 +201,12 @@ object Sketches {
       lit(buckets - 1L)).cast("long")
     val base = df.withColumn("__pr_bucket", b)
     val totals = base.groupBy("__pr_bucket").agg(count(lit(1)).as("c"))
-      .collect().map(r => r.getLong(0) -> r.getLong(1)).sortBy(_._1)
+      .collect().map { r =>
+        if (r.isNullAt(0)) throw new IllegalArgumentException(
+          s"percentRank: $valueCol contains ${r.getLong(1)} null value(s) — " +
+            "coalesce to an in-range sentinel before ranking")
+        r.getLong(0) -> r.getLong(1)
+      }.sortBy(_._1)
     val n = totals.map(_._2).sum
     val offsets = totals.scanLeft((Long.MinValue, 0L)) {
       case ((_, acc), (bk, c)) => (bk, acc + c)

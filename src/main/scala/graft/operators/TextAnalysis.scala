@@ -178,6 +178,28 @@ object TextAnalysis {
   val phonePattern = "\\+?[0-9][0-9()\\- ]{7,14}[0-9]"
 
   def redactPii(docs: DataFrame, textCol: String = "text"): DataFrame = {
+    // One fused scan ([[graft.expressions.PiiRedact]]) instead of six
+    // regex expressions; the four consumers of the struct are identical
+    // deterministic subtrees, so whole-stage codegen's subexpression
+    // elimination evaluates the scan once per row. Output schema and
+    // values are byte-identical to [[redactPiiRegex]] (spec-pinned on
+    // adversarial strings; certified end to end by the same DuckDB
+    // oracle, which still runs the regex chain).
+    val pii = graft.expressions.StringExpressions.piiScan(col(textCol))
+    docs
+      .withColumn("n_emails", pii.getField("n_emails"))
+      .withColumn("n_ips", pii.getField("n_ips"))
+      .withColumn("n_phones", pii.getField("n_phones"))
+      .withColumn("redacted_text", pii.getField("redacted_text"))
+  }
+
+  /** The measured-and-rejected 6-regex-expression form of [[redactPii]]
+    * (three `regexp_extract_all` counts + three nested `regexp_replace`
+    * passes — the r10 bench profile's most expensive entry). Retained as
+    * the independent reference implementation for the fused expression's
+    * equivalence spec; same output contract. */
+  private[graft] def redactPiiRegex(docs: DataFrame,
+                                    textCol: String = "text"): DataFrame = {
     val text = col(textCol)
     def count(pat: String) =
       size(regexp_extract_all(text, lit(pat), lit(0))).cast("long")
@@ -508,7 +530,16 @@ object TextAnalysis {
       greatest(coalesce(col("avg_logprob"), lit(-30.0)), lit(-30.0)).as("lm_score"))
     val rep = repetitionSignals(docs, textCol).select(col("doc_id"),
       coalesce(col("uniq_word_ratio"), lit(0.0)).as("uniq_ratio"))
-    val joined = q.join(lm, "doc_id").join(rep, "doc_id")
+    // One materialization for four consumers: each percentRank runs an
+    // eager bucket-count job over this relation and the returned plan
+    // reads it again — uncached, the expensive 3-signal join (two corpus
+    // tokenizations + a mapPartitions pass) would recompute ~4x.
+    // localCheckpoint (eager) rather than persist: the blocks outlive
+    // this call for the caller's final plan and are freed by GC with the
+    // plan, so there is no unpersist-too-early/never dilemma. The
+    // checkpointed relation is (doc_id + 3 doubles) — corpus rows, not
+    // corpus bytes.
+    val joined = q.join(lm, "doc_id").join(rep, "doc_id").localCheckpoint()
     val ranked = Seq(
       ("quality_score", "pr_quality", 0.0, 1.0),
       ("lm_score", "pr_lm", -30.0, 0.0),
@@ -533,6 +564,15 @@ object TextAnalysis {
                       textCol: String = "text"): DataFrame = {
     require(terms.nonEmpty, "blocklist must be non-empty")
     val list = terms.map(_.toLowerCase(java.util.Locale.ROOT)).distinct
+    // The screen compares WORD TOKENS (split on [^a-z0-9]+), so an entry
+    // containing spaces/punctuation — common in real C4-style lists
+    // (hyphenated terms, multi-word phrases) — could never match any
+    // token. Reject those loudly instead of silently not screening.
+    val bad = list.filterNot(_.matches("[a-z0-9]+"))
+    require(bad.isEmpty,
+      s"blocklist entries must be single alphanumeric tokens after " +
+        s"lowercasing; offending entries: ${bad.take(5).mkString(", ")} — " +
+        "split phrases into tokens or screen with a substring/regex pass")
     val litArr = array(list.map(lit): _*)
     val toks = wordTokens(col(textCol))
     docs

@@ -256,6 +256,46 @@ class TextMultimodalSpec extends SparkSpec {
       (3L, 0L, 0L, 0L, "clean text, no pii 42")))
   }
 
+  test("fused pii scan is byte-identical to the 6-regex chain on adversarial strings") {
+    // Every backtracking / boundary / nesting corner the three patterns
+    // have: IPs living inside emails (counted, not re-replaced), emails
+    // whose domain backtracks off a digit run, \b edges created by a
+    // prior replacement, 5-octet runs, phone-length backtracking off
+    // parens/dashes, and non-BMP text around matches.
+    val cases = Seq(
+      "a@1.2.3.4.co mail",            // ip inside the email's domain
+      "x@y.co1.2.3.4",                // no \b before 1 in raw text; one appears after <EMAIL>
+      "1.2.3.4.5 and 1.2.3.4",        // 5-octet run: first four octets match
+      "x1.2.3.4 no boundary",         // leading word char kills the \b
+      "+1 (555) 123-4567 or 555 1234 5678 90", // max-length backtracking
+      "12345678901234567890",          // 20-digit run: non-overlapping phone splits
+      "a@b.co c@d.io 10.0.0.1 +44 20 7946 0958", // all three kinds mixed
+      "()+-- not a phone 12",          // near-miss punctuation
+      "émail@exämple.com 😀 1.2.3.4",  // non-ascii local/domain chars break the match
+      "a.b-c_d%e+f@sub.do-main.org trailing", // full local-part class
+      "@@@ 999.999.999.999 ",    // octet values are NOT range-checked (1-3 digits)
+      "",                              // empty doc
+      "+123456789012345678",           // phone pattern upper-bound overrun
+      "a@b.cd1.2.3.4e@f.gh")           // replacement butts two match sites together
+      .zipWithIndex.map { case (s, i) => (i.toLong, s) }
+    val docs = cases.toDF("doc_id", "text")
+    val cols = Seq("doc_id", "n_emails", "n_ips", "n_phones", "redacted_text")
+    val fused = TextAnalysis.redactPii(docs)
+      .select(cols.head, cols.tail: _*).orderBy("doc_id")
+      .as[(Long, Long, Long, Long, String)].collect().toSeq
+    val chain = TextAnalysis.redactPiiRegex(docs)
+      .select(cols.head, cols.tail: _*).orderBy("doc_id")
+      .as[(Long, Long, Long, Long, String)].collect().toSeq
+    assert(fused == chain)
+    // and a null-text doc propagates a null struct -> null fields
+    val withNull = spark.createDataFrame(
+      spark.sparkContext.parallelize(Seq(org.apache.spark.sql.Row(99L, null: String))),
+      docs.schema)
+    val nf = TextAnalysis.redactPii(withNull).select("n_emails", "redacted_text")
+      .collect().head
+    assert(nf.isNullAt(0) && nf.isNullAt(1))
+  }
+
   test("multimodal resize: aspect-preserving fit, proportional bytes, small passthrough") {
     // doc_id=7: 7%3=1 -> png, width 64+7%8*32=288, height 64+7%5*48=160
     val docs = Seq((7L, "x" * 900)).toDF("doc_id", "text")
