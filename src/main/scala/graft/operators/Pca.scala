@@ -107,7 +107,7 @@ object Pca {
     * (eigenvalues, eigenvector matrix with vectors in COLUMNS, same
     * index order as the values). Converges quadratically; 64x64
     * covariance matrices need a handful of sweeps. */
-  private[operators] def jacobiEigSym(m: Array[Array[Double]],
+  private[graft] def jacobiEigSym(m: Array[Array[Double]],
                                       maxSweeps: Int = 64): (Array[Double], Array[Array[Double]]) = {
     val dim = m.length
     val a = m.map(_.clone())
