@@ -32,7 +32,8 @@ object Pipeline {
   case class StageStats(stage: String, rows: Long, durationMs: Long)
   case class RunResult(output: DataFrame, stats: Seq[StageStats],
                        writeStats: Option[BatchWriter.WriteStats],
-                       skippedIdempotent: Boolean = false)
+                       skippedIdempotent: Boolean = false,
+                       runId: String = "")
 
   def runJson(spark: SparkSession, specJson: String,
               ledger: Option[IdempotencyLedger] = None,
@@ -202,10 +203,13 @@ object Pipeline {
     // Durable per-stage stats (reference tasks.py:354 per-stage result
     // dicts; logging.py structured logs): one ledger row per stage so
     // "what did pipeline X write yesterday" is a query over the ledger.
+    // The run id is surfaced in the result so callers (PipelineCli) can
+    // print it for later `status <run_id>` lookups.
+    val runId = java.util.UUID.randomUUID().toString
     runLedger.foreach(_.record(spark,
-      runId = java.util.UUID.randomUUID().toString,
+      runId = runId,
       pipeline = pipelineName, stats = stats, writeStats = writeStats))
-    RunResult(transformed, stats, writeStats)
+    RunResult(transformed, stats, writeStats, runId = runId)
   }
 
   /** Shared registry for `{"type":"code","name":...}` stages; callers

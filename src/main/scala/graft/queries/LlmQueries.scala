@@ -221,6 +221,28 @@ object LlmQueries {
     s"$dir/model"
   }
 
+  /** Stored per-doc quality-score table for a corpus dir — the probe
+    * input for recurring weighted sampling: one narrow parquet
+    * (doc_id, quality_score), computed once per corpus content.
+    * Completes the stored family's economics for the sampler: every
+    * rerun pays a 2-column scan instead of the full regex scoring
+    * stack per candidate row. Scores are 6-dp-rounded doubles, so the
+    * parquet round-trip is exact and the stored path's sample is
+    * byte-identical to the in-flight one. */
+  private def qualityScoresFor(s: SparkSession, d: String): String = {
+    val key = d.replaceAll("[^A-Za-z0-9._-]", "_")
+    val fp = contentKey(docs(s, d), Seq("doc_id", "text"))
+    val dir =
+      s"${System.getProperty("java.io.tmpdir")}/graft_qscores_v1/${key}_$fp"
+    val done = new org.apache.hadoop.fs.Path(s"$dir/_SUCCESS")
+    val fs = done.getFileSystem(s.sparkContext.hadoopConfiguration)
+    if (!fs.exists(done))
+      TextAnalysis.qualityScore(docs(s, d))
+        .select(col("doc_id"), col("quality_score"))
+        .write.mode("overwrite").parquet(dir)
+    dir
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "dedup_exact" -> ((s, d) =>
       Dedup.exact(docs(s, d)).orderBy("keep_id")),
@@ -984,6 +1006,16 @@ object LlmQueries {
           n = 50, weightCol = "quality_score")
         .orderBy("doc_id")),
 
+    // probe-phase weighted sample: the STORED quality-score table
+    // (computed once per corpus release) feeds Efraimidis-Spirakis
+    // directly — per-candidate cost drops from the full regex scoring
+    // stack to a narrow 2-column scan; SAME oracle as
+    // corpus_sample_weighted because 6-dp scores round-trip exactly
+    "corpus_sample_weighted_stored" -> ((s, d) =>
+      Splits.sampleWeighted(s.read.parquet(qualityScoresFor(s, d)),
+          n = 50, weightCol = "quality_score")
+        .orderBy("doc_id")),
+
     // canonical-representative selection: the closure turned into an
     // actual deduplicated corpus — within every multi-member cluster
     // keep the highest-quality member, not the arbitrary min-id one
@@ -1183,6 +1215,28 @@ object LlmQueries {
         |ORDER BY cluster_size""".stripMargin,
 
     "corpus_sample_weighted" ->
+      """WITH q AS (SELECT doc_id,
+        |  round(0.4 * least(1.0, toks / 100.0) + 0.3 * (alpha / n)
+        |    + 0.2 * (1.0 - (n - alpha - digits - ws) / n)
+        |    + 0.1 * least(1.0, stops / toks * 5.0), 6) AS quality_score
+        | FROM (SELECT doc_id,
+        |   CAST(length(text) AS BIGINT) AS n,
+        |   CAST(length(text) - length(regexp_replace(text, '[A-Za-z]', '', 'g')) AS BIGINT) AS alpha,
+        |   CAST(length(text) - length(regexp_replace(text, '[0-9]', '', 'g')) AS BIGINT) AS digits,
+        |   CAST(length(text) - length(regexp_replace(text, '\s', '', 'g')) AS BIGINT) AS ws,
+        |   CAST(len([x for x in regexp_split_to_array(text, '\s+') if x <> '']) AS BIGINT) AS toks,
+        |   CAST(len(regexp_extract_all(lower(text), '\b(the|and|of|to|a|in|is|it|that|for)\b')) AS BIGINT) AS stops
+        |  FROM documents)),
+        | k AS (SELECT doc_id, quality_score,
+        |   round(ln((CAST('0x' || substring(md5(CAST(doc_id AS VARCHAR) || 'graft'), 1, 8) AS BIGINT) + 1)
+        |     / 4294967297.0) / quality_score, 6) AS key
+        |  FROM q WHERE quality_score > 0),
+        | w AS (SELECT doc_id, quality_score FROM k ORDER BY key DESC, doc_id LIMIT 50)
+        |SELECT doc_id, quality_score FROM w ORDER BY doc_id""".stripMargin,
+
+    // identical oracle: the stored score table round-trips the 6-dp
+    // scores exactly, so the probe-phase sample is byte-identical
+    "corpus_sample_weighted_stored" ->
       """WITH q AS (SELECT doc_id,
         |  round(0.4 * least(1.0, toks / 100.0) + 0.3 * (alpha / n)
         |    + 0.2 * (1.0 - (n - alpha - digits - ws) / n)

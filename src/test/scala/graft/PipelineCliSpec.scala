@@ -1,0 +1,110 @@
+package graft
+
+import java.nio.file.{Files, Paths}
+import java.nio.charset.StandardCharsets
+
+/** Drives the full CLI surface end-to-end on a temp warehouse:
+  * `run <spec.json>` executes the pipeline and prints the ledger run id,
+  * `status <run_id>` reads the recorded per-stage stats back, `history
+  * <pipeline>` lists runs newest-first — the reference CLI's run/status
+  * surface (src/cli/main.py:46,:213) re-expressed over the durable
+  * RunLedger instead of a Celery result backend. */
+class PipelineCliSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def tmp(prefix: String) = Files.createTempDirectory(prefix).toString
+
+  /** Execute the CLI capturing stdout; returns (exitCode, stdout). */
+  private def cli(args: String*): (Int, String) = {
+    val bos = new java.io.ByteArrayOutputStream()
+    val code = Console.withOut(new java.io.PrintStream(bos, true, "UTF-8")) {
+      PipelineCli.execute(spark, args.toArray)
+    }
+    (code, bos.toString("UTF-8"))
+  }
+
+  private def writeSpec(dir: String, in: String, out: String): String = {
+    val spec =
+      s"""{
+         | "ingestion": {"path": "$in", "format": "parquet"},
+         | "transformation": [
+         |   {"type": "config", "config": {"filter": {"v": {">=": 5}}}}
+         | ],
+         | "persistence": {"path": "$out", "strategy": "append"}
+         |}""".stripMargin
+    val p = Paths.get(dir, "spec.json")
+    Files.write(p, spec.getBytes(StandardCharsets.UTF_8))
+    p.toString
+  }
+
+  test("run executes a spec file, prints stages + run id; status reads it back") {
+    val dir = tmp("graft_cli")
+    val in = s"$dir/in"
+    (1L to 10L).map(i => (i, i)).toDF("id", "v")
+      .write.parquet(in)
+    val specPath = writeSpec(dir, in, s"$dir/out")
+    val ledgerDir = s"$dir/ledger"
+
+    val (code, outText) = cli("run", specPath, "--name", "clitest",
+      "--ledger-dir", ledgerDir)
+    assert(code == 0, outText)
+    assert(outText.contains("pipeline clitest: OK"))
+    assert(spark.read.parquet(s"$dir/out").count() == 6) // v in 5..10
+    val runId = outText.linesIterator
+      .find(_.startsWith("run_id: ")).get.stripPrefix("run_id: ").trim
+    assert(runId.nonEmpty)
+
+    val (sCode, sOut) = cli("status", runId, "--ledger-dir", ledgerDir)
+    assert(sCode == 0, sOut)
+    assert(sOut.contains(s"run $runId (pipeline clitest)"))
+    assert(sOut.contains("ingestion") && sOut.contains("write"))
+    assert(sOut.contains("6 rows")) // the write stage's recorded volume
+  }
+
+  test("status on an unknown run id fails; missing --ledger-dir is a usage error") {
+    val dir = tmp("graft_cli_status")
+    // empty-but-existing ledger so the parquet read itself succeeds
+    Seq(("seed", "seed", "seed", 0L, 0L, null: String, -1L, -1L, null: String))
+      .toDF("run_id", "pipeline", "stage", "rows", "duration_ms",
+        "strategy", "rows_inserted", "rows_updated", "output_path")
+      .withColumn("recorded_at", org.apache.spark.sql.functions.current_timestamp())
+      .write.parquet(s"$dir/ledger")
+    assert(cli("status", "nope", "--ledger-dir", s"$dir/ledger")._1 == 1)
+    assert(cli("status", "nope")._1 == 2)
+    assert(cli("frobnicate")._1 == 2)
+    assert(cli("run", s"$dir/does_not_exist.json")._1 == 1)
+  }
+
+  test("history lists a pipeline's runs newest-first and grows per run") {
+    val dir = tmp("graft_cli_hist")
+    val in = s"$dir/in"
+    (1L to 10L).map(i => (i, i)).toDF("id", "v").write.parquet(in)
+    val specPath = writeSpec(dir, in, s"$dir/out")
+    val ledgerDir = s"$dir/ledger"
+    val (c1, o1) = cli("run", specPath, "--name", "histtest", "--ledger-dir", ledgerDir)
+    val (c2, o2) = cli("run", specPath, "--name", "histtest", "--ledger-dir", ledgerDir)
+    assert(c1 == 0 && c2 == 0)
+    val id1 = o1.linesIterator.find(_.startsWith("run_id: ")).get.stripPrefix("run_id: ").trim
+    val id2 = o2.linesIterator.find(_.startsWith("run_id: ")).get.stripPrefix("run_id: ").trim
+    val (hCode, hOut) = cli("history", "histtest", "--ledger-dir", ledgerDir)
+    assert(hCode == 0, hOut)
+    assert(hOut.contains("2 most recent run(s)"))
+    assert(hOut.contains(id1) && hOut.contains(id2))
+    // a pipeline with no runs is a lookup failure, not an empty success
+    assert(cli("history", "ghost", "--ledger-dir", ledgerDir)._1 == 1)
+  }
+
+  test("idempotency dir makes a re-run a recorded SKIP, not a double write") {
+    val dir = tmp("graft_cli_idem")
+    val in = s"$dir/in"
+    (1L to 10L).map(i => (i, i)).toDF("id", "v").write.parquet(in)
+    val specPath = writeSpec(dir, in, s"$dir/out")
+    val (c1, o1) = cli("run", specPath, "--name", "idem",
+      "--idempotency-dir", s"$dir/keys")
+    assert(c1 == 0 && o1.contains("idem: OK"), o1)
+    val (c2, o2) = cli("run", specPath, "--name", "idem",
+      "--idempotency-dir", s"$dir/keys")
+    assert(c2 == 0 && o2.contains("SKIPPED"), o2)
+    assert(spark.read.parquet(s"$dir/out").count() == 6) // written once
+  }
+}

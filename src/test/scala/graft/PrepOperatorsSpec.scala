@@ -314,6 +314,37 @@ class PrepOperatorsSpec extends SparkSpec {
     assert(other != again && other.size == again.size)
   }
 
+  test("weighted sample: exact size, weight-proportional, deterministic, stored-table-identical") {
+    val docs = (0L until 300L)
+      .map(i => (i, if (i < 30) 50.0 else 0.5)) // 30 heavy docs, 270 light
+      .toDF("doc_id", "w")
+    val out = Splits.sampleWeighted(docs, n = 60, weightCol = "w")
+    val ids = out.select("doc_id").as[Long].collect().toSet
+    assert(ids.size == 60)
+    // Efraimidis-Spirakis inclusion law: 100x-weighted docs all make a
+    // 20% cut (P(miss) is astronomically small; deterministic per seed)
+    assert((0L until 30L).forall(ids))
+    // membership is a pure function of (id, weight, seed)
+    val again = Splits.sampleWeighted(docs.repartition(13), n = 60, weightCol = "w")
+      .select("doc_id").as[Long].collect().toSet
+    assert(again == ids)
+    val other = Splits.sampleWeighted(docs, n = 60, weightCol = "w", seed = "other")
+      .select("doc_id").as[Long].collect().toSet
+    assert(other != ids && other.size == 60)
+    // zero/negative weights can never be sampled
+    val withDead = docs.union(Seq((900L, 0.0), (901L, -3.0)).toDF("doc_id", "w"))
+    val deadOut = Splits.sampleWeighted(withDead, n = 300, weightCol = "w")
+      .select("doc_id").as[Long].collect().toSet
+    assert(!deadOut(900L) && !deadOut(901L) && deadOut.size == 300)
+    // the stored-table probe path (parquet round-trip of the weights)
+    // samples byte-identically — the corpus_sample_weighted_stored claim
+    val dir = java.nio.file.Files.createTempDirectory("graft_wsamp").toString
+    docs.write.mode("overwrite").parquet(dir)
+    val stored = Splits.sampleWeighted(spark.read.parquet(dir), n = 60, weightCol = "w")
+      .select("doc_id").as[Long].collect().toSet
+    assert(stored == ids)
+  }
+
   test("percentRank: SQL semantics with ties, no ordering dependence") {
     // values with tie groups; expected percent_rank = count_less/(n-1)
     val vals = Seq(0.1, 0.3, 0.3, 0.3, 0.7, 0.7, 0.9, 1.0)
