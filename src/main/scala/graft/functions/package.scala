@@ -63,6 +63,20 @@ package object functions {
       .otherwise(size(split(trimmed, "\\s+")).cast("long"))
   }
 
+  // ---------------------------------------------------------------- windows
+  /** Global `row_number` over a BOUNDED relation — top-K candidate
+    * tables after a `limit`, vocabularies, domain tables: relations a
+    * prior step already reduced to driver-ish size. Partitioning on a
+    * literal makes the single-partition execution EXPLICIT (it is the
+    * point: one total order over <= K rows), which also keeps
+    * WindowExec's "No Partition Defined" WARN meaningful for the case
+    * it exists to catch — an accidental global window over unbounded
+    * data. Callers must only pass relations bounded upstream; this is
+    * a contract, not a check. */
+  def boundedRank(order: Column*): Column =
+    row_number().over(org.apache.spark.sql.expressions.Window
+      .partitionBy(lit(1)).orderBy(order: _*))
+
   // ------------------------------------------------------------------- skew
   /** Salt for skewed aggregation keys: split each hot key across
     * `buckets` sub-keys, aggregate partially on (key, salt), then

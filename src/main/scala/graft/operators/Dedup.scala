@@ -472,6 +472,10 @@ object Dedup {
       .where(col("cosine") >= threshold)
   }
 
+  /** Rounds the last [[connectedComponents]] call took to converge —
+    * diagnostic for scale campaigns (SCALE.md records it per SF). */
+  @volatile private[graft] var lastCcRounds: Int = 0
+
   /** Connected components of the near-dup pair graph: every doc gets a
     * `cluster_id` = the minimum doc id reachable through near-dup pairs
     * (singletons cluster under themselves). Corpus dedup pipelines need
@@ -480,26 +484,120 @@ object Dedup {
     * PAIR, which over-keeps on chains a~b, b~c where a!~c directly).
     *
     * Hash-min label propagation: each round every node adopts the
-    * minimum label among itself and its neighbours, until no label
-    * changes. Each round is one shuffle join + aggregate — fully
-    * distributed, labels checkpointed per round so lineage stays flat.
-    * Rounds needed = max component diameter; near-dup components are
-    * shallow (dups of dups of X are dups of X), so this converges in a
-    * handful of rounds. For adversarially long chains the
-    * star-contraction variant (Kiveris et al., "Connected Components in
-    * MapReduce") halves path lengths per round; not needed for dedup
-    * graphs. */
+    * minimum label among itself and its neighbours until no label
+    * changes — one driver-blocking job per round (convergence counted
+    * in the checkpoint materialisation via accumulator), with the
+    * node-sized label table broadcast into the edge join, so each
+    * round costs exactly ONE shuffle of the directed edge set.
+    * Rounds = component diameter; dup graphs are near-cliques
+    * (dups of dups of X are dups of X), so 2-3 rounds in practice.
+    *
+    * The textbook alternative — large-star/small-star alternation
+    * (Kiveris et al. 2014), which collapses a C(g,2)-edge clique to a
+    * (g−1)-edge star after one round — was implemented and MEASURED
+    * against this on the real pair graphs
+    * ([[connectedComponentsStars]], union-find-pinned identical
+    * output): sf10, 25.4M verified pairs over 500k docs: hash-min
+    * 41.8 s / 3 rounds vs stars 48.9 s / 2 rounds (warm, same box);
+    * sf1 end-to-end `dedup_clusters` 5.6 s vs 8.0 s. The clique
+    * collapse does shrink later rounds ~40x, but round 1 still
+    * carries the full edge set through TWO star passes (~6 shuffles +
+    * distinct each) plus a count/except convergence probe, which
+    * costs more than hash-min's 2 extra one-shuffle rounds. Stars
+    * stay in-tree for adversarially long chains (diameter >> log n),
+    * where hash-min's round count would dominate. */
   def connectedComponents(pairs: DataFrame, nodes: DataFrame,
                           idCol: String = "doc_id",
-                          maxRounds: Int = 20): DataFrame = {
+                          maxRounds: Int = 20): DataFrame =
+    connectedComponentsHashMin(pairs, nodes, idCol, maxRounds)
+
+  /** Large-star/small-star alternation (Kiveris et al. 2014, "Connected
+    * Components in MapReduce and Beyond") — the measured-and-rejected
+    * alternative to [[connectedComponents]]'s hash-min on THIS
+    * workload's clique-shaped dup graphs (numbers in that doc), kept
+    * for long-chain graphs where O(log n) rounds beat O(diameter).
+    * Large-star connects every node's strictly-larger neighbours to
+    * m = min(neighbourhood ∪ self); small-star folds the smaller ones;
+    * the canonical edge set's fixed point is one star per component.
+    * Output is byte-identical to hash-min (both label by component
+    * min; union-find spec pins agreement on random graphs). */
+  private[graft] def connectedComponentsStars(
+      pairs: DataFrame, nodes: DataFrame,
+      idCol: String = "doc_id", maxRounds: Int = 30): DataFrame = {
+    // canonical (u, v) with u > v; parallel/duplicate edges merged
+    var edges = pairs
+      .select(greatest(col("a_id"), col("b_id")).as("u"),
+        least(col("a_id"), col("b_id")).as("v"))
+      .where(col("u") =!= col("v")).distinct().localCheckpoint()
+    // Iterate ONLY over nodes that touch a pair: in a deduplicated
+    // corpus the dup graph is sparse, so everything below is dup-graph-
+    // sized, not corpus-sized — singletons join back once at the end
+    // with cluster_id = own id and never enter a round.
+    val paired = edges.select(col("u").as("id"))
+      .union(edges.select(col("v").as("id"))).distinct().localCheckpoint()
+    var round = 0
+    var prevCnt = edges.count()
+    var converged = prevCnt == 0L
+    while (!converged && round < maxRounds) {
+      // LARGE-STAR: for each node, attach its strictly-larger
+      // neighbours to m = min(neighbours ∪ self). Every undirected
+      // edge is emitted exactly once (from its smaller endpoint's
+      // neighbourhood), already canonical since m <= u < v.
+      val bidir = edges.select("u", "v")
+        .union(edges.select(col("v").as("u"), col("u").as("v")))
+      val mins = bidir.groupBy("u").agg(min("v").as("mn"))
+        .select(col("u"), least(col("u"), col("mn")).as("m"))
+      val afterLarge = bidir.where(col("v") > col("u"))
+        .join(mins, "u")
+        .select(col("v").as("u"), col("m").as("v"))
+        .where(col("u") =!= col("v")).distinct()
+      // SMALL-STAR: on the canonical (larger endpoint first) edges,
+      // fold each node's smaller neighbours + itself onto their min.
+      val minsS = afterLarge.groupBy("u").agg(min("v").as("m"))
+      val next = afterLarge.join(minsS, "u")
+        .select(col("v").as("a"), col("m").as("b"))
+        .union(minsS.select(col("u").as("a"), col("m").as("b")))
+        .select(greatest(col("a"), col("b")).as("u"),
+          least(col("a"), col("b")).as("v"))
+        .where(col("u") =!= col("v")).distinct()
+        .localCheckpoint()
+      val cnt = next.count()
+      // fixed point iff the canonical set is unchanged; the cheap count
+      // gate skips the except() job on any round that changed the size
+      converged = cnt == prevCnt && next.except(edges).isEmpty
+      prevCnt = cnt
+      edges = next
+      round += 1
+    }
+    lastCcRounds = round
+    if (!converged && prevCnt > 0) sys.error(
+      s"connectedComponents: star alternation did not converge in $maxRounds rounds")
+    // At the fixed point every canonical edge is (member, component
+    // min): members label by their (unique) v, component minima — the
+    // nodes never on a u side — label by themselves, as do singletons.
+    val memberLabels = edges.groupBy("u").agg(min("v").as("cluster_id"))
+      .select(col("u").as("id"), col("cluster_id"))
+    val centers = paired.join(memberLabels.select("id"), Seq("id"), "left_anti")
+      .withColumn("cluster_id", col("id"))
+    val singletons = nodes.select(col(idCol).as("id"))
+      .join(paired, Seq("id"), "left_anti")
+      .withColumn("cluster_id", col("id"))
+    memberLabels.unionByName(centers).unionByName(singletons)
+  }
+
+  /** [[connectedComponents]]'s engine — see its doc for the algorithm
+    * and the measured comparison against [[connectedComponentsStars]].
+    * Convergence is counted DURING the eager checkpoint materialisation
+    * (accumulator bumped as label rows stream through), so every round
+    * is exactly ONE driver-blocking job; task retries can only
+    * OVERcount, and we test ==0, so convergence stays exact. */
+  private[graft] def connectedComponentsHashMin(
+      pairs: DataFrame, nodes: DataFrame,
+      idCol: String = "doc_id", maxRounds: Int = 20): DataFrame = {
     val edges = pairs
       .select(col("a_id").as("src"), col("b_id").as("dst"))
       .union(pairs.select(col("b_id").as("src"), col("a_id").as("dst")))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    // Iterate ONLY over nodes that touch a pair: in a deduplicated
-    // corpus the dup graph is sparse, so the label table is dup-graph-
-    // sized, not corpus-sized — singletons join back once at the end
-    // with cluster_id = own id and never enter a propagation round.
     val paired = edges.select(col("src").as("id")).distinct()
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     var labels = paired
@@ -517,14 +615,6 @@ object Dedup {
           least(col("cluster_id"), coalesce(col("nbr_min"), col("cluster_id")))
             .as("cluster_id"),
           coalesce(col("nbr_min") < col("cluster_id"), lit(false)).as("__changed"))
-      // Convergence is counted DURING the eager checkpoint materialisation
-      // (accumulator bumped as each label row streams through), so every
-      // round is exactly ONE driver-blocking job. The previous shape —
-      // checkpoint, then a second isEmpty probe over the checkpointed
-      // blocks — ran two actions per round, and the loop amplified any
-      // transient executor/disk stall by 2x the round count. Task retries
-      // can only OVERcount the accumulator; we test ==0, so convergence
-      // stays exact.
       val changed = spark.sparkContext.longAccumulator(s"graft.cc.changed.r$round")
       val enc = org.apache.spark.sql.Encoders.row(stepped.schema)
       val next = stepped
@@ -534,6 +624,7 @@ object Dedup {
       labels = next.drop("__changed")
       round += 1
     }
+    lastCcRounds = round
     val singletons = nodes.select(col(idCol).as("id"))
       .join(paired, Seq("id"), "left_anti")
       .withColumn("cluster_id", col("id"))

@@ -93,7 +93,9 @@ object Selection {
     val sizes = docs
       .select(col(domainCol), wsTokenCount(col(textCol)).as("__t"))
       .groupBy(domainCol).agg(sum("__t").as("n_tokens"))
-    val w = Window.orderBy(col("n_tokens"), col(domainCol))
+    // literal-partitioned like wAll: the relation is domain-sized and
+    // the single total order is the point — see functions.boundedRank
+    val w = Window.partitionBy(lit(1)).orderBy(col("n_tokens"), col(domainCol))
     val wAll = Window.partitionBy(lit(1))
     val marked = sizes
       .withColumn("__p", sum("n_tokens").over(w))
@@ -229,8 +231,8 @@ object Selection {
       .withColumn("gumbel_key", round(col("lw") - log(-log(u)), 6))
       .withColumn("log_weight", round(col("lw"), 6))
     val top = keyed.orderBy(col("gumbel_key").desc, col(idCol)).limit(budget)
-    top.withColumn("rk", row_number().over(
-        Window.orderBy(col("gumbel_key").desc, col(idCol))).cast("long"))
+    top.withColumn("rk",
+        graft.functions.boundedRank(col("gumbel_key").desc, col(idCol)).cast("long"))
       .select(col(idCol), col("n_feats"), col("log_weight"),
         col("gumbel_key"), col("rk"))
   }

@@ -34,7 +34,7 @@ object ShardExport {
   def vocabulary(encoded: DataFrame): DataFrame =
     encoded.select(explode(col("tokens")).as("token")).distinct()
       .withColumn("token_id",
-        (row_number().over(Window.orderBy("token")) - 1).cast("int"))
+        (graft.functions.boundedRank(col("token")) - 1).cast("int"))
 
   /** Window rows of the tokenized corpus: (shard_id, seq_id, input_ids,
     * n_tokens, n_docs). Every window holds exactly `budget` token ids

@@ -424,7 +424,7 @@ object Sketches {
     val top = exact.orderBy(col("n").desc, col("term")).limit(topK)
     // rank window runs over topK rows only — the limit above bounds it
     top.withColumn("rk",
-      row_number().over(Window.orderBy(col("n").desc, col("term"))).cast("long"))
+      graft.functions.boundedRank(col("n").desc, col("term")).cast("long"))
   }
 
   /** GROUPED heavy hitters: the per-group form of [[heavyHitters]] —
@@ -516,7 +516,7 @@ object Sketches {
     import org.apache.spark.sql.expressions.Window
     val summed = summaries.groupBy("term").agg(sum("c").as("c"))
     val ranked = summed.withColumn("rk",
-      row_number().over(Window.orderBy(col("c").desc, col("term"))))
+      graft.functions.boundedRank(col("c").desc, col("term")))
     val thresh = ranked.where(col("rk") === k + 1)
       .select(col("c").as("__t"))
     ranked.where(col("rk") <= k).drop("rk")

@@ -405,8 +405,8 @@ object EventStream {
     val bound = tot.getAs[Long]("cum_n") / (tot.getAs[Int]("k") + 1.0)
     sums.where(col("__batch_id") === lastId)
       .orderBy(col("c").desc, col("term")).limit(topK)
-      .withColumn("rk", row_number().over(
-        Window.orderBy(col("c").desc, col("term"))).cast("long"))
+      .withColumn("rk",
+        graft.functions.boundedRank(col("c").desc, col("term")).cast("long"))
       .withColumn("err_bound", lit(bound))
       .select("term", "c", "rk", "err_bound")
   }

@@ -370,6 +370,54 @@ class DedupSimilaritySpec extends SparkSpec {
     assert((20L to 22L).forall(out(_) == 20L))
   }
 
+  test("star-alternation components match driver union-find on random graphs") {
+    // independent oracle: plain union-find over the collected edge list,
+    // labels = component min — exactly the operator's contract. Three
+    // deterministic graph shapes: sparse random, clique-heavy (the
+    // near-dup group shape the operator optimizes for), and edgeless.
+    def unionFind(n: Long, edges: Seq[(Long, Long)]): Map[Long, Long] = {
+      val parent = scala.collection.mutable.Map((0L until n).map(i => i -> i): _*)
+      def find(x: Long): Long = {
+        var r = x
+        while (parent(r) != r) r = parent(r)
+        var c = x
+        while (parent(c) != r) { val nxt = parent(c); parent(c) = r; c = nxt }
+        r
+      }
+      edges.foreach { case (a, b) =>
+        val (ra, rb) = (find(a), find(b))
+        if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+      }
+      (0L until n).map(i => i -> find(i)).toMap
+    }
+    val rnd = new scala.util.Random(42)
+    val shapes = Seq(
+      Seq.fill(160)((rnd.nextInt(80).toLong, rnd.nextInt(80).toLong))
+        .filter { case (a, b) => a != b },                       // sparse random
+      (0L until 4L).flatMap(g => {
+        val ids = (g * 20L until g * 20L + 20L)
+        for (a <- ids; b <- ids if a < b) yield (a, b)           // 4 cliques of 20
+      }),
+      Seq.empty[(Long, Long)])                                   // edgeless
+    shapes.zipWithIndex.foreach { case (es, i) =>
+      val n = 80L
+      val nodes = (0L until n).toDF("doc_id")
+      val pairs =
+        if (es.isEmpty) Seq.empty[(Long, Long)].toDF("a_id", "b_id")
+        else es.toDF("a_id", "b_id")
+      val got = Dedup.connectedComponents(pairs, nodes)
+        .as[(Long, Long)].collect().toMap
+      assert(got == unionFind(n, es), s"shape $i diverged from union-find")
+      // hash-min: rounds tracks graph diameter (sparse random can be ~7+)
+      assert(Dedup.lastCcRounds <= 12, s"shape $i took ${Dedup.lastCcRounds} rounds")
+      // the measured-and-rejected star alternation labels identically
+      val stars = Dedup.connectedComponentsStars(pairs, nodes)
+        .as[(Long, Long)].collect().toMap
+      assert(stars == got, s"shape $i: hash-min and star labels diverged")
+      assert(Dedup.lastCcRounds <= 6, s"shape $i stars took ${Dedup.lastCcRounds} rounds")
+    }
+  }
+
   test("salted join spreads a hot key across buckets yet matches the plain join") {
     val big = ((1 to 5000).map(i => ("hot", i.toLong)) ++
       (1 to 50).map(i => (s"k$i", i.toLong))).toDF("key", "v")
