@@ -46,14 +46,23 @@ object Pipeline {
           ledger: Option[IdempotencyLedger] = None,
           runLedger: Option[RunLedger] = None,
           pipelineName: String = "pipeline"): RunResult = {
+    // Run id minted up front so every structured log line carries it
+    // (the ledger row and the result reuse the same id).
+    val runId = java.util.UUID.randomUUID().toString
+    val t0 = System.nanoTime()
     // Idempotent-run gate (reference tasks.py consults IdempotencyManager
     // before executing; key = SHA-256 of the full spec payload).
     val key = ledger.map(l => l.keyFor(Map("pipeline_spec" -> rawSpec)))
     ledger.foreach { l =>
       if (!l.checkAndSet(key.get, "running")) {
+        StageLog.emit("pipeline_skipped",
+          "pipeline" -> pipelineName, "run_id" -> runId,
+          "idempotency_key" -> key.get)
         return RunResult(spark.emptyDataFrame, Nil, None, skippedIdempotent = true)
       }
     }
+    StageLog.emit("pipeline_start",
+      "pipeline" -> pipelineName, "run_id" -> runId)
 
     var stats = Vector.empty[StageStats]
     // (ingestor, watermark col, unprojected increment) when incremental:
@@ -61,9 +70,13 @@ object Pipeline {
     var incremental: Option[(graft.sources.IncrementalIngestor, String,
       org.apache.spark.sql.DataFrame)] = None
     def timed[T](stage: String)(f: => (T, Long)): T = {
-      val t0 = System.nanoTime()
+      val s0 = System.nanoTime()
       val (v, rows) = f
-      stats :+= StageStats(stage, rows, (System.nanoTime() - t0) / 1000000)
+      val ms = (System.nanoTime() - s0) / 1000000
+      stats :+= StageStats(stage, rows, ms)
+      StageLog.emit("stage_complete",
+        "pipeline" -> pipelineName, "run_id" -> runId,
+        "stage" -> stage, "rows" -> rows, "duration_ms" -> ms)
       v
     }
 
@@ -205,10 +218,14 @@ object Pipeline {
     // "what did pipeline X write yesterday" is a query over the ledger.
     // The run id is surfaced in the result so callers (PipelineCli) can
     // print it for later `status <run_id>` lookups.
-    val runId = java.util.UUID.randomUUID().toString
     runLedger.foreach(_.record(spark,
       runId = runId,
       pipeline = pipelineName, stats = stats, writeStats = writeStats))
+    StageLog.emit("pipeline_complete",
+      "pipeline" -> pipelineName, "run_id" -> runId,
+      "stages" -> stats.size.toLong,
+      "rows_written" -> writeStats.map(_.rowsWritten).getOrElse(-1L),
+      "duration_ms" -> (System.nanoTime() - t0) / 1000000)
     RunResult(transformed, stats, writeStats, runId = runId)
   }
 

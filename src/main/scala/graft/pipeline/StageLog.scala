@@ -1,0 +1,55 @@
+package graft.pipeline
+
+/** Structured per-stage pipeline logging — the Spark-native form of the
+  * reference's JSON-context logger (src/pipeline/utils/logging.py:
+  * `StructuredFormatter` emits one JSON object per event with
+  * pipeline/task context fields attached). Here each pipeline run emits
+  * one compact JSON line per event (`pipeline_start`, `stage_complete`,
+  * `pipeline_complete`, `pipeline_skipped`) through a swappable sink
+  * that defaults to the slf4j logger Spark's log4j config already
+  * routes. One line per STAGE, not per row or task — at 100 TB the log
+  * volume tracks the pipeline's shape, never its data; the durable
+  * queryable copy of the same facts is [[RunLedger]] (this is the
+  * operational tail -f view, the ledger is the audit table).
+  *
+  * The sink is process-global and swappable so tests (and embedding
+  * applications that want their own log pipeline) can capture lines
+  * without reconfiguring log4j. */
+object StageLog {
+  private val logger = org.slf4j.LoggerFactory.getLogger("graft.pipeline")
+
+  @volatile var sink: String => Unit = s => logger.info(s)
+
+  /** Compact single-line JSON with full string escaping (same rules as
+    * Verify's dump: a stray newline/quote in a path or an error message
+    * must never split or corrupt a log line). Longs/doubles/booleans
+    * pass through as JSON scalars; everything else is quoted. */
+  def line(event: String, fields: (String, Any)*): String = {
+    def esc(s: String): String = "\"" + s.flatMap {
+      case '"'  => "\\\""
+      case '\\' => "\\\\"
+      case '\n' => "\\n"
+      case '\r' => "\\r"
+      case '\t' => "\\t"
+      case c if c < ' ' => f"\\u${c.toInt}%04x"
+      case c => c.toString
+    } + "\""
+    def v(x: Any): String = x match {
+      case null => "null"
+      case b: Boolean => b.toString
+      case n: Byte => n.toString
+      case n: Short => n.toString
+      case n: Int => n.toString
+      case n: Long => n.toString
+      case n: Double => if (n.isNaN || n.isInfinite) esc(n.toString) else n.toString
+      case n: Float => v(n.toDouble)
+      case other => esc(other.toString)
+    }
+    (("event" -> event) +: fields)
+      .map { case (k, x) => s"${esc(k)}: ${v(x)}" }
+      .mkString("{", ", ", "}")
+  }
+
+  def emit(event: String, fields: (String, Any)*): Unit =
+    sink(line(event, fields: _*))
+}

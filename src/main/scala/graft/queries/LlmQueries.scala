@@ -2,7 +2,7 @@ package graft.queries
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import graft.operators.{Boilerplate, Bpe, Cdc, Contamination, Dedup, Forget, Funnel, Multimodal, Packing, Pca, Privacy, Profiler, QualityModel, Selection, ShardExport, Similarity, Sketches, Splits, TextAnalysis}
+import graft.operators.{Boilerplate, Bpe, Cdc, Contamination, Dedup, Forget, Funnel, Multimodal, Packing, Pca, Privacy, Profiler, QualityModel, Selection, ShardExport, Similarity, Sketches, Splits, TextAnalysis, UnigramLm}
 import graft.sources.Ingestor
 
 /** SURVEY §2.4 LLM-training-data operators over `documents` /
@@ -219,6 +219,21 @@ object LlmQueries {
       fs.create(done, true).close()
     }
     s"$dir/model"
+  }
+
+  /** Stored unigram-LM piece table for a corpus dir; trains on first
+    * use, fingerprint-keyed (same economics as [[bpeMergesFor]]).
+    * Parquet's `_SUCCESS` marker is the completeness check. */
+  private def unigramPiecesFor(s: SparkSession, d: String): String = {
+    val key = d.replaceAll("[^A-Za-z0-9._-]", "_")
+    val fp = contentKey(docs(s, d), Seq("doc_id", "text"))
+    val dir =
+      s"${System.getProperty("java.io.tmpdir")}/graft_unigram_v1_v400/${key}_$fp"
+    val done = new org.apache.hadoop.fs.Path(s"$dir/_SUCCESS")
+    val fs = done.getFileSystem(s.sparkContext.hadoopConfiguration)
+    if (!fs.exists(done))
+      UnigramLm.save(s, UnigramLm.train(docs(s, d), vocabSize = 400), dir)
+    dir
   }
 
   /** Stored per-doc quality-score table for a corpus dir — the probe
@@ -504,6 +519,22 @@ object LlmQueries {
     // monotone-compression property
     "text_bpe" -> ((s, d) =>
       Bpe.tokenStats(docs(s, d), numMerges = 200).orderBy("doc_id")),
+
+    // rows-only: the unigram-LM (SentencePiece-style) piece table —
+    // the OTHER real-world tokenizer family next to BPE; determinism/
+    // optimality/coverage specs certify it (UnigramLmSpec)
+    "unigram_pieces" -> ((s, d) =>
+      UnigramLm.piecesDF(s, UnigramLm.load(s, unigramPiecesFor(s, d)))
+        .orderBy("rank")),
+
+    // rows-only: ML (Viterbi) segmentation stats under the stored
+    // unigram LM — per-doc compression + segmentation log-probability
+    // (a corpus-fit signal BPE cannot give); encode is one broadcast +
+    // one map-side pass, no training (probe economics like text_bpe_stored)
+    "text_unigram_tok" -> ((s, d) =>
+      UnigramLm.tokenStatsWith(
+          UnigramLm.load(s, unigramPiecesFor(s, d)), docs(s, d))
+        .orderBy("doc_id")),
 
     // probe-phase BPE: encode against a STORED merge table (trained
     // once per corpus dir) — the tokenizer-release economics: every

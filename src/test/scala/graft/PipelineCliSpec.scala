@@ -94,6 +94,40 @@ class PipelineCliSpec extends SparkSpec {
     assert(cli("history", "ghost", "--ledger-dir", ledgerDir)._1 == 1)
   }
 
+  test("structured stage log: one parseable JSON line per lifecycle event") {
+    import graft.pipeline.StageLog
+    import org.json4s._
+    import org.json4s.jackson.JsonMethods
+    val dir = tmp("graft_cli_log")
+    val in = s"$dir/in"
+    (1L to 10L).map(i => (i, i)).toDF("id", "v").write.parquet(in)
+    val specPath = writeSpec(dir, in, s"$dir/out")
+    val buf = scala.collection.mutable.ArrayBuffer.empty[String]
+    val prev = StageLog.sink
+    try {
+      StageLog.sink = s => buf.synchronized { buf += s }
+      val (c1, _) = cli("run", specPath, "--name", "logtest",
+        "--idempotency-dir", s"$dir/keys")
+      val (c2, _) = cli("run", specPath, "--name", "logtest",
+        "--idempotency-dir", s"$dir/keys") // idempotent SKIP
+      assert(c1 == 0 && c2 == 0)
+    } finally StageLog.sink = prev
+    val parsed = buf.toList.map(JsonMethods.parse(_))
+    def events = parsed.map(j => (j \ "event") match { case JString(s) => s; case _ => "?" })
+    assert(events == List("pipeline_start", "stage_complete", "stage_complete",
+      "stage_complete", "pipeline_complete", "pipeline_skipped"), events)
+    // every line carries the pipeline name and ONE consistent run id per run
+    val runIds = parsed.take(5).map(j => (j \ "run_id") match { case JString(s) => s; case _ => "?" })
+    assert(runIds.distinct.size == 1 && runIds.head.nonEmpty)
+    assert(parsed.forall(j => (j \ "pipeline") == JString("logtest")))
+    val complete = parsed(4)
+    assert((complete \ "rows_written") == JInt(6))
+    assert((complete \ "stages") == JInt(3))
+    // escaping: hostile strings survive as one parseable line
+    val hostile = StageLog.line("x", "msg" -> "a\"b\\c\nd\tef")
+    assert((JsonMethods.parse(hostile) \ "msg") == JString("a\"b\\c\nd\tef"))
+  }
+
   test("idempotency dir makes a re-run a recorded SKIP, not a double write") {
     val dir = tmp("graft_cli_idem")
     val in = s"$dir/in"
