@@ -2,7 +2,7 @@ package graft.queries
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import graft.operators.{Boilerplate, Bpe, Cdc, Contamination, Dedup, Forget, Funnel, Multimodal, Packing, Pca, Privacy, Profiler, QualityModel, Selection, ShardExport, Similarity, Sketches, Splits, TextAnalysis, UnigramLm}
+import graft.operators.{Boilerplate, Bpe, Cdc, Contamination, Dedup, Forget, Funnel, Multimodal, Packing, Pca, Privacy, Profiler, QualityModel, Quantize, Selection, ShardExport, Similarity, Sketches, Splits, TextAnalysis, UnigramLm}
 import graft.sources.Ingestor
 
 /** SURVEY §2.4 LLM-training-data operators over `documents` /
@@ -261,6 +261,19 @@ object LlmQueries {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "dedup_exact" -> ((s, d) =>
       Dedup.exact(docs(s, d)).orderBy("keep_id")),
+
+    // rows-only: int8 quantization fidelity audit — empirical cosine
+    // vs the constructive scale/2 bound per vector (QuantizeSpec pins
+    // the bound and kernel arithmetic)
+    "emb_quantize_audit" -> ((s, d) =>
+      Quantize.audit(emb(s, d)).orderBy("vec_id")),
+
+    // rows-only: flat int8-scored top-k with exact float re-rank of
+    // the survivors — the compressed-storage twin of knn_brute
+    // (recall + survivor-sim-equality spec'd vs knnBrute)
+    "knn_quantized" -> ((s, d) =>
+      Quantize.knnQuantized(emb(s, d), col("vec_id") < 10, k = 10)
+        .orderBy("q_id", "rank")),
 
     // rows-only: murmur/xxhash bucket keys aren't reproducible in SQL
     "dedup_minhash" -> ((s, d) =>
