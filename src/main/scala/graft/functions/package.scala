@@ -66,13 +66,18 @@ package object functions {
   // ---------------------------------------------------------------- windows
   /** Global `row_number` over a BOUNDED relation — top-K candidate
     * tables after a `limit`, vocabularies, domain tables: relations a
-    * prior step already reduced to driver-ish size. Partitioning on a
-    * literal makes the single-partition execution EXPLICIT (it is the
-    * point: one total order over <= K rows), which also keeps
-    * WindowExec's "No Partition Defined" WARN meaningful for the case
-    * it exists to catch — an accidental global window over unbounded
-    * data. Callers must only pass relations bounded upstream; this is
-    * a contract, not a check. */
+    * prior step already reduced to driver-ish size. One helper so
+    * every deliberate single-partition rank is findable and carries
+    * this contract: callers must only pass relations bounded upstream.
+    *
+    * The literal partition key documents intent but does NOT survive
+    * optimization — Catalyst constant-folds foldable partition
+    * expressions away, so the executed WindowExec is unpartitioned
+    * either way (measured: a plan scan over all 156 suite queries
+    * shows the only empty-partitionSpec windows are these deliberate
+    * bounded ones). The bench harness therefore demotes exactly the
+    * WindowExec logger instead of pretending the literal silences it;
+    * library sessions keep the WARN for accidental global windows. */
   def boundedRank(order: Column*): Column =
     row_number().over(org.apache.spark.sql.expressions.Window
       .partitionBy(lit(1)).orderBy(order: _*))
@@ -118,6 +123,32 @@ package object functions {
       array_min(transform(base, h => pmod(h * lit(a) + lit(b), lit(minhashPrime))))
     }
     array(sig.toIndexedSeq: _*)
+  }
+
+  /** Probability that a pair at Jaccard similarity `s` becomes an LSH
+    * candidate under (bands b, rows-per-band r): 1 − (1 − s^r)^b — the
+    * textbook S-curve (Leskovec/Rajaraman/Ullman, MMDS ch. 3). */
+  def lshCandidateProb(s: Double, bands: Int, rowsPerBand: Int): Double =
+    1.0 - math.pow(1.0 - math.pow(s, rowsPerBand), bands)
+
+  /** Pick (bands, rowsPerBand) for a `k`-hash MinHash signature so a
+    * pair at `threshold` similarity is caught with probability at least
+    * `targetRecall`, using as MANY rows per band as possible — more
+    * rows per band = a steeper S-curve = fewer below-threshold false
+    * candidates, and the false-candidate volume is what a 100 TB
+    * banding job pays for (every candidate is an exact-verify row).
+    * Deterministic; fails loudly when k is too small for the ask
+    * rather than silently returning a laxer curve. Returns
+    * (bands, rowsPerBand, catchProbAtThreshold). */
+  def lshPlan(k: Int, threshold: Double, targetRecall: Double = 0.95)
+      : (Int, Int, Double) = {
+    require(k >= 1 && threshold > 0 && threshold <= 1 &&
+      targetRecall > 0 && targetRecall < 1)
+    val options = (1 to k).filter(k % _ == 0).reverse // rowsPerBand, steep first
+      .map(r => (k / r, r, lshCandidateProb(threshold, k / r, r)))
+    options.find(_._3 >= targetRecall).getOrElse(sys.error(
+      f"lshPlan: k=$k cannot reach recall $targetRecall%.2f at threshold " +
+        f"$threshold%.2f (best ${options.map(_._3).max}%.3f with 1-row bands) — raise k"))
   }
 
   /** LSH band keys: the signature is cut into `bands` rows of

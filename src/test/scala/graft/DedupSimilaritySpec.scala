@@ -418,6 +418,26 @@ class DedupSimilaritySpec extends SparkSpec {
     }
   }
 
+  test("lshPlan: steepest S-curve meeting the recall target; reproduces the shipped default") {
+    import graft.functions.{lshCandidateProb, lshPlan}
+    // the production default (128 hashes, 32 bands of 4 at threshold
+    // 0.8) is exactly what the advisor derives for recall 0.95: 8-row
+    // bands land at 0.947 (just short), 4-row bands at ~1.0
+    val (b, r, p) = lshPlan(k = 128, threshold = 0.8)
+    assert((b, r) == (32, 4) && p > 0.9999)
+    assert(lshCandidateProb(0.8, 16, 8) < 0.95)
+    // returned probability always honors the target
+    for (k <- Seq(32, 64, 128); t <- Seq(0.5, 0.7, 0.9)) {
+      val (_, _, prob) = lshPlan(k, t, 0.9)
+      assert(prob >= 0.9, s"k=$k t=$t prob=$prob")
+    }
+    // S-curve is monotone in similarity
+    val probs = Seq(0.2, 0.4, 0.6, 0.8).map(lshCandidateProb(_, 32, 4))
+    assert(probs == probs.sorted && probs.last > probs.head)
+    // an impossible ask fails loudly instead of silently flattening
+    intercept[RuntimeException](lshPlan(k = 4, threshold = 0.1, targetRecall = 0.99))
+  }
+
   test("salted join spreads a hot key across buckets yet matches the plain join") {
     val big = ((1 to 5000).map(i => ("hot", i.toLong)) ++
       (1 to 50).map(i => (s"k$i", i.toLong))).toDF("key", "v")
