@@ -52,7 +52,7 @@ object PipelineCli {
         historyCommand(spark, pipeline, f)
       case _ =>
         Console.err.println(
-          """usage: PipelineCli run <spec.json> [--name NAME] [--ledger-dir DIR] [--idempotency-dir DIR]
+          """usage: PipelineCli run <spec.json> [--name NAME] [--ledger-dir DIR] [--idempotency-dir DIR] [--idempotency-ttl-days N]
             |       PipelineCli status <run_id> --ledger-dir DIR
             |       PipelineCli history <pipeline_name> --ledger-dir DIR [--limit N]""".stripMargin)
         2
@@ -84,7 +84,8 @@ object PipelineCli {
     val name = flags.getOrElse("name",
       p.getFileName.toString.stripSuffix(".json"))
     val ledger = flags.get("ledger-dir").map(new RunLedger(_))
-    val idem = flags.get("idempotency-dir").map(new IdempotencyLedger(_))
+    val idem = flags.get("idempotency-dir").map(d => new IdempotencyLedger(d,
+      ttlDays = flags.get("idempotency-ttl-days").map(_.toInt)))
     try {
       val r = Pipeline.runJson(spark, specJson, ledger = idem,
         runLedger = ledger, pipelineName = name)

@@ -927,4 +927,60 @@ object Similarity {
       .agg(
         round(davg(col("v")), 6).as("centroid"),
         count(lit(1)).as("n_vecs"))
+
+  /** Nearest-centroid (Rocchio) classification — the domain/topic
+    * tagging pass a curation pipeline runs when a labeled seed exists:
+    * train per-label centroids on the rows matching `trainPred`,
+    * classify EVERY row by maximum cosine to a centroid. Output per
+    * row: (idCol, labelCol, in_train, pred_label, pred_cos, margin) —
+    * margin (best − second-best cosine) is the standard confidence
+    * gate for routing low-margin docs to review.
+    *
+    * Scale shape: the model is [[labelCentroids]]' 6-dp table collected
+    * to the driver (labels × dim — model-sized, same economics as the
+    * IVF centroid loop), then classification is a codegen'd
+    * dot-product cascade against broadcast literal vectors — ZERO
+    * shuffle on the corpus side beyond the centroid aggregate itself;
+    * at 100 TB this rides the scan like any per-row signal. Using the
+    * ROUNDED published centroids makes the scores a pure function of
+    * the (reproducible) model table, so the DuckDB oracle reproduces
+    * them exactly. Deterministic: 6-dp cosines, prediction ties break
+    * toward the smaller label; zero-norm vectors score 0 everywhere. */
+  def classifyByCentroid(emb: DataFrame, trainPred: Column,
+                         labelCol: String = "label",
+                         idCol: String = "vec_id",
+                         vecCol: String = "embedding"): DataFrame = {
+    val rows = labelCentroids(emb.where(trainPred), labelCol, vecCol).collect()
+    require(rows.nonEmpty, "classifyByCentroid: no training rows matched trainPred")
+    val model = rows.groupBy(_.get(0)).toSeq
+      .map { case (lb, rs) =>
+        val c = rs.sortBy(_.getLong(1)).map(_.getDouble(2)).toSeq
+        (lb, c, math.sqrt(c.map(x => x * x).sum))
+      }
+      .sortBy(_._1 match { // smaller label first: numeric when numeric
+        case n: Number => (0, n.doubleValue, "")
+        case other     => (1, 0.0, String.valueOf(other))
+      })
+    val v = vecD(col(vecCol))
+    val vnorm = sqrt(dotProduct(v, v))
+    val cosCols = model.map { case (_, c, cn) =>
+      if (cn == 0.0) lit(0.0)
+      else when(vnorm === 0, lit(0.0))
+        .otherwise(round(dotProduct(v, typedLit(c)) / (vnorm * lit(cn)), 6))
+    }
+    val best = if (cosCols.size == 1) cosCols.head else greatest(cosCols: _*)
+    // coalesce of per-label "am I the max" in ascending label order ==
+    // the smaller label wins ties (the oracle's ORDER BY cos DESC, label)
+    val pred = coalesce(model.map(_._1).zip(cosCols).map {
+      case (lb, c) => when(c === best, lit(lb))
+    }: _*)
+    val margin =
+      if (cosCols.size < 2) lit(null).cast("double")
+      else {
+        val sorted = array_sort(array(cosCols: _*))
+        round(element_at(sorted, -1) - element_at(sorted, -2), 6)
+      }
+    emb.select(col(idCol), col(labelCol), trainPred.as("in_train"),
+      pred.as("pred_label"), best.as("pred_cos"), margin.as("margin"))
+  }
 }

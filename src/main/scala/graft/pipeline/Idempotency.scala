@@ -17,10 +17,14 @@ import org.apache.hadoop.fs.{FileAlreadyExistsException, FileSystem, Path}
   * create-exclusive is atomic across a 1000-executor cluster's drivers;
   * a bare local path gives the same semantics on one machine. (On
   * eventually-consistent object stores use a real lock service instead.) */
-class IdempotencyLedger(dir: String, hadoopConf: Configuration = new Configuration()) {
+class IdempotencyLedger(dir: String,
+                        hadoopConf: Configuration = new Configuration(),
+                        ttlDays: Option[Int] = None) {
   private val root = new Path(dir)
   private val fs: FileSystem = root.getFileSystem(hadoopConf)
   fs.mkdirs(root)
+
+  require(ttlDays.forall(_ > 0), "ttlDays must be positive when set")
 
   /** Deterministic key: SHA-256 over "k=v" pairs sorted by key
     * (reference canonicalises with sorted json, idempotency.py:111). */
@@ -36,19 +40,40 @@ class IdempotencyLedger(dir: String, hadoopConf: Configuration = new Configurati
 
   /** Atomically claim `key`: true if this caller acquired it (run should
     * proceed), false if some run already holds it (skip — reference
-    * `check_and_set`, idempotency.py:223). */
-  def checkAndSet(key: String, value: String = ""): Boolean =
-    try {
-      val out = fs.create(new Path(root, key), false) // overwrite=false -> exclusive
-      try out.write(value.getBytes(StandardCharsets.UTF_8))
-      finally out.close()
-      true
-    } catch {
-      case _: FileAlreadyExistsException => false
-      case _: org.apache.hadoop.fs.PathExistsException => false
-      case e: java.io.IOException if e.getMessage != null &&
-        e.getMessage.contains("already exists") => false
-    }
+    * `check_and_set`, idempotency.py:223).
+    *
+    * TTL semantics (reference: every Redis key is SET with
+    * `IDEMPOTENCY_KEY_TTL_DAYS` expiry, idempotency.py:158-168 `setex`
+    * — a run older than the TTL stops suppressing re-execution): when
+    * `ttlDays` is set, a held key whose ledger file is OLDER than the
+    * TTL is reclaimed — deleted and re-claimed with one more exclusive
+    * create. Two drivers racing an expired key both delete (idempotent)
+    * and then race the create; exclusive-create lets exactly one win,
+    * and the loser sees the winner's FRESH file and backs off. */
+  def checkAndSet(key: String, value: String = ""): Boolean = {
+    def claim(): Boolean =
+      try {
+        val out = fs.create(new Path(root, key), false) // overwrite=false -> exclusive
+        try out.write(value.getBytes(StandardCharsets.UTF_8))
+        finally out.close()
+        true
+      } catch {
+        case _: FileAlreadyExistsException => false
+        case _: org.apache.hadoop.fs.PathExistsException => false
+        case e: java.io.IOException if e.getMessage != null &&
+          e.getMessage.contains("already exists") => false
+      }
+    claim() || (ttlDays match {
+      case Some(days) =>
+        val p = new Path(root, key)
+        val expired =
+          try System.currentTimeMillis() - fs.getFileStatus(p).getModificationTime >
+            days.toLong * 24 * 60 * 60 * 1000
+          catch { case _: java.io.FileNotFoundException => true } // raced clear
+        if (expired) { fs.delete(p, false); claim() } else false
+      case None => false
+    })
+  }
 
   def isSet(key: String): Boolean = fs.exists(new Path(root, key))
 

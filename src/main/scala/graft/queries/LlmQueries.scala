@@ -262,6 +262,14 @@ object LlmQueries {
     "dedup_exact" -> ((s, d) =>
       Dedup.exact(docs(s, d)).orderBy("keep_id")),
 
+    // nearest-centroid (Rocchio) classification: centroids trained on
+    // the %5!=0 labeled split, every vector tagged by max cosine with
+    // a confidence margin — oracle-exact because scores are a pure
+    // function of the 6-dp published centroid table
+    "emb_classify" -> ((s, d) =>
+      Similarity.classifyByCentroid(emb(s, d), col("vec_id") % 5 =!= 0)
+        .orderBy("vec_id")),
+
     // rows-only: int8 quantization fidelity audit — empirical cosine
     // vs the constructive scale/2 bound per vector (QuantizeSpec pins
     // the bound and kernel arithmetic)
@@ -1687,6 +1695,27 @@ object LlmQueries {
         | round(CAST(SUM(CAST(v AS DECIMAL(38,6))) AS DOUBLE) / COUNT(v), 6) AS centroid,
         | CAST(COUNT(*) AS BIGINT) AS n_vecs
         |FROM e GROUP BY label, pos ORDER BY label, pos""".stripMargin,
+
+    "emb_classify" ->
+      """WITH e AS (SELECT vec_id, label, [CAST(x AS DOUBLE) for x in embedding] AS v FROM embeddings),
+        | tr AS (SELECT label AS cl, CAST(s.pos AS BIGINT) AS pos, CAST(v[s.pos] AS DOUBLE) AS x
+        |  FROM e, UNNEST(generate_series(1, len(v))) AS s(pos) WHERE vec_id % 5 <> 0),
+        | c AS (SELECT cl, pos, round(CAST(SUM(CAST(x AS DECIMAL(38,6))) AS DOUBLE) / COUNT(x), 6) AS cc
+        |  FROM tr GROUP BY cl, pos),
+        | cv AS (SELECT cl, list(cc ORDER BY pos) AS cvec FROM c GROUP BY cl),
+        | cn AS (SELECT cl, cvec, sqrt(list_sum([y*y for y in cvec])) AS cnorm FROM cv),
+        | n AS (SELECT vec_id, label, v, sqrt(list_sum([y*y for y in v])) AS norm FROM e),
+        | s AS (SELECT n.vec_id, n.label, cn.cl,
+        |   round(list_sum([n.v[i] * cn.cvec[i] for i in range(1, len(n.v) + 1)])
+        |         / (n.norm * cn.cnorm), 6) AS cos
+        |  FROM n, cn),
+        | r AS (SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY cos DESC, cl) AS rk FROM s)
+        |SELECT b.vec_id, b.label, (b.vec_id % 5 <> 0) AS in_train,
+        | b.cl AS pred_label, b.cos AS pred_cos,
+        | round(b.cos - s2.cos, 6) AS margin
+        |FROM (SELECT * FROM r WHERE rk = 1) b
+        |JOIN (SELECT vec_id, cos FROM r WHERE rk = 2) s2 USING (vec_id)
+        |ORDER BY vec_id""".stripMargin,
 
     "dedup_incremental" ->
       """WITH inc AS (SELECT doc_id, source, text, md5(text) AS fp

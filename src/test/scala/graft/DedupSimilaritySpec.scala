@@ -418,6 +418,35 @@ class DedupSimilaritySpec extends SparkSpec {
     }
   }
 
+  test("nearest-centroid classifier: planted clusters recovered, ties to smaller label, margins sane") {
+    // three well-separated direction clusters in 4d + per-point jitter
+    val dirs = Map(0 -> Array(1f, 0f, 0f, 0f), 1 -> Array(0f, 1f, 0f, 0f),
+      2 -> Array(0f, 0f, 1f, 0.2f))
+    val pts = (0L until 90L).map { i =>
+      val lb = (i % 3).toInt
+      val d = dirs(lb)
+      (i, d.zipWithIndex.map { case (x, j) =>
+        x + (math.sin(i * 0.7 + j) * 0.08).toFloat }, lb)
+    }.toDF("vec_id", "embedding", "label")
+    val out = Similarity.classifyByCentroid(pts, col("vec_id") % 5 =!= 0)
+      .select("vec_id", "label", "in_train", "pred_label", "pred_cos", "margin")
+      .as[(Long, Int, Boolean, Int, Double, Double)].collect()
+    assert(out.length == 90)
+    // every point (train AND held-out) lands on its planted cluster
+    out.foreach { case (id, lb, _, pred, cos, margin) =>
+      assert(pred == lb, s"vec $id: planted $lb predicted $pred")
+      assert(cos > 0.9 && margin > 0.0, s"vec $id cos=$cos margin=$margin")
+    }
+    assert(out.count(!_._3) == 18) // the %5 held-out fifth
+    // zero vector: cosine 0 to every centroid -> tie -> smallest label
+    val withZero = pts.union(Seq((999L, Array(0f, 0f, 0f, 0f), 2))
+      .toDF("vec_id", "embedding", "label"))
+    val z = Similarity.classifyByCentroid(withZero, col("vec_id") % 5 =!= 0)
+      .where(col("vec_id") === 999).select("pred_label", "pred_cos", "margin")
+      .as[(Int, Double, Double)].head()
+    assert(z == ((0, 0.0, 0.0)))
+  }
+
   test("lshPlan: steepest S-curve meeting the recall target; reproduces the shipped default") {
     import graft.functions.{lshCandidateProb, lshPlan}
     // the production default (128 hashes, 32 bands of 4 at threshold

@@ -130,6 +130,29 @@ class PersistenceSpec extends SparkSpec {
     assert(led.checkAndSet(k1))
   }
 
+  test("idempotency TTL: expired keys are reclaimed, fresh keys still block") {
+    // reference semantics: Redis keys carry IDEMPOTENCY_KEY_TTL_DAYS
+    // expiry (setex), so a run older than the TTL stops suppressing
+    // re-execution; the file-ledger analogue reclaims on stale mtime
+    val dir = Files.createTempDirectory("graft_led_ttl").toString
+    val led = new IdempotencyLedger(dir, ttlDays = Some(7))
+    val k = led.keyFor(Map("spec" -> "x"))
+    assert(led.checkAndSet(k, "run1"))
+    assert(!led.checkAndSet(k, "run2"), "fresh key must still block")
+    // backdate the ledger file past the TTL
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(new org.apache.hadoop.conf.Configuration())
+    val stale = System.currentTimeMillis() - 8L * 24 * 60 * 60 * 1000
+    fs.setTimes(new org.apache.hadoop.fs.Path(dir, k), stale, stale)
+    assert(led.checkAndSet(k, "run3"), "expired key must be reclaimed")
+    assert(led.get(k).contains("run3"))
+    assert(!led.checkAndSet(k, "run4"), "reclaimed key is fresh again")
+    // a no-TTL ledger never expires anything
+    val forever = new IdempotencyLedger(dir)
+    fs.setTimes(new org.apache.hadoop.fs.Path(dir, k), stale, stale)
+    assert(!forever.checkAndSet(k, "run5"))
+  }
+
   test("retry: recovers after transient failures, honors maxAttempts") {
     var calls = 0
     val delays = scala.collection.mutable.ArrayBuffer[Long]()
