@@ -13,7 +13,8 @@ object Bench {
     * bucketed paths' recall at the oracle SF, and no deployment runs
     * them). Excluded from campaigns at sf >= 0.1 so every at-scale
     * number is a deployment path; still benched when explicitly named. */
-  val oracleOnly: Set[String] = Set("dedup_embedding", "emb_clusters")
+  val oracleOnly: Set[String] =
+    Set("dedup_embedding", "emb_clusters", "emb_triplets")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

@@ -928,6 +928,40 @@ object Similarity {
         round(davg(col("v")), 6).as("centroid"),
         count(lit(1)).as("n_vecs"))
 
+  /** Self-supervised contrastive TRIPLET mining (the SimCSE-style
+    * training-data generator for embedding models, label-free — the
+    * labeled counterpart is [[hardNegatives]]): from a scored pair
+    * relation (a_id, b_id, cosine), each anchor pairs its most-similar
+    * NEAR-DUP (cosine >= threshold — the positive) with its
+    * most-similar NON-dup (cosine < threshold — the hard negative:
+    * close enough to be confusable, not a duplicate). Anchors missing
+    * either side drop (a triplet needs both); `gap` = pos − neg cosine
+    * is the curriculum/difficulty signal (small gap = hard triplet).
+    *
+    * The pair feed is the caller's choice and IS the scale story:
+    * `Dedup.embeddingNearDups(emb, -1, allPairs = true)` gives the
+    * exact all-pairs feed (oracle SFs only), `allPairs = false` the
+    * IVF-cell-bucketed feed whose candidates track cell occupancy —
+    * the same two-feed discipline as the dedup family. Deterministic:
+    * 6-dp cosines, ties toward the smaller candidate id. */
+  def contrastiveTriplets(scoredPairs: DataFrame,
+                          threshold: Double): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val sym = scoredPairs
+      .select(col("a_id").as("anchor_id"), col("b_id").as("cand"), col("cosine"))
+      .union(scoredPairs
+        .select(col("b_id").as("anchor_id"), col("a_id").as("cand"), col("cosine")))
+    val w = Window.partitionBy("anchor_id")
+      .orderBy(col("cosine").desc, col("cand"))
+    def top(side: DataFrame, idName: String, cosName: String) =
+      side.withColumn("__rk", row_number().over(w)).where(col("__rk") === 1)
+        .select(col("anchor_id"), col("cand").as(idName), col("cosine").as(cosName))
+    val pos = top(sym.where(col("cosine") >= threshold), "pos_id", "pos_cos")
+    val neg = top(sym.where(col("cosine") < threshold), "neg_id", "neg_cos")
+    pos.join(neg, "anchor_id")
+      .withColumn("gap", round(col("pos_cos") - col("neg_cos"), 6))
+  }
+
   /** Nearest-centroid (Rocchio) classification — the domain/topic
     * tagging pass a curation pipeline runs when a labeled seed exists:
     * train per-label centroids on the rows matching `trainPred`,

@@ -262,6 +262,27 @@ object LlmQueries {
     "dedup_exact" -> ((s, d) =>
       Dedup.exact(docs(s, d)).orderBy("keep_id")),
 
+    // self-supervised contrastive triplets (SimCSE-style): each anchor
+    // pairs its best near-dup (positive) with its best NON-dup (hard
+    // negative) from the exact all-pairs feed — oracle-gate form,
+    // skipped at sf>=0.1 like every all-pairs feed
+    "emb_triplets" -> ((s, d) =>
+      Similarity.contrastiveTriplets(
+          Dedup.embeddingNearDups(emb(s, d), -1.0), threshold = 0.45)
+        .orderBy("anchor_id")),
+
+    // the DEPLOYABLE triplet feed: IVF-cell-bucketed candidates — both
+    // sides of each triplet come from the anchor's cells, so candidate
+    // volume tracks cell occupancy, never N^2; coverage is the subset
+    // of anchors whose cells hold both a dup and a non-dup (cell-mate
+    // negatives are exactly the HARD ones), and chosen positives agree
+    // with the exact feed on covered anchors (rows-only; spec'd)
+    "emb_triplets_lsh" -> ((s, d) =>
+      Similarity.contrastiveTriplets(
+          Dedup.embeddingNearDups(emb(s, d), -1.0, allPairs = false),
+          threshold = 0.45)
+        .orderBy("anchor_id")),
+
     // nearest-centroid (Rocchio) classification: centroids trained on
     // the %5!=0 labeled split, every vector tagged by max cosine with
     // a confidence margin — oracle-exact because scores are a pure
@@ -1695,6 +1716,28 @@ object LlmQueries {
         | round(CAST(SUM(CAST(v AS DECIMAL(38,6))) AS DOUBLE) / COUNT(v), 6) AS centroid,
         | CAST(COUNT(*) AS BIGINT) AS n_vecs
         |FROM e GROUP BY label, pos ORDER BY label, pos""".stripMargin,
+
+    "emb_triplets" ->
+      """WITH e AS (SELECT vec_id, [CAST(x AS DOUBLE) for x in embedding] AS v FROM embeddings),
+        | n AS (SELECT vec_id, v, sqrt(list_sum([y*y for y in v])) AS norm FROM e),
+        | p AS (SELECT a.vec_id AS a_id, b.vec_id AS b_id,
+        |   round(list_sum([a.v[i] * b.v[i] for i in range(1, len(a.v) + 1)])
+        |         / (a.norm * b.norm), 6) AS cosine
+        |  FROM n a, n b WHERE a.vec_id < b.vec_id),
+        | sym AS (SELECT a_id AS anchor_id, b_id AS cand, cosine FROM p
+        |   UNION ALL SELECT b_id, a_id, cosine FROM p),
+        | pos AS (SELECT anchor_id, cand, cosine,
+        |   row_number() OVER (PARTITION BY anchor_id ORDER BY cosine DESC, cand) AS rk
+        |  FROM sym WHERE cosine >= 0.45),
+        | neg AS (SELECT anchor_id, cand, cosine,
+        |   row_number() OVER (PARTITION BY anchor_id ORDER BY cosine DESC, cand) AS rk
+        |  FROM sym WHERE cosine < 0.45)
+        |SELECT pp.anchor_id, pp.cand AS pos_id, pp.cosine AS pos_cos,
+        | nn.cand AS neg_id, nn.cosine AS neg_cos,
+        | round(pp.cosine - nn.cosine, 6) AS gap
+        |FROM (SELECT * FROM pos WHERE rk = 1) pp
+        |JOIN (SELECT * FROM neg WHERE rk = 1) nn USING (anchor_id)
+        |ORDER BY anchor_id""".stripMargin,
 
     "emb_classify" ->
       """WITH e AS (SELECT vec_id, label, [CAST(x AS DOUBLE) for x in embedding] AS v FROM embeddings),

@@ -418,6 +418,51 @@ class DedupSimilaritySpec extends SparkSpec {
     }
   }
 
+  test("contrastive triplets: positive is the best near-dup, negative the best non-dup") {
+    // two tight near-dup pairs + a confusable-but-distinct neighbour
+    // direction + one orthogonal loner
+    val vecs = Seq(
+      (0L, Array(1f, 0f, 0f, 0f)),
+      (1L, Array(0.995f, 0.1f, 0f, 0f)),   // near-dup of 0
+      (2L, Array(0.8f, 0.6f, 0f, 0f)),     // confusable with 0/1, not a dup
+      (3L, Array(0f, 0f, 1f, 0f)),
+      (4L, Array(0f, 0.1f, 0.995f, 0f)),   // near-dup of 3
+      (5L, Array(0f, 0f, 0f, 1f)))         // loner: no positive -> no triplet
+      .toDF("vec_id", "embedding")
+    val pairs = Dedup.embeddingNearDups(vecs, -1.0)
+    val out = Similarity.contrastiveTriplets(pairs, threshold = 0.9)
+      .select("anchor_id", "pos_id", "neg_id", "gap")
+      .as[(Long, Long, Long, Double)].collect().sortBy(_._1)
+    // anchors 0,1 (pair), 3,4 (pair); 2 and 5 have no >=0.9 positive
+    assert(out.map(_._1).toSeq == Seq(0L, 1L, 3L, 4L))
+    val m = out.map(t => t._1 -> t).toMap
+    assert(m(0L)._2 == 1L && m(0L)._3 == 2L) // pos = its dup, neg = the confusable
+    assert(m(1L)._2 == 0L && m(1L)._3 == 2L)
+    assert(m(3L)._2 == 4L)
+    out.foreach(t => assert(t._4 > 0.0, s"gap must be positive: $t"))
+    // the deployable cell-bucketed feed agrees with the exact feed on
+    // real embeddings for the bulk of anchors (the IVF trainer needs a
+    // real-sized corpus, so this leg runs on the sf0.001 table)
+    val emb = spark.read.parquet(sf() + "/embeddings.parquet")
+    val exact = Similarity.contrastiveTriplets(
+        Dedup.embeddingNearDups(emb, -1.0), threshold = 0.45)
+      .select("anchor_id", "pos_id").as[(Long, Long)].collect().toMap
+    val lsh = Similarity.contrastiveTriplets(
+        Dedup.embeddingNearDups(emb, -1.0, allPairs = false), threshold = 0.45)
+      .select("anchor_id", "pos_id").as[(Long, Long)].collect().toMap
+    assert(exact.nonEmpty && lsh.nonEmpty)
+    // the bucketed feed emits a triplet only when an anchor's CELLS
+    // hold both a dup and a non-dup (negatives must be cell-mates —
+    // which is exactly what makes them hard), so its coverage is a
+    // subset; on the anchors it does cover, the chosen positive must
+    // agree with the exact feed's
+    val shared = lsh.keySet.intersect(exact.keySet)
+    assert(shared.nonEmpty, s"lsh anchors ${lsh.size} vs exact ${exact.size}")
+    val agree = shared.count(a => lsh(a) == exact(a))
+    assert(agree >= (shared.size * 0.8).toInt,
+      s"positive agreement $agree/${shared.size}")
+  }
+
   test("nearest-centroid classifier: planted clusters recovered, ties to smaller label, margins sane") {
     // three well-separated direction clusters in 4d + per-point jitter
     val dirs = Map(0 -> Array(1f, 0f, 0f, 0f), 1 -> Array(0f, 1f, 0f, 0f),
