@@ -983,8 +983,38 @@ object Similarity {
   def classifyByCentroid(emb: DataFrame, trainPred: Column,
                          labelCol: String = "label",
                          idCol: String = "vec_id",
-                         vecCol: String = "embedding"): DataFrame = {
-    val rows = labelCentroids(emb.where(trainPred), labelCol, vecCol).collect()
+                         vecCol: String = "embedding"): DataFrame =
+    classifyWithModel(emb,
+      labelCentroids(emb.where(trainPred), labelCol, vecCol).collect(),
+      trainPred, labelCol, idCol, vecCol)
+
+  /** Persist the classifier's centroid model — [[labelCentroids]]' 6-dp
+    * table, the complete model — for train-once/classify-forever reruns
+    * (parquet `_SUCCESS` is the completeness marker, like the other
+    * single-table stored artifacts). */
+  def saveCentroidModel(emb: DataFrame, trainPred: Column, dir: String,
+                        labelCol: String = "label",
+                        vecCol: String = "embedding"): Unit =
+    labelCentroids(emb.where(trainPred), labelCol, vecCol)
+      .coalesce(1).write.mode("overwrite").parquet(dir)
+
+  /** Classify against a STORED centroid model ([[saveCentroidModel]])
+    * — zero training-side work per run. Because the fresh path also
+    * scores against the published 6-dp table, stored and fresh
+    * classifications are byte-identical on the same corpus (spec-
+    * pinned); `inTrain` only labels the audit column. */
+  def classifyStored(emb: DataFrame, dir: String,
+                     inTrain: Column = lit(false),
+                     labelCol: String = "label",
+                     idCol: String = "vec_id",
+                     vecCol: String = "embedding"): DataFrame =
+    classifyWithModel(emb, emb.sparkSession.read.parquet(dir).collect(),
+      inTrain, labelCol, idCol, vecCol)
+
+  private def classifyWithModel(emb: DataFrame,
+                                rows: Array[org.apache.spark.sql.Row],
+                                trainPred: Column, labelCol: String,
+                                idCol: String, vecCol: String): DataFrame = {
     require(rows.nonEmpty, "classifyByCentroid: no training rows matched trainPred")
     val model = rows.groupBy(_.get(0)).toSeq
       .map { case (lb, rs) =>

@@ -236,6 +236,21 @@ object LlmQueries {
     dir
   }
 
+  /** Stored centroid-classifier model for a corpus dir (trained on the
+    * %5!=0 labeled split); builds on first use, fingerprint-keyed,
+    * `_SUCCESS` completeness marker. */
+  private def centroidModelFor(s: SparkSession, d: String): String = {
+    val key = d.replaceAll("[^A-Za-z0-9._-]", "_")
+    val fp = contentKey(emb(s, d), Seq("vec_id", "embedding"))
+    val dir =
+      s"${System.getProperty("java.io.tmpdir")}/graft_centmodel_v1/${key}_$fp"
+    val done = new org.apache.hadoop.fs.Path(s"$dir/_SUCCESS")
+    val fs = done.getFileSystem(s.sparkContext.hadoopConfiguration)
+    if (!fs.exists(done))
+      Similarity.saveCentroidModel(emb(s, d), col("vec_id") % 5 =!= 0, dir)
+    dir
+  }
+
   /** Stored per-doc quality-score table for a corpus dir — the probe
     * input for recurring weighted sampling: one narrow parquet
     * (doc_id, quality_score), computed once per corpus content.
@@ -289,6 +304,15 @@ object LlmQueries {
     // function of the 6-dp published centroid table
     "emb_classify" -> ((s, d) =>
       Similarity.classifyByCentroid(emb(s, d), col("vec_id") % 5 =!= 0)
+        .orderBy("vec_id")),
+
+    // probe-phase classification: the STORED centroid model (trained
+    // once per release) tags the corpus with zero training-side work;
+    // SAME oracle as emb_classify — both paths score against the 6-dp
+    // published table, so they are byte-identical by construction
+    "emb_classify_stored" -> ((s, d) =>
+      Similarity.classifyStored(emb(s, d), centroidModelFor(s, d),
+          inTrain = col("vec_id") % 5 =!= 0)
         .orderBy("vec_id")),
 
     // rows-only: int8 quantization fidelity audit — empirical cosine
@@ -1740,6 +1764,29 @@ object LlmQueries {
         |ORDER BY anchor_id""".stripMargin,
 
     "emb_classify" ->
+      """WITH e AS (SELECT vec_id, label, [CAST(x AS DOUBLE) for x in embedding] AS v FROM embeddings),
+        | tr AS (SELECT label AS cl, CAST(s.pos AS BIGINT) AS pos, CAST(v[s.pos] AS DOUBLE) AS x
+        |  FROM e, UNNEST(generate_series(1, len(v))) AS s(pos) WHERE vec_id % 5 <> 0),
+        | c AS (SELECT cl, pos, round(CAST(SUM(CAST(x AS DECIMAL(38,6))) AS DOUBLE) / COUNT(x), 6) AS cc
+        |  FROM tr GROUP BY cl, pos),
+        | cv AS (SELECT cl, list(cc ORDER BY pos) AS cvec FROM c GROUP BY cl),
+        | cn AS (SELECT cl, cvec, sqrt(list_sum([y*y for y in cvec])) AS cnorm FROM cv),
+        | n AS (SELECT vec_id, label, v, sqrt(list_sum([y*y for y in v])) AS norm FROM e),
+        | s AS (SELECT n.vec_id, n.label, cn.cl,
+        |   round(list_sum([n.v[i] * cn.cvec[i] for i in range(1, len(n.v) + 1)])
+        |         / (n.norm * cn.cnorm), 6) AS cos
+        |  FROM n, cn),
+        | r AS (SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY cos DESC, cl) AS rk FROM s)
+        |SELECT b.vec_id, b.label, (b.vec_id % 5 <> 0) AS in_train,
+        | b.cl AS pred_label, b.cos AS pred_cos,
+        | round(b.cos - s2.cos, 6) AS margin
+        |FROM (SELECT * FROM r WHERE rk = 1) b
+        |JOIN (SELECT vec_id, cos FROM r WHERE rk = 2) s2 USING (vec_id)
+        |ORDER BY vec_id""".stripMargin,
+
+    // byte-identical by construction: both paths score against the
+    // same 6-dp centroid table
+    "emb_classify_stored" ->
       """WITH e AS (SELECT vec_id, label, [CAST(x AS DOUBLE) for x in embedding] AS v FROM embeddings),
         | tr AS (SELECT label AS cl, CAST(s.pos AS BIGINT) AS pos, CAST(v[s.pos] AS DOUBLE) AS x
         |  FROM e, UNNEST(generate_series(1, len(v))) AS s(pos) WHERE vec_id % 5 <> 0),

@@ -483,6 +483,15 @@ class DedupSimilaritySpec extends SparkSpec {
       assert(cos > 0.9 && margin > 0.0, s"vec $id cos=$cos margin=$margin")
     }
     assert(out.count(!_._3) == 18) // the %5 held-out fifth
+    // the STORED centroid model classifies byte-identically (both
+    // paths score against the published 6-dp table)
+    val dir = java.nio.file.Files.createTempDirectory("graft_centm").toString
+    Similarity.saveCentroidModel(pts, col("vec_id") % 5 =!= 0, dir)
+    val stored = Similarity.classifyStored(pts, dir,
+        inTrain = col("vec_id") % 5 =!= 0)
+      .select("vec_id", "label", "in_train", "pred_label", "pred_cos", "margin")
+      .as[(Long, Int, Boolean, Int, Double, Double)].collect()
+    assert(stored.sortBy(_._1).toSeq == out.sortBy(_._1).toSeq)
     // zero vector: cosine 0 to every centroid -> tie -> smallest label
     val withZero = pts.union(Seq((999L, Array(0f, 0f, 0f, 0f), 2))
       .toDF("vec_id", "embedding", "label"))
