@@ -299,4 +299,31 @@ object Packing {
       .select(col(idCol), col("n_tokens"), col("chunk_id"),
         col("chunk_start"), col("chunk_tokens"))
   }
+
+  /** OVERLAPPING chunk rows — the retrieval/RAG indexing form of
+    * [[chunkDocuments]]: consecutive chunks share `overlap` tokens so
+    * a passage never loses context by straddling a boundary. Chunk i
+    * starts at i·(budget − overlap); emission stops once a start could
+    * only re-cover the previous chunk's overlap region (start <
+    * max(n − overlap, 1)), so the final chunk is the only one that may
+    * be short and no chunk is fully redundant. `overlap = 0` is
+    * byte-identical to [[chunkDocuments]] (spec-pinned). Same
+    * zero-shuffle projection + generator shape. */
+  def chunkDocumentsOverlap(docs: DataFrame, budget: Long, overlap: Long,
+                            idCol: String = "doc_id",
+                            tokens: Column = null): DataFrame = {
+    require(budget > 0, "budget must be positive")
+    require(overlap >= 0 && overlap < budget, "overlap must be in [0, budget)")
+    val stride = budget - overlap
+    val tokCol = if (tokens == null) wsTokenCount(col("text")) else tokens
+    docs.select(col(idCol), tokCol.cast("long").as("n_tokens"))
+      .withColumn("chunk_id",
+        explode(sequence(lit(0L),
+          expr(s"greatest(n_tokens - ${overlap}L - 1L, 0L) div ${stride}L"))))
+      .withColumn("chunk_start", col("chunk_id") * stride)
+      .withColumn("chunk_tokens",
+        least(col("n_tokens") - col("chunk_start"), lit(budget)))
+      .select(col(idCol), col("n_tokens"), col("chunk_id"),
+        col("chunk_start"), col("chunk_tokens"))
+  }
 }

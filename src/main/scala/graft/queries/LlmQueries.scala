@@ -1067,6 +1067,13 @@ object LlmQueries {
       Packing.chunkDocuments(docs(s, d), budget = 32L)
         .orderBy("doc_id", "chunk_id")),
 
+    // RAG-style OVERLAPPING chunks: consecutive chunks share 8 tokens
+    // so passages never lose context at a boundary; same zero-shuffle
+    // projection + generator shape
+    "doc_chunks_overlap" -> ((s, d) =>
+      Packing.chunkDocumentsOverlap(docs(s, d), budget = 32L, overlap = 8L)
+        .orderBy("doc_id", "chunk_id")),
+
     "corpus_cap" -> ((s, d) =>
       Splits.capPerDomain(docs(s, d), "doc_id", "source", cap = 10)
         .select("doc_id", "source").orderBy("doc_id")),
@@ -2284,6 +2291,17 @@ object LlmQueries {
         |SELECT doc_id, n_tokens, chunk_id,
         | chunk_id * 32 AS chunk_start,
         | least(n_tokens - chunk_id * 32, 32) AS chunk_tokens
+        |FROM c ORDER BY doc_id, chunk_id""".stripMargin,
+
+    "doc_chunks_overlap" ->
+      """WITH t AS (SELECT doc_id,
+        |   CAST(len([x for x in regexp_split_to_array(text, '\s+') if x <> '']) AS BIGINT) AS n_tokens
+        |  FROM documents),
+        | c AS (SELECT doc_id, n_tokens, CAST(u.c AS BIGINT) AS chunk_id
+        |  FROM t, UNNEST(generate_series(0, greatest(n_tokens - 8 - 1, 0) // 24)) AS u(c))
+        |SELECT doc_id, n_tokens, chunk_id,
+        | chunk_id * 24 AS chunk_start,
+        | least(n_tokens - chunk_id * 24, 32) AS chunk_tokens
         |FROM c ORDER BY doc_id, chunk_id""".stripMargin,
 
     "corpus_cap" ->

@@ -498,6 +498,45 @@ class PrepOperatorsSpec extends SparkSpec {
       (3L, 0L, 0L, 0L)))
   }
 
+  test("overlapping chunks: full coverage, exact overlap, no redundant tail, zero==plain") {
+    def doc(n: Int) = Seq.fill(n)("w").mkString(" ")
+    val docs = Seq(0, 1, 24, 25, 32, 33, 56, 57, 100).zipWithIndex
+      .map { case (n, i) => (i.toLong, doc(n), n.toLong) }
+      .toDF("doc_id", "text", "n")
+    val out = Packing.chunkDocumentsOverlap(docs, budget = 32L, overlap = 8L)
+      .select("doc_id", "n_tokens", "chunk_start", "chunk_tokens")
+      .as[(Long, Long, Long, Long)].collect()
+      .groupBy(_._1).view.mapValues(_.sortBy(_._3)).toMap
+    out.foreach { case (id, chunks) =>
+      val n = chunks.head._2
+      // coverage: merged spans tile [0, n) with no gap
+      var covered = 0L
+      chunks.foreach { case (_, _, start, len) =>
+        assert(start <= covered, s"doc $id: gap before $start")
+        covered = math.max(covered, start + len)
+      }
+      assert(covered == n, s"doc $id covered $covered of $n")
+      // stride is constant, so every consecutive pair shares exactly
+      // `overlap` tokens (the final chunk may be short but still
+      // starts inside fresh territory — never fully redundant)
+      chunks.sliding(2).foreach {
+        case Array(a, b) =>
+          val inter = math.min(a._3 + a._4, b._3 + b._4) - b._3
+          assert(inter == 8L, s"doc $id overlap $inter")
+          assert(b._3 + b._4 > a._3 + a._4, s"doc $id redundant tail")
+        case _ => ()
+      }
+    }
+    // 25 tokens: a second chunk at 24 would only re-cover overlap -> 1 chunk
+    assert(out(3L).length == 1 && out(6L).length == 2 && out(7L).length == 3)
+    // overlap = 0 degenerates to the plain chunker byte-for-byte
+    val plain = Packing.chunkDocuments(docs, budget = 32L)
+      .orderBy("doc_id", "chunk_id").collect().toSeq
+    val zero = Packing.chunkDocumentsOverlap(docs, budget = 32L, overlap = 0L)
+      .orderBy("doc_id", "chunk_id").collect().toSeq
+    assert(zero == plain)
+  }
+
   // ------------------------------------------------------------- CDC / SCD2
   test("changelog replay keeps latest non-deleted state per key") {
     val log = Seq(
