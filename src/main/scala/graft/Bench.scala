@@ -191,22 +191,40 @@ object Bench {
           System.err.println(
             f"[bench] $name GC-dominated and unstable: $t%.2fs (gc $gc%.2f) vs $t2%.2fs (gc $gc2%.2f) after forced GC — flagged")
         }
+        // The authoritative re-measure must itself pass the external
+        // guards: without this check an externally-contaminated second
+        // window would be recorded unflagged and the artifact would
+        // stay "official" on a number the ext-CPU guard exists to catch.
+        if (ext2 > extLimit || io2 > ioLimit) {
+          flagged = true
+          System.err.println(
+            f"[bench] $name GC re-measure externally contaminated: ext $ext2%.1f / iowait $io2%.1f cores (limits $extLimit / $ioLimit) — flagged")
+        }
         t = t2; ext = math.max(ext, ext2); io = math.max(io, io2); gc = gc2
       }
       extPeak = math.max(extPeak, ext)
       ioPeak = math.max(ioPeak, io)
-      (name, t, flagged, gc)
+      (name, t, flagged, gc, ext, io)
     }
     val loadEnd = osBean.getSystemLoadAverage
-    val qs = results.map { case (k, v, _, _) => "\"" + k + "\":" + v }
+    val qs = results.map { case (k, v, _, _, _, _) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     // Per-query GC fraction of the measurement window (guard part b):
     // lets a reader of two artifacts attribute any disagreement on an
     // allocation-heavy query to collection time instead of guessing.
-    val gcs = results.map { case (k, _, _, g) => f""""$k":$g%.3f""" }
+    val gcs = results.map { case (k, _, _, g, _, _) => f""""$k":$g%.3f""" }
+      .mkString("{", ",", "}")
+    // Per-query EXTERNAL-CPU and iowait core readings of the same
+    // window (the guard computes them anyway): a pair of artifacts
+    // disagreeing 1.9x on one query is now attributable query-by-query
+    // — a sub-threshold host ripple shows up HERE even when the
+    // run-level peak stays quiet.
+    val exts = results.map { case (k, _, _, _, e, _) => f""""$k":$e%.2f""" }
+      .mkString("{", ",", "}")
+    val ios = results.map { case (k, _, _, _, _, w) => f""""$k":$w%.2f""" }
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum
-    val flaggedNames = results.collect { case (k, _, true, _) => "\"" + k + "\"" }
+    val flaggedNames = results.collect { case (k, _, true, _, _, _) => "\"" + k + "\"" }
       .mkString("[", ",", "]")
     val skippedNames = skipped.toSeq.sorted.map("\"" + _ + "\"")
       .mkString("[", ",", "]")
@@ -218,7 +236,7 @@ object Bench {
     val ctx = f""""protocol":"median3 for loop-driven or >=0.3s queries; forced GC before every window; external CPU > $extLimit%.1f cores (/proc/stat minus own jiffies) or system iowait > $ioLimit%.1f cores => wait+remeasure, flag if persistent; GC frac > $gcLimit%.2f of window => forced-GC remeasure, flag if still GC-dominated AND samples disagree >1.3x",""" +
       f""""load_avg_start":$loadStart%.2f,"load_avg_end":$loadEnd%.2f,""" +
       f""""ext_cpu_peak_cores":$extPeak%.2f,"iowait_peak_cores":$ioPeak%.2f,""" +
-      s""""gc_frac":$gcs,""" +
+      s""""gc_frac":$gcs,"ext_cpu":$exts,"iowait":$ios,""" +
       s""""load_flagged":$flaggedNames,"failed":$failedNames,""" +
       s""""official":${results.forall(!_._3) && failed.isEmpty},""" +
       s""""skipped_oracle_only":$skippedNames"""
@@ -236,7 +254,7 @@ object Bench {
     java.nio.file.Files.write(outPath,
       (full + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
     val top5 = results.sortBy(-_._2).take(5)
-      .map { case (k, v, _, _) => "\"" + k + "\":" + f"$v%.3f" }
+      .map { case (k, v, _, _, _, _) => "\"" + k + "\":" + f"$v%.3f" }
       .mkString("{", ",", "}")
     val n = results.size
     println(

@@ -42,34 +42,46 @@ object PipelineCli {
     * session and a temp ledger. All output goes through `Console.out`
     * (capturable with `Console.withOut`). */
   def execute(spark: SparkSession, args: Array[String]): Int = {
-    val (positional, flags) = parseArgs(args.toList)
-    (positional, flags) match {
-      case (List("run", specPath), f) =>
-        runCommand(spark, specPath, f)
-      case (List("status", runId), f) =>
-        statusCommand(spark, runId, f)
-      case (List("history", pipeline), f) =>
-        historyCommand(spark, pipeline, f)
-      case _ =>
-        Console.err.println(
-          """usage: PipelineCli run <spec.json> [--name NAME] [--ledger-dir DIR] [--idempotency-dir DIR] [--idempotency-ttl-days N]
-            |       PipelineCli status <run_id> --ledger-dir DIR
-            |       PipelineCli history <pipeline_name> --ledger-dir DIR [--limit N]""".stripMargin)
-        2
+    def usage(): Int = {
+      Console.err.println(
+        """usage: PipelineCli run <spec.json> [--name NAME] [--ledger-dir DIR] [--idempotency-dir DIR] [--idempotency-ttl-days N]
+          |       PipelineCli status <run_id> --ledger-dir DIR
+          |       PipelineCli history <pipeline_name> --ledger-dir DIR [--limit N]""".stripMargin)
+      2
+    }
+    parseArgs(args.toList) match {
+      case Left(err) =>
+        Console.err.println(err)
+        usage()
+      case Right((positional, flags)) =>
+        (positional, flags) match {
+          case (List("run", specPath), f) =>
+            runCommand(spark, specPath, f)
+          case (List("status", runId), f) =>
+            statusCommand(spark, runId, f)
+          case (List("history", pipeline), f) =>
+            historyCommand(spark, pipeline, f)
+          case _ => usage()
+        }
     }
   }
 
   /** `--key value` pairs anywhere after the subcommand; anything else
-    * is positional. A flag missing its value is a usage error. */
+    * is positional. A flag with no value (end of args, or immediately
+    * followed by another `--flag`) is a hard usage error — silently
+    * dropping it would run `history foo --limit` with the default limit,
+    * and `--name --ledger-dir DIR` would swallow `--ledger-dir` as the
+    * name's value and lose the ledger dir. */
   private def parseArgs(args: List[String],
                         pos: List[String] = Nil,
                         flags: Map[String, String] = Map.empty)
-      : (List[String], Map[String, String]) = args match {
-    case k :: v :: rest if k.startsWith("--") =>
+      : Either[String, (List[String], Map[String, String])] = args match {
+    case k :: v :: rest if k.startsWith("--") && !v.startsWith("--") =>
       parseArgs(rest, pos, flags + (k.stripPrefix("--") -> v))
-    case k :: Nil if k.startsWith("--") => (pos.reverse, flags) // dangling flag -> usage error upstream
+    case k :: _ if k.startsWith("--") =>
+      Left(s"flag $k requires a value")
     case a :: rest => parseArgs(rest, a :: pos, flags)
-    case Nil => (pos.reverse, flags)
+    case Nil => Right((pos.reverse, flags))
   }
 
   private def runCommand(spark: SparkSession, specPath: String,

@@ -93,7 +93,16 @@ object UnigramLm {
     *  3. Final EM round on the surviving vocabulary.
     * Deterministic end to end: histogram capped by (count desc, word),
     * seed scored with Long weights, every sort tie-breaks on the piece
-    * string. */
+    * string.
+    *
+    * CHARACTER-INVENTORY FLOOR (SentencePiece's `character_coverage`
+    * analogue at coverage 1.0): single characters are never pruned —
+    * they are what guarantees every word segments — so the smallest
+    * reachable vocabulary is the corpus's distinct-character count.
+    * Rather than silently returning an oversized table when
+    * `vocabSize` is below that floor, training fails loudly with the
+    * real floor in the message, so the caller can pick a feasible size
+    * (or pre-filter the corpus's character set). */
   def train(docs: DataFrame, vocabSize: Int,
             maxPieceLen: Int = 8, seedSize: Int = 1 << 14,
             shrink: Double = 0.75, emIters: Int = 2,
@@ -120,6 +129,10 @@ object UnigramLm {
       }
     }
     val chars = subCounts.keysIterator.filter(_.length == 1).toArray
+    require(vocabSize >= chars.length,
+      s"vocabSize=$vocabSize is below the character-inventory floor: the corpus " +
+        s"has ${chars.length} distinct characters and single characters are never " +
+        "pruned (they are the OOV-free fallback) — request at least that many pieces")
     val multi = subCounts.iterator.filter(_._1.length > 1).toArray
       .sortBy { case (s, c) => (-c, s) }
       .take(math.max(0, seedSize - chars.length)).map(_._1)

@@ -46,13 +46,39 @@ class IdempotencyLedger(dir: String,
     * `IDEMPOTENCY_KEY_TTL_DAYS` expiry, idempotency.py:158-168 `setex`
     * — a run older than the TTL stops suppressing re-execution): when
     * `ttlDays` is set, a held key whose ledger file is OLDER than the
-    * TTL is reclaimed — deleted and re-claimed with one more exclusive
-    * create. Two drivers racing an expired key both delete (idempotent)
-    * and then race the create; exclusive-create lets exactly one win,
-    * and the loser sees the winner's FRESH file and backs off. */
+    * TTL is reclaimed and re-claimed with one more exclusive create.
+    *
+    * Reclaim is an atomic RENAME to a unique tombstone, never a delete
+    * of the live key path: a delete decided against a stale mtime could
+    * remove a racing winner's FRESH claim (both racers then "win" and
+    * the pipeline runs twice — the exact failure the ledger exists to
+    * prevent). rename(src, dst) fails for the second racer because the
+    * source is gone, so at most one driver moves the expired file
+    * aside; everyone else falls through to the exclusive create, which
+    * admits exactly one claimant. A rename that turns out to have moved
+    * a non-expired file (this driver's stat was stale — another driver
+    * already reclaimed and re-created between our stat and rename) is
+    * rolled back and the reclaim is abandoned: the key is legitimately
+    * held. The live key path is thus only ever created exclusively or
+    * renamed-if-expired — never unconditionally deleted. */
   def checkAndSet(key: String, value: String = ""): Boolean = {
+    // HDFS resolves create(overwrite=false) atomically at the namenode,
+    // but Hadoop's LOCAL filesystem implements it as exists()-then-create
+    // — a TOCTOU hole under which N concurrent drivers on one machine
+    // can ALL win the "exclusive" create (observed in the race spec: 6/8
+    // claimants succeeded). Local paths therefore claim through NIO's
+    // CREATE_NEW (O_CREAT|O_EXCL — atomic at the syscall), remote
+    // filesystems through the Hadoop API.
     def claim(): Boolean =
-      try {
+      if (fs.getScheme == "file")
+        try {
+          java.nio.file.Files.write(
+            java.nio.file.Paths.get(new Path(root, key).toUri.getPath),
+            value.getBytes(StandardCharsets.UTF_8),
+            java.nio.file.StandardOpenOption.CREATE_NEW)
+          true
+        } catch { case _: java.nio.file.FileAlreadyExistsException => false }
+      else try {
         val out = fs.create(new Path(root, key), false) // overwrite=false -> exclusive
         try out.write(value.getBytes(StandardCharsets.UTF_8))
         finally out.close()
@@ -63,14 +89,38 @@ class IdempotencyLedger(dir: String,
         case e: java.io.IOException if e.getMessage != null &&
           e.getMessage.contains("already exists") => false
       }
-    claim() || (ttlDays match {
-      case Some(days) =>
+    val ttlMs = ttlDays.map(_.toLong * 24 * 60 * 60 * 1000)
+    def ageMs(p: Path): Option[Long] =
+      try Some(System.currentTimeMillis() - fs.getFileStatus(p).getModificationTime)
+      catch { case _: java.io.FileNotFoundException => None }
+    claim() || (ttlMs match {
+      case Some(limit) =>
         val p = new Path(root, key)
-        val expired =
-          try System.currentTimeMillis() - fs.getFileStatus(p).getModificationTime >
-            days.toLong * 24 * 60 * 60 * 1000
-          catch { case _: java.io.FileNotFoundException => true } // raced clear
-        if (expired) { fs.delete(p, false); claim() } else false
+        ageMs(p) match {
+          case None => claim() // raced clear: key vanished, create decides
+          case Some(age) if age <= limit => false // held and fresh
+          case Some(_) =>
+            val tomb = new Path(root,
+              s".reclaim.$key.${java.util.UUID.randomUUID().toString}")
+            val renamed =
+              try fs.rename(p, tomb)
+              catch { case _: java.io.IOException => false }
+            if (!renamed) claim() // lost the reclaim race; create decides
+            else if (ageMs(tomb).forall(_ > limit)) {
+              // we moved a genuinely expired file: retire it and re-claim
+              fs.delete(tomb, false)
+              claim()
+            } else {
+              // stale stat: the file we moved was a racing winner's FRESH
+              // claim — restore it and back off. If the restore target was
+              // re-created in the meantime some claimant already holds a
+              // fresh key, so dropping the tombstone preserves exclusivity
+              // (the exists() pre-check matters on local FS, where rename
+              // silently overwrites an existing destination).
+              if (fs.exists(p) || !fs.rename(tomb, p)) fs.delete(tomb, false)
+              false
+            }
+        }
       case None => false
     })
   }

@@ -153,6 +153,46 @@ class PersistenceSpec extends SparkSpec {
     assert(!forever.checkAndSet(k, "run5"))
   }
 
+  test("idempotency TTL: racing reclaims admit exactly one claimant") {
+    // The reclaim path renames the expired file to a tombstone instead of
+    // deleting the live key (delete/create racing lets BOTH drivers win:
+    // B's stale-decided delete removes A's fresh re-claim). N concurrent
+    // checkAndSet calls against one expired key must yield exactly one
+    // winner, every time.
+    val dir = Files.createTempDirectory("graft_led_race").toString
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(new org.apache.hadoop.conf.Configuration())
+    val led = new IdempotencyLedger(dir, ttlDays = Some(7))
+    val k = led.keyFor(Map("spec" -> "race"))
+    val stale = System.currentTimeMillis() - 8L * 24 * 60 * 60 * 1000
+    for (round <- 1 to 5) {
+      assert(if (round == 1) led.checkAndSet(k, "seed") else true)
+      fs.setTimes(new org.apache.hadoop.fs.Path(dir, k), stale, stale)
+      val pool = java.util.concurrent.Executors.newFixedThreadPool(8)
+      try {
+        val start = new java.util.concurrent.CountDownLatch(1)
+        val futures = (1 to 8).map { i =>
+          pool.submit(new java.util.concurrent.Callable[Boolean] {
+            def call(): Boolean = {
+              start.await()
+              // each racer gets its own ledger instance (its own driver)
+              new IdempotencyLedger(dir, ttlDays = Some(7))
+                .checkAndSet(k, s"racer_$i")
+            }
+          })
+        }
+        start.countDown()
+        val wins = futures.count(_.get())
+        assert(wins == 1, s"round $round: $wins claimants won (want exactly 1)")
+      } finally pool.shutdown()
+      assert(led.isSet(k), "the winner's claim file must survive the race")
+      // no tombstone litter left behind
+      val leftovers = fs.listStatus(new org.apache.hadoop.fs.Path(dir))
+        .map(_.getPath.getName).filter(_.startsWith(".reclaim."))
+      assert(leftovers.isEmpty, s"leftover tombstones: ${leftovers.mkString(",")}")
+    }
+  }
+
   test("retry: recovers after transient failures, honors maxAttempts") {
     var calls = 0
     val delays = scala.collection.mutable.ArrayBuffer[Long]()

@@ -73,6 +73,11 @@ class PipelineCliSpec extends SparkSpec {
     assert(cli("status", "nope")._1 == 2)
     assert(cli("frobnicate")._1 == 2)
     assert(cli("run", s"$dir/does_not_exist.json")._1 == 1)
+    // a flag with no value is a usage error, not a silent default:
+    // dangling at the end of the args...
+    assert(cli("history", "foo", "--ledger-dir", s"$dir/ledger", "--limit")._1 == 2)
+    // ...or swallowing the next flag as its value
+    assert(cli("status", "nope", "--name", "--ledger-dir", s"$dir/ledger")._1 == 2)
   }
 
   test("history lists a pipeline's runs newest-first and grows per run") {
