@@ -321,13 +321,98 @@ object Dedup {
   }
 
   /** Distinct within-corpus candidate pairs (a_id < b_id) from a band
-    * bucket table — the self-join every batch near-dup path shares. */
+    * bucket table — the self-join every batch near-dup path shares.
+    *
+    * SCALE NOTE: this emits C(g,2) pairs for a bucket of occupancy g —
+    * the right (and only) shape for pair-REPORT operators whose output
+    * IS the pair set, but a 100×-scale killer when the consumer only
+    * needs connectivity: a hot-template family with g in the 10⁴–10⁶
+    * range yields 10⁸–10¹¹ candidates from ONE bucket, and no AQE
+    * skew-splitting absorbs that because the join's OUTPUT volume is
+    * quadratic. Closure-bound consumers use [[spanningVerifiedPairs]]
+    * instead, which emits O(Σg) star edges with a verified-residual
+    * fallback and is closure-EQUAL to this feed (proof at the method). */
   private def selfPairs(buckets: DataFrame): DataFrame =
     buckets.as("a")
       .join(buckets.as("b"),
         col("a.bucket") === col("b.bucket") && col("a.id") < col("b.id"))
       .select(col("a.id").as("a_id"), col("b.id").as("b_id"))
       .distinct()
+
+  /** Row counts of the last [[spanningVerifiedPairs]] call — the
+    * no-silent-caps ledger for scale campaigns: how many star edges
+    * were emitted/verified and how large the residual fallback was.
+    * Counts come from the already-materialised checkpoints, so reading
+    * them costs no recompute. */
+  case class SpanningStats(starCandidates: Long, starVerified: Long,
+                           residualCandidates: Long, residualVerified: Long)
+  @volatile private[graft] var lastSpanningStats: SpanningStats =
+    SpanningStats(0, 0, 0, 0)
+
+  /** Sub-quadratic verified near-dup pairs for CLOSURE-bound consumers
+    * (clusters / size profile / canonical keep / leakage-safe splits /
+    * drop-dups) — the per-bucket spanning-edge emission that production
+    * MinHash dedup pipelines ship (the BigCode/Dolma-style alternative
+    * to materialising every in-bucket pair):
+    *
+    *   1. STAR: per (band, bucket) connect every member to the bucket's
+    *      min-id hub — g−1 edges instead of C(g,2) — and Jaccard-verify
+    *      those (O(Σg) verify volume).
+    *   2. RESIDUAL: only members whose star edge FAILED verification
+    *      (LSH false positives sharing a band with a dissimilar hub)
+    *      fall back to pairing against their bucket's other members.
+    *
+    * CLOSURE EQUALITY with the full [[selfPairs]] feed — exact, not a
+    * recall bound. Every spanning-verified edge is a true ≥threshold
+    * pair also present in the full verified feed, so spanning
+    * components refine full components. Conversely take any full-feed
+    * verified edge (x, y) from bucket β with hub h = min(β): either
+    * both x and y verified against h — then x—h—y already connects them
+    * in the star graph and (x, y) is redundant for closure — or at
+    * least one of them is in β's residual, in which case (x, y) is in
+    * the residual×bucket-members candidate set (or was already a star
+    * pair of another bucket) and gets verified. Either way x and y land
+    * in the same component, so the closures are identical. Spec-pinned
+    * against the full feed (including adversarial chains where star
+    * edges fail) and against the same DuckDB recursive-CTE oracle as
+    * the full feed.
+    *
+    * Residual volume is r·g per bucket where r counts verification
+    * FAILURES of band-mates — LSH false positives, a thin sliver at any
+    * real threshold (the S-curve that sizes the bands makes same-band
+    * dissimilar pairs rare). The dominant hot-template case (a near-
+    * clique family of size g) emits g−1 edges, all verify, residual 0 —
+    * the O(occupancy²) blowup is gone exactly where it used to bite. */
+  private[graft] def spanningVerifiedPairs(buckets: DataFrame, sets: DataFrame,
+                                           threshold: Double): DataFrame = {
+    // the bucket table feeds three consumers (hub aggregate, star join,
+    // residual join) with different partitionings — materialise once
+    val b = buckets.localCheckpoint()
+    val hubs = b.groupBy("bucket").agg(min("id").as("hub"))
+    val star = b.join(hubs, "bucket").where(col("id") =!= col("hub"))
+    // distinct folds the same (hub, member) edge re-found by other bands
+    val starPairs = star.select(col("hub").as("a_id"), col("id").as("b_id"))
+      .distinct().localCheckpoint()
+    val starVerified = verifyPairs(starPairs, sets, sets, threshold)
+      .localCheckpoint()
+    val okPairs = starVerified.select(col("a_id").as("hub"), col("b_id").as("id"))
+    val residual = star.join(okPairs, Seq("hub", "id"), "left_anti")
+      .select("bucket", "id")
+    val resCand = residual.as("r")
+      .join(b.as("m"),
+        col("r.bucket") === col("m.bucket") && col("r.id") =!= col("m.id"))
+      .select(least(col("r.id"), col("m.id")).as("a_id"),
+        greatest(col("r.id"), col("m.id")).as("b_id"))
+      .distinct()
+      // star pairs are already decided (verified or failed) — never redo
+      .join(starPairs, Seq("a_id", "b_id"), "left_anti")
+      .localCheckpoint()
+    val resVerified = verifyPairs(resCand, sets, sets, threshold)
+      .localCheckpoint()
+    lastSpanningStats = SpanningStats(starPairs.count(), starVerified.count(),
+      resCand.count(), resVerified.count())
+    starVerified.unionByName(resVerified)
+  }
 
   /** Full near-dup pipeline: LSH candidates -> exact Jaccard filter.
     * The shingle-set table feeds three consumers — the signature
@@ -338,13 +423,26 @@ object Dedup {
     * materialised eagerly via localCheckpoint so the shingle cache can be
     * unpersisted before returning — nothing leaks into the caller's
     * session, and at 100 TB the cache lives only for this pipeline and
-    * spills to disk rather than evicting neighbours. */
+    * spills to disk rather than evicting neighbours.
+    *
+    * `spanning = false` (default) emits and verifies EVERY in-bucket
+    * pair — the report form whose output is the complete verified pair
+    * set. `spanning = true` routes through [[spanningVerifiedPairs]]:
+    * O(Σ occupancy) star edges + verified-residual fallback, closure-
+    * equal to the full feed (exact — proof at the method) but NOT
+    * pair-complete — a clique's non-hub pairs are never emitted. Use it
+    * for every consumer that only needs connectivity (clusters,
+    * canonical selection, leakage-safe splits, drop-dups); it is the
+    * form that survives a hot-template bucket with 10⁴+ members. */
   def minhashNearDups(docs: DataFrame, threshold: Double = 0.8,
-                      k: Int = 128, bands: Int = 32): DataFrame = {
+                      k: Int = 128, bands: Int = 32,
+                      spanning: Boolean = false): DataFrame = {
     val sets = shingleHashSets(docs)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val cand = selfPairs(bandBuckets(sets, k, bands))
-    val verified = jaccardVerify(cand, sets, threshold).localCheckpoint()
+    val buckets = bandBuckets(sets, k, bands)
+    val verified =
+      if (spanning) spanningVerifiedPairs(buckets, sets, threshold)
+      else jaccardVerify(selfPairs(buckets), sets, threshold).localCheckpoint()
     sets.unpersist(false)
     verified
   }
@@ -352,10 +450,18 @@ object Dedup {
   /** The deduplicated corpus: drop every doc that near-duplicates a
     * lower-id doc ("keep first" — for duplicate chains a>b>c this keeps
     * the minimum id and drops the rest, since each non-minimum appears
-    * as some pair's b_id). One anti join against the pair table. */
+    * as some pair's b_id). One anti join against the pair table.
+    *
+    * Runs on the SPANNING feed: the loser set is identical to the full
+    * feed's. A doc d is dropped under the full feed iff some verified
+    * pair (e, d) with e < d exists in a shared bucket β; there either
+    * d's star edge to hub(β) ≤ e < d verifies (d is its b_id — dropped)
+    * or d is in β's residual and (e, d) itself is emitted and verified
+    * (d the greater id — dropped). The reverse inclusion is immediate
+    * (spanning-verified ⊆ full-verified). Spec-pinned. */
   def dropNearDups(docs: DataFrame, threshold: Double = 0.8,
                    idCol: String = "doc_id"): DataFrame = {
-    val losers = minhashNearDups(docs, threshold)
+    val losers = minhashNearDups(docs, threshold, spanning = true)
       .select(col("b_id").as(idCol)).distinct()
     docs.join(losers, Seq(idCol), "left_anti")
   }
@@ -436,40 +542,79 @@ object Dedup {
     * hyperplane gap) scales with N. Candidate recall is certified by
     * spec at the oracle SF; tighter thresholds (real near-dup corpora
     * dedupe at ≥0.8 cosine) concentrate pairs inside cells and only
-    * improve it. */
+    * improve it.
+    *
+    * `spanning = true` (cell feed only) emits per-cell star edges to
+    * the cell's min-id hub plus a verified-residual fallback instead of
+    * every in-cell pair — closure-equal to the full cell feed (see
+    * [[spanningVerifiedPairs]] for the argument) at O(Σ occupancy)
+    * verify volume. Use for closure consumers (semantic clusters);
+    * pair reports keep the default full feed. */
   def embeddingNearDups(emb: DataFrame, threshold: Double,
                         allPairs: Boolean = true, centroidsK: Int = 0,
-                        assign: Int = 2): DataFrame = {
+                        assign: Int = 2, spanning: Boolean = false): DataFrame = {
+    require(!(spanning && allPairs),
+      "spanning applies to the cell-bucketed feed (allPairs = false)")
     val e = Similarity.prepared(emb)
     val aSide = e.select(col("vec_id").as("a_id"), col("v").as("av"), col("norm").as("anorm"))
     val bSide = e.select(col("vec_id").as("b_id"), col("v").as("bv"), col("norm").as("bnorm"))
-    val pairs =
-      if (allPairs)
-        aSide.join(bSide, col("a_id") < col("b_id"))
-      else {
-        val cached = e.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-        val k =
-          if (centroidsK > 0) centroidsK
-          else math.max(16L, math.min(4096L, cached.count() / 64)).toInt
-        val centroids = Similarity.trainIvfCentroids(cached, k)
-        // candidate ids are (id, small-int) pairs — checkpoint the tiny
-        // table so the self-join + verify run off it, then release the
-        // vector cache (training + assignment are its only consumers)
-        val cells = Similarity.cellAssignments(cached, centroids, assign)
-          .localCheckpoint()
-        cached.unpersist(false)
-        val cand = cells.as("x").join(cells.as("y"),
-            col("x.cell") === col("y.cell") &&
-              col("x.vec_id") < col("y.vec_id"))
-          .select(col("x.vec_id").as("a_id"), col("y.vec_id").as("b_id"))
-          .distinct()
-        cand.join(aSide, "a_id").join(bSide, "b_id")
-      }
-    pairs.select(
-        col("a_id"), col("b_id"),
-        round(cosineWithNorms(dotProduct(col("av"), col("bv")),
-          col("anorm"), col("bnorm")), 6).as("cosine"))
-      .where(col("cosine") >= threshold)
+    // exact-cosine verification of an (a_id, b_id) candidate relation
+    def scored(pairs: DataFrame): DataFrame =
+      pairs.select(
+          col("a_id"), col("b_id"),
+          round(cosineWithNorms(dotProduct(col("av"), col("bv")),
+            col("anorm"), col("bnorm")), 6).as("cosine"))
+        .where(col("cosine") >= threshold)
+    if (allPairs)
+      return scored(aSide.join(bSide, col("a_id") < col("b_id")))
+    val cached = e.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val k =
+      if (centroidsK > 0) centroidsK
+      else math.max(16L, math.min(4096L, cached.count() / 64)).toInt
+    val centroids = Similarity.trainIvfCentroids(cached, k)
+    // candidate ids are (id, small-int) pairs — checkpoint the tiny
+    // table so the self-join + verify run off it, then release the
+    // vector cache (training + assignment are its only consumers)
+    val cells = Similarity.cellAssignments(cached, centroids, assign)
+      .localCheckpoint()
+    cached.unpersist(false)
+    if (!spanning) {
+      val cand = cells.as("x").join(cells.as("y"),
+          col("x.cell") === col("y.cell") &&
+            col("x.vec_id") < col("y.vec_id"))
+        .select(col("x.vec_id").as("a_id"), col("y.vec_id").as("b_id"))
+        .distinct()
+      scored(cand.join(aSide, "a_id").join(bSide, "b_id"))
+    } else {
+      // Spanning form for closure consumers — the embedding twin of
+      // [[spanningVerifiedPairs]], with exact cosine as the verifier:
+      // star edges to each cell's min-id hub, residual (members whose
+      // star edge fails ≥threshold) falls back to its cell-mates.
+      // Closure-equal to the full cell feed by the same argument
+      // (every full-feed edge is either hub-redundant or emitted).
+      val hubs = cells.groupBy("cell").agg(min("vec_id").as("hub"))
+      val star = cells.join(hubs, "cell").where(col("vec_id") =!= col("hub"))
+      val starPairs = star.select(col("hub").as("a_id"), col("vec_id").as("b_id"))
+        .distinct().localCheckpoint()
+      val starVerified =
+        scored(starPairs.join(aSide, "a_id").join(bSide, "b_id")).localCheckpoint()
+      val ok = starVerified.select(col("a_id").as("hub"), col("b_id").as("vec_id"))
+      val residual = star.join(ok, Seq("hub", "vec_id"), "left_anti")
+        .select("cell", "vec_id")
+      val resCand = residual.as("r")
+        .join(cells.as("m"),
+          col("r.cell") === col("m.cell") && col("r.vec_id") =!= col("m.vec_id"))
+        .select(least(col("r.vec_id"), col("m.vec_id")).as("a_id"),
+          greatest(col("r.vec_id"), col("m.vec_id")).as("b_id"))
+        .distinct()
+        .join(starPairs, Seq("a_id", "b_id"), "left_anti")
+        .localCheckpoint()
+      val resVerified =
+        scored(resCand.join(aSide, "a_id").join(bSide, "b_id")).localCheckpoint()
+      lastSpanningStats = SpanningStats(starPairs.count(), starVerified.count(),
+        resCand.count(), resVerified.count())
+      starVerified.unionByName(resVerified)
+    }
   }
 
   /** Rounds the last [[connectedComponents]] call took to converge —
@@ -636,10 +781,18 @@ object Dedup {
 
   /** Near-dup clusters of the corpus: MinHash/LSH pairs at `threshold`,
     * closed into components. (doc_id, cluster_id); keep one doc per
-    * cluster_id for the canonical deduplicated corpus. */
+    * cluster_id for the canonical deduplicated corpus.
+    *
+    * The pair feed is the SPANNING one ([[spanningVerifiedPairs]]):
+    * closure-identical to the full in-bucket feed (exact equality —
+    * proof there), but the closure only drags O(Σ occupancy) edges
+    * through verify + label propagation instead of C(g,2) per bucket —
+    * the difference between a plan that survives a 10⁵-member template
+    * family and one that emits 10¹⁰ candidate pairs from it. */
   def nearDupClusters(docs: DataFrame, threshold: Double = 0.8,
                       idCol: String = "doc_id"): DataFrame =
-    connectedComponents(minhashNearDups(docs, threshold), docs, idCol)
+    connectedComponents(minhashNearDups(docs, threshold, spanning = true),
+      docs, idCol)
 
   /** Near-dup cluster SIZE PROFILE — the report a curation run reads
     * before committing to a threshold: how many clusters of each size

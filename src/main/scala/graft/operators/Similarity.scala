@@ -946,20 +946,68 @@ object Similarity {
     * 6-dp cosines, ties toward the smaller candidate id. */
   def contrastiveTriplets(scoredPairs: DataFrame,
                           threshold: Double): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     val sym = scoredPairs
       .select(col("a_id").as("anchor_id"), col("b_id").as("cand"), col("cosine"))
       .union(scoredPairs
         .select(col("b_id").as("anchor_id"), col("a_id").as("cand"), col("cosine")))
-    val w = Window.partitionBy("anchor_id")
-      .orderBy(col("cosine").desc, col("cand"))
-    def top(side: DataFrame, idName: String, cosName: String) =
-      side.withColumn("__rk", row_number().over(w)).where(col("__rk") === 1)
-        .select(col("anchor_id"), col("cand").as(idName), col("cosine").as(cosName))
-    val pos = top(sym.where(col("cosine") >= threshold), "pos_id", "pos_cos")
-    val neg = top(sym.where(col("cosine") < threshold), "neg_id", "neg_cos")
-    pos.join(neg, "anchor_id")
+    tripletsFromCandidates(sym, threshold)
+  }
+
+  /** The triplet reduction itself: per anchor, argmax-cosine candidate
+    * on each side of the threshold. ONE partial-aggregable groupBy
+    * instead of two ranking windows — the max(struct) pairs collapse
+    * map-side, so the shuffle carries at most two rows per anchor no
+    * matter how many candidates the feed emits, and duplicate
+    * candidate rows (an anchor pair sharing 2 cells) are absorbed by
+    * the max without a distinct. Tie-break identical to the old
+    * window form: cosine desc, then smaller candidate id (encoded as
+    * max of (cosine, −cand)). */
+  private def tripletsFromCandidates(sym: DataFrame,
+                                     threshold: Double): DataFrame =
+    sym.groupBy("anchor_id")
+      .agg(
+        max(when(col("cosine") >= threshold,
+          struct(col("cosine").as("c"), (-col("cand")).as("nc")))).as("p"),
+        max(when(col("cosine") < threshold,
+          struct(col("cosine").as("c"), (-col("cand")).as("nc")))).as("n"))
+      .where(col("p").isNotNull && col("n").isNotNull)
+      .select(col("anchor_id"),
+        (-col("p.nc")).as("pos_id"), col("p.c").as("pos_cos"),
+        (-col("n.nc")).as("neg_id"), col("n.c").as("neg_cos"))
       .withColumn("gap", round(col("pos_cos") - col("neg_cos"), 6))
+
+  /** The DEPLOYABLE triplet miner: IVF-cell candidates scored and
+    * reduced IN ONE PASS — the feed never materialises. The cell
+    * self-join's occupancy²-sized output streams straight from the
+    * join (vectors attached BEFORE it, so scoring needs no further
+    * shuffle) into [[tripletsFromCandidates]]' partial aggregation;
+    * nothing quadratic is ever exchanged, distinct'ed, or windowed.
+    * With auto-k cells (~64 vectors/cell, k growing with N) the
+    * map-side compare volume is Σ occupancy² ≈ N·64·assign² — LINEAR
+    * in the corpus — and the only corpus-wide shuffles are the cell
+    * assignment and the ≤2-rows-per-anchor aggregate. No candidates
+    * are dropped and no caps apply: the reduction is an exact argmax
+    * over the full cell feed, so coverage and chosen triplets are
+    * identical to running [[contrastiveTriplets]] on the materialised
+    * feed (spec-pinned), minus only its cost. */
+  def contrastiveTripletsBucketed(emb: DataFrame, threshold: Double,
+                                  centroidsK: Int = 0,
+                                  assign: Int = 2): DataFrame = {
+    val e = prepared(emb)
+    val cached = e.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val k =
+      if (centroidsK > 0) centroidsK
+      else math.max(16L, math.min(4096L, cached.count() / 64)).toInt
+    val centroids = trainIvfCentroids(cached, k)
+    val cells = cellAssignments(cached, centroids, assign).localCheckpoint()
+    cached.unpersist(false)
+    val withVec = cells.join(e, "vec_id")
+    val sym = withVec.as("x").join(withVec.as("y"),
+        col("x.cell") === col("y.cell") && col("x.vec_id") =!= col("y.vec_id"))
+      .select(col("x.vec_id").as("anchor_id"), col("y.vec_id").as("cand"),
+        round(cosineWithNorms(dotProduct(col("x.v"), col("y.v")),
+          col("x.norm"), col("y.norm")), 6).as("cosine"))
+    tripletsFromCandidates(sym, threshold)
   }
 
   /** Nearest-centroid (Rocchio) classification — the domain/topic

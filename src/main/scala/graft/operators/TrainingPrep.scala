@@ -133,9 +133,11 @@ object TrainingPrep {
             }
             // near-dup drop needs the raw text pipeline; losers are
             // computed on the ORIGINAL docs and anti-joined here, so the
-            // enrichment columns added above survive
+            // enrichment columns added above survive. Spanning feed:
+            // the loser set is provably identical to the full feed's
+            // (see Dedup.dropNearDups) at O(Σ occupancy) candidates.
             val losers = Dedup.minhashNearDups(
-                r.select("doc_id", "text"), threshold)
+                r.select("doc_id", "text"), threshold, spanning = true)
               .select(col("b_id").as("doc_id")).distinct()
             r = r.join(losers, Seq("doc_id"), "left_anti")
           case other =>

@@ -291,11 +291,13 @@ object LlmQueries {
     // volume tracks cell occupancy, never N^2; coverage is the subset
     // of anchors whose cells hold both a dup and a non-dup (cell-mate
     // negatives are exactly the HARD ones), and chosen positives agree
-    // with the exact feed on covered anchors (rows-only; spec'd)
+    // with the exact feed on covered anchors (rows-only; spec'd).
+    // Fused form: the cell feed is scored and argmax-reduced in one
+    // pass (map-side combine), so the occupancy²-sized candidate set
+    // is never materialised, shuffled, or windowed — same triplets as
+    // running the miner on the materialised feed, spec-pinned.
     "emb_triplets_lsh" -> ((s, d) =>
-      Similarity.contrastiveTriplets(
-          Dedup.embeddingNearDups(emb(s, d), -1.0, allPairs = false),
-          threshold = 0.45)
+      Similarity.contrastiveTripletsBucketed(emb(s, d), threshold = 0.45)
         .orderBy("anchor_id")),
 
     // nearest-centroid (Rocchio) classification: centroids trained on
@@ -754,9 +756,13 @@ object LlmQueries {
     // test as one unit (a test doc's near-copy in train is eval
     // leakage). Oracled by the recursive-CTE closure over the exact-
     // jaccard pair graph + the same md5 hex thresholds as split_hash.
+    // Spanning pair feed: the closure only needs connectivity, and the
+    // star+residual feed is closure-equal to the full in-bucket join
+    // (same oracle passes) at O(Σ occupancy) candidate volume.
     "split_leakage_safe" -> ((s, d) =>
       Splits.leakageSafe(docs(s, d),
-          Dedup.minhashNearDups(docs(s, d), threshold = 0.8), "doc_id")
+          Dedup.minhashNearDups(docs(s, d), threshold = 0.8, spanning = true),
+          "doc_id")
         .select("doc_id", "cluster_id", "split")
         .orderBy("doc_id")),
 
@@ -1141,11 +1147,14 @@ object LlmQueries {
         .orderBy("id")),
 
     // semantic clusters over the DEPLOYABLE bucketed pair feed — the
-    // composition a 100 TB corpus actually runs (cluster cells bound the
-    // pair compares; the closure is dup-graph-sized either way)
+    // composition a 100 TB corpus actually runs: cluster cells bound
+    // the candidates, and the SPANNING (star+residual) emission keeps
+    // the per-cell feed O(occupancy) instead of occupancy² — closure-
+    // equal to the full cell feed by construction (spec-pinned)
     "emb_clusters_lsh" -> ((s, d) =>
       Dedup.connectedComponents(
-          Dedup.embeddingNearDups(emb(s, d), threshold = 0.45, allPairs = false),
+          Dedup.embeddingNearDups(emb(s, d), threshold = 0.45,
+            allPairs = false, spanning = true),
           emb(s, d), idCol = "vec_id")
         .where(col("id") =!= col("cluster_id"))
         .orderBy("id")),

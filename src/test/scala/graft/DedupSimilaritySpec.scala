@@ -87,6 +87,63 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(kept.size == docs.count() - pairs.map(_._2).toSet.size)
   }
 
+  test("spanning feed: closure identical to the full in-bucket feed on real docs") {
+    val docs = spark.read.parquet(s"$docsDir/documents.parquet")
+    val full = Dedup.minhashNearDups(docs, 0.8)
+    val span = Dedup.minhashNearDups(docs, 0.8, spanning = true)
+    // every spanning-verified edge is a true pair from the full feed
+    assert(span.join(full, Seq("a_id", "b_id"), "left_anti").isEmpty,
+      "spanning emitted a pair the full feed does not contain")
+    val stats = Dedup.lastSpanningStats
+    assert(stats.starCandidates > 0 && stats.starVerified > 0)
+    // and the component closures agree exactly — label by label
+    def labels(pairs: org.apache.spark.sql.DataFrame) =
+      Dedup.connectedComponents(pairs, docs).orderBy("id")
+        .as[(Long, Long)].collect().toSeq
+    assert(labels(span) == labels(full))
+  }
+
+  test("spanning feed: residual fallback closes chains and LSH false-positive buckets") {
+    // synthetic bucket tables drive spanningVerifiedPairs directly so the
+    // star-FAILURE paths are exercised deterministically (real banding
+    // rarely buckets dissimilar docs together at threshold 0.5):
+    // CHAIN — one bucket {1,2,3}, J(1,2)=J(2,3)=0.6, J(1,3)=0.33: the
+    // hub edge (1,3) fails, the residual pass must still find (2,3).
+    val chainSets = Seq(
+      (1L, Seq(10L, 11L, 12L, 13L)),
+      (2L, Seq(11L, 12L, 13L, 14L)),
+      (3L, Seq(12L, 13L, 14L, 15L))).toDF("doc_id", "shash")
+    val chainBuckets = Seq((1L, 100L), (2L, 100L), (3L, 100L)).toDF("id", "bucket")
+    val chainOut = Dedup.spanningVerifiedPairs(chainBuckets, chainSets, 0.5)
+      .select("a_id", "b_id").as[(Long, Long)].collect().toSet
+    assert(chainOut == Set((1L, 2L), (2L, 3L)))
+    // FALSE-POSITIVE HUB — bucket {1,2,3} where the hub matches NOTHING
+    // but (2,3) are true dups: both star edges fail, residual pairs the
+    // failures against their bucket-mates and finds (2,3).
+    val fpSets = Seq(
+      (1L, Seq(1L, 2L)),
+      (2L, Seq(30L, 31L, 32L)),
+      (3L, Seq(31L, 32L, 33L))).toDF("doc_id", "shash")
+    val fpBuckets = Seq((1L, 200L), (2L, 200L), (3L, 200L)).toDF("id", "bucket")
+    val fpOut = Dedup.spanningVerifiedPairs(fpBuckets, fpSets, 0.5)
+      .select("a_id", "b_id").as[(Long, Long)].collect().toSet
+    assert(fpOut == Set((2L, 3L)))
+    val st = Dedup.lastSpanningStats
+    assert(st.residualCandidates > 0 && st.residualVerified == 1)
+  }
+
+  test("spanning embedding feed: semantic closure identical to the full cell feed") {
+    val emb = spark.read.parquet(s"$docsDir/embeddings.parquet")
+    val full = Dedup.embeddingNearDups(emb, 0.45, allPairs = false)
+    val span = Dedup.embeddingNearDups(emb, 0.45, allPairs = false, spanning = true)
+    assert(span.join(full, Seq("a_id", "b_id"), "left_anti").isEmpty,
+      "spanning emitted a pair the full cell feed does not contain")
+    def labels(pairs: org.apache.spark.sql.DataFrame) =
+      Dedup.connectedComponents(pairs, emb, idCol = "vec_id").orderBy("id")
+        .as[(Long, Long)].collect().toSeq
+    assert(labels(span) == labels(full))
+  }
+
   test("simhash: near-identical docs collide, unrelated docs don't") {
     val a = (1 to 60).map(i => s"tok$i").mkString(" ")
     val b = (1 to 60).map(i => if (i == 30) "CHANGED" else s"tok$i").mkString(" ")
@@ -447,9 +504,18 @@ class DedupSimilaritySpec extends SparkSpec {
     val exact = Similarity.contrastiveTriplets(
         Dedup.embeddingNearDups(emb, -1.0), threshold = 0.45)
       .select("anchor_id", "pos_id").as[(Long, Long)].collect().toMap
-    val lsh = Similarity.contrastiveTriplets(
+    // the FUSED bucketed miner (score + argmax in one pass, nothing
+    // quadratic materialised) must produce byte-identical triplets to
+    // running the miner over the materialised cell-pair feed — the
+    // fusion is a plan change, not a semantics change
+    val materialized = Similarity.contrastiveTriplets(
         Dedup.embeddingNearDups(emb, -1.0, allPairs = false), threshold = 0.45)
-      .select("anchor_id", "pos_id").as[(Long, Long)].collect().toMap
+      .orderBy("anchor_id").collect().toSeq
+    val fused = Similarity.contrastiveTripletsBucketed(emb, threshold = 0.45)
+      .orderBy("anchor_id").collect().toSeq
+    assert(fused == materialized,
+      s"fused miner diverged: ${fused.size} vs ${materialized.size} rows")
+    val lsh = fused.map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(exact.nonEmpty && lsh.nonEmpty)
     // the bucketed feed emits a triplet only when an anchor's CELLS
     // hold both a dup and a non-dup (negatives must be cell-mates —
