@@ -195,6 +195,111 @@ object PiiScan {
   }
 }
 
+/** Token-sequence blocklist screen as ONE codegen'd scan.
+  *
+  * Generalizes the single-token screen to PHRASES: each entry is
+  * tokenized with the corpus-side contract (lowercase, `[^a-z0-9]+`
+  * splits), and an entry matches wherever its token sequence appears
+  * contiguously in the document's tokens — "e-mail" screens as the
+  * bigram (e, mail), so a real C4-style list's hyphenated and
+  * multi-word entries screen instead of being rejected. Counting is
+  * overlap-aware (position-based, matching the DuckDB oracle's index
+  * comprehension): `n_blocked` sums match positions over all entries,
+  * `n_distinct_blocked` counts entries that matched at least once.
+  *
+  * `key` is the '\n'-joined normalized entry list — a plain string, so
+  * the expression stays trivially serializable; each executor JVM
+  * compiles it once into a per-length token-sequence hash
+  * ([[BlockScan.matcherFor]]) and every row is one tokenize + slide. */
+case class BlocklistScreenExpr(child: Expression, key: String)
+    extends UnaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires a string input, got ${t.simpleString(10)}")
+  }
+
+  override def dataType: DataType = BlockScan.schema
+
+  override def prettyName: String = "blocklist_screen"
+
+  override def nullSafeEval(input: Any): Any =
+    BlockScan.scan(input.asInstanceOf[UTF8String], key)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val keyRef = ctx.addReferenceObj("blocklistKey", key, "java.lang.String")
+    defineCodeGen(ctx, ev, c => s"graft.expressions.BlockScan.scan($c, $keyRef)")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): BlocklistScreenExpr =
+    copy(child = newChild)
+}
+
+object BlockScan {
+  import org.apache.spark.sql.types.{LongType, StructField, StructType}
+
+  val schema: StructType = StructType(Seq(
+    StructField("n_blocked", LongType, nullable = false),
+    StructField("n_distinct_blocked", LongType, nullable = false)))
+
+  /** Entries grouped by token-sequence length: lookups per document are
+    * (token count) × (distinct phrase lengths), independent of the
+    * list's size. Entry indices drive the distinct-entry bitmap. */
+  private final class Matcher(entries: Array[Array[String]]) {
+    val nEntries: Int = entries.length
+    val byLen: Array[(Int, java.util.HashMap[String, Integer])] = {
+      val m = scala.collection.mutable.LinkedHashMap
+        .empty[Int, java.util.HashMap[String, Integer]]
+      entries.zipWithIndex.foreach { case (toks, idx) =>
+        m.getOrElseUpdate(toks.length, new java.util.HashMap)
+          .putIfAbsent(toks.mkString(" "), Integer.valueOf(idx))
+      }
+      m.toArray.sortBy(_._1)
+    }
+  }
+
+  private val cache =
+    new java.util.concurrent.ConcurrentHashMap[String, Matcher]()
+  private def matcherFor(key: String): Matcher =
+    cache.computeIfAbsent(key,
+      k => new Matcher(k.split('\n').map(_.split(' '))))
+
+  def scan(u: UTF8String, key: String): org.apache.spark.sql.catalyst.InternalRow = {
+    val m = matcherFor(key)
+    // corpus-side tokenization: the graft.functions.wordTokens contract
+    val toks = u.toString.toLowerCase(java.util.Locale.ROOT)
+      .split("[^a-z0-9]+").filter(_.nonEmpty)
+    var total = 0L
+    val seen = new Array[Boolean](m.nEntries)
+    var li = 0
+    while (li < m.byLen.length) {
+      val (len, map) = m.byLen(li)
+      val last = toks.length - len
+      var i = 0
+      while (i <= last) {
+        val joined =
+          if (len == 1) toks(i)
+          else {
+            val sb = new java.lang.StringBuilder(toks(i))
+            var j = i + 1
+            while (j < i + len) { sb.append(' ').append(toks(j)); j += 1 }
+            sb.toString
+          }
+        val hit = map.get(joined)
+        if (hit != null) { total += 1; seen(hit.intValue) = true }
+        i += 1
+      }
+      li += 1
+    }
+    var d = 0L
+    var s = 0
+    while (s < seen.length) { if (seen(s)) d += 1; s += 1 }
+    new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+      Array[Any](total, d))
+  }
+}
+
 /** Static helper the generated code calls (top-level Scala objects emit
   * static forwarders, so `StringNorm.nfc(...)` is valid generated Java). */
 object StringNorm {
@@ -257,4 +362,11 @@ object StringExpressions {
     * (redacted_text, n_emails, n_ips, n_phones). */
   def piiScan(c: Column): Column =
     CatalystBridge.column(PiiRedact(CatalystBridge.expression(c)))
+
+  /** Column-API surface for [[BlocklistScreenExpr]] — a struct of
+    * (n_blocked, n_distinct_blocked). `key` is the '\n'-joined
+    * normalized entry list (see [[graft.operators.TextAnalysis
+    * .blocklistScreen]], which builds it). */
+  def blocklistScreen(c: Column, key: String): Column =
+    CatalystBridge.column(BlocklistScreenExpr(CatalystBridge.expression(c), key))
 }

@@ -547,9 +547,17 @@ object Dedup {
     * `spanning = true` (cell feed only) emits per-cell star edges to
     * the cell's min-id hub plus a verified-residual fallback instead of
     * every in-cell pair — closure-equal to the full cell feed (see
-    * [[spanningVerifiedPairs]] for the argument) at O(Σ occupancy)
-    * verify volume. Use for closure consumers (semantic clusters);
-    * pair reports keep the default full feed. */
+    * [[spanningVerifiedPairs]] for the argument). MEASURED CAVEAT: this
+    * only pays when cell-mates are mostly true dups (star edges mostly
+    * verify). IVF cells are recall partitions, not precision buckets —
+    * at moderate thresholds (the 0.45 semantic-cluster composition)
+    * most star edges FAIL, the residual pass degenerates to the full
+    * feed plus two extra verify rounds, and the sf10 A/B ran 146.6 s vs
+    * 38.9 s for the plain feed — so `emb_clusters_lsh` keeps the full
+    * feed, and spanning is reserved for tight-threshold (≥0.8 cosine)
+    * near-dup corpora where cells approach cliques. Contrast minhash
+    * banding, where bucket collisions at any real threshold are
+    * near-cliques and spanning measured 3.2x faster at sf10. */
   def embeddingNearDups(emb: DataFrame, threshold: Double,
                         allPairs: Boolean = true, centroidsK: Int = 0,
                         assign: Int = 2, spanning: Boolean = false): DataFrame = {
@@ -833,9 +841,19 @@ object Dedup {
       .select("cluster_id").distinct()
     val w = Window.partitionBy("cluster_id")
       .orderBy(col(scoreCol).desc, col("id"))
-    labels
-      .join(multi, Seq("cluster_id"), "left_semi")
-      .join(scores.select(col(idCol).as("id"), round(col(scoreCol), 6).as(scoreCol)), "id")
+    val members = labels.join(multi, Seq("cluster_id"), "left_semi")
+      .localCheckpoint() // dup-graph-sized; feeds the score semi-join AND the final join
+    // Score ONLY clustered docs: the semi-join sits UNDER the caller's
+    // scoring projection (Catalyst's PushDownLeftSemiAntiJoin moves it
+    // through the projection since it only touches the id), so in a
+    // mostly-unique corpus the expensive scoring expressions run over
+    // the dup families, not the whole corpus — measured 137 s -> the
+    // dedup_clusters baseline + a small scoring delta at sf10.
+    val neededScores = scores
+      .join(members.select(col("id").as(idCol)), Seq(idCol), "left_semi")
+      .select(col(idCol).as("id"), round(col(scoreCol), 6).as(scoreCol))
+    members
+      .join(neededScores, "id")
       .withColumn("keep_id", first("id").over(w))
       .select(col("id").as(idCol), col("cluster_id"), col(scoreCol),
         col("keep_id"), (col("id") === col("keep_id")).as("kept"))

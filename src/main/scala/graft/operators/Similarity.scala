@@ -976,23 +976,38 @@ object Similarity {
         (-col("n.nc")).as("neg_id"), col("n.c").as("neg_cos"))
       .withColumn("gap", round(col("pos_cos") - col("neg_cos"), 6))
 
+  /** Candidate-volume ledger of the last [[contrastiveTripletsBucketed]]
+    * call — the no-silent-caps record: how many cell memberships fed
+    * the candidate side, and how many were dropped by `candidateCap`
+    * (0 when every cell fit under the cap, e.g. at oracle SFs). */
+  case class TripletFeedStats(memberRows: Long, droppedCandidates: Long)
+  @volatile var lastTripletFeedStats: TripletFeedStats = TripletFeedStats(0, 0)
+
   /** The DEPLOYABLE triplet miner: IVF-cell candidates scored and
     * reduced IN ONE PASS — the feed never materialises. The cell
-    * self-join's occupancy²-sized output streams straight from the
-    * join (vectors attached BEFORE it, so scoring needs no further
-    * shuffle) into [[tripletsFromCandidates]]' partial aggregation;
-    * nothing quadratic is ever exchanged, distinct'ed, or windowed.
-    * With auto-k cells (~64 vectors/cell, k growing with N) the
-    * map-side compare volume is Σ occupancy² ≈ N·64·assign² — LINEAR
-    * in the corpus — and the only corpus-wide shuffles are the cell
-    * assignment and the ≤2-rows-per-anchor aggregate. No candidates
-    * are dropped and no caps apply: the reduction is an exact argmax
-    * over the full cell feed, so coverage and chosen triplets are
-    * identical to running [[contrastiveTriplets]] on the materialised
-    * feed (spec-pinned), minus only its cost. */
+    * self-join's output streams straight from the join (vectors
+    * attached BEFORE it, so scoring needs no further shuffle) into
+    * [[tripletsFromCandidates]]' partial aggregation; nothing
+    * quadratic is ever exchanged, distinct'ed, or windowed.
+    *
+    * `candidateCap` bounds the CANDIDATE side of each cell: members
+    * ranked by a deterministic id hash (an unbiased fixed sample),
+    * only the first `candidateCap` serve as candidates — anchors keep
+    * every member, so coverage never shrinks, and the per-anchor
+    * compare volume is ≤ assign·candidateCap REGARDLESS of cell skew.
+    * This matters because auto-k caps at 4096 cells: at sf10 mean
+    * occupancy is ~250 (fat k-means cells far more), and the uncapped
+    * Σocc² ran 121 s — straggler tasks on fat cells, not shuffle. The
+    * cap is a recall trade ONLY on anchors in oversized cells (the
+    * argmax sees a sample instead of all cell-mates); dropped-candidate
+    * counts are recorded in [[lastTripletFeedStats]] — no silent caps —
+    * and at oracle SFs every cell fits under the cap, so the output is
+    * byte-identical to the exact cell-feed miner (spec-pinned). */
   def contrastiveTripletsBucketed(emb: DataFrame, threshold: Double,
-                                  centroidsK: Int = 0,
-                                  assign: Int = 2): DataFrame = {
+                                  centroidsK: Int = 0, assign: Int = 2,
+                                  candidateCap: Int = 128): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(candidateCap > 1, "candidateCap must allow at least 2 candidates")
     val e = prepared(emb)
     val cached = e.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val k =
@@ -1001,8 +1016,21 @@ object Similarity {
     val centroids = trainIvfCentroids(cached, k)
     val cells = cellAssignments(cached, centroids, assign).localCheckpoint()
     cached.unpersist(false)
-    val withVec = cells.join(e, "vec_id")
-    val sym = withVec.as("x").join(withVec.as("y"),
+    // deterministic per-cell sample rank; WindowGroupLimit keeps the
+    // rank filter map-side cheap (no full sort materialisation)
+    val wCell = Window.partitionBy("cell")
+      .orderBy(hash(col("vec_id")), col("vec_id"))
+    val candSide = cells
+      .withColumn("__rk", row_number().over(wCell))
+      .where(col("__rk") <= candidateCap)
+      .drop("__rk")
+      .localCheckpoint()
+    lastTripletFeedStats = TripletFeedStats(
+      memberRows = cells.count(),
+      droppedCandidates = cells.count() - candSide.count())
+    val anchors = cells.join(e, "vec_id")
+    val cands = candSide.join(e, "vec_id")
+    val sym = anchors.as("x").join(cands.as("y"),
         col("x.cell") === col("y.cell") && col("x.vec_id") =!= col("y.vec_id"))
       .select(col("x.vec_id").as("anchor_id"), col("y.vec_id").as("cand"),
         round(cosineWithNorms(dotProduct(col("x.v"), col("y.v")),

@@ -552,35 +552,51 @@ object TextAnalysis {
   }
 
   /** Wordlist (blocklist) screen — the C4-style "badwords" filtering
-    * stage: per doc, total and distinct blocklist-token occurrences
+    * stage: per doc, total and distinct blocklist-entry occurrences
     * over the standard word tokenization, plus the drop flag — emitted
     * as an AUDIT (every doc kept, callers filter on `blocked`) so the
-    * same pass feeds both the filter and the attrition report. Pure
-    * per-doc column expressions against a literal term array: no join,
-    * no shuffle, rides the corpus scan. A blocklist too large for a
-    * literal array becomes a broadcast semi-join on exploded tokens —
-    * same semantics, still no corpus shuffle. */
+    * same pass feeds both the filter and the attrition report.
+    *
+    * Entries may be MULTI-TOKEN: each entry is tokenized with the same
+    * contract as the text side (lowercase, `[^a-z0-9]+` splits), and a
+    * phrase/hyphenated entry ("bad phrase", "e-mail") matches wherever
+    * its token sequence appears contiguously — what real C4-style lists
+    * need (the previous single-token-only contract rejected them
+    * loudly). `n_blocked` counts match positions (overlap-aware) over
+    * all entries; `n_distinct_blocked` counts entries matched at least
+    * once — for an all-single-token list both reduce to the old
+    * per-token semantics, same oracle. Entries with no alphanumeric
+    * token at all still fail loudly (they could never match).
+    *
+    * Execution is ONE codegen'd scan per doc
+    * ([[graft.expressions.BlocklistScreenExpr]]: tokenize + per-length
+    * hash lookups, the list compiled once per executor JVM) — no join,
+    * no shuffle, rides the corpus scan; it also replaces the previous
+    * interpreted higher-order `filter` lambda in the hot path. A
+    * blocklist too large for one broadcast string becomes a broadcast
+    * semi-join on exploded token n-grams — same semantics, still no
+    * corpus shuffle. */
   def blocklistScreen(docs: DataFrame, terms: Seq[String],
                       textCol: String = "text"): DataFrame = {
     require(terms.nonEmpty, "blocklist must be non-empty")
-    val list = terms.map(_.toLowerCase(java.util.Locale.ROOT)).distinct
-    // The screen compares WORD TOKENS (split on [^a-z0-9]+), so an entry
-    // containing spaces/punctuation — common in real C4-style lists
-    // (hyphenated terms, multi-word phrases) — could never match any
-    // token. Reject those loudly instead of silently not screening.
-    val bad = list.filterNot(_.matches("[a-z0-9]+"))
+    val tokenized = terms.map(t => t -> t.toLowerCase(java.util.Locale.ROOT)
+      .split("[^a-z0-9]+").filter(_.nonEmpty).toSeq)
+    val bad = tokenized.filter(_._2.isEmpty).map(_._1)
     require(bad.isEmpty,
-      s"blocklist entries must be single alphanumeric tokens after " +
-        s"lowercasing; offending entries: ${bad.take(5).mkString(", ")} — " +
-        "split phrases into tokens or screen with a substring/regex pass")
-    val litArr = array(list.map(lit): _*)
-    val toks = wordTokens(col(textCol))
+      s"blocklist entries must contain at least one alphanumeric token; " +
+        s"offending entries: ${bad.take(5).mkString(", ")}")
+    // normalized + de-duplicated entry list ("e-mail" and "e mail" are
+    // the same token sequence, hence the same entry)
+    val entries = tokenized.map(_._2.mkString(" ")).distinct
+    val screen = graft.expressions.StringExpressions
+      .blocklistScreen(col(textCol), entries.mkString("\n"))
+    // three consumers of one deterministic subtree: whole-stage
+    // codegen's subexpression elimination runs the scan once per row
+    // (the redactPii precedent)
     docs
-      .withColumn("n_blocked",
-        size(filter(toks, t => t.isin(list: _*))).cast("long"))
-      .withColumn("n_distinct_blocked",
-        size(array_intersect(array_distinct(toks), litArr)).cast("long"))
-      .withColumn("blocked", col("n_blocked") > 0)
+      .withColumn("n_blocked", screen.getField("n_blocked"))
+      .withColumn("n_distinct_blocked", screen.getField("n_distinct_blocked"))
+      .withColumn("blocked", screen.getField("n_blocked") > 0)
   }
 
   /** Content fingerprints: exact (md5 of the raw text) and structural

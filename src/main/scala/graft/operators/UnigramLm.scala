@@ -83,6 +83,79 @@ object UnigramLm {
     (out.reverseIterator.toArray, best(n))
   }
 
+  /** Exact MARGINAL expected piece counts for one word under the
+    * current model — the forward-backward E-step of full EM (Kudo 2018
+    * §3; what SentencePiece's trainer computes, vs the hard-EM
+    * Viterbi counts [[train]] uses by default). In log space:
+    * alpha(i) = logsumexp over j of alpha(j) + lp(w[j..i)),
+    * beta mirrored, and each lattice edge (j, i) contributes
+    * weight · exp(alpha(j) + lp + beta(i) − Z) to its piece's count.
+    * The same UNK-singleton fallback as [[viterbi]] keeps every word's
+    * lattice connected. Cost per word: length × maxPieceLen² — a
+    * model-sized loop over the capped histogram, independent of corpus
+    * size, exactly like the hard-EM round. */
+  private[graft] def marginalCounts(word: String, weight: Double,
+                                    pieces: Map[String, Double],
+                                    maxPieceLen: Int,
+                                    acc: mutable.HashMap[String, Double]): Unit = {
+    val n = word.length
+    if (n == 0) return
+    val NegInf = Double.NegativeInfinity
+    def lp(j: Int, i: Int): Double = pieces.get(word.substring(j, i)) match {
+      case Some(p) => p
+      case None if i - j == 1 => UnkLogProb
+      case None => NegInf
+    }
+    def lse(a: Double, b: Double): Double =
+      if (a == NegInf) b
+      else if (b == NegInf) a
+      else { val m = math.max(a, b); m + math.log(math.exp(a - m) + math.exp(b - m)) }
+    val alpha = Array.fill(n + 1)(NegInf)
+    alpha(0) = 0.0
+    var i = 1
+    while (i <= n) {
+      var j = math.max(0, i - maxPieceLen)
+      while (j < i) {
+        val l = lp(j, i)
+        if (l != NegInf && alpha(j) != NegInf) alpha(i) = lse(alpha(i), alpha(j) + l)
+        j += 1
+      }
+      i += 1
+    }
+    val z = alpha(n)
+    if (z == NegInf) return // unreachable: UNK singles connect everything
+    val beta = Array.fill(n + 1)(NegInf)
+    beta(n) = 0.0
+    var j = n - 1
+    while (j >= 0) {
+      var k = j + 1
+      val lim = math.min(n, j + maxPieceLen)
+      while (k <= lim) {
+        val l = lp(j, k)
+        if (l != NegInf && beta(k) != NegInf) beta(j) = lse(beta(j), l + beta(k))
+        k += 1
+      }
+      j -= 1
+    }
+    j = 0
+    while (j < n) {
+      var k = j + 1
+      val lim = math.min(n, j + maxPieceLen)
+      while (k <= lim) {
+        val l = lp(j, k)
+        if (l != NegInf && alpha(j) != NegInf && beta(k) != NegInf) {
+          val e = math.exp(alpha(j) + l + beta(k) - z) * weight
+          if (e > 0.0) {
+            val p = word.substring(j, k)
+            acc(p) = acc.getOrElse(p, 0.0) + e
+          }
+        }
+        k += 1
+      }
+      j += 1
+    }
+  }
+
   /** Learn a piece table of (at most) `vocabSize` pieces.
     *  1. Seed: every substring (len <= maxPieceLen) of the capped word
     *     histogram, scored by weighted occurrence count; top `seedSize`
@@ -103,11 +176,18 @@ object UnigramLm {
     * `vocabSize` is below that floor, training fails loudly with the
     * real floor in the message, so the caller can pick a feasible size
     * (or pre-filter the corpus's character set). */
+  /** `fullEm = true` swaps the hard-EM (Viterbi-count) E-step for
+    * exact forward-backward marginals ([[marginalCounts]]) — closer to
+    * the published SentencePiece trainer where segmentations near ties
+    * matter; piece tables can differ from the default's (spec-pinned on
+    * a hand lattice). Same histogram, same model-sized loop economics,
+    * hard EM stays the default so `unigram_pieces` is unchanged. */
   def train(docs: DataFrame, vocabSize: Int,
             maxPieceLen: Int = 8, seedSize: Int = 1 << 14,
             shrink: Double = 0.75, emIters: Int = 2,
             maxVocabWords: Int = 1 << 17,
-            textCol: String = "text"): UnigramModel = {
+            textCol: String = "text",
+            fullEm: Boolean = false): UnigramModel = {
     require(vocabSize >= 1 && shrink > 0 && shrink < 1)
     val top = Bpe.wordHistogram(docs, textCol)
       .orderBy(col("cnt").desc, col("word"))
@@ -142,8 +222,11 @@ object UnigramLm {
         : Map[String, Double] = {
       val counts = mutable.HashMap.empty[String, Double]
       top.foreach { case (w, c) =>
-        val (segs, _) = viterbi(w, probs, maxPieceLen)
-        segs.foreach(p => counts(p) = counts.getOrElse(p, 0.0) + c.toDouble)
+        if (fullEm) marginalCounts(w, c.toDouble, probs, maxPieceLen, counts)
+        else {
+          val (segs, _) = viterbi(w, probs, maxPieceLen)
+          segs.foreach(p => counts(p) = counts.getOrElse(p, 0.0) + c.toDouble)
+        }
       }
       val total = math.max(counts.valuesIterator.sum, 1.0)
       // Laplace-0.5 floor keeps unused-but-kept pieces (chars) finite

@@ -875,9 +875,12 @@ object LlmQueries {
     // C4-style badwords screen as an audit: occurrence + distinct-hit
     // counts and the drop flag, every doc kept — pure per-doc column
     // expressions, no join, no shuffle
+    // blocklist with a PHRASE entry: "table hash" screens as a token
+    // bigram (contiguous-sequence match, overlap-aware), exercising the
+    // multi-word path real C4-style badword lists need
     "text_blocklist" -> ((s, d) =>
       TextAnalysis.blocklistScreen(docs(s, d),
-          Seq("merge", "stream", "batch"))
+          Seq("merge", "stream", "batch", "table hash"))
         .select("doc_id", "n_blocked", "n_distinct_blocked", "blocked")
         .orderBy("doc_id")),
 
@@ -1147,14 +1150,18 @@ object LlmQueries {
         .orderBy("id")),
 
     // semantic clusters over the DEPLOYABLE bucketed pair feed — the
-    // composition a 100 TB corpus actually runs: cluster cells bound
-    // the candidates, and the SPANNING (star+residual) emission keeps
-    // the per-cell feed O(occupancy) instead of occupancy² — closure-
-    // equal to the full cell feed by construction (spec-pinned)
+    // composition a 100 TB corpus actually runs (cluster cells bound the
+    // pair compares; the closure is dup-graph-sized either way). The
+    // spanning (star+residual) emission was A/B-measured HERE and
+    // REJECTED: IVF cells are recall partitions, not precision buckets —
+    // at cosine 0.45 most cell-mates are not near-dups, so most star
+    // edges fail verification and the residual pass degenerates to the
+    // full feed plus two extra verify rounds (sf10: 38.9 s full feed vs
+    // 146.6 s spanning). Spanning stays the right shape for minhash
+    // buckets, whose members are near-cliques at any real threshold.
     "emb_clusters_lsh" -> ((s, d) =>
       Dedup.connectedComponents(
-          Dedup.embeddingNearDups(emb(s, d), threshold = 0.45,
-            allPairs = false, spanning = true),
+          Dedup.embeddingNearDups(emb(s, d), threshold = 0.45, allPairs = false),
           emb(s, d), idCol = "vec_id")
         .where(col("id") =!= col("cluster_id"))
         .orderBy("id")),
@@ -2021,12 +2028,17 @@ object LlmQueries {
     "text_blocklist" ->
       """WITH t AS (SELECT doc_id,
         |   [x for x in regexp_split_to_array(lower(text), '[^a-z0-9]+') if x <> ''] AS w
-        |  FROM documents)
+        |  FROM documents),
+        | c AS (SELECT doc_id,
+        |   CAST(len([x for x in w if list_contains(['merge','stream','batch'], x)]) AS BIGINT) AS single_n,
+        |   CAST(len(list_intersect(list_distinct(w), ['merge','stream','batch'])) AS BIGINT) AS single_d,
+        |   CAST(len([i for i in range(1, len(w)) if w[i] = 'table' AND w[i+1] = 'hash']) AS BIGINT) AS phrase_n
+        |  FROM t)
         |SELECT doc_id,
-        | CAST(len([x for x in w if list_contains(['merge','stream','batch'], x)]) AS BIGINT) AS n_blocked,
-        | CAST(len(list_intersect(list_distinct(w), ['merge','stream','batch'])) AS BIGINT) AS n_distinct_blocked,
-        | len([x for x in w if list_contains(['merge','stream','batch'], x)]) > 0 AS blocked
-        |FROM t ORDER BY doc_id""".stripMargin,
+        | single_n + phrase_n AS n_blocked,
+        | single_d + (CASE WHEN phrase_n > 0 THEN 1 ELSE 0 END) AS n_distinct_blocked,
+        | (single_n + phrase_n) > 0 AS blocked
+        |FROM c ORDER BY doc_id""".stripMargin,
 
     "text_repetition" ->
       """WITH t AS (SELECT doc_id,

@@ -515,6 +515,21 @@ class DedupSimilaritySpec extends SparkSpec {
       .orderBy("anchor_id").collect().toSeq
     assert(fused == materialized,
       s"fused miner diverged: ${fused.size} vs ${materialized.size} rows")
+    // at this SF every cell fits under the candidate cap: the ledger
+    // must report ZERO dropped candidates (the byte-identity above is
+    // only meaningful if nothing was silently sampled away)
+    assert(Similarity.lastTripletFeedStats.droppedCandidates == 0L)
+    assert(Similarity.lastTripletFeedStats.memberRows > 0L)
+    // with a tiny cap the sample engages: drops are RECORDED, coverage
+    // holds (anchors are never capped), output stays well-formed
+    val capped = Similarity.contrastiveTripletsBucketed(emb, threshold = 0.45,
+      candidateCap = 2)
+    val cappedRows = capped.collect()
+    assert(Similarity.lastTripletFeedStats.droppedCandidates > 0L)
+    cappedRows.foreach { r =>
+      assert(r.getDouble(2) >= 0.45 && r.getDouble(4) < 0.45,
+        s"capped triplet violates threshold sides: $r")
+    }
     val lsh = fused.map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(exact.nonEmpty && lsh.nonEmpty)
     // the bucketed feed emits a triplet only when an anchor's CELLS

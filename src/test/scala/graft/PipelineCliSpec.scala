@@ -133,6 +133,29 @@ class PipelineCliSpec extends SparkSpec {
     assert((JsonMethods.parse(hostile) \ "msg") == JString("a\"b\\c\nd\tef"))
   }
 
+  test("runnable example specs work from the repo root") {
+    // the committed examples/ specs are the user's first contact with
+    // the CLI — exercised here so they cannot silently rot
+    val (c1, o1) = cli("run", "examples/pipeline_spec.json",
+      "--name", "example", "--ledger-dir", "examples/out/ledger")
+    assert(c1 == 0, o1)
+    val basic = spark.read.parquet("examples/out/pipeline_result")
+    assert(basic.columns.toSeq == Seq("doc_id", "source", "n_chars", "text"))
+    assert(basic.where($"source" === "spam").count() == 0) // config filter
+    assert(basic.count() == 11)
+    val (c2, o2) = cli("run", "examples/training_prep_spec.json",
+      "--name", "corpus-prep", "--ledger-dir", "examples/out/ledger")
+    assert(c2 == 0, o2)
+    val corpus = spark.read.parquet("examples/out/training_corpus")
+    assert(corpus.columns.contains("quality_score") && corpus.columns.contains("split"))
+    val ids = corpus.select("doc_id").as[Long].collect().toSet
+    assert(!ids.contains(2L), "exact copy of doc 1 must be deduped")
+    assert(!ids.contains(10L), "near-copy of doc 9 must be deduped")
+    // history now shows both pipelines' runs
+    val (c3, o3) = cli("history", "example", "--ledger-dir", "examples/out/ledger")
+    assert(c3 == 0 && o3.contains("example"), o3)
+  }
+
   test("idempotency dir makes a re-run a recorded SKIP, not a double write") {
     val dir = tmp("graft_cli_idem")
     val in = s"$dir/in"

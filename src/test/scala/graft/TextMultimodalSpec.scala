@@ -153,6 +153,36 @@ class TextMultimodalSpec extends SparkSpec {
       (3L, 1L, 1L, true)))  // "bad-adjacent" tokenizes to bad + adjacent
   }
 
+  test("blocklist screen: phrase + hyphenated entries match token sequences") {
+    val docs = Seq(
+      (1L, "send an e-mail today"),          // hyphenated entry hits
+      (2L, "the word email alone"),          // 'email' is ONE token, not (e, mail)
+      (3L, "bad phrase and a bad phrase"),   // phrase twice + 'bad' twice
+      (4L, "phrase bad"),                    // reversed order: no phrase hit
+      (5L, "a a a")).toDF("doc_id", "text")  // overlap: 'a a' at pos 1 and 2
+    val out = TextAnalysis.blocklistScreen(docs,
+        Seq("e-mail", "bad phrase", "bad", "a a"))
+      .select("doc_id", "n_blocked", "n_distinct_blocked", "blocked")
+      .orderBy("doc_id").as[(Long, Long, Long, Boolean)].collect().toSeq
+    assert(out == Seq(
+      (1L, 1L, 1L, true),   // (e, mail) bigram
+      (2L, 0L, 0L, false),  // single token 'email' is not the bigram
+      (3L, 4L, 2L, true),   // 2x 'bad phrase' + 2x 'bad' (positions overlap-aware)
+      (4L, 1L, 1L, true),   // only the single-token 'bad'
+      (5L, 2L, 1L, true)))  // overlapping 'a a' counted at both positions
+    // an entry with no alphanumeric token can never match -> loud error
+    val e = intercept[IllegalArgumentException] {
+      TextAnalysis.blocklistScreen(docs, Seq("bad", "!!!"))
+    }
+    assert(e.getMessage.contains("alphanumeric"))
+    // normalization dedup: 'e-mail' and 'e mail' are the same entry
+    val dedup = TextAnalysis.blocklistScreen(docs, Seq("e-mail", "e mail"))
+      .where($"doc_id" === 1L)
+      .select("n_blocked", "n_distinct_blocked")
+      .as[(Long, Long)].collect().head
+    assert(dedup == ((1L, 1L)))
+  }
+
   test("corpusDatasheet: group rows, rollup subtotals, dup + pii counts") {
     val docs = Seq(
       (1L, "en", "web", "the cat sat"),

@@ -34,6 +34,39 @@ class UnigramLmSpec extends SparkSpec {
     assert(segs.mkString == "aqb")
   }
 
+  test("full EM: forward-backward marginals exact on a hand lattice, hard EM winner-takes-all") {
+    // "abc" under uniform log(1/5) pieces {ab, bc, a, b, c}: three
+    // segmentations [ab,c] (w=1/25), [a,bc] (1/25), [a,b,c] (1/125),
+    // Z = 11/125. Hand marginals: ab=bc=5/11, a=c=6/11, b=1/11.
+    val probs = Seq("ab", "bc", "a", "b", "c").map(_ -> math.log(1.0 / 5)).toMap
+    val acc = scala.collection.mutable.HashMap.empty[String, Double]
+    UnigramLm.marginalCounts("abc", 1.0, probs, 8, acc)
+    def close(x: Double, y: Double) = math.abs(x - y) < 1e-9
+    assert(close(acc("ab"), 5.0 / 11), s"ab: ${acc.get("ab")}")
+    assert(close(acc("bc"), 5.0 / 11))
+    assert(close(acc("a"), 6.0 / 11))
+    assert(close(acc("b"), 1.0 / 11))
+    assert(close(acc("c"), 6.0 / 11))
+    // weights scale linearly and total expected pieces = weighted path length
+    val acc7 = scala.collection.mutable.HashMap.empty[String, Double]
+    UnigramLm.marginalCounts("abc", 7.0, probs, 8, acc7)
+    acc.foreach { case (p, v) => assert(close(acc7(p), 7 * v)) }
+    assert(close(acc.values.sum, 23.0 / 11))
+    // the hard E-step on the same tie puts ALL count on one path — the
+    // exact divergence full EM exists to remove
+    val (segs, _) = UnigramLm.viterbi("abc", probs, 8)
+    assert(segs.toSeq == Seq("a", "bc"))
+    // end-to-end: full-EM training is deterministic and yields a valid
+    // model (encode round-trips); default (hard) training is untouched
+    val docs = (0L until 40L).map(i =>
+      (i, s"banana band ${i % 5} bandana")).toDF("doc_id", "text")
+    val f1 = UnigramLm.train(docs, vocabSize = 30, fullEm = true)
+    val f2 = UnigramLm.train(docs.repartition(5), vocabSize = 30, fullEm = true)
+    assert(f1.pieces == f2.pieces)
+    val enc = UnigramLm.encode(f1, docs).agg(sum(size(col("tokens")))).head.getLong(0)
+    assert(enc > 0)
+  }
+
   test("training is deterministic across partitionings and keeps every character") {
     val docs = (0L until 60L).map(i =>
       (i, s"the banana band ran ${i % 7} bandana bana rand")).toDF("doc_id", "text")

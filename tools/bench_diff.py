@@ -47,15 +47,31 @@ flagged = [(k, oq[k], nq[k]) for k in shared
            if nq[k] > oq[k] * ratio_thr and nq[k] - oq[k] > abs_floor]
 improved = [(k, oq[k], nq[k]) for k in shared
             if oq[k] > nq[k] * ratio_thr and oq[k] - nq[k] > abs_floor]
+def guard_readings(rec, q):
+    """Per-query guard readings (r12+ artifacts): gc fraction plus the
+    measurement window's external-CPU and iowait cores — what lets a
+    disagreeing pair be attributed to host ripple from the artifacts
+    alone."""
+    parts = []
+    for field, label in (("gc_frac", "gc"), ("ext_cpu", "ext"), ("iowait", "io")):
+        v = rec.get(field, {}).get(q)
+        if v is not None:
+            parts.append(f"{label}={v:.2f}")
+    return " ".join(parts)
+
 if flagged:
     problems += len(flagged)
     print(f"\nREGRESSED (> {ratio_thr}x and > {abs_floor}s):")
     for k, o, n in sorted(flagged, key=lambda t: t[1] - t[2]):
-        print(f"  {k}: {o:.2f}s -> {n:.2f}s ({n / o:.1f}x)")
+        ctx = " | ".join(x for x in (guard_readings(old, k), guard_readings(new, k)) if x)
+        print(f"  {k}: {o:.2f}s -> {n:.2f}s ({n / o:.1f}x)"
+              + (f"  [{ctx}]" if ctx else ""))
 if improved:
     print(f"\nimproved (> {ratio_thr}x):")
     for k, o, n in sorted(improved, key=lambda t: t[2] - t[1]):
-        print(f"  {k}: {o:.2f}s -> {n:.2f}s ({n / o:.1f}x)")
+        ctx = " | ".join(x for x in (guard_readings(old, k), guard_readings(new, k)) if x)
+        print(f"  {k}: {o:.2f}s -> {n:.2f}s ({n / o:.1f}x)"
+              + (f"  [{ctx}]" if ctx else ""))
 
 ot = sum(oq[k] for k in shared)
 nt = sum(nq[k] for k in shared)
