@@ -312,7 +312,7 @@ object Contamination {
     val union = c.unionByName(b)
     val k =
       if (centroidsK > 0) centroidsK
-      else math.max(16L, math.min(4096L, union.count() / 64)).toInt
+      else Similarity.autoCells(union.count())
     val dim = c.select(size(col("v"))).head.getInt(0)
     val centroids = Similarity.trainIvfCentroids(union, k, dim = dim)
     val cand = Similarity.cellAssignments(c, centroids, assign).as("c")

@@ -578,7 +578,7 @@ object Dedup {
     val cached = e.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val k =
       if (centroidsK > 0) centroidsK
-      else math.max(16L, math.min(4096L, cached.count() / 64)).toInt
+      else Similarity.autoCells(cached.count())
     val centroids = Similarity.trainIvfCentroids(cached, k)
     // candidate ids are (id, small-int) pairs — checkpoint the tiny
     // table so the self-join + verify run off it, then release the
@@ -1055,7 +1055,7 @@ object Dedup {
     val union = ex.unionByName(Similarity.prepared(incoming))
     val k =
       if (centroidsK > 0) centroidsK
-      else math.max(16L, math.min(4096L, union.count() / 64)).toInt
+      else Similarity.autoCells(union.count())
     val centroids = Similarity.trainIvfCentroids(union, k)
     val exCells = Similarity.cellAssignments(ex, centroids, assign)
     // batch form discards the state outputs — don't materialise them
@@ -1099,7 +1099,7 @@ object Dedup {
     val n = e.count()
     val k =
       if (centroidsK > 0) centroidsK
-      else math.max(16L, math.min(4096L, n / 64)).toInt
+      else Similarity.autoCells(n)
     // dim read from the data (one row), not assumed: the stored model
     // must describe whatever corpus it was built over
     val dim = e.select(size(col("v"))).as[Int].head()

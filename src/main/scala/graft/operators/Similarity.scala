@@ -187,6 +187,21 @@ object Similarity {
     * ever reaches the driver — the corpus itself stays distributed, so
     * training scales to any corpus size. Deterministic: seeded by vec_id
     * ordering, no RNG. */
+  /** Auto cell count for IVF-style bucketing: N/64 at small corpora
+    * (the ~64-occupancy SemDeDup shape every oracle-SF spec pins), but
+    * capped at 4·√N once that is smaller — a k growing LINEARLY with N
+    * makes Lloyd training O(N·k) = O(N²/64), quadratic in the corpus
+    * (measured: the flat 4096 cap put sf10 training+assignment at
+    * ~110 s, dominating every IVF query); 4·√N (the FAISS-guideline
+    * shape) puts training and the Σ occupancy² in-cell compare volume
+    * both at O(N^1.5). The crossover is N = 65536, far above every
+    * oracle/spec SF, so small-corpus behavior — and every recall spec
+    * pinned at those SFs — is unchanged; bounds [16, 4096] as before. */
+  def autoCells(n: Long): Int = {
+    val bySqrt = (4.0 * math.sqrt(n.toDouble)).toLong
+    math.max(16L, math.min(4096L, math.min(n / 64, bySqrt))).toInt
+  }
+
   def trainIvfCentroids(e: DataFrame, k: Int = 16, iterations: Int = 3,
                         dim: Int = 64): Seq[Array[Double]] = {
     import e.sparkSession.implicits._
@@ -215,18 +230,11 @@ object Similarity {
       // otherwise surface as an opaque array()-getItem analysis error
       require(centroids.nonEmpty, "cannot train IVF centroids on an empty corpus")
       (0 until iterations).foreach { _ =>
-        // Assignment: the expression form codegens well up to the small k
-        // of ANN coarse quantizers; past that the generated array-of-k-
-        // struct-literals comparison blows up, so large-k training (the
-        // clustered near-dup path) scores against a broadcast matrix in a
-        // typed pass instead. Ties resolve identically (higher centroid
-        // id wins) so the branch never changes the trained model for any
-        // k — it only changes how the same argmax is computed.
-        val assigned: org.apache.spark.sql.Dataset[(Int, Array[Double])] =
-          if (centroids.size <= 64)
-            assignToCentroid(cached, centroids)
-              .select(col("centroid_id"), col("v")).as[(Int, Array[Double])]
-          else {
+        // Assignment: broadcast-matrix argmax in a typed pass for every
+        // k (the k x dim matrix rides one broadcast; each task scores
+        // rows in a tight primitive loop). Ties resolve toward the
+        // higher centroid id, matching [[assignToCentroid]].
+        val assigned: org.apache.spark.sql.Dataset[(Int, Array[Double])] = {
             val bc = cached.sparkSession.sparkContext.broadcast(centroids.toArray)
             cached.select(col("v")).as[Array[Double]].map { v =>
               val cents = bc.value
@@ -274,17 +282,52 @@ object Similarity {
     } finally if (!callerCached) cached.unpersist(false)
   }
 
-  /** Nearest (or top-`nprobe`) centroid assignment via a greatest-of-k
-    * expression over broadcast centroid literals. */
+  /** Top-`nprobe` centroid scores as an expression over broadcast
+    * centroid literals — for PROBE-sized relations only (a handful of
+    * query rows). On corpus-sized relations the array-of-structs +
+    * sort_array tree is a trap: Catalyst's constraint propagation can
+    * clone it into an `isnotnull` DataFilter at the scan, and in
+    * filter context it evaluates INTERPRETED per row — measured 40 s
+    * of `knn_ivf`'s 44 s at sf10 before [[assignToCentroid]] switched
+    * to the typed pass below. */
   private def centroidScores(vecCol: Column, centroids: Seq[Array[Double]]): Column =
     array(centroids.zipWithIndex.map { case (c, i) =>
       struct(dotProduct(vecCol, typedlit(c)).as("score"), lit(i).as("centroid_id"))
     }: _*)
 
-  def assignToCentroid(e: DataFrame, centroids: Seq[Array[Double]]): DataFrame =
-    e.withColumn("centroid_id",
-      sort_array(centroidScores(col("v"), centroids), asc = false)
-        .getItem(0).getField("centroid_id"))
+  /** Nearest-centroid assignment for CORPUS-sized relations: one typed
+    * pass with the k×dim centroid matrix on a broadcast and a tight
+    * argmax loop per row, every input column carried through. Ties
+    * break toward the HIGHER centroid id — identical to the descending
+    * (score, centroid_id) struct sort the probe-side expression form
+    * uses, so models and search results are unchanged. */
+  def assignToCentroid(e: DataFrame, centroids: Seq[Array[Double]]): DataFrame = {
+    val spark = e.sparkSession
+    val bc = spark.sparkContext.broadcast(centroids.toArray)
+    val vIdx = e.schema.fieldIndex("v")
+    val outSchema = e.schema.add("centroid_id",
+      org.apache.spark.sql.types.IntegerType, nullable = false)
+    val enc = org.apache.spark.sql.Encoders.row(outSchema)
+    e.mapPartitions { it =>
+      val cents = bc.value
+      it.map { row =>
+        val vSeq = row.getSeq[Double](vIdx)
+        val v = new Array[Double](vSeq.length)
+        var d = 0
+        while (d < v.length) { v(d) = vSeq(d); d += 1 }
+        var best = 0
+        var bestS = Double.NegativeInfinity
+        var ci = 0
+        while (ci < cents.length) {
+          val c = cents(ci); var s = 0.0; d = 0
+          while (d < v.length) { s += v(d) * c(d); d += 1 }
+          if (s >= bestS) { bestS = s; best = ci }
+          ci += 1
+        }
+        org.apache.spark.sql.Row.fromSeq(row.toSeq :+ best)
+      }
+    }(enc)
+  }
 
   /** (vec_id, cell) rows for each vector's top-`assign` centroid cells
     * by dot product — the typed (broadcast-matrix) form of cell
@@ -303,14 +346,34 @@ object Similarity {
     e.select(col("vec_id"), col("v")).as[(Long, Array[Double])]
       .mapPartitions { it =>
         val cents = bc.value
+        val a = math.min(assign, cents.length)
+        // top-`assign` insertion into two primitive arrays instead of
+        // materialising + sorting k boxed (score, id) tuples per row:
+        // the tuple form measured 79.7 s for ONE assignment pass at
+        // k=3125/200k rows where the training loop's tight-loop argmax
+        // did a full Lloyd round in ~10 s — all of it allocation, not
+        // arithmetic. Order kept identical to sortBy(-s, -ci): a later
+        // equal-score centroid (higher ci) ranks ABOVE an earlier one.
         it.map { case (id, v) =>
-          val scored = Array.tabulate(cents.length) { ci =>
+          val bestS = new Array[Double](a)
+          val bestC = new Array[Int](a)
+          java.util.Arrays.fill(bestS, Double.NegativeInfinity)
+          java.util.Arrays.fill(bestC, -1)
+          var ci = 0
+          while (ci < cents.length) {
             val c = cents(ci); var s = 0.0; var d = 0
             while (d < v.length) { s += v(d) * c(d); d += 1 }
-            (s, ci)
+            var pos = a
+            while (pos > 0 && (s > bestS(pos - 1) ||
+              (s == bestS(pos - 1) && ci > bestC(pos - 1)))) pos -= 1
+            if (pos < a) {
+              var q = a - 1
+              while (q > pos) { bestS(q) = bestS(q - 1); bestC(q) = bestC(q - 1); q -= 1 }
+              bestS(pos) = s; bestC(pos) = ci
+            }
+            ci += 1
           }
-          (id, scored.sortBy { case (s, ci) => (-s, -ci) }
-            .take(assign).map(_._2))
+          (id, bestC.filter(_ >= 0))
         }
       }
       .toDF("vec_id", "cells")
@@ -1012,7 +1075,7 @@ object Similarity {
     val cached = e.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val k =
       if (centroidsK > 0) centroidsK
-      else math.max(16L, math.min(4096L, cached.count() / 64)).toInt
+      else autoCells(cached.count())
     val centroids = trainIvfCentroids(cached, k)
     val cells = cellAssignments(cached, centroids, assign).localCheckpoint()
     cached.unpersist(false)
