@@ -1018,26 +1018,44 @@ object Similarity {
 
   /** The triplet reduction itself: per anchor, argmax-cosine candidate
     * on each side of the threshold. ONE partial-aggregable groupBy
-    * instead of two ranking windows — the max(struct) pairs collapse
+    * instead of two ranking windows — the per-side argmaxes collapse
     * map-side, so the shuffle carries at most two rows per anchor no
     * matter how many candidates the feed emits, and duplicate
     * candidate rows (an anchor pair sharing 2 cells) are absorbed by
-    * the max without a distinct. Tie-break identical to the old
-    * window form: cosine desc, then smaller candidate id (encoded as
-    * max of (cosine, −cand)). */
+    * the max without a distinct.
+    *
+    * The (cosine, cand) argmax is PACKED into one long —
+    * `(round(cos·1e6)+1e6) << 42 | (2^42−1 − cand)` — so the
+    * aggregate is max(LONG): hash-aggregable. The first cut used
+    * max(struct(cos, −cand)) and Spark planned it as SortAggregate,
+    * which SORTS the occupancy²-sized candidate feed per partition
+    * before the partial agg — exactly the materialisation this
+    * operator exists to avoid (plan-shape spec pins HashAggregate +
+    * no feed sort). max over the packing = max cosine, then min cand
+    * — the same tie-break as the windowed form; 6-dp cosines
+    * round-trip exactly through the integer scale (c6/1e6 division is
+    * correctly rounded, so decoded doubles are bit-identical to the
+    * feed's round(·,6) values). Precondition: candidate ids in
+    * [0, 2^42) — ~4.4e12, comfortably above any corpus row count. */
   private def tripletsFromCandidates(sym: DataFrame,
-                                     threshold: Double): DataFrame =
+                                     threshold: Double): DataFrame = {
+    val MaxId = (1L << 42) - 1
+    val c6 = round(col("cosine") * 1e6, 0).cast("long") + 1000000L // [0, 2e6]
+    def packed(pred: Column) =
+      when(pred, shiftleft(c6, 42) + (lit(MaxId) - col("cand")))
+    def unCos(p: Column) =
+      (shiftright(p, 42) - 1000000L).cast("double") / 1e6
+    def unId(p: Column) = lit(MaxId) - p.bitwiseAND(lit(MaxId))
     sym.groupBy("anchor_id")
       .agg(
-        max(when(col("cosine") >= threshold,
-          struct(col("cosine").as("c"), (-col("cand")).as("nc")))).as("p"),
-        max(when(col("cosine") < threshold,
-          struct(col("cosine").as("c"), (-col("cand")).as("nc")))).as("n"))
+        max(packed(col("cosine") >= threshold)).as("p"),
+        max(packed(col("cosine") < threshold)).as("n"))
       .where(col("p").isNotNull && col("n").isNotNull)
       .select(col("anchor_id"),
-        (-col("p.nc")).as("pos_id"), col("p.c").as("pos_cos"),
-        (-col("n.nc")).as("neg_id"), col("n.c").as("neg_cos"))
+        unId(col("p")).as("pos_id"), unCos(col("p")).as("pos_cos"),
+        unId(col("n")).as("neg_id"), unCos(col("n")).as("neg_cos"))
       .withColumn("gap", round(col("pos_cos") - col("neg_cos"), 6))
+  }
 
   /** Candidate-volume ledger of the last [[contrastiveTripletsBucketed]]
     * call — the no-silent-caps record: how many cell memberships fed

@@ -60,6 +60,32 @@ class PlanShapeSpec extends SparkSpec {
       "positive control: the oracle feed IS the all-pairs join")
   }
 
+  test("fused triplet miner: cell-pair feed streams into a partial aggregate, no feed window") {
+    // the 100 TB claim behind emb_triplets_lsh: the occupancy²-sized
+    // cell self-join output must flow straight into a map-side partial
+    // aggregate — never be distinct'ed, re-shuffled, or windowed. The
+    // only Window in the plan is the per-cell candidate-cap rank over
+    // the (corpus-sized) cells table, and Spark rewrites that rank
+    // filter to WindowGroupLimit (bounded per-key state, no full sort
+    // materialisation).
+    val emb = spark.read.parquet(s"${sf("sf0.001")}/embeddings.parquet")
+    val fused = operators.Similarity.contrastiveTripletsBucketed(emb, 0.45)
+    val plan = planString(fused)
+    assert(!plan.contains("BroadcastNestedLoopJoin") && !plan.contains("CartesianProduct"),
+      s"fused miner fell back to a pair scan:\n$plan")
+    // the candidate-cap Window runs inside the cells localCheckpoint
+    // (corpus-sized, WindowGroupLimit-bounded); the RETURNED plan must
+    // hold no Window at all — the feed is never ranked
+    assert(!plan.contains("Window ["), s"feed window leaked into the plan:\n$plan")
+    // the triplet reduction is a HASH aggregate with a partial phase —
+    // the packed-long argmax keeps it off SortAggregate, which would
+    // sort the occupancy²-sized feed per partition before aggregating
+    assert(plan.contains("HashAggregate") && plan.contains("partial_max"),
+      s"no partial map-side argmax aggregate in:\n$plan")
+    assert(!plan.contains("SortAggregate"),
+      s"argmax fell back to SortAggregate (feed gets sorted):\n$plan")
+  }
+
   test("double_dot_product registered as a SQL function via extensions") {
     import spark.implicits._
     Seq((Array(1.0, 2.0, 3.0), Array(4.0, 5.0, 6.0))).toDF("a", "b")
