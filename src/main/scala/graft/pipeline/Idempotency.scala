@@ -45,22 +45,26 @@ class IdempotencyLedger(dir: String,
     * TTL semantics (reference: every Redis key is SET with
     * `IDEMPOTENCY_KEY_TTL_DAYS` expiry, idempotency.py:158-168 `setex`
     * — a run older than the TTL stops suppressing re-execution): when
-    * `ttlDays` is set, a held key whose ledger file is OLDER than the
-    * TTL is reclaimed and re-claimed with one more exclusive create.
+    * `ttlDays` is set, a held key whose CURRENT claim file is OLDER
+    * than the TTL stops blocking and may be re-claimed.
     *
-    * Reclaim is an atomic RENAME to a unique tombstone, never a delete
-    * of the live key path: a delete decided against a stale mtime could
-    * remove a racing winner's FRESH claim (both racers then "win" and
-    * the pipeline runs twice — the exact failure the ledger exists to
-    * prevent). rename(src, dst) fails for the second racer because the
-    * source is gone, so at most one driver moves the expired file
-    * aside; everyone else falls through to the exclusive create, which
-    * admits exactly one claimant. A rename that turns out to have moved
-    * a non-expired file (this driver's stat was stale — another driver
-    * already reclaimed and re-created between our stat and rename) is
-    * rolled back and the reclaim is abandoned: the key is legitimately
-    * held. The live key path is thus only ever created exclusively or
-    * renamed-if-expired — never unconditionally deleted. */
+    * A key's claim is GENERATION-VERSIONED: generation 0 lives at
+    * `key`, generation n at `key.gN`, and the key's state is decided
+    * by the HIGHEST generation present. Reclaiming an expired key is
+    * one exclusive create of generation latest+1 — the expired file is
+    * never deleted, renamed, or touched, so there is no instant at
+    * which a fresh claim is invisible to other drivers. Every race
+    * collapses onto atomic exclusive-create: two initial claimants
+    * race gen 0; two reclaimers of an expired gen N race gen N+1; a
+    * STALE reclaimer (its listing predates a racer's reclaim) targets
+    * a generation that already exists and loses the create. The
+    * delete-based and rename-tombstone reclaim designs both fail here
+    * — a stale-decided delete removes the winner's fresh claim, and a
+    * stale-decided rename opens a no-file window a third claimant
+    * slips through (both observed as 2 winners in the 8-thread race
+    * spec). Superseded generations are retained (tiny files, audit
+    * trail); only `clear` removes them, and correctness never depends
+    * on their absence because the highest generation decides. */
   def checkAndSet(key: String, value: String = ""): Boolean = {
     // HDFS resolves create(overwrite=false) atomically at the namenode,
     // but Hadoop's LOCAL filesystem implements it as exists()-then-create
@@ -69,17 +73,18 @@ class IdempotencyLedger(dir: String,
     // claimants succeeded). Local paths therefore claim through NIO's
     // CREATE_NEW (O_CREAT|O_EXCL — atomic at the syscall), remote
     // filesystems through the Hadoop API.
-    def claim(): Boolean =
+    def claimAt(g: Int): Boolean = {
+      val p = genPath(key, g)
       if (fs.getScheme == "file")
         try {
           java.nio.file.Files.write(
-            java.nio.file.Paths.get(new Path(root, key).toUri.getPath),
+            java.nio.file.Paths.get(p.toUri.getPath),
             value.getBytes(StandardCharsets.UTF_8),
             java.nio.file.StandardOpenOption.CREATE_NEW)
           true
         } catch { case _: java.nio.file.FileAlreadyExistsException => false }
       else try {
-        val out = fs.create(new Path(root, key), false) // overwrite=false -> exclusive
+        val out = fs.create(p, false) // overwrite=false -> exclusive
         try out.write(value.getBytes(StandardCharsets.UTF_8))
         finally out.close()
         true
@@ -89,56 +94,47 @@ class IdempotencyLedger(dir: String,
         case e: java.io.IOException if e.getMessage != null &&
           e.getMessage.contains("already exists") => false
       }
+    }
     val ttlMs = ttlDays.map(_.toLong * 24 * 60 * 60 * 1000)
-    def ageMs(p: Path): Option[Long] =
-      try Some(System.currentTimeMillis() - fs.getFileStatus(p).getModificationTime)
-      catch { case _: java.io.FileNotFoundException => None }
-    claim() || (ttlMs match {
-      case Some(limit) =>
-        val p = new Path(root, key)
-        ageMs(p) match {
-          case None => claim() // raced clear: key vanished, create decides
-          case Some(age) if age <= limit => false // held and fresh
-          case Some(_) =>
-            val tomb = new Path(root,
-              s".reclaim.$key.${java.util.UUID.randomUUID().toString}")
-            val renamed =
-              try fs.rename(p, tomb)
-              catch { case _: java.io.IOException => false }
-            if (!renamed) claim() // lost the reclaim race; create decides
-            else if (ageMs(tomb).forall(_ > limit)) {
-              // we moved a genuinely expired file: retire it and re-claim
-              fs.delete(tomb, false)
-              claim()
-            } else {
-              // stale stat: the file we moved was a racing winner's FRESH
-              // claim — restore it and back off. If the restore target was
-              // re-created in the meantime some claimant already holds a
-              // fresh key, so dropping the tombstone preserves exclusivity
-              // (the exists() pre-check matters on local FS, where rename
-              // silently overwrites an existing destination).
-              if (fs.exists(p) || !fs.rename(tomb, p)) fs.delete(tomb, false)
-              false
-            }
-        }
-      case None => false
-    })
-  }
-
-  def isSet(key: String): Boolean = fs.exists(new Path(root, key))
-
-  def get(key: String): Option[String] = {
-    val p = new Path(root, key)
-    if (!fs.exists(p)) None
-    else {
-      val in = fs.open(p)
-      try {
-        val bytes = new java.io.ByteArrayOutputStream()
-        org.apache.hadoop.io.IOUtils.copyBytes(in, bytes, 4096, false)
-        Some(new String(bytes.toByteArray, StandardCharsets.UTF_8))
-      } finally in.close()
+    generations(key).lastOption match {
+      case None => claimAt(0)
+      case Some((g, st)) =>
+        val expired = ttlMs.exists(limit =>
+          System.currentTimeMillis() - st.getModificationTime > limit)
+        if (expired) claimAt(g + 1) else false
     }
   }
 
-  def clear(key: String): Unit = fs.delete(new Path(root, key), false)
+  private def genPath(key: String, g: Int): Path =
+    if (g == 0) new Path(root, key) else new Path(root, s"$key.g$g")
+
+  /** All present generations of `key`, ascending. Keys are fixed-width
+    * hex, so the `.g*` glob cannot collide with another key. */
+  private def generations(key: String)
+      : Seq[(Int, org.apache.hadoop.fs.FileStatus)] = {
+    val plain =
+      try Seq((0, fs.getFileStatus(new Path(root, key))))
+      catch { case _: java.io.FileNotFoundException => Nil }
+    val more = Option(fs.globStatus(new Path(root, key + ".g*")))
+      .map(_.toSeq).getOrElse(Nil)
+      .flatMap { st =>
+        st.getPath.getName.stripPrefix(key + ".g").toIntOption.map((_, st))
+      }
+    (plain ++ more).sortBy(_._1)
+  }
+
+  def isSet(key: String): Boolean = generations(key).nonEmpty
+
+  def get(key: String): Option[String] =
+    generations(key).lastOption.map { case (_, st) =>
+      val in = fs.open(st.getPath)
+      try {
+        val bytes = new java.io.ByteArrayOutputStream()
+        org.apache.hadoop.io.IOUtils.copyBytes(in, bytes, 4096, false)
+        new String(bytes.toByteArray, StandardCharsets.UTF_8)
+      } finally in.close()
+    }
+
+  def clear(key: String): Unit =
+    generations(key).foreach { case (_, st) => fs.delete(st.getPath, false) }
 }

@@ -154,43 +154,53 @@ class PersistenceSpec extends SparkSpec {
   }
 
   test("idempotency TTL: racing reclaims admit exactly one claimant") {
-    // The reclaim path renames the expired file to a tombstone instead of
-    // deleting the live key (delete/create racing lets BOTH drivers win:
-    // B's stale-decided delete removes A's fresh re-claim). N concurrent
-    // checkAndSet calls against one expired key must yield exactly one
-    // winner, every time.
+    // Reclaim is generation-versioned: an expired key is superseded by
+    // one exclusive create of the next generation — the live file is
+    // never deleted or renamed, so no claimant ever observes a key-less
+    // window. N concurrent checkAndSet calls against one expired key
+    // must yield exactly ONE winner, every round (both the delete-based
+    // and the rename-tombstone designs failed this spec with 2+ wins).
     val dir = Files.createTempDirectory("graft_led_race").toString
     val fs = new org.apache.hadoop.fs.Path(dir)
       .getFileSystem(new org.apache.hadoop.conf.Configuration())
     val led = new IdempotencyLedger(dir, ttlDays = Some(7))
     val k = led.keyFor(Map("spec" -> "race"))
     val stale = System.currentTimeMillis() - 8L * 24 * 60 * 60 * 1000
+    assert(led.checkAndSet(k, "seed"))
     for (round <- 1 to 5) {
-      assert(if (round == 1) led.checkAndSet(k, "seed") else true)
-      fs.setTimes(new org.apache.hadoop.fs.Path(dir, k), stale, stale)
+      // backdate the CURRENT (highest-generation) claim past the TTL
+      val current = fs.listStatus(new org.apache.hadoop.fs.Path(dir))
+        .filter(_.getPath.getName.startsWith(k))
+        .maxBy(s => s.getPath.getName.length -> s.getPath.getName)
+      fs.setTimes(current.getPath, stale, stale)
       val pool = java.util.concurrent.Executors.newFixedThreadPool(8)
       try {
         val start = new java.util.concurrent.CountDownLatch(1)
         val futures = (1 to 8).map { i =>
-          pool.submit(new java.util.concurrent.Callable[Boolean] {
-            def call(): Boolean = {
+          pool.submit(new java.util.concurrent.Callable[Option[String]] {
+            def call(): Option[String] = {
               start.await()
               // each racer gets its own ledger instance (its own driver)
-              new IdempotencyLedger(dir, ttlDays = Some(7))
-                .checkAndSet(k, s"racer_$i")
+              val me = s"racer_${round}_$i"
+              if (new IdempotencyLedger(dir, ttlDays = Some(7))
+                .checkAndSet(k, me)) Some(me) else None
             }
           })
         }
         start.countDown()
-        val wins = futures.count(_.get())
-        assert(wins == 1, s"round $round: $wins claimants won (want exactly 1)")
+        val winners = futures.flatMap(f => f.get())
+        assert(winners.size == 1,
+          s"round $round: ${winners.size} claimants won (want exactly 1): $winners")
+        // the ledger's value is the winner's, and the key is held again
+        assert(led.get(k).contains(winners.head))
+        assert(led.isSet(k) && !led.checkAndSet(k, "straggler"))
       } finally pool.shutdown()
-      assert(led.isSet(k), "the winner's claim file must survive the race")
-      // no tombstone litter left behind
-      val leftovers = fs.listStatus(new org.apache.hadoop.fs.Path(dir))
-        .map(_.getPath.getName).filter(_.startsWith(".reclaim."))
-      assert(leftovers.isEmpty, s"leftover tombstones: ${leftovers.mkString(",")}")
     }
+    // clear removes every generation the 5 reclaim rounds created
+    led.clear(k)
+    assert(!led.isSet(k))
+    assert(fs.listStatus(new org.apache.hadoop.fs.Path(dir))
+      .count(_.getPath.getName.startsWith(k)) == 0)
   }
 
   test("retry: recovers after transient failures, honors maxAttempts") {
