@@ -259,11 +259,24 @@ object BlockScan {
     }
   }
 
+  /** Per-JVM compiled-matcher cache. BOUNDED: a long-lived executor
+    * screening with many distinct (or churning) blocklists must not
+    * retain every list + matcher forever, so when a miss would grow
+    * the cache past `cacheCap` the whole map is dropped first — the
+    * realistic working set is one or two entries, hits stay lock-free
+    * CHM reads, and a post-flush matcher simply recompiles on demand. */
+  private val cacheCap = 8
   private val cache =
     new java.util.concurrent.ConcurrentHashMap[String, Matcher]()
-  private def matcherFor(key: String): Matcher =
-    cache.computeIfAbsent(key,
-      k => new Matcher(k.split('\n').map(_.split(' '))))
+  private def matcherFor(key: String): Matcher = {
+    val hit = cache.get(key)
+    if (hit != null) hit
+    else {
+      if (cache.size >= cacheCap) cache.clear()
+      cache.computeIfAbsent(key,
+        k => new Matcher(k.split('\n').map(_.split(' '))))
+    }
+  }
 
   def scan(u: UTF8String, key: String): org.apache.spark.sql.catalyst.InternalRow = {
     val m = matcherFor(key)

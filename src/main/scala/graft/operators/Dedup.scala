@@ -414,6 +414,75 @@ object Dedup {
     starVerified.unionByName(resVerified)
   }
 
+  /** Row counts of the last [[witnessDroppedIds]] call — the
+    * no-silent-caps ledger for the incremental/probe cross feed:
+    * how many hub edges were tried, how many increment docs they
+    * decided, and how large the fallback was. Counts read from the
+    * already-materialised checkpoints, so they cost no recompute. */
+  case class WitnessStats(hubCandidates: Long, hubDropped: Long,
+                          residualCandidates: Long, residualDropped: Long)
+  @volatile private[graft] var lastWitnessStats: WitnessStats =
+    WitnessStats(0, 0, 0, 0)
+
+  /** Witness-bounded EXISTENTIAL verification of an increment against a
+    * bucketed corpus — the cross-side analog of
+    * [[spanningVerifiedPairs]]. The consumer's verdict per increment
+    * doc is existential (drop iff ONE verified corpus witness exists),
+    * so verifying every (inc, corpus) candidate in a shared bucket is
+    * g× too much work against a hot-template corpus bucket of
+    * occupancy g. Instead:
+    *
+    *   1. HUB: verify each colliding increment doc against the HUBS
+    *      (min-id member) of its colliding corpus buckets — one edge
+    *      per (doc, bucket), O(Σ collisions), never O(Σ g·collisions).
+    *      A verified hub edge IS a witness (the hub is a corpus
+    *      member), so the doc's verdict is decided in O(1) verifies.
+    *   2. RESIDUAL: only docs with NO verified hub edge fall back to
+    *      the colliding buckets' remaining members (LSH false
+    *      positives sharing a band with a dissimilar hub — the thin
+    *      S-curve sliver). Hub edges are already decided; never redone.
+    *
+    * VERDICT EQUALITY with the full cross feed — exact, not a recall
+    * bound, by the same argument as [[dropNearDups]]'s: if the full
+    * feed drops doc d via witness m in shared bucket β, then either
+    * some hub edge of d verified (d dropped in stage 1 — by m = hub(β)
+    * or any other bucket's hub), or none did, in which case (d, m) is
+    * in the residual candidate set (m is a member of β and d fell
+    * back) and verifies. Conversely every edge verified here is a true
+    * ≥threshold corpus witness. Spec-pinned against the full feed.
+    *
+    * Inputs are normalised: `incB` = (a_id, bucket) rows of the
+    * increment, `corpusB` = (b_id, bucket) rows of the corpus state,
+    * `verify` maps a candidate (a_id, b_id) table to its verified
+    * subset (exact Jaccard or exact cosine). The corpus table is
+    * scanned twice (hub aggregate + residual join) rather than
+    * checkpointed — it is corpus-sized and typically parquet-backed
+    * durable state, so a second pushdown scan beats a copy. Returns
+    * the dropped a_ids (one column `a_id`, distinct). */
+  private[graft] def witnessDroppedIds(incB: DataFrame, corpusB: DataFrame,
+      verify: DataFrame => DataFrame): DataFrame = {
+    val hubs = corpusB.groupBy("bucket").agg(min("b_id").as("hub"))
+    // one candidate per (inc doc, colliding bucket): the hub edge.
+    // Checkpointed — it feeds the verify AND the residual anti-join.
+    val hubCand = incB.join(hubs, "bucket")
+      .select(col("a_id"), col("hub").as("b_id")).distinct()
+      .localCheckpoint()
+    val hubDropped = verify(hubCand).select("a_id").distinct()
+      .localCheckpoint()
+    // fallback: undecided docs x their buckets' members, minus the
+    // already-decided hub edges (all of which FAILED for these docs)
+    val resCand = incB.join(hubDropped, Seq("a_id"), "left_anti")
+      .join(corpusB, "bucket")
+      .select("a_id", "b_id").distinct()
+      .join(hubCand, Seq("a_id", "b_id"), "left_anti")
+      .localCheckpoint()
+    val resDropped = verify(resCand).select("a_id").distinct()
+      .localCheckpoint()
+    lastWitnessStats = WitnessStats(hubCand.count(), hubDropped.count(),
+      resCand.count(), resDropped.count())
+    hubDropped.unionByName(resDropped)
+  }
+
   /** Full near-dup pipeline: LSH candidates -> exact Jaccard filter.
     * The shingle-set table feeds three consumers — the signature
     * aggregation and both sides of the verify join — whose exchanges
@@ -879,13 +948,19 @@ object Dedup {
     // batch and streaming agree exactly on what counts as a duplicate
     val setsEx = shingleHashSets(existing)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // the witness-bounded step reads the corpus bucket table twice
+    // (hub aggregate + residual join) — persist it so the signature
+    // aggregation runs once, like a stored state table would be
+    val bEx = bandBuckets(setsEx, k, bands)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // batch form discards the state outputs — don't materialise them.
     // The returned survivors plan reads only incoming + the step's
-    // eagerly-checkpointed dropped set, so releasing setsEx is safe.
+    // eagerly-checkpointed dropped set, so releasing the caches is safe.
     val (survivors, _, _) =
-      nearDupStateStep(setsEx, bandBuckets(setsEx, k, bands), incoming,
+      nearDupStateStep(setsEx, bEx, incoming,
         threshold, k, bands, materializeState = false)
     setsEx.unpersist(false)
+    bEx.unpersist(false)
     survivors
   }
 
@@ -895,10 +970,13 @@ object Dedup {
     * ((id, bucket), built by [[bandBuckets]] with the same k/bands) are
     * durable tables the caller appends to as documents are admitted.
     * Each step hashes ONLY the increment, probes the stored bucket
-    * table for cross-corpus candidates, pairs within itself for
-    * in-batch candidates, and exact-Jaccard-verifies both — so at
-    * 100 TB the per-step cost tracks the increment and its bucket
-    * collisions, while history contributes a bucket equi-join and a
+    * table for cross-corpus candidates through the WITNESS-BOUNDED
+    * feed ([[witnessDroppedIds]] — hub edges first, member fallback
+    * only for undecided docs, verdict-equal to the full cross join),
+    * pairs within itself for in-batch candidates, and
+    * exact-Jaccard-verifies both — so at 100 TB the per-step cost
+    * tracks the increment and its bucket COLLISIONS (not collision ×
+    * occupancy), while history contributes two bucket equi-joins and a
     * candidate-only shingle-set lookup.
     *
     * Returns (survivors, survivorSets, survivorBuckets); the caller
@@ -922,11 +1000,15 @@ object Dedup {
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val bIn = bandBuckets(setsIn, k, bands)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val candCross = bIn.as("i")
-      .join(existingBuckets.as("e"), col("i.bucket") === col("e.bucket"))
-      .select(col("i.id").as("a_id"), col("e.id").as("b_id")).distinct()
-    val dropped = verifyPairs(candCross, setsIn, existingSets, threshold)
-      .select(col("a_id").as("doc_id"))
+    // cross-side verdict is existential (drop iff ONE corpus witness),
+    // so the feed is witness-bounded: hub edges first, member fallback
+    // only for undecided docs ([[witnessDroppedIds]] — verdict-equal to
+    // the full (inc x bucket-members) cross join, proof at the method)
+    val crossDropped = witnessDroppedIds(
+      bIn.select(col("id").as("a_id"), col("bucket")),
+      existingBuckets.select(col("id").as("b_id"), col("bucket")),
+      cand => verifyPairs(cand, setsIn, existingSets, threshold))
+    val dropped = crossDropped.select(col("a_id").as("doc_id"))
       .unionByName(verifyPairs(selfPairs(bIn), setsIn, setsIn, threshold)
         .select(col("b_id").as("doc_id")))
       .distinct()
@@ -970,10 +1052,12 @@ object Dedup {
     * [[embeddingIncrement]] (existing side computed in-flight),
     * [[embeddingIncrementStored]] (existing side loaded from a stored
     * model), and the streaming ingest sink. The increment is assigned
-    * to its `assign` nearest cells, candidates come from shared cells
-    * BETWEEN the sides plus cell-sharing pairs within the increment,
-    * and both sets are exact-cosine verified — never incoming x
-    * existing all-pairs. Per-step cost is assignment (one broadcast
+    * to its `assign` nearest cells, cross-side candidates come from
+    * shared cells BETWEEN the sides through the witness-bounded feed
+    * ([[witnessDroppedIds]] — verdict-equal to the full cell cross
+    * join), in-batch candidates from cell-sharing pairs within the
+    * increment, and both sets are exact-cosine verified — never
+    * incoming x existing all-pairs. Per-step cost is assignment (one broadcast
     * of the k x dim centroid matrix) + two cell equi-joins: nothing
     * retrains and nothing scans the corpus beyond the candidate-id
     * vector lookups.
@@ -993,17 +1077,24 @@ object Dedup {
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val incCells = Similarity.cellAssignments(inc, centroids, assign)
       .localCheckpoint()
-    val candCross = incCells.as("i")
-      .join(existingCells.as("e"), col("i.cell") === col("e.cell"))
-      .select(col("i.vec_id").as("a_id"), col("e.vec_id").as("b_id"))
-      .distinct()
     val candSelf = incCells.as("x")
       .join(incCells.as("y"),
         col("x.cell") === col("y.cell") && col("x.vec_id") < col("y.vec_id"))
       .select(col("x.vec_id").as("a_id"), col("y.vec_id").as("b_id"))
       .distinct()
-    val dropped = verifyCosine(candCross, inc, existingVecs, threshold)
-      .select(col("a_id").as("vec_id"))
+    // cross-side existential verdict -> witness-bounded hub-first feed,
+    // same core as the text side ([[witnessDroppedIds]]). IVF cells are
+    // recall partitions, not near-cliques, so hub edges decide fewer
+    // docs than minhash buckets do — but the fallback is PER-DOC (an
+    // undecided doc pays its cell members once, exactly what the full
+    // feed paid), so the worst case is one extra tiny verify round,
+    // not the closure path's residual blowup that made spanning lose
+    // on cells (SCALE.md's emb_clusters_lsh A/B).
+    val crossDropped = witnessDroppedIds(
+      incCells.select(col("vec_id").as("a_id"), col("cell").as("bucket")),
+      existingCells.select(col("vec_id").as("b_id"), col("cell").as("bucket")),
+      cand => verifyCosine(cand, inc, existingVecs, threshold))
+    val dropped = crossDropped.select(col("a_id").as("vec_id"))
       .unionByName(verifyCosine(candSelf, inc, inc, threshold)
         .select(col("b_id").as("vec_id")))
       .distinct()
@@ -1057,11 +1148,15 @@ object Dedup {
       if (centroidsK > 0) centroidsK
       else Similarity.autoCells(union.count())
     val centroids = Similarity.trainIvfCentroids(union, k)
+    // the witness-bounded step reads the corpus cell table twice (hub
+    // aggregate + residual join) — persist so assignment runs once
     val exCells = Similarity.cellAssignments(ex, centroids, assign)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // batch form discards the state outputs — don't materialise them
     val (survivors, _, _) = embeddingStateStep(ex, exCells, centroids,
       incoming, threshold, assign, materializeState = false)
     ex.unpersist(false)
+    exCells.unpersist(false)
     survivors
   }
 

@@ -1006,7 +1006,14 @@ object Similarity {
     * exact all-pairs feed (oracle SFs only), `allPairs = false` the
     * IVF-cell-bucketed feed whose candidates track cell occupancy —
     * the same two-feed discipline as the dedup family. Deterministic:
-    * 6-dp cosines, ties toward the smaller candidate id. */
+    * 6-dp cosines, ties toward the smaller candidate id.
+    *
+    * PRECONDITIONS on the feed: `cosine` must already be rounded to
+    * 6 dp (both in-repo feeds do) — winners are selected by the
+    * 6-dp-rounded value and the emitted pos_cos/neg_cos ARE that
+    * rounded value, so an unrounded feed can see a tied-at-6dp winner
+    * differ from exact-ordering selection; and ids must lie in
+    * [0, 2^42) (enforced — out-of-range ids raise). */
   def contrastiveTriplets(scoredPairs: DataFrame,
                           threshold: Double): DataFrame = {
     val sym = scoredPairs
@@ -1040,9 +1047,17 @@ object Similarity {
   private def tripletsFromCandidates(sym: DataFrame,
                                      threshold: Double): DataFrame = {
     val MaxId = (1L << 42) - 1
+    // the id precondition is ENFORCED, not just documented: an id
+    // outside [0, 2^42) would silently borrow into the cosine bits and
+    // corrupt both the argmax and the decoded pos/neg ids — fail loudly
+    // instead (one codegen'd comparison per row, no extra pass)
+    val cand = when(col("cand").between(0L, MaxId), col("cand"))
+      .otherwise(raise_error(concat(
+        lit("triplet candidate id out of packable range [0, 2^42): "),
+        col("cand"))))
     val c6 = round(col("cosine") * 1e6, 0).cast("long") + 1000000L // [0, 2e6]
     def packed(pred: Column) =
-      when(pred, shiftleft(c6, 42) + (lit(MaxId) - col("cand")))
+      when(pred, shiftleft(c6, 42) + (lit(MaxId) - cand))
     def unCos(p: Column) =
       (shiftright(p, 42) - 1000000L).cast("double") / 1e6
     def unId(p: Column) = lit(MaxId) - p.bitwiseAND(lit(MaxId))
@@ -1089,13 +1104,19 @@ object Similarity {
                                   candidateCap: Int = 128): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     require(candidateCap > 1, "candidateCap must allow at least 2 candidates")
-    val e = prepared(emb)
-    val cached = e.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val cached = prepared(emb)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val k =
       if (centroidsK > 0) centroidsK
       else autoCells(cached.count())
     val centroids = trainIvfCentroids(cached, k)
-    val cells = cellAssignments(cached, centroids, assign).localCheckpoint()
+    // vectors ride the cell checkpoint: the eager materialisation below
+    // is the LAST time the prepared corpus is read, so the returned
+    // (lazy) plan executes against checkpointed RDDs only — without
+    // this, unpersisting here put TWO fresh prep scans (anchor + cand
+    // vector joins) into the action-time plan
+    val cells = cellAssignments(cached, centroids, assign)
+      .join(cached, "vec_id").localCheckpoint()
     cached.unpersist(false)
     // deterministic per-cell sample rank; WindowGroupLimit keeps the
     // rank filter map-side cheap (no full sort materialisation)
@@ -1109,9 +1130,7 @@ object Similarity {
     lastTripletFeedStats = TripletFeedStats(
       memberRows = cells.count(),
       droppedCandidates = cells.count() - candSide.count())
-    val anchors = cells.join(e, "vec_id")
-    val cands = candSide.join(e, "vec_id")
-    val sym = anchors.as("x").join(cands.as("y"),
+    val sym = cells.as("x").join(candSide.as("y"),
         col("x.cell") === col("y.cell") && col("x.vec_id") =!= col("y.vec_id"))
       .select(col("x.vec_id").as("anchor_id"), col("y.vec_id").as("cand"),
         round(cosineWithNorms(dotProduct(col("x.v"), col("y.v")),

@@ -109,9 +109,16 @@ class IdempotencyLedger(dir: String,
     if (g == 0) new Path(root, key) else new Path(root, s"$key.g$g")
 
   /** All present generations of `key`, ascending. Keys are fixed-width
-    * hex, so the `.g*` glob cannot collide with another key. */
+    * hex, so the `.g*` glob cannot collide with another key — and that
+    * documented invariant is ENFORCED here (every public entry point
+    * resolves through this method): a caller-supplied key containing
+    * glob metacharacters ({, [, *, ?) or path separators would misparse
+    * or match unrelated ledger files, so it is rejected loudly. */
   private def generations(key: String)
       : Seq[(Int, org.apache.hadoop.fs.FileStatus)] = {
+    require(key.nonEmpty && key.forall(c =>
+        ('0' <= c && c <= '9') || ('a' <= c && c <= 'f')),
+      s"idempotency keys must be lowercase hex (use keyFor), got: $key")
     val plain =
       try Seq((0, fs.getFileStatus(new Path(root, key))))
       catch { case _: java.io.FileNotFoundException => Nil }

@@ -938,6 +938,67 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(Splits.sampleExact(docs, 100000).count() == docs.count())
   }
 
+  test("witness-bounded cross feed: survivors match the all-pairs incremental ground truth") {
+    // dedup_neardup_incr's certificate, mirroring the embedding one:
+    // expected survivors derive from the FULL batch pair set (every
+    // in-bucket pair verified) with incremental drop semantics —
+    // cross pair drops the incoming side, in-batch pair drops the
+    // larger id. Agreement proves the hub-first witness feed
+    // (witnessDroppedIds) decides every doc exactly like the full
+    // increment x bucket-members cross join it replaced.
+    val docs = spark.read.parquet(s"${sf("sf0.01")}/documents.parquet")
+    val split = 250L
+    val pairs = Dedup.minhashNearDups(docs, 0.8)
+      .select("a_id", "b_id").as[(Long, Long)].collect()
+    val expectedDropped = pairs.flatMap { case (a, b) =>
+      (a < split, b < split) match {
+        case (true, false)  => Seq(b) // cross: drop the incoming side
+        case (false, false) => Seq(b) // in-batch: drop the later id
+        case _              => Nil
+      }
+    }.toSet
+    val incIds = docs.where(col("doc_id") >= split)
+      .select("doc_id").as[Long].collect().toSet
+    val survivors = Dedup.nearDupIncrement(
+        docs.where(col("doc_id") < split), docs.where(col("doc_id") >= split),
+        threshold = 0.8)
+      .select("doc_id").as[Long].collect().toSet
+    assert(survivors == incIds.diff(expectedDropped))
+    assert(expectedDropped.nonEmpty, "test data should exercise drops")
+    val st = Dedup.lastWitnessStats
+    assert(st.hubCandidates > 0 && st.hubDropped > 0,
+      "hub edges should decide docs on real near-dup data")
+  }
+
+  test("witness-bounded cross feed: hub decides, residual catches non-hub witnesses") {
+    // synthetic bucket/set tables drive witnessDroppedIds directly so
+    // both stages are exercised deterministically: doc 11 matches the
+    // bucket hub (stage-1 drop), doc 10 matches only a NON-hub member
+    // (its hub edge fails -> residual must catch it), doc 12 matches
+    // nothing (pays the fallback, survives).
+    val sets = Seq(
+      (1L, Seq(1L, 2L, 3L, 4L)),     // corpus hub of bucket 100
+      (2L, Seq(100L, 101L, 102L)),   // corpus member, matches nothing
+      (3L, Seq(50L, 51L, 52L, 53L)), // corpus member, doc 10's witness
+      (10L, Seq(50L, 51L, 52L, 54L)), // inc: J(10,3)=3/5, J(10,1)=0
+      (11L, Seq(1L, 2L, 3L, 5L)),     // inc: J(11,1)=3/5 (hub witness)
+      (12L, Seq(200L, 201L)))         // inc: no witness
+      .toDF("doc_id", "shash")
+    val incB = Seq((10L, 100L), (11L, 100L), (12L, 100L))
+      .toDF("a_id", "bucket")
+    val corpusB = Seq((1L, 100L), (2L, 100L), (3L, 100L))
+      .toDF("b_id", "bucket")
+    val dropped = Dedup.witnessDroppedIds(incB, corpusB,
+        cand => Dedup.jaccardVerify(cand, sets, 0.5))
+      .select("a_id").as[Long].collect().toSet
+    assert(dropped == Set(10L, 11L))
+    val st = Dedup.lastWitnessStats
+    // one hub edge per (inc doc, colliding bucket), exactly one decides
+    assert(st.hubCandidates == 3 && st.hubDropped == 1)
+    // fallback: only the two undecided docs x the two non-hub members
+    assert(st.residualCandidates == 4 && st.residualDropped == 1)
+  }
+
   test("stored near-dup state: probe agrees with the re-shingling incremental form") {
     // dedup_neardup_probe's certificate, mirroring the stored embedding
     // model's: state built once from the corpus split, the increment

@@ -130,6 +130,18 @@ class PersistenceSpec extends SparkSpec {
     assert(led.checkAndSet(k1))
   }
 
+  test("idempotency: non-hex keys are rejected at every entry point") {
+    // the `.g*` generation glob's no-collision argument relies on keys
+    // being keyFor()'s hex — arbitrary keys (glob metacharacters, path
+    // separators, uppercase) must fail loudly, not misparse
+    val led = new IdempotencyLedger(Files.createTempDirectory("graft_led_badkey").toString)
+    for (bad <- Seq("run-A", "abc*", "ABC123", "a{b,c}", "", "a/b", "k?"))
+      intercept[IllegalArgumentException](led.checkAndSet(bad))
+    intercept[IllegalArgumentException](led.isSet("zz"))
+    intercept[IllegalArgumentException](led.get("x y"))
+    intercept[IllegalArgumentException](led.clear("[ab]"))
+  }
+
   test("idempotency TTL: expired keys are reclaimed, fresh keys still block") {
     // reference semantics: Redis keys carry IDEMPOTENCY_KEY_TTL_DAYS
     // expiry (setex), so a run older than the TTL stops suppressing

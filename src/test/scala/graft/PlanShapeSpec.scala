@@ -84,6 +84,12 @@ class PlanShapeSpec extends SparkSpec {
       s"no partial map-side argmax aggregate in:\n$plan")
     assert(!plan.contains("SortAggregate"),
       s"argmax fell back to SortAggregate (feed gets sorted):\n$plan")
+    // ONE prep pass: the corpus vectors ride the eager cell checkpoint,
+    // so the action-time plan reads checkpointed RDDs only — no fresh
+    // parquet scan (and hence no second prepared() pass per join side;
+    // the pre-fix plan re-scanned + re-normed the corpus once per side)
+    assert(!plan.contains("Scan parquet") && !plan.contains("FileScan"),
+      s"action-time plan re-scans the source (prep runs again):\n$plan")
   }
 
   test("double_dot_product registered as a SQL function via extensions") {
