@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.SparkSession
 
-import graft.pipeline.{IdempotencyLedger, Pipeline, RunLedger}
+import graft.pipeline.{GraftSettings, IdempotencyLedger, Pipeline, RunLedger}
 
 /** User-facing CLI: run a pipeline from a JSON spec file, look up a
   * run's recorded stats, list a pipeline's run history.
@@ -30,7 +30,7 @@ object PipelineCli {
 
   def main(args: Array[String]): Unit = {
     val spark = Sessions.local(appName = "graft-pipeline-cli")
-    spark.sparkContext.setLogLevel("WARN")
+    spark.sparkContext.setLogLevel(GraftSettings.fromEnv().logLevel)
     val code =
       try execute(spark, args)
       finally spark.stop()
@@ -40,8 +40,19 @@ object PipelineCli {
   /** Parse + dispatch; returns a process exit code. Separated from
     * [[main]] so specs can drive the full CLI against the shared test
     * session and a temp ledger. All output goes through `Console.out`
-    * (capturable with `Console.withOut`). */
-  def execute(spark: SparkSession, args: Array[String]): Int = {
+    * (capturable with `Console.withOut`). `env` (default: the process
+    * environment) feeds [[GraftSettings]] — deployment-level defaults
+    * for the ledger/idempotency knobs, with the documented precedence
+    * flag > env > default (spec-pinned via this parameter). */
+  def execute(spark: SparkSession, args: Array[String],
+              env: Map[String, String] = sys.env): Int = {
+    val settings =
+      try GraftSettings.fromEnv(env)
+      catch {
+        case e: IllegalArgumentException =>
+          Console.err.println(s"invalid environment: ${e.getMessage}")
+          return 2
+      }
     def usage(): Int = {
       Console.err.println(
         """usage: PipelineCli run <spec.json> [--name NAME] [--ledger-dir DIR] [--idempotency-dir DIR] [--idempotency-ttl-days N]
@@ -56,11 +67,11 @@ object PipelineCli {
       case Right((positional, flags)) =>
         (positional, flags) match {
           case (List("run", specPath), f) =>
-            runCommand(spark, specPath, f)
+            runCommand(spark, specPath, f, settings)
           case (List("status", runId), f) =>
-            statusCommand(spark, runId, f)
+            statusCommand(spark, runId, f, settings)
           case (List("history", pipeline), f) =>
-            historyCommand(spark, pipeline, f)
+            historyCommand(spark, pipeline, f, settings)
           case _ => usage()
         }
     }
@@ -85,7 +96,8 @@ object PipelineCli {
   }
 
   private def runCommand(spark: SparkSession, specPath: String,
-                         flags: Map[String, String]): Int = {
+                         flags: Map[String, String],
+                         settings: GraftSettings): Int = {
     val p = java.nio.file.Paths.get(specPath)
     if (!java.nio.file.Files.exists(p)) {
       Console.err.println(s"spec file not found: $specPath")
@@ -95,9 +107,15 @@ object PipelineCli {
       java.nio.charset.StandardCharsets.UTF_8)
     val name = flags.getOrElse("name",
       p.getFileName.toString.stripSuffix(".json"))
+    // precedence: flag > environment (GraftSettings) > default
     val ledger = flags.get("ledger-dir").map(new RunLedger(_))
-    val idem = flags.get("idempotency-dir").map(d => new IdempotencyLedger(d,
-      ttlDays = flags.get("idempotency-ttl-days").map(_.toInt)))
+      .orElse(settings.runLedger)
+    val ttl = flags.get("idempotency-ttl-days").map(_.toInt)
+      .orElse(settings.idempotencyTtlDays)
+    val idem =
+      if (!settings.idempotencyEnabled) None // env kill-switch wins
+      else flags.get("idempotency-dir").orElse(settings.idempotencyDir)
+        .map(d => new IdempotencyLedger(d, ttlDays = ttl))
     try {
       val r = Pipeline.runJson(spark, specJson, ledger = idem,
         runLedger = ledger, pipelineName = name)
@@ -120,16 +138,19 @@ object PipelineCli {
     }
   }
 
-  private def withLedger(flags: Map[String, String])
+  private def withLedger(flags: Map[String, String],
+                         settings: GraftSettings)
                         (f: String => Int): Int =
-    flags.get("ledger-dir") match {
-      case None => Console.err.println("--ledger-dir is required"); 2
+    flags.get("ledger-dir").orElse(settings.ledgerDir) match {
+      case None =>
+        Console.err.println("--ledger-dir (or GRAFT_LEDGER_DIR) is required"); 2
       case Some(dir) => f(dir)
     }
 
   private def statusCommand(spark: SparkSession, runId: String,
-                            flags: Map[String, String]): Int =
-    withLedger(flags) { dir =>
+                            flags: Map[String, String],
+                            settings: GraftSettings): Int =
+    withLedger(flags, settings) { dir =>
       val rows = new RunLedger(dir).runs(spark)
         .where(org.apache.spark.sql.functions.col("run_id") === runId)
         .collect()
@@ -153,8 +174,9 @@ object PipelineCli {
     }
 
   private def historyCommand(spark: SparkSession, pipeline: String,
-                             flags: Map[String, String]): Int =
-    withLedger(flags) { dir =>
+                             flags: Map[String, String],
+                             settings: GraftSettings): Int =
+    withLedger(flags, settings) { dir =>
       import org.apache.spark.sql.functions._
       val limit = flags.get("limit").map(_.toInt).getOrElse(20)
       // one line per run: newest first, stage count + write volume

@@ -339,13 +339,83 @@ object Dedup {
       .select(col("a.id").as("a_id"), col("b.id").as("b_id"))
       .distinct()
 
+  /** Occupancy histogram of a (id, bucket) table with the estimated
+    * per-occupancy candidate-pair volume — the REPORT the pair-emission
+    * family publishes BEFORE emitting anything: at 100 TB a consumer of
+    * the full pair set needs to know that one hot-template bucket of
+    * occupancy g will emit C(g,2) pairs (10⁹ at g≈45k) before the job
+    * runs, not after it is stuck. One group-by over the bucket table —
+    * cost is the banding pass it profiles, never the pairs themselves.
+    * `est_pairs` counts per-bucket EMISSION volume (what the self-join
+    * produces and the verify pays); the distinct verified pair count is
+    * ≤ that wherever duplicates share several bands. */
+  def bucketOccupancyProfile(buckets: DataFrame): DataFrame =
+    buckets.groupBy("bucket").agg(count(lit(1)).as("occupancy"))
+      .groupBy("occupancy").agg(count(lit(1)).as("n_buckets"))
+      .withColumn("est_pairs",
+        (col("occupancy") * (col("occupancy") - 1) / 2 * col("n_buckets"))
+          .cast("long"))
+      .orderBy(col("occupancy").desc)
+
+  /** [[bucketOccupancyProfile]] over the minhash band buckets of a
+    * document corpus — the pre-flight volume report for
+    * [[minhashNearDups]]' full (report) form. */
+  def pairVolumeProfile(docs: DataFrame, k: Int = 128, bands: Int = 32,
+                        idCol: String = "doc_id",
+                        textCol: String = "text"): DataFrame =
+    bucketOccupancyProfile(bandBuckets(shingleHashSets(docs, 3, idCol, textCol), k, bands))
+
+  /** Emission ledger of the last capped [[selfPairs]] call — the
+    * no-silent-caps record a 100 TB pair-report run publishes next to
+    * its output: how many buckets hit the cap and how many candidate
+    * pairs were dropped (per-bucket emission volume, pre-distinct). */
+  case class PairEmissionStats(buckets: Long, cappedBuckets: Long,
+                               candidatePairs: Long, droppedPairs: Long)
+  @volatile private[graft] var lastPairEmissionStats: PairEmissionStats =
+    PairEmissionStats(0, 0, 0, 0)
+
+  /** Capped pair emission: per bucket, only the first `m` members — the
+    * largest m with C(m,2) ≤ `maxPairsPerBucket`, ranked by a
+    * deterministic id hash (an unbiased fixed sample of the bucket) —
+    * emit pairs, so no single hot-template bucket can produce an
+    * unbounded quadratic output. The cap is a REPORT-COMPLETENESS
+    * trade, never a correctness one (closure consumers use the
+    * spanning feed instead), and it is never silent:
+    * [[lastPairEmissionStats]] records capped-bucket and dropped-pair
+    * counts, and [[bucketOccupancyProfile]] tells a run what the cap
+    * will do before it emits anything. */
+  private def selfPairsCapped(buckets: DataFrame,
+                              maxPairsPerBucket: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    // largest m with m(m-1)/2 <= cap
+    val m = ((1 + math.sqrt(1.0 + 8.0 * maxPairsPerBucket)) / 2).toInt
+    val w = Window.partitionBy("bucket").orderBy(hash(col("id")), col("id"))
+    // rank filter rewrites to WindowGroupLimit (bounded per-key state);
+    // checkpointed because the self-join reads it twice
+    val kept = buckets.withColumn("__rk", row_number().over(w))
+      .where(col("__rk") <= m).drop("__rk")
+      .localCheckpoint()
+    def pairsOf(g: Column) = (g * (g - 1) / 2).cast("long")
+    val st = buckets.groupBy("bucket").agg(count(lit(1)).as("g"))
+      .agg(count(lit(1)).as("b"),
+        sum(when(col("g") > m, 1L).otherwise(0L)).as("capped"),
+        sum(pairsOf(least(col("g"), lit(m)))).as("emitted"),
+        sum(pairsOf(col("g")) - pairsOf(least(col("g"), lit(m)))).as("dropped"))
+      .head()
+    lastPairEmissionStats = PairEmissionStats(st.getLong(0), st.getLong(1),
+      st.getLong(2), st.getLong(3))
+    selfPairs(kept)
+  }
+
   /** Row counts of the last [[spanningVerifiedPairs]] call — the
     * no-silent-caps ledger for scale campaigns: how many star edges
     * were emitted/verified and how large the residual fallback was.
     * Counts come from the already-materialised checkpoints, so reading
     * them costs no recompute. */
   case class SpanningStats(starCandidates: Long, starVerified: Long,
-                           residualCandidates: Long, residualVerified: Long)
+                           residualCandidates: Long, residualVerified: Long,
+                           estFullPairs: Long = 0,
+                           dispatchedFull: Boolean = false)
   @volatile private[graft] var lastSpanningStats: SpanningStats =
     SpanningStats(0, 0, 0, 0)
 
@@ -382,12 +452,50 @@ object Dedup {
     * real threshold (the S-curve that sizes the bands makes same-band
     * dissimilar pairs rare). The dominant hot-template case (a near-
     * clique family of size g) emits g−1 edges, all verify, residual 0 —
-    * the O(occupancy²) blowup is gone exactly where it used to bite. */
+    * the O(occupancy²) blowup is gone exactly where it used to bite.
+    *
+    * SIZE DISPATCH: spanning pays two verify rounds and two checkpoint
+    * barriers, which LOSES where the corpus is small (measured: the
+    * sf0.1 leakage-safe split regressed 1.59 → 3.62 s when spanning
+    * was unconditional). So the feed first estimates the FULL
+    * emission volume (Σ C(g,2) over bucket occupancies — one
+    * aggregate over the persisted bucket table) and, when
+    * it is at most `fullFeedPairLimit` (default 2M pairs ≈ a couple
+    * of verify seconds at 32 cores — cheaper than spanning's second
+    * round), emits and verifies the full in-bucket feed instead:
+    * output is then pair-COMPLETE, a superset of the spanning
+    * emission, so every closure consumer is unaffected. The dispatch
+    * is recorded in [[lastSpanningStats]]; `fullFeedPairLimit = 0`
+    * forces spanning (specs exercising the star/residual machinery). */
   private[graft] def spanningVerifiedPairs(buckets: DataFrame, sets: DataFrame,
-                                           threshold: Double): DataFrame = {
-    // the bucket table feeds three consumers (hub aggregate, star join,
-    // residual join) with different partitionings — materialise once
-    val b = buckets.localCheckpoint()
+                                           threshold: Double,
+                                           fullFeedPairLimit: Long = 2000000L)
+      : DataFrame = {
+    // ONE banding materialisation serves the volume estimate AND the
+    // chosen branch: persist (not checkpoint — the full-feed branch
+    // must not pay a disk round-trip it doesn't need), fill the cache
+    // with the estimate's pass, and both branches read the cache. A
+    // caller that already persisted its bucket table (nearDupStateStep)
+    // lends its cache instead — this method must then NOT unpersist it
+    // (the caller's state outputs still read it after we return). Our
+    // own cache is released before returning: every output below is
+    // eagerly checkpointed first, so nothing leaks into caller plans.
+    val borrowed =
+      buckets.storageLevel != org.apache.spark.storage.StorageLevel.NONE
+    val b =
+      if (borrowed) buckets
+      else buckets.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    def release(): Unit = if (!borrowed) b.unpersist(false)
+    val estFull = b.groupBy("bucket").agg(count(lit(1)).as("g"))
+      .agg(coalesce(sum((col("g") * (col("g") - 1) / 2).cast("long")), lit(0L)))
+      .head().getLong(0)
+    if (estFull <= fullFeedPairLimit) {
+      val verified = verifyPairs(selfPairs(b), sets, sets, threshold)
+        .localCheckpoint()
+      release()
+      lastSpanningStats = SpanningStats(0, 0, 0, 0, estFull, dispatchedFull = true)
+      return verified
+    }
     val hubs = b.groupBy("bucket").agg(min("id").as("hub"))
     val star = b.join(hubs, "bucket").where(col("id") =!= col("hub"))
     // distinct folds the same (hub, member) edge re-found by other bands
@@ -409,8 +517,9 @@ object Dedup {
       .localCheckpoint()
     val resVerified = verifyPairs(resCand, sets, sets, threshold)
       .localCheckpoint()
+    release()
     lastSpanningStats = SpanningStats(starPairs.count(), starVerified.count(),
-      resCand.count(), resVerified.count())
+      resCand.count(), resVerified.count(), estFull)
     starVerified.unionByName(resVerified)
   }
 
@@ -420,7 +529,9 @@ object Dedup {
     * decided, and how large the fallback was. Counts read from the
     * already-materialised checkpoints, so they cost no recompute. */
   case class WitnessStats(hubCandidates: Long, hubDropped: Long,
-                          residualCandidates: Long, residualDropped: Long)
+                          residualCandidates: Long, residualDropped: Long,
+                          corpusMaxOccupancy: Long = 0,
+                          dispatchedFull: Boolean = false)
   @volatile private[graft] var lastWitnessStats: WitnessStats =
     WitnessStats(0, 0, 0, 0)
 
@@ -460,7 +571,29 @@ object Dedup {
     * durable state, so a second pushdown scan beats a copy. Returns
     * the dropped a_ids (one column `a_id`, distinct). */
   private[graft] def witnessDroppedIds(incB: DataFrame, corpusB: DataFrame,
-      verify: DataFrame => DataFrame): DataFrame = {
+      verify: DataFrame => DataFrame,
+      fullFeedMaxOccupancy: Long = 8L): DataFrame = {
+    // OCCUPANCY DISPATCH. Hub-first's whole advantage is that a doc
+    // colliding with a bucket of occupancy g pays 1 verification
+    // instead of g — so when the CORPUS buckets are thin (max g small)
+    // there is nothing to save, and the machinery's four checkpoint
+    // barriers + ledger counts (~10 extra jobs) are pure overhead
+    // (measured: dedup_neardup_incr 1.6 -> 5.2 s at sf0.1, and at sf10
+    // the 250-doc corpus state has max occupancy 1 — the distinct
+    // cross candidate set IS the hub candidate set there). The
+    // dispatch statistic is corpus-side ONLY: one bucket-count
+    // aggregate over the (typically parquet-backed, corpus-sized)
+    // state table — the big increment side is never aggregated. A
+    // hot-template corpus state (occupancies in the 10³-10⁶ range —
+    // the scenario this feed exists for) routes to the hub path.
+    val maxOcc = corpusB.groupBy("bucket").agg(count(lit(1)).as("g"))
+      .agg(coalesce(max("g"), lit(0L))).head().getLong(0)
+    if (maxOcc <= fullFeedMaxOccupancy) {
+      lastWitnessStats = WitnessStats(0, 0, 0, 0, maxOcc, dispatchedFull = true)
+      val cross = incB.join(corpusB, "bucket")
+        .select("a_id", "b_id").distinct()
+      return verify(cross).select("a_id").distinct()
+    }
     val hubs = corpusB.groupBy("bucket").agg(min("b_id").as("hub"))
     // one candidate per (inc doc, colliding bucket): the hub edge.
     // Checkpointed — it feeds the verify AND the residual anti-join.
@@ -479,7 +612,7 @@ object Dedup {
     val resDropped = verify(resCand).select("a_id").distinct()
       .localCheckpoint()
     lastWitnessStats = WitnessStats(hubCand.count(), hubDropped.count(),
-      resCand.count(), resDropped.count())
+      resCand.count(), resDropped.count(), maxOcc)
     hubDropped.unionByName(resDropped)
   }
 
@@ -502,16 +635,28 @@ object Dedup {
     * pair-complete — a clique's non-hub pairs are never emitted. Use it
     * for every consumer that only needs connectivity (clusters,
     * canonical selection, leakage-safe splits, drop-dups); it is the
-    * form that survives a hot-template bucket with 10⁴+ members. */
+    * form that survives a hot-template bucket with 10⁴+ members.
+    *
+    * `maxPairsPerBucket` (report form only; 0 = unlimited) bounds the
+    * per-bucket emission through [[selfPairsCapped]] — the escape
+    * hatch a 100 TB pair-report run pairs with
+    * [[pairVolumeProfile]]'s pre-flight volume estimate; dropped
+    * counts land in [[lastPairEmissionStats]], never silently. */
   def minhashNearDups(docs: DataFrame, threshold: Double = 0.8,
                       k: Int = 128, bands: Int = 32,
-                      spanning: Boolean = false): DataFrame = {
+                      spanning: Boolean = false,
+                      maxPairsPerBucket: Int = 0): DataFrame = {
     val sets = shingleHashSets(docs)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val buckets = bandBuckets(sets, k, bands)
     val verified =
       if (spanning) spanningVerifiedPairs(buckets, sets, threshold)
-      else jaccardVerify(selfPairs(buckets), sets, threshold).localCheckpoint()
+      else {
+        val cand =
+          if (maxPairsPerBucket > 0) selfPairsCapped(buckets, maxPairsPerBucket)
+          else selfPairs(buckets)
+        jaccardVerify(cand, sets, threshold).localCheckpoint()
+      }
     sets.unpersist(false)
     verified
   }
@@ -1008,9 +1153,19 @@ object Dedup {
       bIn.select(col("id").as("a_id"), col("bucket")),
       existingBuckets.select(col("id").as("b_id"), col("bucket")),
       cand => verifyPairs(cand, setsIn, existingSets, threshold))
+    // in-batch self-dedup drops the GREATER id of each verified pair —
+    // exactly [[dropNearDups]]'s loser set, so the spanning feed's
+    // loser-set equality proof applies verbatim and the in-batch side
+    // rides the size-dispatched O(Σ occupancy) emission too. This is
+    // where the sf10 cost actually lives: the "increment" of a bootstrap
+    // or backfill run IS the corpus (500k docs against a 250-doc
+    // history at sf10), and its hot-template buckets paid C(g,2) pairs;
+    // the witness-bounded cross feed alone moved 101.7 s only to
+    // 80.6 s because the self feed dominated.
+    val selfDropped = spanningVerifiedPairs(bIn, setsIn, threshold)
+      .select(col("b_id").as("doc_id"))
     val dropped = crossDropped.select(col("a_id").as("doc_id"))
-      .unionByName(verifyPairs(selfPairs(bIn), setsIn, setsIn, threshold)
-        .select(col("b_id").as("doc_id")))
+      .unionByName(selfDropped)
       .distinct()
       .localCheckpoint()
     // survivors depend only on incoming + the checkpointed dropped set,
@@ -1052,12 +1207,11 @@ object Dedup {
     * [[embeddingIncrement]] (existing side computed in-flight),
     * [[embeddingIncrementStored]] (existing side loaded from a stored
     * model), and the streaming ingest sink. The increment is assigned
-    * to its `assign` nearest cells, cross-side candidates come from
-    * shared cells BETWEEN the sides through the witness-bounded feed
-    * ([[witnessDroppedIds]] — verdict-equal to the full cell cross
-    * join), in-batch candidates from cell-sharing pairs within the
-    * increment, and both sets are exact-cosine verified — never
-    * incoming x existing all-pairs. Per-step cost is assignment (one broadcast
+    * to its `assign` nearest cells, candidates come from shared cells
+    * BETWEEN the sides plus cell-sharing pairs within the increment,
+    * and both sets are exact-cosine verified — never incoming x
+    * existing all-pairs. (The text side's witness-bounded cross feed
+    * was measured here and rejected — note at the candidate join.) Per-step cost is assignment (one broadcast
     * of the k x dim centroid matrix) + two cell equi-joins: nothing
     * retrains and nothing scans the corpus beyond the candidate-id
     * vector lookups.
@@ -1082,19 +1236,22 @@ object Dedup {
         col("x.cell") === col("y.cell") && col("x.vec_id") < col("y.vec_id"))
       .select(col("x.vec_id").as("a_id"), col("y.vec_id").as("b_id"))
       .distinct()
-    // cross-side existential verdict -> witness-bounded hub-first feed,
-    // same core as the text side ([[witnessDroppedIds]]). IVF cells are
-    // recall partitions, not near-cliques, so hub edges decide fewer
-    // docs than minhash buckets do — but the fallback is PER-DOC (an
-    // undecided doc pays its cell members once, exactly what the full
-    // feed paid), so the worst case is one extra tiny verify round,
-    // not the closure path's residual blowup that made spanning lose
-    // on cells (SCALE.md's emb_clusters_lsh A/B).
-    val crossDropped = witnessDroppedIds(
-      incCells.select(col("vec_id").as("a_id"), col("cell").as("bucket")),
-      existingCells.select(col("vec_id").as("b_id"), col("cell").as("bucket")),
-      cand => verifyCosine(cand, inc, existingVecs, threshold))
-    val dropped = crossDropped.select(col("a_id").as("vec_id"))
+    // MEASURED NEGATIVE: the text side's witness-bounded hub-first
+    // cross feed ([[witnessDroppedIds]]) was A/B'd here and REJECTED —
+    // IVF cells are recall partitions, not near-cliques, so hub edges
+    // almost never decide a doc and the extra round + barrier + the
+    // corpus-cell hub aggregate per step REGRESSED the stored-model
+    // probe 7.6 -> 44.7 s at sf10 (same shape as the emb_clusters_lsh
+    // spanning rejection). The direct cell cross join + one cosine
+    // verify round is the right plan on cell feeds: per-pair cosine is
+    // one fused dot product, far cheaper than the text side's
+    // set-intersection verify that makes hub-first pay off there.
+    val candCross = incCells.as("i")
+      .join(existingCells.as("e"), col("i.cell") === col("e.cell"))
+      .select(col("i.vec_id").as("a_id"), col("e.vec_id").as("b_id"))
+      .distinct()
+    val dropped = verifyCosine(candCross, inc, existingVecs, threshold)
+      .select(col("a_id").as("vec_id"))
       .unionByName(verifyCosine(candSelf, inc, inc, threshold)
         .select(col("b_id").as("vec_id")))
       .distinct()
@@ -1148,15 +1305,11 @@ object Dedup {
       if (centroidsK > 0) centroidsK
       else Similarity.autoCells(union.count())
     val centroids = Similarity.trainIvfCentroids(union, k)
-    // the witness-bounded step reads the corpus cell table twice (hub
-    // aggregate + residual join) — persist so assignment runs once
     val exCells = Similarity.cellAssignments(ex, centroids, assign)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // batch form discards the state outputs — don't materialise them
     val (survivors, _, _) = embeddingStateStep(ex, exCells, centroids,
       incoming, threshold, assign, materializeState = false)
     ex.unpersist(false)
-    exCells.unpersist(false)
     survivors
   }
 

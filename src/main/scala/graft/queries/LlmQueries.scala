@@ -334,6 +334,15 @@ object LlmQueries {
     "dedup_minhash" -> ((s, d) =>
       Dedup.minhashCandidates(docs(s, d)).orderBy("a_id", "b_id")),
 
+    // pre-flight emission report for the pair-REPORT family: band-bucket
+    // occupancy histogram + estimated per-occupancy candidate-pair
+    // volume — what a 100 TB run reads BEFORE deciding to emit the full
+    // pair set or cap it (minhashNearDups maxPairsPerBucket). rows-only:
+    // minhash banding isn't SQL-replicable; arithmetic spec-pinned.
+    "dedup_pair_stats" -> ((s, d) =>
+      Dedup.pairVolumeProfile(docs(s, d))
+        .orderBy(col("occupancy").desc)),
+
     "dedup_simhash" -> ((s, d) =>
       Dedup.simhashNearDups(docs(s, d), maxHamming = 3).orderBy("a_id", "b_id")),
 

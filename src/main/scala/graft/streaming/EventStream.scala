@@ -94,23 +94,30 @@ object EventStream {
       .option("checkpointLocation", checkpoint)
       .outputMode("append")
       .foreachBatch { (batch: DataFrame, _: Long) =>
-        val spark = batch.sparkSession
-        val fpPath = new org.apache.hadoop.fs.Path(fpDir)
-        val fs = fpPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
-        val kept =
-          if (fs.exists(fpPath))
-            graft.operators.Dedup.exactIncrement(
-              spark.read.parquet(fpDir), batch, existingIsFingerprints = true)
-          else
-            graft.operators.Dedup.exactIncrement(batch.limit(0), batch)
-        val materialized = kept.cache()
-        try {
-          materialized.write.mode("append").parquet(corpusDir)
-          materialized.select(md5(col("text")).as("fingerprint"))
-            .write.mode("append").parquet(fpDir)
-        } finally materialized.unpersist()
-        ()
+        dedupIngestBatch(batch, corpusDir, fpDir)
       }
+
+  /** One micro-batch of [[dedupIngestSink]] — package-visible so the
+    * replay contract and throughput are measurable directly. */
+  private[graft] def dedupIngestBatch(batch: DataFrame, corpusDir: String,
+                                      fpDir: String): Unit = {
+    val spark = batch.sparkSession
+    val fpPath = new org.apache.hadoop.fs.Path(fpDir)
+    val fs = fpPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val kept =
+      if (fs.exists(fpPath))
+        graft.operators.Dedup.exactIncrement(
+          spark.read.parquet(fpDir), batch, existingIsFingerprints = true)
+      else
+        graft.operators.Dedup.exactIncrement(batch.limit(0), batch)
+    val materialized = kept.cache()
+    try {
+      materialized.write.mode("append").parquet(corpusDir)
+      materialized.select(md5(col("text")).as("fingerprint"))
+        .write.mode("append").parquet(fpDir)
+    } finally materialized.unpersist()
+    ()
+  }
 
   /** Streaming corpus ingestion with ALL-HISTORY near-dup dedup: the
     * near-duplicate counterpart of [[dedupIngestSink]]. Each micro-batch
@@ -509,13 +516,20 @@ object EventStream {
       .option("checkpointLocation", checkpoint)
       .outputMode("append")
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        graft.operators.Contamination.decontaminateIndexed(batch, indexDir)
-          .withColumn("__batch_id", lit(batchId))
-          .write.mode("overwrite")
-          .option("partitionOverwriteMode", "dynamic")
-          .partitionBy("__batch_id")
-          .parquet(corpusDir)
+        decontaminateIngestBatch(batch, batchId, indexDir, corpusDir)
       }
+
+  /** One micro-batch of [[decontaminateIngestSink]] — package-visible
+    * so the replay contract and throughput are measurable directly. */
+  private[graft] def decontaminateIngestBatch(batch: DataFrame, batchId: Long,
+                                              indexDir: String,
+                                              corpusDir: String): Unit =
+    graft.operators.Contamination.decontaminateIndexed(batch, indexDir)
+      .withColumn("__batch_id", lit(batchId))
+      .write.mode("overwrite")
+      .option("partitionOverwriteMode", "dynamic")
+      .partitionBy("__batch_id")
+      .parquet(corpusDir)
 
   /** Stream-stream interval join: each left event pairs with right
     * events for the same key within `[left.ts, left.ts + within]`. Both

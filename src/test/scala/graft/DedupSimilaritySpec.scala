@@ -90,17 +90,38 @@ class DedupSimilaritySpec extends SparkSpec {
   test("spanning feed: closure identical to the full in-bucket feed on real docs") {
     val docs = spark.read.parquet(s"$docsDir/documents.parquet")
     val full = Dedup.minhashNearDups(docs, 0.8)
-    val span = Dedup.minhashNearDups(docs, 0.8, spanning = true)
+    // fullFeedPairLimit = 0 forces the star/residual path even at spec
+    // scale (the size dispatch would otherwise route this corpus to
+    // the full feed and the test would compare full against itself)
+    val sets = Dedup.shingleHashSets(docs)
+    val span = Dedup.spanningVerifiedPairs(Dedup.bandBuckets(sets), sets,
+      0.8, fullFeedPairLimit = 0)
     // every spanning-verified edge is a true pair from the full feed
     assert(span.join(full, Seq("a_id", "b_id"), "left_anti").isEmpty,
       "spanning emitted a pair the full feed does not contain")
     val stats = Dedup.lastSpanningStats
     assert(stats.starCandidates > 0 && stats.starVerified > 0)
+    assert(!stats.dispatchedFull && stats.estFullPairs > 0)
     // and the component closures agree exactly — label by label
     def labels(pairs: org.apache.spark.sql.DataFrame) =
       Dedup.connectedComponents(pairs, docs).orderBy("id")
         .as[(Long, Long)].collect().toSeq
     assert(labels(span) == labels(full))
+  }
+
+  test("spanning size dispatch: small corpora take the pair-complete full feed") {
+    // at spec scale the estimated emission volume is far under the
+    // default limit, so the closure consumers' feed IS the full feed —
+    // pair-complete output, one verify round (the sf0.1 regression fix)
+    val docs = spark.read.parquet(s"$docsDir/documents.parquet")
+    val full = Dedup.minhashNearDups(docs, 0.8)
+      .select("a_id", "b_id").as[(Long, Long)].collect().toSet
+    val span = Dedup.minhashNearDups(docs, 0.8, spanning = true)
+      .select("a_id", "b_id").as[(Long, Long)].collect().toSet
+    val st = Dedup.lastSpanningStats
+    assert(st.dispatchedFull, "spec-scale corpus must dispatch to the full feed")
+    assert(st.estFullPairs > 0 && st.estFullPairs <= 2000000L)
+    assert(span == full, "dispatched feed must be the pair-complete full set")
   }
 
   test("spanning feed: residual fallback closes chains and LSH false-positive buckets") {
@@ -114,7 +135,8 @@ class DedupSimilaritySpec extends SparkSpec {
       (2L, Seq(11L, 12L, 13L, 14L)),
       (3L, Seq(12L, 13L, 14L, 15L))).toDF("doc_id", "shash")
     val chainBuckets = Seq((1L, 100L), (2L, 100L), (3L, 100L)).toDF("id", "bucket")
-    val chainOut = Dedup.spanningVerifiedPairs(chainBuckets, chainSets, 0.5)
+    val chainOut = Dedup.spanningVerifiedPairs(chainBuckets, chainSets, 0.5,
+        fullFeedPairLimit = 0)
       .select("a_id", "b_id").as[(Long, Long)].collect().toSet
     assert(chainOut == Set((1L, 2L), (2L, 3L)))
     // FALSE-POSITIVE HUB — bucket {1,2,3} where the hub matches NOTHING
@@ -125,7 +147,8 @@ class DedupSimilaritySpec extends SparkSpec {
       (2L, Seq(30L, 31L, 32L)),
       (3L, Seq(31L, 32L, 33L))).toDF("doc_id", "shash")
     val fpBuckets = Seq((1L, 200L), (2L, 200L), (3L, 200L)).toDF("id", "bucket")
-    val fpOut = Dedup.spanningVerifiedPairs(fpBuckets, fpSets, 0.5)
+    val fpOut = Dedup.spanningVerifiedPairs(fpBuckets, fpSets, 0.5,
+        fullFeedPairLimit = 0)
       .select("a_id", "b_id").as[(Long, Long)].collect().toSet
     assert(fpOut == Set((2L, 3L)))
     val st = Dedup.lastSpanningStats
@@ -938,6 +961,41 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(Splits.sampleExact(docs, 100000).count() == docs.count())
   }
 
+  test("pair-report cap + occupancy profile: subset, exact ledger, profile arithmetic") {
+    val docs = spark.read.parquet(s"${sf("sf0.01")}/documents.parquet")
+    // ground-truth occupancies straight from the public banding pass
+    val occ = Dedup.bandBuckets(Dedup.shingleHashSets(docs))
+      .groupBy("bucket").agg(count(lit(1)).as("g"))
+      .select("g").as[Long].collect()
+    def pairsOf(g: Long) = g * (g - 1) / 2
+    // the profile's histogram must reproduce those occupancies exactly
+    val prof = Dedup.pairVolumeProfile(docs)
+      .select("occupancy", "n_buckets", "est_pairs")
+      .as[(Long, Long, Long)].collect()
+    val expectedHist = occ.groupBy(identity).view.mapValues(_.length.toLong).toMap
+    assert(prof.map(p => p._1 -> p._2).toMap == expectedHist)
+    assert(prof.map(_._3).sum == occ.map(pairsOf).sum,
+      "est_pairs must total the full candidate emission volume")
+    // a generous cap changes nothing and drops nothing
+    val full = Dedup.minhashNearDups(docs, 0.8)
+      .select("a_id", "b_id").as[(Long, Long)].collect().toSet
+    val uncapped = Dedup.minhashNearDups(docs, 0.8,
+        maxPairsPerBucket = 1000000)
+      .select("a_id", "b_id").as[(Long, Long)].collect().toSet
+    assert(uncapped == full && Dedup.lastPairEmissionStats.droppedPairs == 0)
+    // a tight cap: verified output is a SUBSET and the ledger is exact
+    val capped = Dedup.minhashNearDups(docs, 0.8, maxPairsPerBucket = 1)
+      .select("a_id", "b_id").as[(Long, Long)].collect().toSet
+    assert(capped.subsetOf(full))
+    val st = Dedup.lastPairEmissionStats
+    val m = 2 // largest m with C(m,2) <= 1
+    assert(st.buckets == occ.length)
+    assert(st.cappedBuckets == occ.count(_ > m))
+    assert(st.candidatePairs == occ.map(g => pairsOf(math.min(g, m))).sum)
+    assert(st.droppedPairs == occ.map(g => pairsOf(g) - pairsOf(math.min(g, m))).sum)
+    assert(st.candidatePairs + st.droppedPairs == occ.map(pairsOf).sum)
+  }
+
   test("witness-bounded cross feed: survivors match the all-pairs incremental ground truth") {
     // dedup_neardup_incr's certificate, mirroring the embedding one:
     // expected survivors derive from the FULL batch pair set (every
@@ -965,9 +1023,25 @@ class DedupSimilaritySpec extends SparkSpec {
       .select("doc_id").as[Long].collect().toSet
     assert(survivors == incIds.diff(expectedDropped))
     assert(expectedDropped.nonEmpty, "test data should exercise drops")
+    // at spec scale the witness feed size-dispatches to the one-round
+    // direct cross join — the dispatch itself is part of the contract
     val st = Dedup.lastWitnessStats
-    assert(st.hubCandidates > 0 && st.hubDropped > 0,
-      "hub edges should decide docs on real near-dup data")
+    assert(st.dispatchedFull && st.corpusMaxOccupancy >= 1)
+    // and the FORCED hub/residual path (limit 0) decides the exact
+    // same increment docs on the same real data
+    val setsC = Dedup.shingleHashSets(docs.where(col("doc_id") < split))
+    val setsI = Dedup.shingleHashSets(docs.where(col("doc_id") >= split))
+    val witnessed = Dedup.witnessDroppedIds(
+        Dedup.bandBuckets(setsI).select(col("id").as("a_id"), col("bucket")),
+        Dedup.bandBuckets(setsC).select(col("id").as("b_id"), col("bucket")),
+        cand => Dedup.jaccardVerify(cand, setsI.unionByName(setsC), 0.8),
+        fullFeedMaxOccupancy = 0)
+      .select("a_id").as[Long].collect().toSet
+    val crossTruth = pairs.filter { case (a, b) => a < split && b >= split }
+      .map(_._2).toSet
+    assert(witnessed == crossTruth,
+      s"forced witness path decided ${witnessed.size} vs ground truth ${crossTruth.size}")
+    assert(!Dedup.lastWitnessStats.dispatchedFull)
   }
 
   test("witness-bounded cross feed: hub decides, residual catches non-hub witnesses") {
@@ -989,7 +1063,8 @@ class DedupSimilaritySpec extends SparkSpec {
     val corpusB = Seq((1L, 100L), (2L, 100L), (3L, 100L))
       .toDF("b_id", "bucket")
     val dropped = Dedup.witnessDroppedIds(incB, corpusB,
-        cand => Dedup.jaccardVerify(cand, sets, 0.5))
+        cand => Dedup.jaccardVerify(cand, sets, 0.5),
+        fullFeedMaxOccupancy = 0)
       .select("a_id").as[Long].collect().toSet
     assert(dropped == Set(10L, 11L))
     val st = Dedup.lastWitnessStats

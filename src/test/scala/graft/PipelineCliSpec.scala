@@ -15,10 +15,13 @@ class PipelineCliSpec extends SparkSpec {
   private def tmp(prefix: String) = Files.createTempDirectory(prefix).toString
 
   /** Execute the CLI capturing stdout; returns (exitCode, stdout). */
-  private def cli(args: String*): (Int, String) = {
+  private def cli(args: String*): (Int, String) = cliEnv(Map.empty)(args: _*)
+
+  /** [[cli]] with a synthetic GRAFT_* environment. */
+  private def cliEnv(env: Map[String, String])(args: String*): (Int, String) = {
     val bos = new java.io.ByteArrayOutputStream()
     val code = Console.withOut(new java.io.PrintStream(bos, true, "UTF-8")) {
-      PipelineCli.execute(spark, args.toArray)
+      PipelineCli.execute(spark, args.toArray, env)
     }
     (code, bos.toString("UTF-8"))
   }
@@ -168,5 +171,58 @@ class PipelineCliSpec extends SparkSpec {
       "--idempotency-dir", s"$dir/keys")
     assert(c2 == 0 && o2.contains("SKIPPED"), o2)
     assert(spark.read.parquet(s"$dir/out").count() == 6) // written once
+  }
+
+  test("GraftSettings: env alone configures the run; flags override env") {
+    // reference settings.py:1-185 — every deployment knob is an env
+    // variable with a default. The CLI must be fully drivable from
+    // GRAFT_* env (no per-invocation flags), with flag > env > default.
+    val dir = tmp("graft_cli_env")
+    val in = s"$dir/in"
+    (1L to 10L).map(i => (i, i)).toDF("id", "v").write.parquet(in)
+    val specPath = writeSpec(dir, in, s"$dir/out")
+    val env = Map(
+      "GRAFT_LEDGER_DIR" -> s"$dir/ledger",
+      "GRAFT_IDEMPOTENCY_DIR" -> s"$dir/keys")
+    // 1. env alone: run records to the env ledger, claims the env key
+    val (c1, o1) = cliEnv(env)("run", specPath, "--name", "envrun")
+    assert(c1 == 0 && o1.contains("envrun: OK"), o1)
+    val runId = o1.linesIterator
+      .find(_.startsWith("run_id: ")).get.stripPrefix("run_id: ").trim
+    // status/history read the env-configured ledger with no flags
+    val (sc, so) = cliEnv(env)("status", runId)
+    assert(sc == 0 && so.contains(s"run $runId"), so)
+    // 2. the env idempotency dir suppresses the re-run
+    val (c2, o2) = cliEnv(env)("run", specPath, "--name", "envrun")
+    assert(c2 == 0 && o2.contains("SKIPPED"), o2)
+    // 3. a FLAG overrides the env: a fresh idempotency dir runs again
+    val (c3, o3) = cliEnv(env)("run", specPath, "--name", "envrun",
+      "--idempotency-dir", s"$dir/keys2")
+    assert(c3 == 0 && o3.contains("envrun: OK"), o3)
+    // 4. the env kill-switch disables claiming even with a dir set
+    val (c4, o4) = cliEnv(env + ("GRAFT_IDEMPOTENCY_ENABLED" -> "false"))(
+      "run", specPath, "--name", "envrun")
+    assert(c4 == 0 && o4.contains("envrun: OK"), o4)
+  }
+
+  test("GraftSettings: malformed env values fail loudly, never default silently") {
+    val bad = Map("GRAFT_IDEMPOTENCY_TTL_DAYS" -> "soon")
+    val (code, _) = cliEnv(bad)("history", "whatever")
+    assert(code == 2)
+    intercept[IllegalArgumentException] {
+      graft.pipeline.GraftSettings.fromEnv(Map("GRAFT_LOG_LEVEL" -> "CHATTY"))
+    }
+    intercept[IllegalArgumentException] {
+      graft.pipeline.GraftSettings.fromEnv(Map("GRAFT_RETRY_BACKOFF" -> "x2"))
+    }
+    // valid values parse with documented precedence over defaults
+    val s = graft.pipeline.GraftSettings.fromEnv(Map(
+      "GRAFT_IDEMPOTENCY_TTL_DAYS" -> "7",
+      "GRAFT_MAX_RETRIES" -> "5",
+      "GRAFT_LOG_LEVEL" -> "info"))
+    assert(s.idempotencyTtlDays.contains(7) && s.maxRetries == 5
+      && s.logLevel == "INFO")
+    val d = graft.pipeline.GraftSettings.fromEnv(Map.empty)
+    assert(d == graft.pipeline.GraftSettings.defaults)
   }
 }
