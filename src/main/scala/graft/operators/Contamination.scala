@@ -22,25 +22,31 @@ import graft.functions._
   */
 object Contamination {
 
-  private val hexDigits = "0123456789abcdef".toCharArray
-
-  private def md5Hex(md: java.security.MessageDigest, s: String): String = {
+  /** First 8 bytes of the gram's MD5 as a big-endian Long — the gram
+    * IDENTITY the whole family joins, blooms and aggregates on. It was
+    * a 32-char hex string through r12; the r13 sf10 stage profile
+    * showed the dominant cost of the join-shaped queries was exactly
+    * the string key (shuffle bytes + hash/equality per probe):
+    * re-keying the `corpus_attribution` join+count stage on longs cut
+    * it 89.5 -> 32-40 s with identical output. 64 bits is enough
+    * identity: a birthday collision needs ~2^32 DISTINCT grams to be
+    * even odds-of-one, so at oracle SFs (<1M grams) collision odds are
+    * ~1e-7 per RUN, and even a 100 TB corpus (~10^10 grams) sees a few
+    * collisions total — each inflating one overlap count by one, the
+    * same failure class the md5-of-string form already accepted. */
+  private def md5Long(md: java.security.MessageDigest, s: String): Long = {
     val bytes = md.digest(s.getBytes(java.nio.charset.StandardCharsets.UTF_8))
-    val out = new Array[Char](32)
+    var out = 0L
     var i = 0
-    while (i < 16) {
-      out(2 * i) = hexDigits((bytes(i) >> 4) & 0xf)
-      out(2 * i + 1) = hexDigits(bytes(i) & 0xf)
-      i += 1
-    }
-    new String(out)
+    while (i < 8) { out = (out << 8) | (bytes(i) & 0xffL); i += 1 }
+    out
   }
 
-  /** One document's distinct md5'd word n-grams — the tight loop both
+  /** One document's distinct hashed word n-grams — the tight loop both
     * the join path and the bloom prefilter run: tokenize, slide,
     * dedup raw grams, hash. */
   private def distinctGrams(text: String, n: Int,
-                            md: java.security.MessageDigest): Array[String] = {
+                            md: java.security.MessageDigest): Array[Long] = {
     // null text shingles as empty (no grams), matching Bpe.encode's guard
     val toks = (if (text == null) "" else text).toLowerCase(java.util.Locale.ROOT)
       .split("[^a-z0-9]+").filter(_.nonEmpty)
@@ -53,10 +59,10 @@ object Contamination {
       seen.add(sb.toString)
       i += 1
     }
-    seen.iterator.map(md5Hex(md, _)).toArray
+    seen.iterator.map(md5Long(md, _)).toArray
   }
 
-  /** Distinct md5'd word n-grams per doc: (idCol, gram). One tight loop
+  /** Distinct hashed word n-grams per doc: (idCol, gram: long). One tight loop
     * per document — tokenize, slide, hash — emitted pre-deduped so the
     * downstream join never sees within-doc repeats. */
   def ngramHashes(docs: DataFrame, n: Int, idCol: String = "doc_id",
@@ -151,7 +157,7 @@ object Contamination {
         val md = java.security.MessageDigest.getInstance("MD5")
         val b = bloomBc.value
         it.filter { case (_, text) =>
-          distinctGrams(text, n, md).exists(b.mightContainString)
+          distinctGrams(text, n, md).exists(b.mightContainLong)
         }.map(_._1)
       }.toDF(idCol)
   }
@@ -183,8 +189,8 @@ object Contamination {
     * through the exact gram join, which zeroes every false positive.
     *
     * Why this beats the join at scale: the exact path ships the full
-    * benchmark gram table into a broadcast hash join (32-char md5 per
-    * gram — ~50 MB per million grams, rebuilt per stage), and every
+    * benchmark gram table into a broadcast hash join (8-byte gram key
+    * — ~16 MB per million grams with ids, rebuilt per stage), and every
     * corpus gram probes it. Here the benchmark compresses to
     * ~`1.44*log2(1/fpp)` BITS per gram (~36 MB per 10 M grams at the
     * 1e-6 default), the corpus pass is scan → per-partition loop →
@@ -219,7 +225,7 @@ object Contamination {
 
   // ------------------------------------------------- stored benchmark index
   /** Persist the benchmark as a reusable decontamination INDEX at `dir`:
-    * `grams` (distinct md5'd n-grams, parquet), `bloom.bin` (serialized
+    * `grams` (distinct hashed n-grams as longs, parquet), `bloom.bin` (serialized
     * Bloom filter), `meta` (n, fpp) — the decontamination analog of the
     * stored minhash/IVF model tables. Eval suites change rarely while
     * ingestion runs continuously, so the shingle + bloom-build cost is

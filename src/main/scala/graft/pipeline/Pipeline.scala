@@ -99,8 +99,6 @@ object Pipeline {
           val probe = ing \ "probe_sql" match {
             case JString(p) => p; case _ => "SELECT 1"
           }
-          if (!graft.sources.JdbcIngestor.healthCheck(url, probe, maxRetries = 2))
-            throw new IllegalStateException(s"source health check failed: $url")
           val part = ing \ "partition_column" match {
             case JString(c) =>
               val n = ing \ "num_partitions" match {
@@ -109,6 +107,17 @@ object Pipeline {
               Some((c, n))
             case _ => None
           }
+          // Probe + durable connection-stats row (reference
+          // get_pool_status): outcome, attempts, latency, and how many
+          // connections the partitioned scan will open — recorded even
+          // (especially) when the probe fails, so the ledger keeps the
+          // source's health HISTORY, not just its successes.
+          val health = graft.sources.JdbcIngestor.healthCheckReport(
+            url, probe, maxRetries = 2)
+          runLedger.foreach(_.recordConnection(spark, runId, pipelineName,
+            url, health, connectionsPlanned = part.map(_._2).getOrElse(1)))
+          if (!health.ok)
+            throw new IllegalStateException(s"source health check failed: $url")
           var d = part match {
             case Some((c, n)) =>
               graft.sources.JdbcIngestor.jdbcTableAutoPartitioned(spark, url, table, c, n)

@@ -37,6 +37,32 @@ class RunLedger(dir: String) {
       .write.mode("append").parquet(dir)
   }
 
+  /** One durable connection-stats row per source probe — the run-level
+    * connection observability the reference keeps in
+    * `get_pool_status` (connection_manager.py:194). Spark opens one
+    * JDBC connection per partition task, so the honest analog of "pool
+    * status" is: did the driver-side health probe succeed, after how
+    * many attempts, in how long, and how many connections will the
+    * partitioned scan open. Recorded through the SAME ledger schema
+    * (stage = "connection"; `rows` = planned connections;
+    * `duration_ms` = probe latency; `strategy` = outcome+attempts;
+    * `output_path` = credential-sanitized source), so "health history
+    * for source X" is one filter over the existing runs table. */
+  def recordConnection(spark: SparkSession, runId: String, pipeline: String,
+                       source: String,
+                       report: graft.sources.JdbcIngestor.HealthReport,
+                       connectionsPlanned: Int = 1): Unit = {
+    import spark.implicits._
+    val outcome = s"ok=${report.ok};attempts=${report.attempts}" +
+      report.error.map(e => s";error=${e.take(160)}").getOrElse("")
+    Seq(LedgerRow(runId, pipeline, "connection", connectionsPlanned.toLong,
+        report.totalMs, outcome, -1L, -1L, RunLedger.sanitizeSource(source)))
+      .toDF()
+      .withColumn("recorded_at", current_timestamp())
+      .coalesce(1)
+      .write.mode("append").parquet(dir)
+  }
+
   /** The full ledger, newest first — "what ran, when, how much". */
   def runs(spark: SparkSession): DataFrame =
     spark.read.parquet(dir).orderBy(
@@ -51,4 +77,14 @@ object RunLedger {
                        rows: Long, duration_ms: Long, strategy: String,
                        rows_inserted: Long, rows_updated: Long,
                        output_path: String)
+
+  /** Strip credentials from a source identifier before it is written to
+    * a durable, queryable table: `user=`/`password=`-style URL params
+    * and the `user:pass@host` authority form both become `***`. The
+    * ledger is an audit surface — it must never be the place a
+    * password outlives the run that used it. */
+  def sanitizeSource(source: String): String =
+    source
+      .replaceAll("(?i)(password|user|secret|token|pwd)=[^;&?]*", "$1=***")
+      .replaceAll("//[^/@]+@", "//***@")
 }

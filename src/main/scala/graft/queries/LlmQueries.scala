@@ -112,7 +112,7 @@ object LlmQueries {
     val key = d.replaceAll("[^A-Za-z0-9._-]", "_")
     val fp = contentKey(docs(s, d), Seq("doc_id", "text"))
     val dir =
-      s"${System.getProperty("java.io.tmpdir")}/graft_benchidx_v1_n8/${key}_$fp"
+      s"${System.getProperty("java.io.tmpdir")}/graft_benchidx_v2_n8/${key}_$fp"
     val done = new org.apache.hadoop.fs.Path(s"$dir/meta")
     val fs = done.getFileSystem(s.sparkContext.hadoopConfiguration)
     if (!fs.exists(done))

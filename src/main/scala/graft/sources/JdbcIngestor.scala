@@ -113,27 +113,56 @@ object JdbcIngestor {
     (schema, toLong(n.get(0)))
   }
 
+  /** Structured result of a driver-side connection probe: what a run
+    * ledger wants to durably record about source connectivity. Spark has
+    * no connection POOL to report on (each partition task opens and
+    * closes its own JDBC connection), so the observable quantities are
+    * the probe outcome, how many attempts it took, and the total probe
+    * latency — plus, for a partitioned read, how many connections the
+    * scan will open (= numPartitions).
+    *
+    * Reference: connection_manager.py:194 `get_pool_status` (pool
+    * size / checked-out / overflow) and :147 `health_check`; this is the
+    * shape those stats take when the "pool" is one connection per
+    * executor task. */
+  case class HealthReport(ok: Boolean, attempts: Int, totalMs: Long,
+                          error: Option[String])
+
   /** Connection health check with exponential-backoff retry (reference
-    * connection_manager.py:147 `health_check`): true iff `probeSql` runs
+    * connection_manager.py:147 `health_check`): `ok` iff `probeSql` runs
     * within `maxRetries` attempts. Runs on the driver — it guards a
     * pipeline BEFORE a 1000-task read is scheduled, so a dead source
     * fails in milliseconds instead of as 1000 task failures. `probeSql`
     * defaults to the portable `SELECT 1`; Derby and DB2 need `VALUES 1`. */
+  def healthCheckReport(url: String, probeSql: String = "SELECT 1",
+                        maxRetries: Int = 3, baseDelayMs: Long = 100,
+                        sleep: Long => Unit = Thread.sleep): HealthReport = {
+    var attempts = 0
+    val t0 = System.nanoTime()
+    val err =
+      try {
+        Retry.withBackoff(maxAttempts = maxRetries, baseDelayMs = baseDelayMs,
+          sleep = sleep) {
+          attempts += 1
+          var conn: Connection = null
+          try {
+            conn = DriverManager.getConnection(url)
+            val st = conn.createStatement()
+            try st.executeQuery(probeSql).close() finally st.close()
+          } finally if (conn != null) conn.close()
+        }
+        None
+      } catch { case scala.util.control.NonFatal(e) => Some(e.toString) }
+    HealthReport(err.isEmpty, attempts, (System.nanoTime() - t0) / 1000000L,
+      err)
+  }
+
+  /** Boolean form of [[healthCheckReport]], kept for call sites that
+    * only gate on the outcome. */
   def healthCheck(url: String, probeSql: String = "SELECT 1",
                   maxRetries: Int = 3, baseDelayMs: Long = 100,
                   sleep: Long => Unit = Thread.sleep): Boolean =
-    try {
-      Retry.withBackoff(maxAttempts = maxRetries, baseDelayMs = baseDelayMs,
-        sleep = sleep) {
-        var conn: Connection = null
-        try {
-          conn = DriverManager.getConnection(url)
-          val st = conn.createStatement()
-          try st.executeQuery(probeSql).close() finally st.close()
-        } finally if (conn != null) conn.close()
-      }
-      true
-    } catch { case scala.util.control.NonFatal(_) => false }
+    healthCheckReport(url, probeSql, maxRetries, baseDelayMs, sleep).ok
 
   private def toLong(v: Any): Long = v match {
     case null                 => 0L

@@ -80,4 +80,34 @@ class JdbcIngestorSpec extends SparkSpec {
     assert(!Ingestor.healthCheck(spark, "/root/testdata/sf0.001/nope.parquet",
       maxRetries = 2, sleep = _ => ()))
   }
+
+  test("healthCheckReport records outcome, attempts and latency; ledger row is credential-sanitized") {
+    seeded
+    val ok = JdbcIngestor.healthCheckReport(url, probeSql = "VALUES 1",
+      sleep = _ => ())
+    assert(ok.ok && ok.attempts == 1 && ok.error.isEmpty && ok.totalMs >= 0)
+    val bad = JdbcIngestor.healthCheckReport("jdbc:derby:/nonexistent/graft_nope",
+      probeSql = "VALUES 1", maxRetries = 2, sleep = _ => ())
+    assert(!bad.ok && bad.attempts == 2 && bad.error.nonEmpty,
+      s"a failing probe reports every attempt it made: $bad")
+
+    // durable connection-stats row through the run ledger (reference
+    // get_pool_status): queryable health history, credentials stripped
+    import graft.pipeline.RunLedger
+    assert(RunLedger.sanitizeSource(
+        "jdbc:postgresql://h/db?user=alice&password=hunter2") ==
+      "jdbc:postgresql://h/db?user=***&password=***")
+    assert(RunLedger.sanitizeSource("jdbc:mysql://bob:pw@host/db") ==
+      "jdbc:mysql://***@host/db")
+    val ledgerDir = java.nio.file.Files
+      .createTempDirectory("graft_connledger").toString
+    val rl = new RunLedger(ledgerDir)
+    rl.recordConnection(spark, "run_1", "p1",
+      url + ";user=app;password=s3cret", bad, connectionsPlanned = 4)
+    val row = rl.runs(spark).where("stage = 'connection'").collect()(0)
+    assert(row.getAs[Long]("rows") == 4L)
+    assert(row.getAs[String]("strategy").startsWith("ok=false;attempts=2;error="))
+    val src = row.getAs[String]("output_path")
+    assert(!src.contains("s3cret") && src.contains("password=***"), src)
+  }
 }

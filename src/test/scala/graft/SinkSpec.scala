@@ -66,8 +66,17 @@ class SinkSpec extends SparkSpec {
          |    "aggregate": {"total": "SUM(amount)", "n": "COUNT(*)"}}}}],
          | "persistence": {"url": "$url", "table": "pipe_out", "strategy": "replace"}
          |}""".stripMargin
-    val r = graft.pipeline.Pipeline.runJson(spark, spec)
+    val ledgerDir = Files.createTempDirectory("graft_pipeconn").toString
+    val rl = new graft.pipeline.RunLedger(ledgerDir)
+    val r = graft.pipeline.Pipeline.runJson(spark, spec, runLedger = Some(rl))
     assert(r.writeStats.exists(_.rowsWritten == 1))
+    // the JDBC source probe left a durable connection-stats row
+    // (reference get_pool_status): healthy, 2 planned connections
+    // (= num_partitions), latency recorded
+    val conns = rl.runs(spark).where("stage = 'connection'").collect()
+    assert(conns.length == 1)
+    assert(conns(0).getAs[String]("strategy").startsWith("ok=true;attempts=1"))
+    assert(conns(0).getAs[Long]("rows") == 2L)
     // aggregate naming: {col}_{func} for column aggs, config key for COUNT(*)
     val out = spark.read.jdbc(url, "pipe_out", new java.util.Properties())
       .selectExpr("amount_sum", "n").collect()
