@@ -313,6 +313,104 @@ object BlockScan {
   }
 }
 
+/** Language-ID stopword/script profile as ONE codegen'd text pass.
+  *
+  * The regex form ran FIVE `regexp_extract_all` passes per row (four
+  * `\b(w1|...|w10)\b` alternations + a CJK class) and materialised the
+  * match arrays just to `size` them; the sf10 stage profile measured
+  * 21.2 s for the five-pass plan vs 1.7 s for one fused pass (12x).
+  * This expression tokenizes the lowered text once — maximal runs of
+  * Java-`\w` chars ([a-z0-9_] after lowering), which is EXACTLY the
+  * token a `\b(word)\b` alternation of plain lowercase words can match,
+  * so the counts are regex-identical (probe: 0 mismatches across sf10)
+  * and the DuckDB oracle is untouched — looks each token up in the four
+  * tiny stopword sets, and counts CJK chars in the same sweep over the
+  * ORIGINAL text (the `[一-鿿]` class is BMP, so a char compare
+  * matches the regex semantics). */
+case class LangProfileExpr(child: Expression) extends UnaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires a string input, got ${t.simpleString(10)}")
+  }
+
+  override def dataType: DataType = LangScan.schema
+
+  override def prettyName: String = "lang_profile"
+
+  override def nullSafeEval(input: Any): Any =
+    LangScan.scan(input.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.expressions.LangScan.scan($c)")
+
+  override protected def withNewChildInternal(newChild: Expression): LangProfileExpr =
+    copy(child = newChild)
+}
+
+object LangScan {
+  import org.apache.spark.sql.types.{LongType, StructField, StructType}
+
+  val schema: StructType = StructType(Seq(
+    StructField("cnt_en", LongType, nullable = false),
+    StructField("cnt_de", LongType, nullable = false),
+    StructField("cnt_fr", LongType, nullable = false),
+    StructField("cnt_es", LongType, nullable = false),
+    StructField("cnt_cjk", LongType, nullable = false)))
+
+  // Parsed from the SAME patterns the oracle SQL embeds
+  // (TextAnalysis.langStopwords), so the word lists cannot drift apart.
+  private val sets: Array[java.util.HashSet[String]] =
+    graft.operators.TextAnalysis.langStopwords.map { case (_, pat) =>
+      val s = new java.util.HashSet[String]()
+      pat.stripPrefix("\\b(").stripSuffix(")\\b").split('|').foreach(s.add)
+      s
+    }.toArray
+
+  // longest stopword across the four lists: tokens longer than this can
+  // never hit a set, so their substring is never allocated
+  private val maxLen: Int = {
+    var m = 0
+    sets.foreach { s =>
+      val it = s.iterator(); while (it.hasNext) m = math.max(m, it.next().length)
+    }
+    m
+  }
+
+  @inline private def isWord(c: Char): Boolean =
+    (c >= 'a' && c <= 'z') || (c >= '0' && c <= '9') || c == '_' ||
+      (c >= 'A' && c <= 'Z')
+
+  def scan(u: UTF8String): org.apache.spark.sql.catalyst.InternalRow = {
+    val s = u.toString
+    var cjk = 0L
+    var i = 0
+    while (i < s.length) {
+      val c = s.charAt(i)
+      if (c >= '一' && c <= '鿿') cjk += 1
+      i += 1
+    }
+    val low = s.toLowerCase(java.util.Locale.ROOT)
+    val cnts = new Array[Long](4)
+    var p = 0
+    while (p < low.length) {
+      if (isWord(low.charAt(p))) {
+        var e = p + 1
+        while (e < low.length && isWord(low.charAt(e))) e += 1
+        if (e - p <= maxLen) {
+          val tok = low.substring(p, e)
+          var k = 0
+          while (k < 4) { if (sets(k).contains(tok)) cnts(k) += 1; k += 1 }
+        }
+        p = e
+      } else p += 1
+    }
+    new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+      Array[Any](cnts(0), cnts(1), cnts(2), cnts(3), cjk))
+  }
+}
+
 /** Static helper the generated code calls (top-level Scala objects emit
   * static forwarders, so `StringNorm.nfc(...)` is valid generated Java). */
 object StringNorm {
@@ -382,4 +480,9 @@ object StringExpressions {
     * .blocklistScreen]], which builds it). */
   def blocklistScreen(c: Column, key: String): Column =
     CatalystBridge.column(BlocklistScreenExpr(CatalystBridge.expression(c), key))
+
+  /** Column-API surface for [[LangProfileExpr]] — a struct of
+    * (cnt_en, cnt_de, cnt_fr, cnt_es, cnt_cjk). */
+  def langProfile(c: Column): Column =
+    CatalystBridge.column(LangProfileExpr(CatalystBridge.expression(c)))
 }

@@ -225,6 +225,39 @@ class TextMultimodalSpec extends SparkSpec {
     assert(out == Map(1L -> "en", 2L -> "de", 3L -> "fr", 4L -> "zh", 5L -> "unknown"))
   }
 
+  test("fused lang profile is count-identical to the five-regex form on adversarial strings") {
+    // Every \b / tokenization corner the four alternations have:
+    // stopwords embedded in longer words (no \b), underscore and digit
+    // joins (Java \w kills the boundary), punctuation/apostrophe
+    // boundaries (boundary present), case folding, CJK mixed with
+    // latin, CJK range edges (U+4E00/U+9FFF in, U+4DFF/U+A000 out),
+    // shared stopwords across languages (que/est/la), empty and
+    // whitespace-only docs.
+    val cases = Seq(
+      "the quick and the dead",            // plain hits
+      "loathe theory anthem",              // 'the' embedded: zero hits
+      "the_cat the5 _the the",             // \w joins kill all but the last
+      "c'est l'est que-des (la)",          // punctuation creates boundaries
+      "THE AND OF To iS",                  // case folds to hits
+      "你好 the 世界 und",                  // CJK + latin mixed
+      "䷿一鿿ꀀ",          // CJK range edges: exactly 2 in
+      "que est la",                        // fr/es shared tokens
+      "der die das la le el",              // multi-language tie fodder
+      "   ",                               // whitespace only
+      "",                                  // empty
+      "a1the2b und3 4und 5und6")           // digit joins: zero hits
+      .zipWithIndex.map { case (s, i) => (i.toLong, s) }
+    val docs = cases.toDF("doc_id", "text")
+    val cols = Seq("doc_id", "cnt_en", "cnt_de", "cnt_fr", "cnt_es", "cnt_cjk", "lang_pred")
+    val fused = TextAnalysis.languageId(docs)
+      .select(cols.head, cols.tail: _*).orderBy("doc_id")
+      .as[(Long, Long, Long, Long, Long, Long, String)].collect().toSeq
+    val regex = TextAnalysis.languageIdRegex(docs)
+      .select(cols.head, cols.tail: _*).orderBy("doc_id")
+      .as[(Long, Long, Long, Long, Long, Long, String)].collect().toSeq
+    assert(fused == regex)
+  }
+
   test("fingerprints: identical text = identical md5 + shingle sig") {
     val docs = Seq(
       (1L, "a b c d e f g h"), (2L, "a b c d e f g h"), (3L, "totally different words here now ok"))
