@@ -411,6 +411,133 @@ object LangScan {
   }
 }
 
+/** Quality-scoring character/token profile as ONE codegen'd text pass.
+  *
+  * [[graft.operators.TextAnalysis.qualityScore]] needed six counts per
+  * row and computed them as three full-copy `regexp_replace` passes
+  * (alpha/digit/whitespace strip, each allocating a stripped copy of
+  * the document just to diff its length), a `split`-and-count (token
+  * array allocated just to `size` it) and a stopword
+  * `regexp_extract_all` (match array, same). This expression computes
+  * all six in one sweep, replicating each source's exact semantics:
+  *
+  *  - `n_chars` counts CODE POINTS (Spark `length`), not UTF-16 units;
+  *  - `n_alpha`/`n_digits`/`n_ws` count `[A-Za-z]`/`[0-9]`/Java-regex
+  *    `\s` chars (all ASCII classes, so unit==codepoint counting);
+  *  - `n_tokens` replicates `size(split(trim(text), "\\s+"))` with
+  *    Spark's limit=-1 split semantics on the space-only-trimmed
+  *    string: maximal non-`\s` runs, PLUS one boundary empty on each
+  *    side that still starts/ends with non-space whitespace (and the
+  *    all-space doc short-circuits to 0 exactly like the `when` guard);
+  *  - `n_stops` replicates the `\b(stopword)\b` alternation count via
+  *    the same Java-`\w` token-run argument as [[LangProfileExpr]].
+  *
+  * Equivalence is pinned by an adversarial spec against the retained
+  * regex form and certified by the unchanged DuckDB oracles of every
+  * quality consumer. */
+case class QualityProfileExpr(child: Expression) extends UnaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires a string input, got ${t.simpleString(10)}")
+  }
+
+  override def dataType: DataType = QualityScan.schema
+
+  override def prettyName: String = "quality_profile"
+
+  override def nullSafeEval(input: Any): Any =
+    QualityScan.scan(input.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.expressions.QualityScan.scan($c)")
+
+  override protected def withNewChildInternal(newChild: Expression): QualityProfileExpr =
+    copy(child = newChild)
+}
+
+object QualityScan {
+  import org.apache.spark.sql.types.{LongType, StructField, StructType}
+
+  val schema: StructType = StructType(Seq(
+    StructField("n_chars", LongType, nullable = false),
+    StructField("n_alpha", LongType, nullable = false),
+    StructField("n_digits", LongType, nullable = false),
+    StructField("n_ws", LongType, nullable = false),
+    StructField("n_tokens", LongType, nullable = false),
+    StructField("n_stops", LongType, nullable = false)))
+
+  // Parsed from the SAME pattern the oracle SQL embeds
+  // (TextAnalysis.enStopwords), so the word list cannot drift apart.
+  private val stops: java.util.HashSet[String] = {
+    val s = new java.util.HashSet[String]()
+    graft.operators.TextAnalysis.enStopwords
+      .stripPrefix("\\b(").stripSuffix(")\\b").split('|').foreach(s.add)
+    s
+  }
+  private val stopMaxLen: Int = {
+    var m = 0
+    val it = stops.iterator(); while (it.hasNext) m = math.max(m, it.next().length)
+    m
+  }
+
+  // Java regex \s — ASCII only: [ \t\n\x0B\f\r]
+  @inline private def isWs(c: Char): Boolean =
+    c == ' ' || c == '\t' || c == '\n' || c == '\u000B' || c == '\f' || c == '\r'
+
+  @inline private def isWord(c: Char): Boolean =
+    (c >= 'a' && c <= 'z') || (c >= '0' && c <= '9') || c == '_' ||
+      (c >= 'A' && c <= 'Z')
+
+  def scan(u: UTF8String): org.apache.spark.sql.catalyst.InternalRow = {
+    val s = u.toString
+    var alpha = 0L; var digits = 0L; var ws = 0L
+    var i = 0
+    while (i < s.length) {
+      val c = s.charAt(i)
+      if ((c >= 'A' && c <= 'Z') || (c >= 'a' && c <= 'z')) alpha += 1
+      else if (c >= '0' && c <= '9') digits += 1
+      else if (isWs(c)) ws += 1
+      i += 1
+    }
+    val nChars = s.codePointCount(0, s.length).toLong
+    // n_tokens on the space-only-trimmed string (Spark trim strips 0x20)
+    var lo = 0; var hi = s.length
+    while (lo < hi && s.charAt(lo) == ' ') lo += 1
+    while (hi > lo && s.charAt(hi - 1) == ' ') hi -= 1
+    var toks = 0L
+    if (hi > lo) {
+      var runs = 0L
+      var inRun = false
+      var j = lo
+      while (j < hi) {
+        val w = !isWs(s.charAt(j))
+        if (w && !inRun) runs += 1
+        inRun = w
+        j += 1
+      }
+      toks = runs
+      if (isWs(s.charAt(lo))) toks += 1  // split keeps the leading empty
+      if (isWs(s.charAt(hi - 1))) toks += 1 // limit=-1 keeps the trailing one
+    }
+    // stopword hits on the lowered text, \b-equivalent token runs
+    val low = s.toLowerCase(java.util.Locale.ROOT)
+    var nStops = 0L
+    var p = 0
+    while (p < low.length) {
+      if (isWord(low.charAt(p))) {
+        var e = p + 1
+        while (e < low.length && isWord(low.charAt(e))) e += 1
+        if (e - p <= stopMaxLen && stops.contains(low.substring(p, e))) nStops += 1
+        p = e
+      } else p += 1
+    }
+    new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+      Array[Any](nChars, alpha, digits, ws, toks, nStops))
+  }
+}
+
 /** Static helper the generated code calls (top-level Scala objects emit
   * static forwarders, so `StringNorm.nfc(...)` is valid generated Java). */
 object StringNorm {
@@ -485,4 +612,9 @@ object StringExpressions {
     * (cnt_en, cnt_de, cnt_fr, cnt_es, cnt_cjk). */
   def langProfile(c: Column): Column =
     CatalystBridge.column(LangProfileExpr(CatalystBridge.expression(c)))
+
+  /** Column-API surface for [[QualityProfileExpr]] — a struct of
+    * (n_chars, n_alpha, n_digits, n_ws, n_tokens, n_stops). */
+  def qualityProfile(c: Column): Column =
+    CatalystBridge.column(QualityProfileExpr(CatalystBridge.expression(c)))
 }

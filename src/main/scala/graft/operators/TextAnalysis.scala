@@ -65,8 +65,45 @@ object TextAnalysis {
 
   /** Quality scoring from length / character-class / stopword ratios.
     * Formula kept to a fixed sequence of double ops so the score is
-    * bit-reproducible across engines. */
+    * bit-reproducible across engines.
+    *
+    * The six per-row counts come from ONE codegen'd text pass
+    * ([[graft.expressions.QualityProfileExpr]]) instead of three
+    * full-copy regexp_replace strips + a token-array split + a stopword
+    * match-array extract — count-identical by construction (the
+    * expression's scaladoc carries the per-count equivalence argument;
+    * the DuckDB oracles still run the regex forms), pinned by an
+    * adversarial spec against [[qualityScoreRegex]]. The score formula
+    * itself is the SAME Column arithmetic on the same counts. */
   def qualityScore(docs: DataFrame, textCol: String = "text"): DataFrame = {
+    val p = graft.expressions.StringExpressions.qualityProfile(col(textCol))
+    val n = p.getField("n_chars")
+    val alpha = p.getField("n_alpha")
+    val digits = p.getField("n_digits")
+    val ws = p.getField("n_ws")
+    val punct = n - alpha - digits - ws
+    val toks = p.getField("n_tokens")
+    val stops = p.getField("n_stops")
+    docs
+      .withColumn("n_chars_calc", n)
+      .withColumn("n_tokens", toks)
+      .withColumn("alpha_ratio", round(alpha / n, 6))
+      .withColumn("punct_ratio", round(punct / n, 6))
+      .withColumn("stopword_ratio", round(stops / toks, 6))
+      .withColumn("quality_score", round(
+        lit(0.4) * least(lit(1.0), toks / lit(100.0)) +
+          lit(0.3) * (alpha / n) +
+          lit(0.2) * (lit(1.0) - punct / n) +
+          lit(0.1) * least(lit(1.0), stops / toks * lit(5.0)), 6))
+  }
+
+  /** The measured-and-rejected multi-pass form of [[qualityScore]]
+    * (three regexp_replace length-diffs + split-and-size + stopword
+    * regexp_extract_all). Retained as the independent reference
+    * implementation for the fused expression's equivalence spec; same
+    * output contract. */
+  private[graft] def qualityScoreRegex(docs: DataFrame,
+                                       textCol: String = "text"): DataFrame = {
     val text = col(textCol)
     val n = length(text).cast("long")
     val alpha = n - length(regexp_replace(text, "[A-Za-z]", "")).cast("long")

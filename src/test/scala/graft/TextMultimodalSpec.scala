@@ -258,6 +258,57 @@ class TextMultimodalSpec extends SparkSpec {
     assert(fused == regex)
   }
 
+  test("fused quality profile is value-identical to the regex form on adversarial strings") {
+    // Every per-count corner: astral chars (length counts CODE POINTS,
+    // not UTF-16 units), non-space leading/trailing whitespace (Spark
+    // trim strips 0x20 only, split keeps boundary empties at limit -1),
+    // all-whitespace and all-space docs, vertical tab/form feed (\s
+    // members), stopword 'a' as a single-char token, stopwords embedded
+    // in words, digit/underscore joins, mixed unicode letters (non-word
+    // under Java \w).
+    val cases = Seq(
+      "the cat and a dog",                 // plain hits incl. 1-char 'a'
+      "😀 emoji 𝄞 astral",                 // 4 astral units, 2 codepoints
+      "\ta b\t",                            // tab edges survive trim
+      "  a b  ",                            // space edges do not
+      "a\u000Bb\fc",                        // VT + FF are \s
+      "loathe that5 _a a_ a",               // embedded/joined stopwords
+      "élan für naïve",                     // unicode letters: non-alpha, non-word
+      "1234 56a78 _9",                      // digits vs alnum tokens
+      "for for for")                        // repeat counting
+      .zipWithIndex.map { case (s, i) => (i.toLong, s) }
+    val docs = cases.toDF("doc_id", "text")
+    val cols = Seq("doc_id", "n_chars_calc", "n_tokens", "alpha_ratio",
+      "punct_ratio", "stopword_ratio", "quality_score")
+    def rows(df: org.apache.spark.sql.DataFrame) = df
+      .select(cols.head, cols.tail: _*).orderBy("doc_id")
+      .collect().map(_.toSeq).toSeq
+    assert(rows(TextAnalysis.qualityScore(docs)) ===
+      rows(TextAnalysis.qualityScoreRegex(docs)))
+    // Degenerate docs (empty / zero-token): BOTH forms hit ANSI
+    // divide-by-zero in the ratio columns (pre-existing contract — real
+    // corpora filter empties before scoring; even a pruned select trips
+    // it via ConvertToLocalRelation's eager projection), so equivalence
+    // on these is asserted over the raw divide-free counts directly:
+    // " \t " trims (spaces only) to "\t" -> 0 runs + 2 boundary
+    // empties = 2 "tokens", exactly like size(split(trim(x), "\\s+")).
+    val degenerate = Seq((0L, ""), (1L, "    "), (2L, " \t "), (3L, "\t\t"))
+      .toDF("doc_id", "text")
+    val prof = graft.expressions.StringExpressions.qualityProfile(col("text"))
+    val fusedCounts = degenerate.select(col("doc_id"),
+        prof.getField("n_chars"), prof.getField("n_tokens"),
+        prof.getField("n_alpha"), prof.getField("n_ws"), prof.getField("n_stops"))
+      .orderBy("doc_id").collect().map(_.toSeq).toSeq
+    val n = length(col("text")).cast("long")
+    val regexCounts = degenerate.select(col("doc_id"), n,
+        graft.functions.wsTokenCount(col("text")),
+        n - length(regexp_replace(col("text"), "[A-Za-z]", "")).cast("long"),
+        n - length(regexp_replace(col("text"), "\\s", "")).cast("long"),
+        size(regexp_extract_all(lower(col("text")), lit(TextAnalysis.enStopwords))).cast("long"))
+      .orderBy("doc_id").collect().map(_.toSeq).toSeq
+    assert(fusedCounts === regexCounts)
+  }
+
   test("fingerprints: identical text = identical md5 + shingle sig") {
     val docs = Seq(
       (1L, "a b c d e f g h"), (2L, "a b c d e f g h"), (3L, "totally different words here now ok"))
