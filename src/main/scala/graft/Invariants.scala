@@ -96,6 +96,33 @@ object Invariants {
       s"histogram exact over ${occ.length} buckets, est_pairs == $truthSum"
     }),
 
+    "dedup_minhash_capped" -> ((s, d) => {
+      // drop-ledger arithmetic vs recomputed occupancies, and the
+      // capped report is a subset of the full verified report (equal
+      // when the cap doesn't bind — the oracle-SF case)
+      val capped = q(s, d, "dedup_minhash_capped").localCheckpoint()
+      val st = Dedup.lastPairEmissionStats
+      val occ = Dedup.bandBuckets(Dedup.shingleHashSets(docs(s, d)))
+        .groupBy("bucket").agg(count(lit(1)).as("g"))
+        .select("g").collect().map(_.getLong(0))
+      val truthTotal = occ.map(g => g * (g - 1) / 2).sum
+      require(st.candidatePairs + st.droppedPairs == truthTotal,
+        s"ledger emitted ${st.candidatePairs} + dropped ${st.droppedPairs} " +
+          s"!= true emission volume $truthTotal")
+      require(st.cappedBuckets <= st.buckets,
+        s"capped ${st.cappedBuckets} > buckets ${st.buckets}")
+      val full = q(s, d, "dedup_jaccard")
+      val extra = capped
+        .join(full, Seq("a_id", "b_id", "jaccard"), "left_anti").count()
+      require(extra == 0, s"$extra capped pairs absent from the full report")
+      if (st.droppedPairs == 0)
+        sameRows(capped, full, "capped (cap unbound) vs full report") +
+          s"; ledger exact over ${st.buckets} buckets"
+      else
+        s"${capped.count()} capped pairs all in full report; ledger exact " +
+          s"(${st.droppedPairs} dropped over ${st.cappedBuckets} capped buckets)"
+    }),
+
     "dedup_simhash" -> ((s, d) => {
       // every reported pair within maxHamming of RECOMPUTED fingerprints,
       // and every identical-text pair reported (hamming 0 is never missed)
@@ -129,7 +156,9 @@ object Invariants {
       requireRecall(q(s, d, "knn_lsh"), q(s, d, "knn_brute"), 0.3, "LSH")),
 
     "knn_ivf" -> ((s, d) =>
-      requireRecall(q(s, d, "knn_ivf"), q(s, d, "knn_brute"), 0.5, "IVF")),
+      // floor 0.6: measured 0.68 at nprobe=6 (deterministic seed rows,
+      // so the oracle-SF recall is stable run-to-run)
+      requireRecall(q(s, d, "knn_ivf"), q(s, d, "knn_brute"), 0.6, "IVF")),
 
     "knn_ivfpq" -> ((s, d) =>
       requireRecall(q(s, d, "knn_ivfpq"), q(s, d, "knn_brute"), 0.4, "IVF-PQ")),
@@ -144,10 +173,11 @@ object Invariants {
       val bad = res.join(emb(s, d).select(col("vec_id").as("n_id"), col("label")), "n_id")
         .where(!col("label").isin(filteredLabels: _*)).count()
       require(bad == 0, s"$bad neighbours violate the label predicate")
-      // floor set from the query's own deterministic configuration
-      // (default nprobe; measured 0.43 at sf0.01 — the 0.5 spec floor
-      // uses a different probe budget)
-      requireRecall(res, q(s, d, "knn_filtered"), 0.4, "filtered IVF") +
+      // floor 0.75: measured 0.92 at the selectivity-scaled nprobe=12
+      // (the label filter keeps ~3/8 of each probed cell, so the query
+      // doubles the unfiltered probe budget — the standard filtered-ANN
+      // knob)
+      requireRecall(res, q(s, d, "knn_filtered"), 0.75, "filtered IVF") +
         "; eligibility total"
     }),
 
@@ -156,7 +186,9 @@ object Invariants {
       val bad = res.join(emb(s, d).select(col("vec_id").as("n_id"), col("label")), "n_id")
         .where(!col("label").isin(filteredLabels: _*)).count()
       require(bad == 0, s"$bad neighbours violate the label predicate")
-      requireRecall(res, q(s, d, "knn_filtered"), 0.4, "filtered stored-index") +
+      // floor 0.6: measured 0.71 at the query's nprobe=8 (PQ-coded
+      // distances cost some recall vs the float IVF form's 0.92)
+      requireRecall(res, q(s, d, "knn_filtered"), 0.6, "filtered stored-index") +
         "; eligibility total"
     }),
 

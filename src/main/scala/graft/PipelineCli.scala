@@ -15,13 +15,26 @@ import graft.pipeline.{GraftSettings, IdempotencyLedger, Pipeline, RunLedger}
   * (exactly what `spark-submit --class graft.PipelineCli` does on a
   * cluster) and serves `status`/`history` from the durable
   * [[graft.pipeline.RunLedger]] parquet table instead of a result
-  * backend — same queries, no extra service. Health checks stay inside
-  * `run` (the pipeline's fail-fast source gate); worker listing has no
+  * backend — same queries, no extra service. Worker listing has no
   * analogue (YARN/K8s owns executor inventory).
+  *
+  * Single-stage subcommands (reference cli/main.py:115 `ingest`, :147
+  * `transform`, :180 `persist`): thin wrappers that run ONE stage of a
+  * spec through the same [[Pipeline]] engine and ledger. The reference
+  * chains stages by Celery data_id; the Spark analog is a materialized
+  * path, so `transform`/`persist` take `--input PATH` pointing at the
+  * previous stage's output (defaulting to the spec's own ingestion
+  * block). `health` (reference :240) probes the spec's source without
+  * running anything — the pre-flight a scheduler calls before
+  * submitting a 1000-task read.
   *
   * Usage:
   * {{{
   *   PipelineCli run <spec.json> [--name NAME] [--ledger-dir DIR] [--idempotency-dir DIR]
+  *   PipelineCli ingest <spec.json> [--name NAME] [--ledger-dir DIR]
+  *   PipelineCli transform <spec.json> [--input PATH] [--input-format F] [--name NAME] [--ledger-dir DIR]
+  *   PipelineCli persist <spec.json> [--input PATH] [--input-format F] [--name NAME] [--ledger-dir DIR]
+  *   PipelineCli health <spec.json>
   *   PipelineCli status <run_id> --ledger-dir DIR
   *   PipelineCli history <pipeline_name> --ledger-dir DIR [--limit N]
   * }}}
@@ -56,6 +69,10 @@ object PipelineCli {
     def usage(): Int = {
       Console.err.println(
         """usage: PipelineCli run <spec.json> [--name NAME] [--ledger-dir DIR] [--idempotency-dir DIR] [--idempotency-ttl-days N]
+          |       PipelineCli ingest <spec.json> [--name NAME] [--ledger-dir DIR]
+          |       PipelineCli transform <spec.json> [--input PATH] [--input-format F] [--name NAME] [--ledger-dir DIR]
+          |       PipelineCli persist <spec.json> [--input PATH] [--input-format F] [--name NAME] [--ledger-dir DIR]
+          |       PipelineCli health <spec.json>
           |       PipelineCli status <run_id> --ledger-dir DIR
           |       PipelineCli history <pipeline_name> --ledger-dir DIR [--limit N]""".stripMargin)
       2
@@ -68,6 +85,10 @@ object PipelineCli {
         (positional, flags) match {
           case (List("run", specPath), f) =>
             runCommand(spark, specPath, f, settings)
+          case (List(stage @ ("ingest" | "transform" | "persist"), specPath), f) =>
+            stageCommand(spark, stage, specPath, f, settings)
+          case (List("health", specPath), f) =>
+            healthCommand(spark, specPath, f, settings)
           case (List("status", runId), f) =>
             statusCommand(spark, runId, f, settings)
           case (List("history", pipeline), f) =>
@@ -135,6 +156,140 @@ object PipelineCli {
       case e: Exception =>
         Console.err.println(s"pipeline $name: FAILED — ${e.getMessage}")
         1
+    }
+  }
+
+  /** Read + parse a spec file; Left(exit code) after printing the error. */
+  private def readSpec(specPath: String)
+      : Either[Int, org.json4s.JValue] = {
+    val p = java.nio.file.Paths.get(specPath)
+    if (!java.nio.file.Files.exists(p)) {
+      Console.err.println(s"spec file not found: $specPath")
+      Left(1)
+    } else
+      try Right(org.json4s.jackson.JsonMethods.parse(new String(
+        java.nio.file.Files.readAllBytes(p),
+        java.nio.charset.StandardCharsets.UTF_8)))
+      catch {
+        case e: Exception =>
+          Console.err.println(s"spec file unparseable: ${e.getMessage}")
+          Left(1)
+      }
+  }
+
+  /** Run ONE stage of the spec (reference cli/main.py ingest/transform/
+    * persist tasks) through the same Pipeline engine + ledger: the stage
+    * spec keeps only that stage's block, with `--input` substituting the
+    * previous stage's materialized output for the ingestion block. */
+  private def stageCommand(spark: SparkSession, stage: String,
+                           specPath: String, flags: Map[String, String],
+                           settings: GraftSettings): Int = {
+    import org.json4s._
+    val spec = readSpec(specPath) match {
+      case Left(code) => return code
+      case Right(s) => s
+    }
+    val ingestion: JValue = flags.get("input") match {
+      case Some(path) => JObject(
+        "path" -> JString(path),
+        "format" -> JString(flags.getOrElse("input-format", "parquet")))
+      case None => spec \ "ingestion"
+    }
+    if (ingestion == JNothing) {
+      Console.err.println(
+        s"$stage: spec has no ingestion block and no --input given")
+      return 1
+    }
+    val stageBlocks: List[(String, JValue)] = stage match {
+      case "ingest" => Nil
+      case "transform" => List("transformation" -> (spec \ "transformation"))
+      case "persist" => List("persistence" -> (spec \ "persistence"))
+    }
+    val missing = stageBlocks.collect { case (k, JNothing) => k }
+    if (missing.nonEmpty) {
+      Console.err.println(s"$stage: spec has no ${missing.head} block")
+      return 1
+    }
+    val pruned = JObject(("ingestion" -> ingestion) :: stageBlocks: _*)
+    val name = flags.getOrElse("name",
+      java.nio.file.Paths.get(specPath).getFileName.toString
+        .stripSuffix(".json") + s"-$stage")
+    val ledger = flags.get("ledger-dir").map(new RunLedger(_))
+      .orElse(settings.runLedger)
+    try {
+      val r = Pipeline.run(spark, pruned,
+        org.json4s.jackson.JsonMethods.compact(
+          org.json4s.jackson.JsonMethods.render(pruned)),
+        ledger = None, runLedger = ledger, pipelineName = name)
+      stage match {
+        case "persist" =>
+          Console.out.println(s"$stage $name: OK")
+          r.writeStats.foreach(w => Console.out.println(
+            f"  write ${w.strategy}%-15s ${w.durationMs}%6d ms  ${w.rowsWritten}%d rows -> ${w.path}"))
+        case _ =>
+          // reference prints the stage's row_count; forcing the count
+          // here is the stage's entire job, not an extra scan
+          val n = r.output.count()
+          Console.out.println(s"$stage $name: OK — $n rows")
+      }
+      if (r.runId.nonEmpty) Console.out.println(s"run_id: ${r.runId}")
+      0
+    } catch {
+      case e: Exception =>
+        Console.err.println(s"$stage $name: FAILED — ${e.getMessage}")
+        1
+    }
+  }
+
+  /** Probe the spec's source health WITHOUT running anything (reference
+    * cli/main.py:240 `health`): JDBC sources get the retrying probe
+    * with attempt/latency detail, path sources the fail-fast
+    * existence+schema check. Exit 0 iff healthy. */
+  private def healthCommand(spark: SparkSession, specPath: String,
+                            flags: Map[String, String],
+                            settings: GraftSettings): Int = {
+    import org.json4s._
+    val spec = readSpec(specPath) match {
+      case Left(code) => return code
+      case Right(s) => s
+    }
+    val ing = spec \ "ingestion"
+    ing \ "url" match {
+      case JString(url) =>
+        val probe = ing \ "probe_sql" match {
+          case JString(p) => p; case _ => "SELECT 1"
+        }
+        val report = graft.sources.JdbcIngestor.healthCheckReport(
+          url, probe, maxRetries = settings.maxRetries)
+        val shown = RunLedger.sanitizeSource(url)
+        if (report.ok) {
+          Console.out.println(s"source $shown: HEALTHY")
+          Console.out.println(
+            s"  attempts: ${report.attempts}  latency_ms: ${report.totalMs}")
+          0
+        } else {
+          Console.err.println(s"source $shown: UNHEALTHY — " +
+            report.error.map(RunLedger.sanitizeSource).getOrElse("unknown"))
+          1
+        }
+      case _ =>
+        ing \ "path" match {
+          case JString(path) =>
+            val format = ing \ "format" match {
+              case JString(f) => f; case _ => "parquet"
+            }
+            if (graft.sources.Ingestor.healthCheck(spark, path, format,
+                maxRetries = settings.maxRetries)) {
+              Console.out.println(s"source $path: HEALTHY")
+              0
+            } else {
+              Console.err.println(s"source $path: UNHEALTHY")
+              1
+            }
+          case _ =>
+            Console.err.println("health: spec has no ingestion source")
+            1
+        }
     }
   }
 

@@ -281,7 +281,11 @@ object BlockScan {
   def scan(u: UTF8String, key: String): org.apache.spark.sql.catalyst.InternalRow = {
     val m = matcherFor(key)
     // corpus-side tokenization: the graft.functions.wordTokens contract
-    val toks = u.toString.toLowerCase(java.util.Locale.ROOT)
+    // lower via UTF8String.toLowerCase — the SAME code path Spark's
+    // lower() takes — so this scan and the regex/oracle form agree on
+    // any JVM default locale (String.toLowerCase(ROOT) diverges from
+    // Spark lower on e.g. tr_TR JVMs for dotted/dotless I)
+    val toks = u.toLowerCase.toString
       .split("[^a-z0-9]+").filter(_.nonEmpty)
     var total = 0L
     val seen = new Array[Boolean](m.nEntries)
@@ -391,7 +395,9 @@ object LangScan {
       if (c >= '一' && c <= '鿿') cjk += 1
       i += 1
     }
-    val low = s.toLowerCase(java.util.Locale.ROOT)
+    // UTF8String.toLowerCase = Spark lower()'s path; keeps this scan
+    // locale-agnostic and count-identical to the retained regex form
+    val low = u.toLowerCase.toString
     val cnts = new Array[Long](4)
     var p = 0
     while (p < low.length) {
@@ -521,8 +527,9 @@ object QualityScan {
       if (isWs(s.charAt(lo))) toks += 1  // split keeps the leading empty
       if (isWs(s.charAt(hi - 1))) toks += 1 // limit=-1 keeps the trailing one
     }
-    // stopword hits on the lowered text, \b-equivalent token runs
-    val low = s.toLowerCase(java.util.Locale.ROOT)
+    // stopword hits on the lowered text, \b-equivalent token runs;
+    // UTF8String.toLowerCase = Spark lower()'s locale-agnostic path
+    val low = u.toLowerCase.toString
     var nStops = 0L
     var p = 0
     while (p < low.length) {

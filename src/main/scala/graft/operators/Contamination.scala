@@ -256,10 +256,19 @@ object Contamination {
     val out = fs.create(bloomPath, true)
     try bloom.writeTo(out) finally out.close()
     // meta LAST: its presence implies a complete index even if an
-    // earlier build attempt crashed between writes
-    Seq((n, fpp)).toDF("n", "fpp").coalesce(1)
+    // earlier build attempt crashed between writes. `fmt` pins the gram
+    // KEY ENCODING (2 = xxhash64 longs; 1 was md5 hex strings): a probe
+    // against an index written by older code must FAIL LOUDLY, never
+    // silently return zero matches from a long-vs-string join/bloom
+    // mismatch — silent emptiness here means contaminated docs pass.
+    Seq((n, fpp, GramKeyFormat)).toDF("n", "fpp", "fmt").coalesce(1)
       .write.mode("overwrite").parquet(s"$dir/meta")
   }
+
+  /** Gram-key encoding version written into every index's `meta` and
+    * required by every probe. Bump whenever [[ngramHashes]]' key type or
+    * hash changes. */
+  val GramKeyFormat: Int = 2
 
   /** [[flagOverlap]] against a stored index ([[buildBenchmarkIndex]]):
     * bloom loads driver-side (~MBs), broadcasts, prefilters; suspects
@@ -270,7 +279,15 @@ object Contamination {
                          textCol: String = "text"): DataFrame = {
     val spark = corpus.sparkSession
     import spark.implicits._
-    val n = spark.read.parquet(s"$dir/meta").select("n").as[Int].head()
+    val meta = spark.read.parquet(s"$dir/meta")
+    val fmt =
+      if (meta.columns.contains("fmt")) meta.select("fmt").as[Int].head() else 1
+    require(fmt == GramKeyFormat,
+      s"benchmark index at $dir has gram-key format $fmt but this build " +
+        s"probes format $GramKeyFormat — rebuild the index with " +
+        "buildBenchmarkIndex (probing a mismatched index would silently " +
+        "report zero contamination)")
+    val n = meta.select("n").as[Int].head()
     val bloomPath = new org.apache.hadoop.fs.Path(s"$dir/bloom.bin")
     val fs = bloomPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val in = fs.open(bloomPath)

@@ -396,11 +396,14 @@ object Dedup {
       .where(col("__rk") <= m).drop("__rk")
       .localCheckpoint()
     def pairsOf(g: Column) = (g * (g - 1) / 2).cast("long")
+    // coalesce: sum() over an EMPTY bucket table is null — an empty
+    // corpus must yield a zero ledger, not an NPE at getLong
     val st = buckets.groupBy("bucket").agg(count(lit(1)).as("g"))
       .agg(count(lit(1)).as("b"),
-        sum(when(col("g") > m, 1L).otherwise(0L)).as("capped"),
-        sum(pairsOf(least(col("g"), lit(m)))).as("emitted"),
-        sum(pairsOf(col("g")) - pairsOf(least(col("g"), lit(m)))).as("dropped"))
+        coalesce(sum(when(col("g") > m, 1L).otherwise(0L)), lit(0L)).as("capped"),
+        coalesce(sum(pairsOf(least(col("g"), lit(m)))), lit(0L)).as("emitted"),
+        coalesce(sum(pairsOf(col("g")) - pairsOf(least(col("g"), lit(m)))),
+          lit(0L)).as("dropped"))
       .head()
     lastPairEmissionStats = PairEmissionStats(st.getLong(0), st.getLong(1),
       st.getLong(2), st.getLong(3))
@@ -459,7 +462,7 @@ object Dedup {
     * sf0.1 leakage-safe split regressed 1.59 → 3.62 s when spanning
     * was unconditional). So the feed first estimates the FULL
     * emission volume (Σ C(g,2) over bucket occupancies — one
-    * aggregate over the persisted bucket table) and, when
+    * aggregate over the checkpointed bucket table) and, when
     * it is at most `fullFeedPairLimit` (default 2M pairs ≈ a couple
     * of verify seconds at 32 cores — cheaper than spanning's second
     * round), emits and verifies the full in-bucket feed instead:
@@ -472,27 +475,26 @@ object Dedup {
                                            fullFeedPairLimit: Long = 2000000L)
       : DataFrame = {
     // ONE banding materialisation serves the volume estimate AND the
-    // chosen branch: persist (not checkpoint — the full-feed branch
-    // must not pay a disk round-trip it doesn't need), fill the cache
-    // with the estimate's pass, and both branches read the cache. A
-    // caller that already persisted its bucket table (nearDupStateStep)
-    // lends its cache instead — this method must then NOT unpersist it
-    // (the caller's state outputs still read it after we return). Our
-    // own cache is released before returning: every output below is
-    // eagerly checkpointed first, so nothing leaks into caller plans.
+    // chosen branch. r13 used persist() here and the estimate's pass
+    // paid the columnar InMemoryRelation BUILD (per-batch compression
+    // encoding) plus per-consumer decompression — measured +15–24% on
+    // the whole closure family at sf1/sf10 vs r12's plain
+    // localCheckpoint. So: localCheckpoint (row-level RDD cache, the
+    // r12 read pattern) and run the dispatch aggregate over the
+    // checkpointed rows — sub-second even at sf10's 16M-row bucket
+    // table, and the spanning branch then reads exactly what r12 read.
+    // A caller that already persisted its bucket table
+    // (nearDupStateStep) lends its cache instead — never re-checkpoint
+    // or unpersist it (the caller's state outputs still read it).
     val borrowed =
       buckets.storageLevel != org.apache.spark.storage.StorageLevel.NONE
-    val b =
-      if (borrowed) buckets
-      else buckets.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    def release(): Unit = if (!borrowed) b.unpersist(false)
+    val b = if (borrowed) buckets else buckets.localCheckpoint()
     val estFull = b.groupBy("bucket").agg(count(lit(1)).as("g"))
       .agg(coalesce(sum((col("g") * (col("g") - 1) / 2).cast("long")), lit(0L)))
       .head().getLong(0)
     if (estFull <= fullFeedPairLimit) {
       val verified = verifyPairs(selfPairs(b), sets, sets, threshold)
         .localCheckpoint()
-      release()
       lastSpanningStats = SpanningStats(0, 0, 0, 0, estFull, dispatchedFull = true)
       return verified
     }
@@ -517,7 +519,6 @@ object Dedup {
       .localCheckpoint()
     val resVerified = verifyPairs(resCand, sets, sets, threshold)
       .localCheckpoint()
-    release()
     lastSpanningStats = SpanningStats(starPairs.count(), starVerified.count(),
       resCand.count(), resVerified.count(), estFull)
     starVerified.unionByName(resVerified)

@@ -53,8 +53,12 @@ class RunLedger(dir: String) {
                        report: graft.sources.JdbcIngestor.HealthReport,
                        connectionsPlanned: Int = 1): Unit = {
     import spark.implicits._
+    // sanitize the error text too: JDBC exceptions routinely embed the
+    // full connection URL ("No suitable driver found for jdbc:...") —
+    // credentials must never outlive the run in the durable ledger
     val outcome = s"ok=${report.ok};attempts=${report.attempts}" +
-      report.error.map(e => s";error=${e.take(160)}").getOrElse("")
+      report.error.map(e =>
+        s";error=${RunLedger.sanitizeSource(e).take(160)}").getOrElse("")
     Seq(LedgerRow(runId, pipeline, "connection", connectionsPlanned.toLong,
         report.totalMs, outcome, -1L, -1L, RunLedger.sanitizeSource(source)))
       .toDF()

@@ -205,6 +205,76 @@ class PipelineCliSpec extends SparkSpec {
     assert(c4 == 0 && o4.contains("envrun: OK"), o4)
   }
 
+  test("single-stage subcommands: ingest/transform/persist chain via --input") {
+    // reference cli/main.py:115/:147/:180 — one stage per invocation,
+    // chained through materialized paths instead of Celery data_ids
+    val dir = tmp("graft_cli_stage")
+    val in = s"$dir/in"
+    (1L to 10L).map(i => (i, i)).toDF("id", "v").write.parquet(in)
+    val specPath = writeSpec(dir, in, s"$dir/out")
+    val ledgerDir = s"$dir/ledger"
+
+    // ingest alone: reads + counts the source, records to the ledger
+    val (iCode, iOut) = cli("ingest", specPath, "--ledger-dir", ledgerDir)
+    assert(iCode == 0, iOut)
+    assert(iOut.contains("ingest spec-ingest: OK — 10 rows"), iOut)
+    val runId = iOut.linesIterator
+      .find(_.startsWith("run_id: ")).get.stripPrefix("run_id: ").trim
+    val (sCode, sOut) = cli("status", runId, "--ledger-dir", ledgerDir)
+    assert(sCode == 0 && sOut.contains("ingestion"), sOut)
+
+    // transform on an explicit --input (the "previous stage's output")
+    val (tCode, tOut) = cli("transform", specPath, "--input", in,
+      "--ledger-dir", ledgerDir)
+    assert(tCode == 0, tOut)
+    assert(tOut.contains("transform spec-transform: OK — 6 rows"), tOut) // v >= 5
+
+    // persist writes the --input through the spec's persistence block
+    val (pCode, pOut) = cli("persist", specPath, "--input", in,
+      "--ledger-dir", ledgerDir)
+    assert(pCode == 0, pOut)
+    assert(pOut.contains("persist spec-persist: OK"), pOut)
+    assert(spark.read.parquet(s"$dir/out").count() == 10) // unfiltered input
+    // stage-block validation fails loudly, not silently no-ops
+    val bare = Paths.get(dir, "bare.json")
+    Files.write(bare,
+      s"""{"ingestion": {"path": "$in", "format": "parquet"}}"""
+        .getBytes(StandardCharsets.UTF_8))
+    assert(cli("transform", bare.toString)._1 == 1)
+    assert(cli("persist", bare.toString)._1 == 1)
+    assert(cli("ingest", s"$dir/none.json")._1 == 1)
+  }
+
+  test("health subcommand probes the spec's source without running it") {
+    val dir = tmp("graft_cli_health")
+    val in = s"$dir/in"
+    (1L to 3L).map(i => (i, i)).toDF("id", "v").write.parquet(in)
+    val specPath = writeSpec(dir, in, s"$dir/out")
+    val (hCode, hOut) = cli("health", specPath)
+    assert(hCode == 0 && hOut.contains("HEALTHY"), hOut)
+    // nothing was executed: no output written
+    assert(!Files.exists(Paths.get(s"$dir/out")))
+    // a dead path source is unhealthy (fast retries via env override)
+    val deadSpec = Paths.get(dir, "dead.json")
+    Files.write(deadSpec,
+      s"""{"ingestion": {"path": "$dir/missing", "format": "parquet"}}"""
+        .getBytes(StandardCharsets.UTF_8))
+    val (dCode, _) = cliEnv(Map("GRAFT_MAX_RETRIES" -> "1"))(
+      "health", deadSpec.toString)
+    assert(dCode == 1)
+    // a JDBC url source routes through the retrying probe, and the
+    // printed identity is credential-sanitized
+    val db = s"$dir/derbydb"
+    val jdbcSpec = Paths.get(dir, "jdbc.json")
+    Files.write(jdbcSpec,
+      s"""{"ingestion": {"url": "jdbc:derby:$db;create=true;user=u;password=sekret",
+         |  "table": "t", "probe_sql": "VALUES 1"}}""".stripMargin
+        .getBytes(StandardCharsets.UTF_8))
+    val (jCode, jOut) = cli("health", jdbcSpec.toString)
+    assert(jCode == 0 && jOut.contains("HEALTHY"), jOut)
+    assert(!jOut.contains("sekret"), jOut)
+  }
+
   test("GraftSettings: malformed env values fail loudly, never default silently") {
     val bad = Map("GRAFT_IDEMPOTENCY_TTL_DAYS" -> "soon")
     val (code, _) = cliEnv(bad)("history", "whatever")

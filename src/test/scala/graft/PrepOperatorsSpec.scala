@@ -196,6 +196,26 @@ class PrepOperatorsSpec extends SparkSpec {
     assert(indexed == direct)
     // the meta table pins the gram width the index was shingled with
     assert(spark.read.parquet(s"$dir/meta").select("n").as[Int].head() == 8)
+    // ...and the gram-key FORMAT: probing an index whose meta lacks (or
+    // mismatches) the current format version must FAIL LOUDLY — a
+    // long-vs-string key mismatch would otherwise silently report zero
+    // contamination, passing contaminated docs
+    assert(spark.read.parquet(s"$dir/meta").select("fmt").as[Int].head()
+      == Contamination.GramKeyFormat)
+    val oldDir = java.nio.file.Files.createTempDirectory("graft_benchidx_old").toString
+    Contamination.buildBenchmarkIndex(bench, oldDir, n = 8)
+    // simulate a pre-fmt index: rewrite meta without the fmt column
+    spark.read.parquet(s"$oldDir/meta").select("n", "fpp")
+      .write.mode("overwrite").parquet(s"$oldDir/meta_tmp")
+    val fs = org.apache.hadoop.fs.FileSystem.getLocal(
+      spark.sparkContext.hadoopConfiguration)
+    fs.delete(new org.apache.hadoop.fs.Path(s"$oldDir/meta"), true)
+    fs.rename(new org.apache.hadoop.fs.Path(s"$oldDir/meta_tmp"),
+      new org.apache.hadoop.fs.Path(s"$oldDir/meta"))
+    val e = intercept[IllegalArgumentException] {
+      Contamination.flagOverlapIndexed(corpus, oldDir)
+    }
+    assert(e.getMessage.contains("gram-key format"), e.getMessage)
   }
 
   test("bloom prefilter economics: suspects ⊇ contaminated, FP-sliver-sized") {
