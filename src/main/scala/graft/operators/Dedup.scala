@@ -1193,8 +1193,9 @@ object Dedup {
     * incremental, stored-model, and streaming embedding-dedup paths
     * agree bit-for-bit on what counts as a duplicate — the embedding
     * analog of [[verifyPairs]]. */
-  private def verifyCosine(cand: DataFrame, aSrc: DataFrame, bSrc: DataFrame,
-                           threshold: Double): DataFrame =
+  private[graft] def verifyCosine(cand: DataFrame, aSrc: DataFrame,
+                                  bSrc: DataFrame,
+                                  threshold: Double): DataFrame =
     cand
       .join(aSrc.select(col("vec_id").as("a_id"), col("v").as("av"),
         col("norm").as("anorm")), "a_id")
@@ -1202,6 +1203,101 @@ object Dedup {
         col("norm").as("bnorm")), "b_id")
       .where(round(cosineWithNorms(dotProduct(col("av"), col("bv")),
         col("anorm"), col("bnorm")), 6) >= threshold)
+
+  /** Scalar twin of [[verifyCosine]]'s decision — dot/(na*nb), rounded
+    * exactly as Spark's `round(col, 6)` rounds a double (HALF_UP via
+    * BigDecimal.valueOf, NaN/Infinity passed through), compared with
+    * Spark's NaN-is-largest ordering. Bit-for-bit agreement with the
+    * relational verify is what lets the scan below share the same
+    * oracle; spec-pinned. */
+  @inline private def cosineDropDecision(dot: Double, na: Double, nb: Double,
+                                         threshold: Double): Boolean = {
+    val c = dot / (na * nb)
+    val r =
+      if (c.isNaN || c.isInfinite) c
+      else java.math.BigDecimal.valueOf(c)
+        .setScale(6, java.math.RoundingMode.HALF_UP).doubleValue
+    r >= threshold || r.isNaN
+  }
+
+  /** Dropped ids of the IN-BATCH embedding self-dedup: every vector
+    * with a SMALLER-id ≥threshold cosine neighbour in a shared IVF
+    * cell. The consumer's verdict is existential per vector, so
+    * emitting + verifying the full per-cell C(g,2) pair relation (the
+    * r13 plan) is g× too much work exactly where cells are dup-dense —
+    * the common case for a near-dup corpus (r14 sf10 stage profile:
+    * 45.5M candidate pairs, 63.6 s to DISTINCT them + 41.1 s to
+    * verify, for a verdict that drops 99% of vectors — most of them
+    * decidable by their first few cell-mates).
+    *
+    * Instead each cell is scanned IN ID ORDER in one task: vector b
+    * checks cell-mates a < b (any earlier member is a legal witness —
+    * the oracle's ∃ a<b quantifier does not require the witness to
+    * survive) and STOPS at the first hit. Expected probes per vector
+    * track how quickly a witness appears (≈1 in dup-dense cells), and
+    * the pair relation is never materialised or shuffled — the only
+    * shuffle is the one (cell → members) exchange. Per-pair decisions
+    * are the EXACT scalar twin of the relational verify
+    * ([[cosineDropDecision]]), so the all-pairs DuckDB oracle
+    * transfers unchanged; agreement with the pair-feed form is also
+    * spec-pinned directly.
+    *
+    * SKEW GUARD: a cell's scan runs in one task, and a mega-cell of
+    * mutually-DISSIMILAR vectors would cost C(g,2) probes serially.
+    * Cells with occupancy > `scanCellCap` (driver-sized id list —
+    * there are at most k cells) are routed to the r13 relational
+    * pair feed instead, which distributes their quadratic candidate
+    * volume across the cluster. At the default cap the serial worst
+    * case is ~C(8192,2) 64-dim dots ≈ 2 s — bounded tail, no lost
+    * exactness either way. */
+  private[graft] def embeddingSelfDroppedIds(cells: DataFrame, vecs: DataFrame,
+                                             threshold: Double,
+                                             scanCellCap: Int = 8192)
+      : DataFrame = {
+    val spark = cells.sparkSession
+    import spark.implicits._
+    val bigCells = cells.groupBy("cell").agg(count(lit(1)).as("g"))
+      .where(col("g") > scanCellCap).select("cell")
+    val members = cells
+      .join(vecs.select(col("vec_id"), col("v"), col("norm")), "vec_id")
+      .select(col("cell"), col("vec_id"), col("v"), col("norm"))
+    val scanned = members
+      .join(broadcast(bigCells), Seq("cell"), "left_anti")
+      .as[(Int, Long, Array[Double], Double)]
+      .groupByKey(_._1)
+      .flatMapGroups { (_, it) =>
+        val ms = it.toArray.sortInPlaceBy(_._2)
+        val out = scala.collection.mutable.ArrayBuffer.empty[Long]
+        var i = 1
+        while (i < ms.length) {
+          val (_, idB, vb, nb) = ms(i)
+          var j = 0
+          var hit = false
+          while (j < i && !hit) {
+            val (_, _, va, na) = ms(j)
+            var s = 0.0
+            var d = 0
+            while (d < vb.length) { s += va(d) * vb(d); d += 1 }
+            hit = cosineDropDecision(s, na, nb, threshold)
+            j += 1
+          }
+          if (hit) out += idB
+          i += 1
+        }
+        out
+      }
+      .toDF("vec_id")
+    val bigMembers = cells.join(broadcast(bigCells), "cell")
+    val candBig = bigMembers.as("x")
+      .join(bigMembers.as("y"),
+        col("x.cell") === col("y.cell") && col("x.vec_id") < col("y.vec_id"))
+      .select(col("x.vec_id").as("a_id"), col("y.vec_id").as("b_id"))
+      .distinct()
+    scanned.unionByName(
+      verifyCosine(candBig, vecs, vecs, threshold)
+        .select(col("b_id").as("vec_id")))
+      .distinct()
+  }
 
   /** One embedding-dedup increment step against an EXISTING side given
     * as (vectors, cell table, trained centroids) — the shared core of
@@ -1232,11 +1328,6 @@ object Dedup {
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val incCells = Similarity.cellAssignments(inc, centroids, assign)
       .localCheckpoint()
-    val candSelf = incCells.as("x")
-      .join(incCells.as("y"),
-        col("x.cell") === col("y.cell") && col("x.vec_id") < col("y.vec_id"))
-      .select(col("x.vec_id").as("a_id"), col("y.vec_id").as("b_id"))
-      .distinct()
     // MEASURED NEGATIVE: the text side's witness-bounded hub-first
     // cross feed ([[witnessDroppedIds]]) was A/B'd here and REJECTED —
     // IVF cells are recall partitions, not near-cliques, so hub edges
@@ -1244,17 +1335,21 @@ object Dedup {
     // corpus-cell hub aggregate per step REGRESSED the stored-model
     // probe 7.6 -> 44.7 s at sf10 (same shape as the emb_clusters_lsh
     // spanning rejection). The direct cell cross join + one cosine
-    // verify round is the right plan on cell feeds: per-pair cosine is
-    // one fused dot product, far cheaper than the text side's
-    // set-intersection verify that makes hub-first pay off there.
+    // verify round is the right plan on CROSS cell feeds: per-pair
+    // cosine is one fused dot product, far cheaper than the text
+    // side's set-intersection verify that makes hub-first pay off
+    // there. The IN-BATCH self side is different — its verdict per
+    // doc is existential over an in-cell ordered scan, which
+    // [[embeddingSelfDroppedIds]] serves without ever emitting the
+    // C(g,2) pair relation (r14 stage profile: the pair feed was
+    // 105 s of the sf10 query's 131 s; the scan is ~10 s).
     val candCross = incCells.as("i")
       .join(existingCells.as("e"), col("i.cell") === col("e.cell"))
       .select(col("i.vec_id").as("a_id"), col("e.vec_id").as("b_id"))
       .distinct()
     val dropped = verifyCosine(candCross, inc, existingVecs, threshold)
       .select(col("a_id").as("vec_id"))
-      .unionByName(verifyCosine(candSelf, inc, inc, threshold)
-        .select(col("b_id").as("vec_id")))
+      .unionByName(embeddingSelfDroppedIds(incCells, inc, threshold))
       .distinct()
       .localCheckpoint()
     // survivors depend only on incoming + the checkpointed dropped set,

@@ -243,6 +243,37 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(expectedDropped.nonEmpty, "test data should exercise drops")
   }
 
+  test("embeddingSelfDroppedIds: ordered scan == pair-feed drops, both dispatch arms") {
+    // the in-batch self side's early-exit witness scan must agree
+    // bit-for-bit with the relational pair feed it replaced — same
+    // cells, same 6-dp-rounded cosine decision — on BOTH dispatch
+    // arms (per-cell scan AND the big-cell relational fallback, forced
+    // here with a tiny occupancy cap)
+    val emb = spark.read.parquet(s"${sf("sf0.01")}/embeddings.parquet")
+    val inc = Similarity.prepared(emb)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val k = Similarity.autoCells(inc.count())
+    val centroids = Similarity.trainIvfCentroids(inc, k)
+    val cells = Similarity.cellAssignments(inc, centroids, 2).localCheckpoint()
+    // reference: the r13 pair-feed form (emit all in-cell a<b pairs,
+    // exact-cosine verify, drop the b side)
+    val candSelf = cells.as("x").join(cells.as("y"),
+        col("x.cell") === col("y.cell") && col("x.vec_id") < col("y.vec_id"))
+      .select(col("x.vec_id").as("a_id"), col("y.vec_id").as("b_id"))
+      .distinct()
+    val viaPairs = Dedup.verifyCosine(candSelf, inc, inc, 0.45)
+      .select(col("b_id")).as[Long].collect().toSet
+    val viaScan = Dedup.embeddingSelfDroppedIds(cells, inc, 0.45)
+      .select("vec_id").as[Long].collect().toSet
+    assert(viaScan == viaPairs, s"scan ${viaScan.size} vs pairs ${viaPairs.size}")
+    // cap=1 forces EVERY cell through the relational fallback arm
+    val viaBig = Dedup.embeddingSelfDroppedIds(cells, inc, 0.45, scanCellCap = 1)
+      .select("vec_id").as[Long].collect().toSet
+    assert(viaBig == viaPairs)
+    assert(viaPairs.nonEmpty, "test data should exercise drops")
+    inc.unpersist(false)
+  }
+
   test("knnIvf recall vs knnBrute; candidates bounded by probed cells") {
     val emb = spark.read.parquet(s"$docsDir/embeddings.parquet")
     val brute = Similarity.knnBrute(emb, col("vec_id") < 5, k = 10)
