@@ -350,13 +350,18 @@ object LlmQueries {
     // per-bucket emission capped (deterministic-hash member sample, so
     // no hot-template bucket emits quadratically), drops ledgered in
     // Dedup.lastPairEmissionStats, never silent. Benched beside the
-    // full report so the at-scale artifact shows BOTH costs. rows-only:
-    // the cap's member ranking is hash-seeded; the invariant gate pins
-    // ledger arithmetic + subset-of-full-report (equality when the cap
-    // doesn't bind, as at the oracle SF).
+    // full report so the at-scale artifact shows BOTH costs. The cap
+    // (100 -> a 14-member sample per bucket) is the profile-advised
+    // setting for this generator's hot-template groups (~100 members
+    // per bucket at sf10: a 1000-pair cap still emitted 990/bucket —
+    // 20% of full volume — and measured 97 s vs the full report's
+    // 112 s; governance means sampling WELL below the hot occupancy).
+    // rows-only: the cap's member ranking is hash-seeded; the
+    // invariant gate pins ledger arithmetic + subset-of-full-report
+    // (equality when the cap doesn't bind, as at the oracle SF).
     "dedup_minhash_capped" -> ((s, d) =>
       Dedup.minhashNearDups(docs(s, d), threshold = 0.8,
-          maxPairsPerBucket = 1000)
+          maxPairsPerBucket = 100)
         .orderBy("a_id", "b_id")),
 
     "dedup_simhash" -> ((s, d) =>
