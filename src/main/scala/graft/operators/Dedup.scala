@@ -307,6 +307,60 @@ object Dedup {
     * forever ([[nearDupStateStep]]). */
   def bandBuckets(sets: DataFrame, k: Int = 128, bands: Int = 32,
                   idCol: String = "doc_id"): DataFrame = {
+    // Signature via ONE tight per-doc loop over the set-shaped shash
+    // array — no explode, no 90M-row exchange, no 128-column partial
+    // aggregation. The r14 sf10 stage profile put the old
+    // explode+groupBy(128 min aggs) at 24.2 s of the closure tier's
+    // 58 s; the shingle table already holds each doc's hashes as one
+    // array row, so min-per-coefficient is a k x |shingles| primitive
+    // loop with zero shuffle. Output is BIT-IDENTICAL to the aggregate
+    // form ([[bandBucketsAgg]], spec-pinned): same masked base hash,
+    // same affine coefficients and modulus (positive operands, so %
+    // == pmod), empty/absent shingle sets produce NO rows (exactly as
+    // a groupBy over zero exploded rows did), and the band bucket is
+    // the SAME hash() Column over the same LongType values — which is
+    // what keeps every stored band_buckets table probe-compatible.
+    val spark = sets.sparkSession
+    import spark.implicits._
+    val coeffs = minhashCoeffs(k)
+    val rowsPerBand = k / bands
+    val sig = sets.select(col(idCol).cast("long"), col("shash"))
+      .as[(Long, Array[Long])]
+      .mapPartitions { it =>
+        val a = coeffs.map(_._1)
+        val b = coeffs.map(_._2)
+        it.flatMap { case (id, sh) =>
+          if (sh == null || sh.isEmpty) Iterator.empty
+          else {
+            val mins = Array.fill(k)(Long.MaxValue)
+            var i = 0
+            while (i < sh.length) {
+              val h = sh(i) & 0x7FFFFFFFL
+              var j = 0
+              while (j < k) {
+                val v = (h * a(j) + b(j)) % minhashPrime
+                if (v < mins(j)) mins(j) = v
+                j += 1
+              }
+              i += 1
+            }
+            Iterator.single((id, mins))
+          }
+        }
+      }.toDF(idCol, "mh")
+    val bandCols = (0 until bands).map { bnd =>
+      hash(lit(bnd) +: (0 until rowsPerBand).map(r => col("mh")(bnd * rowsPerBand + r)): _*)
+    }
+    sig.select(col(idCol).as("id"), explode(array(bandCols: _*)).as("bucket"))
+  }
+
+  /** The original aggregate-form banding (explode + k min aggregates) —
+    * retained as the equality REFERENCE for [[bandBuckets]]' tight-loop
+    * form: the spec pins identical (id, bucket) sets on real data, the
+    * compatibility contract every stored bucket table depends on. */
+  private[graft] def bandBucketsAgg(sets: DataFrame, k: Int = 128,
+                                    bands: Int = 32,
+                                    idCol: String = "doc_id"): DataFrame = {
     val rowsPerBand = k / bands
     val hashed = sets.select(col(idCol), explode(col("shash")).as("h64"))
       .select(col(idCol), col("h64").bitwiseAND(lit(0x7FFFFFFFL)).as("h"))

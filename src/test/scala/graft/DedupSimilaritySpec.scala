@@ -243,6 +243,31 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(expectedDropped.nonEmpty, "test data should exercise drops")
   }
 
+  test("bandBuckets tight-loop form == aggregate form, bit for bit") {
+    // the stored-state compatibility contract: every durable bucket
+    // table was built by (and is probed against) this banding, so the
+    // loop rewrite must produce the IDENTICAL (id, bucket) set —
+    // including absence of empty-shingle docs (a groupBy over zero
+    // exploded rows emitted nothing)
+    val docs = spark.read.parquet(s"${sf("sf0.01")}/documents.parquet")
+    val sets = Dedup.shingleHashSets(docs)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val fast = Dedup.bandBuckets(sets).as[(Long, Int)].collect().toSet
+    val ref = Dedup.bandBucketsAgg(sets).as[(Long, Int)].collect().toSet
+    assert(fast == ref, s"fast ${fast.size} vs ref ${ref.size} rows")
+    assert(fast.nonEmpty)
+    sets.unpersist(false)
+    // empty/whitespace docs shingle to empty sets and must be ABSENT
+    // from the bucket table in both forms
+    val edge = Seq((1L, "alpha beta gamma delta epsilon zeta"), (2L, " "),
+      (3L, "")).toDF("doc_id", "text")
+    val eSets = Dedup.shingleHashSets(edge)
+    val eFast = Dedup.bandBuckets(eSets).as[(Long, Int)].collect().toSet
+    val eRef = Dedup.bandBucketsAgg(eSets).as[(Long, Int)].collect().toSet
+    assert(eFast == eRef)
+    assert(eFast.map(_._1) == Set(1L))
+  }
+
   test("embeddingSelfDroppedIds: ordered scan == pair-feed drops, both dispatch arms") {
     // the in-batch self side's early-exit witness scan must agree
     // bit-for-bit with the relational pair feed it replaced — same
