@@ -1353,6 +1353,126 @@ object Dedup {
       .distinct()
   }
 
+  /** Spanning-FOREST edges of the in-cell verified cosine graph — the
+    * CLOSURE consumer's twin of [[embeddingSelfDroppedIds]]. The full
+    * cell feed materialises every in-cell pair and verifies all of
+    * them so that connected components can throw most of the result
+    * away; a closure consumer only needs, per cell, enough verified
+    * edges to connect what the full feed connects. Each cell is
+    * processed in ONE task with a union-find over its members
+    * (id-sorted, deterministic): a pair is cosine-tested ONLY when its
+    * endpoints are still in different components, and every verified
+    * test unions them and emits that one edge — at most g−1 emissions
+    * per cell, and in dup-dense cells most pair tests are SKIPPED
+    * because the endpoints already share a component. Per-pair
+    * decisions are the exact scalar twin of the relational verify
+    * ([[cosineDropDecision]]).
+    *
+    * CLOSURE EQUALITY with the full cell feed: within a cell, the
+    * union-find tests every cross-component pair in a fixed order and
+    * unions on every verified edge, so two members end in one
+    * component iff they are connected in the cell's verified subgraph
+    * (a pair skipped as same-component was already connected; a pair
+    * tested and failed contributes nothing in either feed) — the
+    * emitted forest spans exactly the full feed's per-cell components.
+    * Across cells the full feed also has only in-cell edges, so global
+    * closure connects cells solely through SHARED MEMBERS — node
+    * identity, which the downstream [[connectedComponents]] preserves
+    * over the forest exactly as over the full pair set. Spec-pinned
+    * (label equality vs the full feed's closure on both dispatch arms)
+    * and certified end-to-end by the emb_clusters_lsh == emb_clusters
+    * invariant at the oracle SF.
+    *
+    * Same mega-cell guard as the scan: cells above `scanCellCap` route
+    * to the relational full feed (their verified pairs are a closure
+    * superset of any forest), so no serial task ever owns an unbounded
+    * C(g,2). */
+  private[graft] def embeddingCellForestEdges(cells: DataFrame,
+                                              vecs: DataFrame,
+                                              threshold: Double,
+                                              scanCellCap: Int = 8192)
+      : DataFrame = {
+    val spark = cells.sparkSession
+    import spark.implicits._
+    val bigCells = cells.groupBy("cell").agg(count(lit(1)).as("g"))
+      .where(col("g") > scanCellCap).select("cell")
+    val members = cells
+      .join(vecs.select(col("vec_id"), col("v"), col("norm")), "vec_id")
+      .select(col("cell"), col("vec_id"), col("v"), col("norm"))
+    val forest = members
+      .join(broadcast(bigCells), Seq("cell"), "left_anti")
+      .as[(Int, Long, Array[Double], Double)]
+      .groupByKey(_._1)
+      .flatMapGroups { (_, it) =>
+        val ms = it.toArray.sortInPlaceBy(_._2)
+        val parent = Array.tabulate(ms.length)(identity)
+        def find(x: Int): Int = {
+          var r = x
+          while (parent(r) != r) r = parent(r)
+          var c = x
+          while (parent(c) != r) { val n = parent(c); parent(c) = r; c = n }
+          r
+        }
+        val out = scala.collection.mutable.ArrayBuffer.empty[(Long, Long)]
+        var i = 1
+        while (i < ms.length) {
+          val (_, idB, vb, nb) = ms(i)
+          var j = 0
+          while (j < i) {
+            if (find(i) != find(j)) {
+              val (_, idA, va, na) = ms(j)
+              var s = 0.0
+              var d = 0
+              while (d < vb.length) { s += va(d) * vb(d); d += 1 }
+              if (cosineDropDecision(s, na, nb, threshold)) {
+                parent(find(i)) = find(j)
+                out += ((idA, idB))
+              }
+            }
+            j += 1
+          }
+          i += 1
+        }
+        out
+      }
+      .toDF("a_id", "b_id")
+    val bigMembers = cells.join(broadcast(bigCells), "cell")
+    val candBig = bigMembers.as("x")
+      .join(bigMembers.as("y"),
+        col("x.cell") === col("y.cell") && col("x.vec_id") < col("y.vec_id"))
+      .select(col("x.vec_id").as("a_id"), col("y.vec_id").as("b_id"))
+      .distinct()
+    forest.unionByName(
+      verifyCosine(candBig, vecs, vecs, threshold).select("a_id", "b_id"))
+  }
+
+  /** Closure-bound edge feed over IVF cells — what `emb_clusters_lsh`
+    * consumes: the same prep as [[embeddingNearDups]]' cell path
+    * (union-trained cells, multi-assign), but the per-cell output is
+    * [[embeddingCellForestEdges]]' spanning forest instead of the
+    * materialised pair relation. The r12 star+residual spanning was
+    * measured and REJECTED here (146.6 s vs 38.9 s — most star edges
+    * fail at moderate thresholds and the residual degenerates); the
+    * union-find forest has neither failure mode: it never pays a
+    * second relational round, and a failed test costs one dot product,
+    * not an extra feed. */
+  def embeddingClusterEdges(emb: DataFrame, threshold: Double,
+                            centroidsK: Int = 0, assign: Int = 2)
+      : DataFrame = {
+    val e = Similarity.prepared(emb)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val k =
+      if (centroidsK > 0) centroidsK
+      else Similarity.autoCells(e.count())
+    val centroids = Similarity.trainIvfCentroids(e, k)
+    val cells = Similarity.cellAssignments(e, centroids, assign)
+      .localCheckpoint()
+    val edges = embeddingCellForestEdges(cells, e, threshold)
+      .localCheckpoint()
+    e.unpersist(false)
+    edges
+  }
+
   /** One embedding-dedup increment step against an EXISTING side given
     * as (vectors, cell table, trained centroids) — the shared core of
     * [[embeddingIncrement]] (existing side computed in-flight),

@@ -268,6 +268,40 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(eFast.map(_._1) == Set(1L))
   }
 
+  test("embeddingCellForestEdges: forest closure == full cell-feed closure, both arms") {
+    // the closure contract: the per-cell union-find forest must label
+    // every vector exactly as the materialised full cell feed does —
+    // on the scan arm AND the big-cell relational fallback (forced
+    // with cap=1); emitted edges must also be true >=threshold pairs
+    val emb = spark.read.parquet(s"${sf("sf0.01")}/embeddings.parquet")
+    val e = Similarity.prepared(emb)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val k = Similarity.autoCells(e.count())
+    val centroids = Similarity.trainIvfCentroids(e, k)
+    val cells = Similarity.cellAssignments(e, centroids, 2).localCheckpoint()
+    val fullPairs = cells.as("x").join(cells.as("y"),
+        col("x.cell") === col("y.cell") && col("x.vec_id") < col("y.vec_id"))
+      .select(col("x.vec_id").as("a_id"), col("y.vec_id").as("b_id"))
+      .distinct()
+    val fullVerified = Dedup.verifyCosine(fullPairs, e, e, 0.45)
+      .select("a_id", "b_id").localCheckpoint()
+    def labels(edges: org.apache.spark.sql.DataFrame) =
+      Dedup.connectedComponents(edges, emb, idCol = "vec_id")
+        .as[(Long, Long)].collect().toSet
+    val want = labels(fullVerified)
+    val forest = Dedup.embeddingCellForestEdges(cells, e, 0.45)
+      .localCheckpoint()
+    // every forest edge is a true verified pair (subset of full feed)
+    assert(forest.join(fullVerified, Seq("a_id", "b_id"), "left_anti")
+      .count() == 0, "forest emitted a non-verified edge")
+    assert(labels(forest) == want)
+    // cap=1 routes every cell through the relational fallback arm
+    val big = Dedup.embeddingCellForestEdges(cells, e, 0.45, scanCellCap = 1)
+    assert(labels(big) == want)
+    assert(want.exists { case (id, c) => id != c }, "data should cluster")
+    e.unpersist(false)
+  }
+
   test("embeddingSelfDroppedIds: ordered scan == pair-feed drops, both dispatch arms") {
     // the in-batch self side's early-exit witness scan must agree
     // bit-for-bit with the relational pair feed it replaced — same
