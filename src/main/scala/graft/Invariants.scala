@@ -148,6 +148,56 @@ object Invariants {
       sameRows(lsh, exact, "cell-feed vs exact near-dup pair sets")
     }),
 
+    "emb_pair_stats" -> ((s, d) => {
+      // profile arithmetic vs cell occupancies recomputed from the same
+      // deterministic train+assign pass, plus the membership identity:
+      // every vector lands in exactly `assign` (= 2) cells
+      val occ = Dedup.embeddingCells(emb(s, d))
+        .groupBy("cell").agg(count(lit(1)).as("g"))
+        .select("g").collect().map(_.getLong(0))
+      val prof = q(s, d, "emb_pair_stats")
+        .select("occupancy", "n_buckets", "est_pairs").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      val hist = occ.groupBy(identity).view.mapValues(_.length.toLong).toMap
+      require(prof.map(p => p._1 -> p._2).toMap == hist,
+        "cell occupancy histogram mismatch")
+      val estSum = prof.map(_._3).sum
+      val truthSum = occ.map(g => g * (g - 1) / 2).sum
+      require(estSum == truthSum, s"est_pairs $estSum != true emission volume $truthSum")
+      val members = occ.sum
+      val n = emb(s, d).count()
+      require(members == 2 * n, s"memberships $members != assign*N ${2 * n}")
+      s"histogram exact over ${occ.length} cells, est_pairs == $truthSum, " +
+        s"$members memberships == 2x$n vectors"
+    }),
+
+    "dedup_embedding_capped" -> ((s, d) => {
+      // drop-ledger arithmetic vs recomputed cell occupancies, and the
+      // capped report is a subset of the full cell report (equal when
+      // the cap doesn't bind)
+      val capped = q(s, d, "dedup_embedding_capped").localCheckpoint()
+      val st = Dedup.lastCellPairEmissionStats
+      val occ = Dedup.embeddingCells(emb(s, d))
+        .groupBy("cell").agg(count(lit(1)).as("g"))
+        .select("g").collect().map(_.getLong(0))
+      val truthTotal = occ.map(g => g * (g - 1) / 2).sum
+      require(st.candidatePairs + st.droppedPairs == truthTotal,
+        s"ledger emitted ${st.candidatePairs} + dropped ${st.droppedPairs} " +
+          s"!= true emission volume $truthTotal")
+      require(st.cappedBuckets <= st.buckets,
+        s"capped ${st.cappedBuckets} > cells ${st.buckets}")
+      val full = q(s, d, "dedup_embedding_lsh")
+      val extra = capped
+        .join(full, Seq("a_id", "b_id", "cosine"), "left_anti").count()
+      require(extra == 0, s"$extra capped pairs absent from the full report")
+      if (st.droppedPairs == 0)
+        sameRows(capped, full, "capped (cap unbound) vs full report") +
+          s"; ledger exact over ${st.buckets} cells"
+      else
+        s"${capped.count()} capped pairs all in full report; ledger exact " +
+          s"(${st.droppedPairs} dropped over ${st.cappedBuckets} capped cells)"
+    }),
+
     "emb_clusters_lsh" -> ((s, d) =>
       sameRows(q(s, d, "emb_clusters_lsh"), q(s, d, "emb_clusters"),
         "cell-feed vs exact closure labels")),

@@ -31,8 +31,8 @@ import graft.pipeline.{GraftSettings, IdempotencyLedger, Pipeline, RunLedger}
   * Usage:
   * {{{
   *   PipelineCli run <spec.json> [--name NAME] [--ledger-dir DIR] [--idempotency-dir DIR]
-  *   PipelineCli ingest <spec.json> [--name NAME] [--ledger-dir DIR]
-  *   PipelineCli transform <spec.json> [--input PATH] [--input-format F] [--name NAME] [--ledger-dir DIR]
+  *   PipelineCli ingest <spec.json> [--output PATH] [--name NAME] [--ledger-dir DIR]
+  *   PipelineCli transform <spec.json> [--input PATH] [--input-format F] [--output PATH] [--name NAME] [--ledger-dir DIR]
   *   PipelineCli persist <spec.json> [--input PATH] [--input-format F] [--name NAME] [--ledger-dir DIR]
   *   PipelineCli health <spec.json>
   *   PipelineCli status <run_id> --ledger-dir DIR
@@ -69,8 +69,8 @@ object PipelineCli {
     def usage(): Int = {
       Console.err.println(
         """usage: PipelineCli run <spec.json> [--name NAME] [--ledger-dir DIR] [--idempotency-dir DIR] [--idempotency-ttl-days N]
-          |       PipelineCli ingest <spec.json> [--name NAME] [--ledger-dir DIR]
-          |       PipelineCli transform <spec.json> [--input PATH] [--input-format F] [--name NAME] [--ledger-dir DIR]
+          |       PipelineCli ingest <spec.json> [--output PATH] [--name NAME] [--ledger-dir DIR]
+          |       PipelineCli transform <spec.json> [--input PATH] [--input-format F] [--output PATH] [--name NAME] [--ledger-dir DIR]
           |       PipelineCli persist <spec.json> [--input PATH] [--input-format F] [--name NAME] [--ledger-dir DIR]
           |       PipelineCli health <spec.json>
           |       PipelineCli status <run_id> --ledger-dir DIR
@@ -154,7 +154,11 @@ object PipelineCli {
       0
     } catch {
       case e: Exception =>
-        Console.err.println(s"pipeline $name: FAILED — ${e.getMessage}")
+        // sanitize: health-check failures quote the full JDBC URL, and a
+        // credentialed one must not reach stderr (same contract as the
+        // ledger's error column and healthCommand's output)
+        Console.err.println(s"pipeline $name: FAILED — " +
+          RunLedger.sanitizeSource(String.valueOf(e.getMessage)))
         1
     }
   }
@@ -227,16 +231,26 @@ object PipelineCli {
           r.writeStats.foreach(w => Console.out.println(
             f"  write ${w.strategy}%-15s ${w.durationMs}%6d ms  ${w.rowsWritten}%d rows -> ${w.path}"))
         case _ =>
+          // `--output` materializes the stage's result as parquet — the
+          // Spark analog of the reference's stored task data (its chain
+          // passes data ids between ingest/transform/persist tasks; here
+          // the next stage reads the path via `--input`). Without it the
+          // stage just counts, exactly like the reference's row_count.
+          flags.get("output")
+            .foreach(p => r.output.write.mode("overwrite").parquet(p))
           // reference prints the stage's row_count; forcing the count
           // here is the stage's entire job, not an extra scan
           val n = r.output.count()
-          Console.out.println(s"$stage $name: OK — $n rows")
+          Console.out.println(s"$stage $name: OK — $n rows" +
+            flags.get("output").map(p => s" -> $p").getOrElse(""))
       }
       if (r.runId.nonEmpty) Console.out.println(s"run_id: ${r.runId}")
       0
     } catch {
       case e: Exception =>
-        Console.err.println(s"$stage $name: FAILED — ${e.getMessage}")
+        // sanitize — see runCommand: stage failures can quote source URLs
+        Console.err.println(s"$stage $name: FAILED — " +
+          RunLedger.sanitizeSource(String.valueOf(e.getMessage)))
         1
     }
   }

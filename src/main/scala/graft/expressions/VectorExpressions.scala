@@ -6,7 +6,7 @@ import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.graft.CatalystBridge
-import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType}
+import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, IntegerType, LongType}
 
 /** Native Catalyst expression for the vector hot path.
   *
@@ -207,11 +207,85 @@ object VecQuant {
   }
 }
 
+/** Intersection size of two SORTED-ASCENDING, DISTINCT array<long>
+  * columns — the set-similarity hot path's twin of [[DoubleDotProduct]].
+  *
+  * The Jaccard verify pass scores every candidate pair with
+  * `size(array_intersect)/size(array_union)`; both built-ins hash one
+  * side and MATERIALISE a result array per pair, for a consumer that
+  * only reads the size — at sf10 that is 25M+ pairs of pure allocation
+  * (the r14 stage profile put verify at ~20 s of the closure tier).
+  * On the shingle tables both inputs are sorted and distinct by
+  * construction ([[graft.operators.Dedup.shingleHashSets]] sorts its
+  * hash sets), so the intersection size is ONE allocation-free merge
+  * scan, and |A∪B| = |A|+|B|−|A∩B| by inclusion-exclusion — the verify
+  * keeps Spark's own size()/division/round nodes, so its value (and
+  * the DuckDB oracle) is unchanged. CONTRACT: both arrays sorted
+  * ascending with distinct elements; violating it silently undercounts
+  * (exactly like feeding unsorted input to any merge join). */
+case class SortedIntersectCount(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    (left.dataType, right.dataType) match {
+      case (ArrayType(LongType, _), ArrayType(LongType, _)) =>
+        TypeCheckResult.TypeCheckSuccess
+      case (l, r) => TypeCheckResult.TypeCheckFailure(
+        s"$prettyName requires two array<bigint> inputs, got ${l.simpleString(10)} and ${r.simpleString(10)}")
+    }
+
+  override def dataType: DataType = IntegerType
+
+  override def prettyName: String = "sorted_intersect_count"
+
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val y = b.asInstanceOf[ArrayData]
+    val na = x.numElements(); val nb = y.numElements()
+    var i = 0; var j = 0; var c = 0
+    while (i < na && j < nb) {
+      val xv = x.getLong(i); val yv = y.getLong(j)
+      if (xv < yv) i += 1
+      else if (xv > yv) j += 1
+      else { c += 1; i += 1; j += 1 }
+    }
+    c
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val i = ctx.freshName("i"); val j = ctx.freshName("j")
+      val c = ctx.freshName("c")
+      val na = ctx.freshName("na"); val nb = ctx.freshName("nb")
+      val xv = ctx.freshName("xv"); val yv = ctx.freshName("yv")
+      s"""
+         |int $na = $a.numElements(); int $nb = $b.numElements();
+         |int $i = 0; int $j = 0; int $c = 0;
+         |while ($i < $na && $j < $nb) {
+         |  long $xv = $a.getLong($i); long $yv = $b.getLong($j);
+         |  if ($xv < $yv) $i++;
+         |  else if ($xv > $yv) $j++;
+         |  else { $c++; $i++; $j++; }
+         |}
+         |${ev.value} = $c;
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(newLeft: Expression,
+                                                 newRight: Expression): SortedIntersectCount =
+    copy(left = newLeft, right = newRight)
+}
+
 object VectorExpressions {
   /** Column-API surface for [[DoubleDotProduct]]. Inputs must already be
     * array<double> (cast with [[graft.functions.vecD]]). */
   def dotD(a: Column, b: Column): Column =
     CatalystBridge.column(DoubleDotProduct(
+      CatalystBridge.expression(a), CatalystBridge.expression(b)))
+
+  /** Column-API surface for [[SortedIntersectCount]]. */
+  def sortedIntersectCount(a: Column, b: Column): Column =
+    CatalystBridge.column(SortedIntersectCount(
       CatalystBridge.expression(a), CatalystBridge.expression(b)))
 
   /** Column-API surface for [[QuantizeVec]] — struct(codes, scale). */

@@ -282,9 +282,38 @@ object Dedup {
     * and b_id against `bSets` — the shape cross-corpus (increment vs
     * stored-state) verification needs. ONE implementation so batch,
     * incremental, and streaming near-dup agree bit-for-bit on what
-    * counts as a duplicate. */
+    * counts as a duplicate.
+    *
+    * Intersection size is an allocation-free merge scan
+    * ([[graft.expressions.SortedIntersectCount]] — shash arrays are
+    * sorted + distinct by construction) and |A∪B| = |A|+|B|−|A∩B|, so
+    * neither built-in materialises a result array per pair; the
+    * division and round stay Spark's own int/int nodes, so the jaccard
+    * VALUE is bit-identical to the retained array_intersect/array_union
+    * form ([[verifyPairsBuiltin]], spec-pinned on real corpora) and the
+    * DuckDB oracle transfers unchanged. */
   private def verifyPairs(candidates: DataFrame, aSets: DataFrame,
                           bSets: DataFrame, threshold: Double): DataFrame = {
+    val sa = aSets.select(col("doc_id").as("a_id"), col("shash").as("sh_a"))
+    val sb = bSets.select(col("doc_id").as("b_id"), col("shash").as("sh_b"))
+    val inter =
+      graft.expressions.VectorExpressions.sortedIntersectCount(
+        col("sh_a"), col("sh_b"))
+    candidates
+      .join(sa, "a_id").join(sb, "b_id")
+      .withColumn("jaccard", round(
+        inter / (size(col("sh_a")) + size(col("sh_b")) - inter), 6))
+      .where(col("jaccard") >= threshold)
+      .select("a_id", "b_id", "jaccard")
+  }
+
+  /** The original built-in verify (array_intersect/array_union sizes) —
+    * retained as the equality REFERENCE for [[verifyPairs]]' merge-scan
+    * form: the spec pins identical (a_id, b_id, jaccard) rows on real
+    * data, which is what lets every stored near-dup artifact and oracle
+    * stay valid across the rewrite. */
+  private[graft] def verifyPairsBuiltin(candidates: DataFrame, aSets: DataFrame,
+                                        bSets: DataFrame, threshold: Double): DataFrame = {
     val sa = aSets.select(col("doc_id").as("a_id"), col("shash").as("sh_a"))
     val sb = bSets.select(col("doc_id").as("b_id"), col("shash").as("sh_b"))
     candidates
@@ -362,7 +391,11 @@ object Dedup {
                                     bands: Int = 32,
                                     idCol: String = "doc_id"): DataFrame = {
     val rowsPerBand = k / bands
-    val hashed = sets.select(col(idCol), explode(col("shash")).as("h64"))
+    // cast matches the tight-loop form's typed pass (which reads ids as
+    // Long), so the two forms stay SCHEMA-identical — not just
+    // value-identical — for any caller whose id column isn't long yet
+    val hashed = sets.select(col(idCol).cast("long").as(idCol),
+        explode(col("shash")).as("h64"))
       .select(col(idCol), col("h64").bitwiseAND(lit(0x7FFFFFFFL)).as("h"))
     val mins = minhashCoeffs(k).zipWithIndex.map { case ((a, b), i) =>
       min(pmod(col("h") * lit(a) + lit(b), lit(minhashPrime))).as(s"mh_$i")
@@ -440,28 +473,41 @@ object Dedup {
     * will do before it emits anything. */
   private def selfPairsCapped(buckets: DataFrame,
                               maxPairsPerBucket: Int): DataFrame = {
+    val (kept, st) = cappedMembers(buckets, "id", "bucket", maxPairsPerBucket)
+    lastPairEmissionStats = st
+    selfPairs(kept)
+  }
+
+  /** Shared core of the capped pair-emission family (minhash buckets AND
+    * embedding cells): per group, keep only the first `m` members — the
+    * largest m with C(m,2) ≤ `maxPairs`, ranked by a deterministic id
+    * hash (an unbiased fixed sample of the group) — and return the kept
+    * members plus the exact drop ledger. The cap is a REPORT-
+    * COMPLETENESS trade, never a correctness one (closure consumers use
+    * the spanning/forest feeds instead), and it is never silent. */
+  private def cappedMembers(tbl: DataFrame, idCol: String, grpCol: String,
+                            maxPairs: Int): (DataFrame, PairEmissionStats) = {
     import org.apache.spark.sql.expressions.Window
     // largest m with m(m-1)/2 <= cap
-    val m = ((1 + math.sqrt(1.0 + 8.0 * maxPairsPerBucket)) / 2).toInt
-    val w = Window.partitionBy("bucket").orderBy(hash(col("id")), col("id"))
+    val m = ((1 + math.sqrt(1.0 + 8.0 * maxPairs)) / 2).toInt
+    val w = Window.partitionBy(grpCol).orderBy(hash(col(idCol)), col(idCol))
     // rank filter rewrites to WindowGroupLimit (bounded per-key state);
     // checkpointed because the self-join reads it twice
-    val kept = buckets.withColumn("__rk", row_number().over(w))
+    val kept = tbl.withColumn("__rk", row_number().over(w))
       .where(col("__rk") <= m).drop("__rk")
       .localCheckpoint()
     def pairsOf(g: Column) = (g * (g - 1) / 2).cast("long")
-    // coalesce: sum() over an EMPTY bucket table is null — an empty
+    // coalesce: sum() over an EMPTY group table is null — an empty
     // corpus must yield a zero ledger, not an NPE at getLong
-    val st = buckets.groupBy("bucket").agg(count(lit(1)).as("g"))
+    val st = tbl.groupBy(grpCol).agg(count(lit(1)).as("g"))
       .agg(count(lit(1)).as("b"),
         coalesce(sum(when(col("g") > m, 1L).otherwise(0L)), lit(0L)).as("capped"),
         coalesce(sum(pairsOf(least(col("g"), lit(m)))), lit(0L)).as("emitted"),
         coalesce(sum(pairsOf(col("g")) - pairsOf(least(col("g"), lit(m)))),
           lit(0L)).as("dropped"))
       .head()
-    lastPairEmissionStats = PairEmissionStats(st.getLong(0), st.getLong(1),
-      st.getLong(2), st.getLong(3))
-    selfPairs(kept)
+    (kept, PairEmissionStats(st.getLong(0), st.getLong(1),
+      st.getLong(2), st.getLong(3)))
   }
 
   /** Row counts of the last [[spanningVerifiedPairs]] call — the
@@ -542,6 +588,16 @@ object Dedup {
     // or unpersist it (the caller's state outputs still read it).
     val borrowed =
       buckets.storageLevel != org.apache.spark.storage.StorageLevel.NONE
+    // Checkpoint lifecycle: localCheckpoint blocks (this one and the
+    // pair tables below) have no public eager-release API — they are
+    // freed by the ContextCleaner once the backing RDD is GC'd, i.e.
+    // promptly after the returned DataFrame goes out of scope at the
+    // caller. A long-lived single JVM running many feeds back-to-back
+    // (the bench suite) therefore carries at most a few feeds' worth of
+    // id-pair-sized blocks between driver GCs — measured harmless at
+    // sf10 (the blocks are (long,long) tables, orders smaller than the
+    // corpus); if a deployment ever pins tighter bounds, lower
+    // `spark.cleaner.periodicGC.interval` rather than re-plumbing.
     val b = if (borrowed) buckets else buckets.localCheckpoint()
     val estFull = b.groupBy("bucket").agg(count(lit(1)).as("g"))
       .agg(coalesce(sum((col("g") * (col("g") - 1) / 2).cast("long")), lit(0L)))
@@ -826,12 +882,23 @@ object Dedup {
     * feed, and spanning is reserved for tight-threshold (≥0.8 cosine)
     * near-dup corpora where cells approach cliques. Contrast minhash
     * banding, where bucket collisions at any real threshold are
-    * near-cliques and spanning measured 3.2x faster at sf10. */
+    * near-cliques and spanning measured 3.2x faster at sf10.
+    *
+    * `maxPairsPerCell > 0` (cell feed only) GOVERNS the report: per
+    * cell, only a deterministic-hash member sample of the largest m
+    * with C(m,2) ≤ maxPairsPerCell emits pairs, so no hot cell can
+    * produce an unbounded quadratic output; drops are ledgered in
+    * [[lastCellPairEmissionStats]] and [[embeddingCellProfile]] says
+    * what the cap will do before anything runs — the exact governance
+    * [[minhashNearDups]]' `maxPairsPerBucket` ships. */
   def embeddingNearDups(emb: DataFrame, threshold: Double,
                         allPairs: Boolean = true, centroidsK: Int = 0,
-                        assign: Int = 2, spanning: Boolean = false): DataFrame = {
+                        assign: Int = 2, spanning: Boolean = false,
+                        maxPairsPerCell: Int = 0): DataFrame = {
     require(!(spanning && allPairs),
       "spanning applies to the cell-bucketed feed (allPairs = false)")
+    require(maxPairsPerCell == 0 || (!allPairs && !spanning),
+      "maxPairsPerCell caps the cell-bucketed pair REPORT (allPairs = false, spanning = false)")
     val e = Similarity.prepared(emb)
     val aSide = e.select(col("vec_id").as("a_id"), col("v").as("av"), col("norm").as("anorm"))
     val bSide = e.select(col("vec_id").as("b_id"), col("v").as("bv"), col("norm").as("bnorm"))
@@ -844,19 +911,19 @@ object Dedup {
         .where(col("cosine") >= threshold)
     if (allPairs)
       return scored(aSide.join(bSide, col("a_id") < col("b_id")))
-    val cached = e.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val k =
-      if (centroidsK > 0) centroidsK
-      else Similarity.autoCells(cached.count())
-    val centroids = Similarity.trainIvfCentroids(cached, k)
-    // candidate ids are (id, small-int) pairs — checkpoint the tiny
-    // table so the self-join + verify run off it, then release the
-    // vector cache (training + assignment are its only consumers)
-    val cells = Similarity.cellAssignments(cached, centroids, assign)
-      .localCheckpoint()
-    cached.unpersist(false)
+    val cells = embeddingCells(emb, centroidsK, assign)
     if (!spanning) {
-      val cand = cells.as("x").join(cells.as("y"),
+      // GOVERNED form: cap per-cell emission to a deterministic-hash
+      // member sample (the embedding twin of [[selfPairsCapped]] —
+      // same ledger shape, published in [[lastCellPairEmissionStats]])
+      val members =
+        if (maxPairsPerCell > 0) {
+          val (kept, st) =
+            cappedMembers(cells, "vec_id", "cell", maxPairsPerCell)
+          lastCellPairEmissionStats = st
+          kept
+        } else cells
+      val cand = members.as("x").join(members.as("y"),
           col("x.cell") === col("y.cell") &&
             col("x.vec_id") < col("y.vec_id"))
         .select(col("x.vec_id").as("a_id"), col("y.vec_id").as("b_id"))
@@ -893,6 +960,41 @@ object Dedup {
       starVerified.unionByName(resVerified)
     }
   }
+
+  /** IVF cell assignments for the embedding near-dup family — prepared
+    * vectors cached for the train+assign loop's lifetime, `centroidsK`
+    * (0 = [[Similarity.autoCells]]) deterministic-seeded centroids, each
+    * vector in its top-`assign` cells. The tiny (id, small-int) result
+    * is checkpointed so every downstream self-join/verify runs off it
+    * instead of re-training; the vector cache is released (training +
+    * assignment are its only consumers). Shared by the report, the
+    * governed report, the pre-flight profile, the cluster feed, the
+    * triplet miner, and the invariant gate — via
+    * [[Similarity.cellAssignmentsCached]], so within one application
+    * the corpus trains ONCE and the profile a run reads is computed
+    * over EXACTLY the assignment the report will pay for. */
+  private[graft] def embeddingCells(emb: DataFrame, centroidsK: Int = 0,
+                                    assign: Int = 2): DataFrame =
+    Similarity.cellAssignmentsCached(emb, centroidsK, assign)
+
+  /** [[bucketOccupancyProfile]] over the IVF cell assignments of an
+    * embedding corpus — the pre-flight volume report for
+    * [[embeddingNearDups]]' cell-bucketed (report) form, the embedding
+    * twin of [[pairVolumeProfile]]: at 100 TB one hot semantic cluster
+    * collapsing into a cell means C(g,2) emission, and this histogram
+    * says so BEFORE the report runs (cost: the train+assign pass the
+    * report pays anyway, never the pairs). */
+  def embeddingCellProfile(emb: DataFrame, centroidsK: Int = 0,
+                           assign: Int = 2): DataFrame =
+    bucketOccupancyProfile(
+      embeddingCells(emb, centroidsK, assign)
+        .select(col("vec_id").as("id"), col("cell").as("bucket")))
+
+  /** Emission ledger of the last capped [[embeddingNearDups]] cell
+    * report — the embedding twin of [[lastPairEmissionStats]] (kept
+    * separate so a pipeline running both reports can publish both). */
+  @volatile private[graft] var lastCellPairEmissionStats: PairEmissionStats =
+    PairEmissionStats(0, 0, 0, 0)
 
   /** Rounds the last [[connectedComponents]] call took to converge —
     * diagnostic for scale campaigns (SCALE.md records it per SF). */
@@ -1274,6 +1376,23 @@ object Dedup {
     r >= threshold || r.isNaN
   }
 
+  /** Effective per-cell occupancy cap for the single-task cell kernels:
+    * the caller's `scanCellCap` tightened so that a full cell's vector
+    * payload (8 bytes × dim per member; norms and tuple headers are a
+    * small constant factor on top) stays under `maxCellScanBytes`. Dim
+    * is probed from the corpus with one first-row action; an empty
+    * corpus keeps the occupancy cap (nothing will be buffered anyway). */
+  private def scanCapFor(vecs: DataFrame, scanCellCap: Int,
+                         maxCellScanBytes: Long): Int = {
+    val first = vecs.select(size(col("v")).as("d")).head(1)
+    if (first.isEmpty) scanCellCap
+    else {
+      val dim = math.max(1, first(0).getInt(0))
+      math.max(1L, math.min(scanCellCap.toLong,
+        maxCellScanBytes / (8L * dim))).toInt
+    }
+  }
+
   /** Dropped ids of the IN-BATCH embedding self-dedup: every vector
     * with a SMALLER-id ≥threshold cosine neighbour in a shared IVF
     * cell. The consumer's verdict is existential per vector, so
@@ -1303,15 +1422,26 @@ object Dedup {
     * pair feed instead, which distributes their quadratic candidate
     * volume across the cluster. At the default cap the serial worst
     * case is ~C(8192,2) 64-dim dots ≈ 2 s — bounded tail, no lost
-    * exactness either way. */
+    * exactness either way.
+    *
+    * MEMORY GUARD: the scan buffers a whole cell's vectors in its
+    * task, so the occupancy cap alone bounds MEMBERS but not BYTES —
+    * dim is unbounded in the API, and 8192 members × dim 4096 would be
+    * a 268 MB task buffer. The effective cap is therefore
+    * min(scanCellCap, maxCellScanBytes / (8·dim)) with dim probed from
+    * the corpus (one first-row action): high-dim corpora route to the
+    * relational arm at proportionally smaller occupancies, so no task
+    * ever buffers more than ~maxCellScanBytes of vector payload. */
   private[graft] def embeddingSelfDroppedIds(cells: DataFrame, vecs: DataFrame,
                                              threshold: Double,
-                                             scanCellCap: Int = 8192)
+                                             scanCellCap: Int = 8192,
+                                             maxCellScanBytes: Long = 64L << 20)
       : DataFrame = {
     val spark = cells.sparkSession
     import spark.implicits._
+    val cap = scanCapFor(vecs, scanCellCap, maxCellScanBytes)
     val bigCells = cells.groupBy("cell").agg(count(lit(1)).as("g"))
-      .where(col("g") > scanCellCap).select("cell")
+      .where(col("g") > cap).select("cell")
     val members = cells
       .join(vecs.select(col("vec_id"), col("v"), col("norm")), "vec_id")
       .select(col("cell"), col("vec_id"), col("v"), col("norm"))
@@ -1383,19 +1513,23 @@ object Dedup {
     * and certified end-to-end by the emb_clusters_lsh == emb_clusters
     * invariant at the oracle SF.
     *
-    * Same mega-cell guard as the scan: cells above `scanCellCap` route
-    * to the relational full feed (their verified pairs are a closure
-    * superset of any forest), so no serial task ever owns an unbounded
-    * C(g,2). */
+    * Same mega-cell guard as the scan — both the occupancy cap and the
+    * bytes cap (see [[embeddingSelfDroppedIds]]' MEMORY GUARD): cells
+    * above the effective cap route to the relational full feed (their
+    * verified pairs are a closure superset of any forest), so no
+    * serial task ever owns an unbounded C(g,2) or buffers more than
+    * ~`maxCellScanBytes` of vectors. */
   private[graft] def embeddingCellForestEdges(cells: DataFrame,
                                               vecs: DataFrame,
                                               threshold: Double,
-                                              scanCellCap: Int = 8192)
+                                              scanCellCap: Int = 8192,
+                                              maxCellScanBytes: Long = 64L << 20)
       : DataFrame = {
     val spark = cells.sparkSession
     import spark.implicits._
+    val cap = scanCapFor(vecs, scanCellCap, maxCellScanBytes)
     val bigCells = cells.groupBy("cell").agg(count(lit(1)).as("g"))
-      .where(col("g") > scanCellCap).select("cell")
+      .where(col("g") > cap).select("cell")
     val members = cells
       .join(vecs.select(col("vec_id"), col("v"), col("norm")), "vec_id")
       .select(col("cell"), col("vec_id"), col("v"), col("norm"))
@@ -1461,12 +1595,10 @@ object Dedup {
       : DataFrame = {
     val e = Similarity.prepared(emb)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val k =
-      if (centroidsK > 0) centroidsK
-      else Similarity.autoCells(e.count())
-    val centroids = Similarity.trainIvfCentroids(e, k)
-    val cells = Similarity.cellAssignments(e, centroids, assign)
-      .localCheckpoint()
+    // shared assignment: rides the application-level cell cache, so a
+    // run that already paid the pair report's train+assign pays only
+    // the forest here (and vice versa)
+    val cells = embeddingCells(emb, centroidsK, assign)
     val edges = embeddingCellForestEdges(cells, e, threshold)
       .localCheckpoint()
     e.unpersist(false)

@@ -24,6 +24,51 @@ object Similarity {
       .select(col(idCol).as("vec_id"), vecD(col(vecCol)).as("v"))
       .withColumn("norm", l2Norm(col("v")))
 
+  /** In-flight (per-JVM) cache of trained cell-assignment tables, keyed
+    * by (application, corpus plan, k, assign) — the in-memory twin of
+    * the stored-index fingerprint caches: a session running several
+    * cell-feed consumers over ONE corpus (the pair report, its governed
+    * form, the pre-flight profile, the cluster feed, the triplet miner)
+    * trains IVF once and every consumer rides the same checkpointed
+    * (vec_id, cell) table. Entries are tiny (assign rows per vector of
+    * (long, int)) and die with the SparkContext (the key carries the
+    * application id, so a new app never sees a dead context's
+    * checkpoints); a same-key hit is verified with `sameResult` — a
+    * 32-bit hash collision degrades to a miss, never a wrong table.
+    * CAVEAT (documented contract): a hit assumes the corpus FILES are
+    * unchanged within the application's lifetime — a pipeline that
+    * rewrites its embedding table mid-app must [[clearCellAssignCache]]. */
+  private val cellAssignCache = new java.util.concurrent.ConcurrentHashMap[
+    String, (org.apache.spark.sql.catalyst.plans.logical.LogicalPlan, DataFrame)]()
+
+  private[graft] def clearCellAssignCache(): Unit = cellAssignCache.clear()
+
+  /** [[cellAssignments]] over `centroidsK` (0 = [[autoCells]])
+    * deterministically-trained centroids, served from
+    * [[cellAssignCache]] when this application already trained the same
+    * (corpus, k, assign) — otherwise trained now (prepared vectors
+    * cached for the train+assign loop's lifetime), checkpointed, and
+    * cached for the next consumer. */
+  def cellAssignmentsCached(emb: DataFrame, centroidsK: Int = 0,
+                            assign: Int = 2): DataFrame = {
+    val plan = emb.queryExecution.analyzed
+    val key = emb.sparkSession.sparkContext.applicationId +
+      s":${plan.semanticHash()}:$centroidsK:$assign"
+    val hit = cellAssignCache.get(key)
+    if (hit != null && hit._1.sameResult(plan)) return hit._2
+    val cached = prepared(emb)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val k = if (centroidsK > 0) centroidsK else autoCells(cached.count())
+    val centroids = trainIvfCentroids(cached, k)
+    val cells = cellAssignments(cached, centroids, assign).localCheckpoint()
+    cached.unpersist(false)
+    // blunt bound: entries are cheap to rebuild, so a runaway caller
+    // (many distinct corpora in one app) resets rather than grows
+    if (cellAssignCache.size > 16) cellAssignCache.clear()
+    cellAssignCache.put(key, (plan, cells))
+    cells
+  }
+
   /** Brute-force cosine top-k for the query rows selected by `isQuery`.
     * Rank is over the 6-dp-rounded similarity with id tie-break, which
     * makes the ordering reproducible across engines and runs.
@@ -1106,16 +1151,14 @@ object Similarity {
     require(candidateCap > 1, "candidateCap must allow at least 2 candidates")
     val cached = prepared(emb)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val k =
-      if (centroidsK > 0) centroidsK
-      else autoCells(cached.count())
-    val centroids = trainIvfCentroids(cached, k)
-    // vectors ride the cell checkpoint: the eager materialisation below
+    // shared assignment (application-level cell cache): a run that
+    // already paid the dedup report's train+assign reuses it here.
+    // Vectors ride the cell checkpoint: the eager materialisation below
     // is the LAST time the prepared corpus is read, so the returned
     // (lazy) plan executes against checkpointed RDDs only — without
     // this, unpersisting here put TWO fresh prep scans (anchor + cand
     // vector joins) into the action-time plan
-    val cells = cellAssignments(cached, centroids, assign)
+    val cells = cellAssignmentsCached(emb, centroidsK, assign)
       .join(cached, "vec_id").localCheckpoint()
     cached.unpersist(false)
     // deterministic per-cell sample rank; WindowGroupLimit keeps the

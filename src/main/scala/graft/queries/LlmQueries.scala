@@ -383,6 +383,37 @@ object LlmQueries {
       Dedup.embeddingNearDups(emb(s, d), threshold = 0.45, allPairs = false)
         .orderBy("a_id", "b_id")),
 
+    // pre-flight emission report for the EMBEDDING pair-report family:
+    // IVF-cell occupancy histogram + estimated per-cell candidate-pair
+    // volume — what a 100 TB run reads BEFORE deciding to emit the full
+    // cell report or cap it (embeddingNearDups maxPairsPerCell). Cells
+    // are recall partitions whose count saturates at 4096, so occupancy
+    // — and the report's C(g,2) per-cell volume — grows with the corpus:
+    // exactly the blowup this profile surfaces pre-flight. rows-only:
+    // trained cells aren't SQL-replicable; arithmetic spec-pinned.
+    "emb_pair_stats" -> ((s, d) =>
+      Dedup.embeddingCellProfile(emb(s, d))
+        .orderBy(col("occupancy").desc, col("n_buckets"))),
+
+    // the GOVERNED embedding pair report — the form a 100 TB run pays
+    // for after reading emb_pair_stats' pre-flight profile: per-cell
+    // emission capped to a deterministic-hash member sample (no hot
+    // semantic cluster collapsing into a cell can emit C(g,2)), drops
+    // ledgered in Dedup.lastCellPairEmissionStats, never silent.
+    // Benched beside the full report so the at-scale artifact shows
+    // BOTH costs. The cap (1000 -> a 45-member sample per cell) is the
+    // profile-advised setting for this corpus's cell shape: occupancy
+    // is MEAN-driven (~224 members/cell at sf10, autoCells saturating
+    // at 1789 cells), not hot-template-driven like minhash buckets, so
+    // the cap samples well below mean occupancy while keeping the
+    // report's absolute volume bounded (<= cells x 990 pairs at ANY
+    // corpus size). rows-only: the cap's member ranking is hash-seeded;
+    // the invariant gate pins ledger arithmetic + subset-of-full-report.
+    "dedup_embedding_capped" -> ((s, d) =>
+      Dedup.embeddingNearDups(emb(s, d), threshold = 0.45, allPairs = false,
+          maxPairsPerCell = 1000)
+        .orderBy("a_id", "b_id")),
+
     "knn_brute" -> ((s, d) =>
       Similarity.knnBrute(emb(s, d), col("vec_id") < 10, k = 10)
         .orderBy("q_id", "rank")),

@@ -302,6 +302,82 @@ class DedupSimilaritySpec extends SparkSpec {
     e.unpersist(false)
   }
 
+  test("merge-scan jaccard verify == built-in array_intersect form, bit for bit") {
+    // verifyPairs' SortedIntersectCount rewrite must reproduce the
+    // retained built-in form's (a_id, b_id, jaccard) rows exactly —
+    // low threshold so hundreds of real pairs (all rounding paths)
+    // survive into the comparison
+    val docs = spark.read.parquet(s"${sf("sf0.01")}/documents.parquet")
+    val sets = Dedup.shingleHashSets(docs)
+    val cands = Dedup.minhashCandidates(docs).localCheckpoint()
+    val fused = Dedup.jaccardVerify(cands, sets, 0.1)
+      .collect().map(_.toString).sorted.toSeq
+    val builtin = Dedup.verifyPairsBuiltin(cands, sets, sets, 0.1)
+      .collect().map(_.toString).sorted.toSeq
+    assert(fused.nonEmpty, "need real pairs to certify equality")
+    assert(fused == builtin)
+    // empty-vs-nonempty set: merge scan counts 0, jaccard 0, filtered
+    import spark.implicits._
+    val s2 = Seq((1L, Array(1L, 2L, 3L)), (2L, Array.empty[Long]))
+      .toDF("doc_id", "shash")
+    val p2 = Seq((1L, 2L)).toDF("a_id", "b_id")
+    assert(Dedup.jaccardVerify(p2, s2, 0.0001).count() == 0)
+  }
+
+  test("cell-assignment cache: one train per (corpus, k, assign) per application") {
+    Similarity.clearCellAssignCache()
+    val emb = spark.read.parquet(s"$docsDir/embeddings.parquet")
+    val c1 = Similarity.cellAssignmentsCached(emb)
+    // a SEPARATE read of the same corpus must hit (semanticHash +
+    // sameResult over the analyzed plans) — this is what lets the pair
+    // report, profile, cluster feed, and triplet miner share one train
+    val c2 = Similarity.cellAssignmentsCached(
+      spark.read.parquet(s"$docsDir/embeddings.parquet"))
+    assert(c1 eq c2, "re-read of the same corpus must reuse the cached table")
+    val c3 = Similarity.cellAssignmentsCached(emb, assign = 3)
+    assert(!(c1 eq c3), "different assign must be a different cache key")
+    Similarity.clearCellAssignCache()
+    val c4 = Similarity.cellAssignmentsCached(emb)
+    assert(!(c1 eq c4), "clear must force a retrain")
+    assert(c4.collect().map(_.toString).sorted.toSeq ==
+      c1.collect().map(_.toString).sorted.toSeq,
+      "retrained assignment must be deterministic")
+  }
+
+  test("bytes-based cell cap: a fat high-dim cell routes to the relational arm unchanged") {
+    // dim is unbounded in the API, so the occupancy cap alone bounds
+    // MEMBERS but not task-buffer BYTES: with maxCellScanBytes = 3
+    // members' worth of dim-1024 payload (8·1024·3 bytes), the
+    // effective cap is 3 and this 6-member cell must take the
+    // relational fallback — with output identical to the scan arm
+    // (default caps: 64 MB / dim 1024 -> cap 8192, scan arm)
+    val dim = 1024
+    val rnd = new scala.util.Random(7)
+    def randVec() = Array.fill(dim)(rnd.nextGaussian())
+    val base = randVec()
+    val near = base.map(_ * 1.000001) // cosine ~1 with base: a true dup
+    val vecsSeq = Seq(0L -> base, 1L -> near) ++ (2L until 6L).map(_ -> randVec())
+    val vecs = vecsSeq.map { case (id, v) =>
+      (id, v, math.sqrt(v.map(x => x * x).sum))
+    }.toDF("vec_id", "v", "norm")
+    val cells = vecsSeq.map { case (id, _) => (id, 0) }.toDF("vec_id", "cell")
+    val fatBytes = 8L * dim * 3
+    val scanDrops = Dedup.embeddingSelfDroppedIds(cells, vecs, 0.45)
+      .as[Long].collect().toSet
+    val fatDrops = Dedup.embeddingSelfDroppedIds(cells, vecs, 0.45,
+        maxCellScanBytes = fatBytes)
+      .as[Long].collect().toSet
+    assert(scanDrops == Set(1L) && fatDrops == scanDrops)
+    def labels(edges: org.apache.spark.sql.DataFrame) =
+      Dedup.connectedComponents(edges, vecs, idCol = "vec_id")
+        .as[(Long, Long)].collect().toSet
+    val scanForest = Dedup.embeddingCellForestEdges(cells, vecs, 0.45)
+    val fatForest = Dedup.embeddingCellForestEdges(cells, vecs, 0.45,
+      maxCellScanBytes = fatBytes)
+    assert(labels(scanForest) == labels(fatForest))
+    assert(labels(fatForest).contains(1L -> 0L), "dup pair must cluster")
+  }
+
   test("embeddingSelfDroppedIds: ordered scan == pair-feed drops, both dispatch arms") {
     // the in-batch self side's early-exit witness scan must agree
     // bit-for-bit with the relational pair feed it replaced — same
@@ -1084,6 +1160,52 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(st.candidatePairs == occ.map(g => pairsOf(math.min(g, m))).sum)
     assert(st.droppedPairs == occ.map(g => pairsOf(g) - pairsOf(math.min(g, m))).sum)
     assert(st.candidatePairs + st.droppedPairs == occ.map(pairsOf).sum)
+  }
+
+  test("embedding cell report cap + occupancy profile: subset, exact ledger, profile arithmetic") {
+    val emb = spark.read.parquet(s"$docsDir/embeddings.parquet")
+    // ground-truth occupancies straight from the shared train+assign pass
+    val occ = Dedup.embeddingCells(emb)
+      .groupBy("cell").agg(count(lit(1)).as("g"))
+      .select("g").as[Long].collect()
+    def pairsOf(g: Long) = g * (g - 1) / 2
+    // the profile's histogram must reproduce those occupancies exactly,
+    // and memberships must total assign (= 2) per vector
+    val prof = Dedup.embeddingCellProfile(emb)
+      .select("occupancy", "n_buckets", "est_pairs")
+      .as[(Long, Long, Long)].collect()
+    val expectedHist = occ.groupBy(identity).view.mapValues(_.length.toLong).toMap
+    assert(prof.map(p => p._1 -> p._2).toMap == expectedHist)
+    assert(prof.map(_._3).sum == occ.map(pairsOf).sum,
+      "est_pairs must total the full candidate emission volume")
+    assert(occ.sum == 2 * emb.count(), "every vector in exactly 2 cells")
+    // a generous cap changes nothing and drops nothing
+    val full = Dedup.embeddingNearDups(emb, 0.45, allPairs = false)
+      .select("a_id", "b_id").as[(Long, Long)].collect().toSet
+    val uncapped = Dedup.embeddingNearDups(emb, 0.45, allPairs = false,
+        maxPairsPerCell = 100000000)
+      .select("a_id", "b_id").as[(Long, Long)].collect().toSet
+    assert(uncapped == full && Dedup.lastCellPairEmissionStats.droppedPairs == 0)
+    // a tight cap: verified output is a SUBSET and the ledger is exact
+    val capped = Dedup.embeddingNearDups(emb, 0.45, allPairs = false,
+        maxPairsPerCell = 1)
+      .select("a_id", "b_id").as[(Long, Long)].collect().toSet
+    assert(capped.subsetOf(full))
+    val st = Dedup.lastCellPairEmissionStats
+    val m = 2 // largest m with C(m,2) <= 1
+    assert(st.buckets == occ.length)
+    assert(st.cappedBuckets == occ.count(_ > m))
+    assert(st.candidatePairs == occ.map(g => pairsOf(math.min(g, m))).sum)
+    assert(st.droppedPairs == occ.map(g => pairsOf(g) - pairsOf(math.min(g, m))).sum)
+    assert(st.candidatePairs + st.droppedPairs == occ.map(pairsOf).sum)
+    // the governed form is rejected everywhere it cannot apply
+    intercept[IllegalArgumentException] {
+      Dedup.embeddingNearDups(emb, 0.45, maxPairsPerCell = 10)
+    }
+    intercept[IllegalArgumentException] {
+      Dedup.embeddingNearDups(emb, 0.45, allPairs = false, spanning = true,
+        maxPairsPerCell = 10)
+    }
   }
 
   test("witness-bounded cross feed: survivors match the all-pairs incremental ground truth") {

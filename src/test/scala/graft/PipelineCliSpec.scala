@@ -245,6 +245,36 @@ class PipelineCliSpec extends SparkSpec {
     assert(cli("ingest", s"$dir/none.json")._1 == 1)
   }
 
+  test("documented chained walkthrough: ingest --output -> transform -> persist == one-shot run") {
+    // examples/README.md §4 verbatim: the staged chain over materialized
+    // paths must reproduce the one-shot `run` bit-for-bit (the committed
+    // spec's persistence strategy is `replace`)
+    val ledgerDir = tmp("graft_cli_chain_ledger")
+    val (rc, ro) = cli("run", "examples/pipeline_spec.json",
+      "--name", "oneshot", "--ledger-dir", ledgerDir)
+    assert(rc == 0, ro)
+    val oneShot = spark.read.parquet("examples/out/pipeline_result")
+      .collect().map(_.toString).sorted.toSeq
+
+    val (c1, o1) = cli("ingest", "examples/pipeline_spec.json",
+      "--output", "examples/out/stage_ingested", "--ledger-dir", ledgerDir)
+    assert(c1 == 0 && o1.contains("-> examples/out/stage_ingested"), o1)
+    val (c2, o2) = cli("transform", "examples/pipeline_spec.json",
+      "--input", "examples/out/stage_ingested",
+      "--output", "examples/out/stage_transformed", "--ledger-dir", ledgerDir)
+    assert(c2 == 0 && o2.contains("-> examples/out/stage_transformed"), o2)
+    val (c3, o3) = cli("persist", "examples/pipeline_spec.json",
+      "--input", "examples/out/stage_transformed", "--ledger-dir", ledgerDir)
+    assert(c3 == 0, o3)
+
+    val chained = spark.read.parquet("examples/out/pipeline_result")
+      .collect().map(_.toString).sorted.toSeq
+    assert(chained == oneShot, "staged chain diverged from the one-shot run")
+    // each stage recorded its own ledger row
+    val (hc, ho) = cli("history", "pipeline_spec-ingest", "--ledger-dir", ledgerDir)
+    assert(hc == 0 && ho.contains("pipeline_spec-ingest"), ho)
+  }
+
   test("health subcommand probes the spec's source without running it") {
     val dir = tmp("graft_cli_health")
     val in = s"$dir/in"
