@@ -92,6 +92,56 @@ class PlanShapeSpec extends SparkSpec {
       s"action-time plan re-scans the source (prep runs again):\n$plan")
   }
 
+  test("merge-scan jaccard verify is codegen'd; capped emission plans as WindowGroupLimit") {
+    // the fused verify's two 100 TB claims: (a) the per-pair
+    // intersection runs as sorted_intersect_count INSIDE whole-stage
+    // codegen (not an interpreted fallback, not the array-materialising
+    // built-ins), (b) the governed reports' per-group member cap plans
+    // as WindowGroupLimit (bounded per-key state), never a full
+    // per-bucket sort materialisation
+    val docs = spark.read.parquet(s"${sf("sf0.001")}/documents.parquet")
+    // jaccardVerify directly: minhashNearDups checkpoints its result,
+    // which would hide the verify plan behind an RDD scan
+    val sets = operators.Dedup.shingleHashSets(docs)
+    val verified = operators.Dedup.jaccardVerify(
+      operators.Dedup.minhashCandidates(docs), sets, 0.8)
+    val vp = planString(verified)
+    assert(vp.contains("sorted_intersect_count"),
+      s"verify lost the merge-scan expression:\n$vp")
+    assert(!vp.contains("array_intersect") && !vp.contains("array_union"),
+      s"array-materialising built-ins back in the verify:\n$vp")
+    // AQE wraps the join plan and only materialises WholeStageCodegen
+    // stages at execution — drive the query, then read the FINAL plan:
+    // the projection carrying the merge scan must sit inside a codegen
+    // stage (its line carries the `*(n)` marker)
+    verified.collect()
+    val finalPlan = verified.queryExecution.executedPlan.toString
+    assert(finalPlan.contains("isFinalPlan=true"), finalPlan.take(500))
+    val fusedInCodegen = finalPlan.linesIterator
+      .filter(_.contains("sorted_intersect_count"))
+      .exists(_.contains("*("))
+    assert(fusedInCodegen,
+      s"sorted_intersect_count fell out of whole-stage codegen:\n${finalPlan.take(2000)}")
+    // the governed reports' member-cap rank filter plans as
+    // WindowGroupLimit (bounded per-key state, no per-bucket sort
+    // materialisation) — asserted on the pre-checkpoint plan, since the
+    // shipped path eagerly checkpoints the kept members
+    import org.apache.spark.sql.expressions.Window
+    val buckets = operators.Dedup.bandBuckets(sets)
+    val rk = org.apache.spark.sql.functions.row_number()
+      .over(Window.partitionBy("bucket")
+        .orderBy(org.apache.spark.sql.functions.hash(col("id")), col("id")))
+    val keptShape = buckets.withColumn("__rk", rk).where(col("__rk") <= 14)
+    assert(planString(keptShape).contains("WindowGroupLimit"),
+      s"member cap materialises a full per-bucket sort:\n${planString(keptShape)}")
+    val emb = spark.read.parquet(s"${sf("sf0.001")}/embeddings.parquet")
+    val cappedEmb = operators.Dedup.embeddingNearDups(emb, 0.45,
+      allPairs = false, maxPairsPerCell = 100)
+    val cp = planString(cappedEmb)
+    assert(!cp.contains("BroadcastNestedLoopJoin") && !cp.contains("CartesianProduct"),
+      s"governed report fell back to a pair scan:\n$cp")
+  }
+
   test("double_dot_product registered as a SQL function via extensions") {
     import spark.implicits._
     Seq((Array(1.0, 2.0, 3.0), Array(4.0, 5.0, 6.0))).toDF("a", "b")
