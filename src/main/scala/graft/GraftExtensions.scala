@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
-import graft.expressions.DoubleDotProduct
+import graft.expressions.{DoubleDotProduct, SortedIntersectCount}
 
 /** Session extension installing graft's native expressions into the SQL
   * function registry, so `spark.sql("SELECT double_dot_product(a, b)")`
@@ -19,6 +19,15 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       (args: Seq[Expression]) => {
         require(args.length == 2, "double_dot_product(arrayA, arrayB) takes 2 arguments")
         DoubleDotProduct(args.head, args(1))
+      }))
+    ext.injectFunction((
+      FunctionIdentifier("sorted_intersect_count"),
+      new ExpressionInfo(classOf[SortedIntersectCount].getName,
+        "sorted_intersect_count"),
+      (args: Seq[Expression]) => {
+        require(args.length == 2,
+          "sorted_intersect_count(sortedArrayA, sortedArrayB) takes 2 arguments")
+        SortedIntersectCount(args.head, args(1))
       }))
   }
 }

@@ -149,6 +149,11 @@ class PlanShapeSpec extends SparkSpec {
     val r = spark.sql("SELECT double_dot_product(a, b) AS d FROM vec_pair")
       .as[Double].head()
     assert(r == 32.0)
+    Seq((Array(1L, 3L, 7L, 9L), Array(2L, 3L, 9L, 11L))).toDF("x", "y")
+      .createOrReplaceTempView("set_pair")
+    val c = spark.sql("SELECT sorted_intersect_count(x, y) AS c FROM set_pair")
+      .as[Int].head()
+    assert(c == 2)
   }
 
   test("text analysis stays inside whole-stage codegen") {
