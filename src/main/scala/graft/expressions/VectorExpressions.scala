@@ -2,11 +2,11 @@ package graft.expressions
 
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
-import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, QuaternaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.graft.CatalystBridge
-import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, IntegerType, LongType}
+import org.apache.spark.sql.types.{ArrayType, BooleanType, DataType, DoubleType, IntegerType, LongType}
 
 /** Native Catalyst expression for the vector hot path.
   *
@@ -276,6 +276,122 @@ case class SortedIntersectCount(left: Expression, right: Expression)
     copy(left = newLeft, right = newRight)
 }
 
+/** Exactly-once emission gate for the LSH bucket self-join — the
+  * first-matching-band filter that replaces the pair-report family's
+  * global DISTINCT ([[graft.operators.Dedup]] pair feeds).
+  *
+  * A MinHash pair sharing b bands is re-found b times by the bucket
+  * self-join (measured sf10: 626M joined rows collapsing to 27.3M
+  * unique pairs — ~23 re-finds each — with the collapse paid as a
+  * 47 s pair-volume-sized DISTINCT shuffle). Each joined row carries
+  * both docs' per-band bucket arrays plus its own band positions, so
+  * whether THIS row is the pair's canonical emission is a local
+  * decision and the distinct shuffle is unnecessary. Returns true iff:
+  *
+  *  - `aBand == bBand` and that band is the FIRST index at which the
+  *    two arrays agree positionally (the pair's canonical same-band
+  *    emission, exactly one per pair that shares any band); or
+  *  - `aBand != bBand`, the arrays agree at NO position, and
+  *    `(aBand, bBand)` is the lexicographically-first position pair
+  *    with `arrA(i) == arrB(j)`, `i != j` — the ~2⁻³²-rate cross-band
+  *    hash-collision rows today's join-on-bucket-value keeps; gating
+  *    them on their first witness (rather than a residual distinct)
+  *    keeps the output set BIT-IDENTICAL to the distinct form with no
+  *    second pass. Rows whose pair also agrees positionally return
+  *    false here — that pair's canonical emission is its same-band row.
+  *
+  * Cost: the same-band arm scans to the first positional agreement
+  * (≤ bands comparisons, usually far fewer); the quadratic cross-band
+  * arm runs only on rows with no positional agreement — for real band
+  * hashes, a handful per billion. Codegen'd so the 626M-row hot path
+  * stays inside the join's WholeStageCodegen span. */
+case class FirstMatchingBand(first: Expression, second: Expression,
+                             third: Expression, fourth: Expression)
+    extends QuaternaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    (first.dataType, second.dataType, third.dataType, fourth.dataType) match {
+      case (ArrayType(IntegerType, _), ArrayType(IntegerType, _),
+            IntegerType, IntegerType) =>
+        TypeCheckResult.TypeCheckSuccess
+      case (a, b, c, d) => TypeCheckResult.TypeCheckFailure(
+        s"$prettyName requires (array<int>, array<int>, int, int), got " +
+          s"${a.simpleString(10)}, ${b.simpleString(10)}, ${c.simpleString(10)}, ${d.simpleString(10)}")
+    }
+
+  override def dataType: DataType = BooleanType
+
+  override def prettyName: String = "first_matching_band"
+
+  override def nullSafeEval(a: Any, b: Any, c: Any, d: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val y = b.asInstanceOf[ArrayData]
+    val aBand = c.asInstanceOf[Int]
+    val bBand = d.asInstanceOf[Int]
+    val n = math.min(x.numElements(), y.numElements())
+    var i = 0
+    while (i < n) {
+      if (x.getInt(i) == y.getInt(i)) {
+        // first positional agreement decides: canonical iff it is this
+        // row's (same-band) position
+        return aBand == bBand && i == aBand
+      }
+      i += 1
+    }
+    if (aBand == bBand) return false // no positional agreement at all
+    // cross-band arm: lexicographically-first (i, j) with x(i) == y(j)
+    val na = x.numElements(); val nb = y.numElements()
+    i = 0
+    while (i < na) {
+      var j = 0
+      while (j < nb) {
+        if (i != j && x.getInt(i) == y.getInt(j))
+          return i == aBand && j == bBand
+        j += 1
+      }
+      i += 1
+    }
+    false
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b, c, d) => {
+      val i = ctx.freshName("i"); val j = ctx.freshName("j")
+      val n = ctx.freshName("n"); val na = ctx.freshName("na")
+      val nb = ctx.freshName("nb")
+      val pos = ctx.freshName("pos")
+      val outer = ctx.freshName("outer")
+      s"""
+         |${ev.value} = false;
+         |int $na = $a.numElements(); int $nb = $b.numElements();
+         |int $n = java.lang.Math.min($na, $nb);
+         |int $pos = -1;
+         |for (int $i = 0; $i < $n; $i++) {
+         |  if ($a.getInt($i) == $b.getInt($i)) { $pos = $i; break; }
+         |}
+         |if ($pos >= 0) {
+         |  ${ev.value} = ($c == $d && $pos == $c);
+         |} else if ($c != $d) {
+         |  $outer:
+         |  for (int $i = 0; $i < $na; $i++) {
+         |    for (int $j = 0; $j < $nb; $j++) {
+         |      if ($i != $j && $a.getInt($i) == $b.getInt($j)) {
+         |        ${ev.value} = ($i == $c && $j == $d);
+         |        break $outer;
+         |      }
+         |    }
+         |  }
+         |}
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(
+      newFirst: Expression, newSecond: Expression,
+      newThird: Expression, newFourth: Expression): FirstMatchingBand =
+    copy(first = newFirst, second = newSecond,
+      third = newThird, fourth = newFourth)
+}
+
 object VectorExpressions {
   /** Column-API surface for [[DoubleDotProduct]]. Inputs must already be
     * array<double> (cast with [[graft.functions.vecD]]). */
@@ -287,6 +403,13 @@ object VectorExpressions {
   def sortedIntersectCount(a: Column, b: Column): Column =
     CatalystBridge.column(SortedIntersectCount(
       CatalystBridge.expression(a), CatalystBridge.expression(b)))
+
+  /** Column-API surface for [[FirstMatchingBand]]. */
+  def firstMatchingBand(aArr: Column, bArr: Column,
+                        aBand: Column, bBand: Column): Column =
+    CatalystBridge.column(FirstMatchingBand(
+      CatalystBridge.expression(aArr), CatalystBridge.expression(bArr),
+      CatalystBridge.expression(aBand), CatalystBridge.expression(bBand)))
 
   /** Column-API surface for [[QuantizeVec]] — struct(codes, scale). */
   def quantizeVec(a: Column): Column =

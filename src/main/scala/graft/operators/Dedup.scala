@@ -267,7 +267,7 @@ object Dedup {
     * low-jaccard bucket collisions (which the exact verify pass removes). */
   def minhashCandidates(docs: DataFrame, k: Int = 128, bands: Int = 32,
                         idCol: String = "doc_id", textCol: String = "text"): DataFrame =
-    selfPairs(bandBuckets(shingleHashSets(docs, 3, idCol, textCol), k, bands, idCol))
+    firstBandPairs(bandBucketArrays(shingleHashSets(docs, 3, idCol, textCol), k, bands, idCol))
 
   /** Exact n-gram Jaccard verification over candidate pairs
     * ((a_id, b_id) columns): joins the shingle-hash sets back and
@@ -336,24 +336,32 @@ object Dedup {
     * forever ([[nearDupStateStep]]). */
   def bandBuckets(sets: DataFrame, k: Int = 128, bands: Int = 32,
                   idCol: String = "doc_id"): DataFrame = {
-    // Signature via ONE tight per-doc loop over the set-shaped shash
-    // array — no explode, no 90M-row exchange, no 128-column partial
-    // aggregation. The r14 sf10 stage profile put the old
-    // explode+groupBy(128 min aggs) at 24.2 s of the closure tier's
-    // 58 s; the shingle table already holds each doc's hashes as one
-    // array row, so min-per-coefficient is a k x |shingles| primitive
-    // loop with zero shuffle. Output is BIT-IDENTICAL to the aggregate
-    // form ([[bandBucketsAgg]], spec-pinned): same masked base hash,
-    // same affine coefficients and modulus (positive operands, so %
-    // == pmod), empty/absent shingle sets produce NO rows (exactly as
-    // a groupBy over zero exploded rows did), and the band bucket is
-    // the SAME hash() Column over the same LongType values — which is
-    // what keeps every stored band_buckets table probe-compatible.
+    val sig = minhashSignatureRows(sets, k, idCol)
+    sig.select(col(idCol).as("id"),
+      explode(array(bandHashCols(k, bands): _*)).as("bucket"))
+  }
+
+  /** MinHash signatures as ONE tight per-doc loop over the set-shaped
+    * shash array — no explode, no 90M-row exchange, no 128-column
+    * partial aggregation. The r14 sf10 stage profile put the old
+    * explode+groupBy(128 min aggs) at 24.2 s of the closure tier's
+    * 58 s; the shingle table already holds each doc's hashes as one
+    * array row, so min-per-coefficient is a k x |shingles| primitive
+    * loop with zero shuffle. [[bandBuckets]] over this is
+    * BIT-IDENTICAL to the aggregate form ([[bandBucketsAgg]],
+    * spec-pinned): same masked base hash, same affine coefficients and
+    * modulus (positive operands, so % == pmod), empty/absent shingle
+    * sets produce NO rows (exactly as a groupBy over zero exploded
+    * rows did), and the band bucket is the SAME hash() Column over the
+    * same LongType values — which is what keeps every stored
+    * band_buckets table probe-compatible. Returns (idCol: long,
+    * mh: array<long>[k]). */
+  private def minhashSignatureRows(sets: DataFrame, k: Int,
+                                   idCol: String): DataFrame = {
     val spark = sets.sparkSession
     import spark.implicits._
     val coeffs = minhashCoeffs(k)
-    val rowsPerBand = k / bands
-    val sig = sets.select(col(idCol).cast("long"), col("shash"))
+    sets.select(col(idCol).cast("long"), col("shash"))
       .as[(Long, Array[Long])]
       .mapPartitions { it =>
         val a = coeffs.map(_._1)
@@ -377,10 +385,63 @@ object Dedup {
           }
         }
       }.toDF(idCol, "mh")
-    val bandCols = (0 until bands).map { bnd =>
-      hash(lit(bnd) +: (0 until rowsPerBand).map(r => col("mh")(bnd * rowsPerBand + r)): _*)
+  }
+
+  /** One band-bucket hash Column per band over a signature row's `mh`
+    * array — shared by the exploded form ([[bandBuckets]], the stored
+    * (id, bucket) schema) and the array form ([[bandBucketArrays]]) so
+    * the two produce IDENTICAL bucket values by construction. */
+  private def bandHashCols(k: Int, bands: Int): Seq[Column] = {
+    val rowsPerBand = k / bands
+    (0 until bands).map { bnd =>
+      hash(lit(bnd) +: (0 until rowsPerBand).map(r =>
+        col("mh")(bnd * rowsPerBand + r)): _*)
     }
-    sig.select(col(idCol).as("id"), explode(array(bandCols: _*)).as("bucket"))
+  }
+
+  /** [[bandBuckets]] with the per-doc band hashes kept as ONE array row
+    * ((id, barr: array<int>[bands]), barr(i) = band i's bucket value)
+    * instead of exploded — the feed [[firstBandPairs]]' exactly-once
+    * pair emission needs, since each joined row must see BOTH docs'
+    * full band vectors to decide locally whether it is the pair's
+    * canonical emission. Report-path only: stored bucket tables keep
+    * [[bandBuckets]]' (id, bucket) schema. */
+  private[graft] def bandBucketArrays(sets: DataFrame, k: Int = 128,
+                                      bands: Int = 32,
+                                      idCol: String = "doc_id"): DataFrame =
+    minhashSignatureRows(sets, k, idCol)
+      .select(col(idCol).as("id"), array(bandHashCols(k, bands): _*).as("barr"))
+
+  /** Distinct within-corpus candidate pairs (a_id < b_id) from a band
+    * bucket ARRAY table — [[selfPairs]]' output set with ZERO dedup
+    * shuffle. [[selfPairs]] re-finds each pair once per shared band
+    * (measured sf10: 626M joined rows for 27.3M unique pairs, ~23
+    * re-finds each) and collapses them with a global DISTINCT — a
+    * pair-volume-sized shuffle that was 46.9 s of dedup_minhash's
+    * 79.9 s (~60% of the two most expensive sf10 queries). Here the
+    * posexploded self-join carries both docs' band vectors, and
+    * [[graft.expressions.FirstMatchingBand]] keeps exactly ONE row per
+    * pair — the first agreeing band, or for the ~2⁻³²-rate cross-band
+    * bucket-value collisions the lexicographically-first witness — so
+    * emission is exactly-once by construction: no distinct, no second
+    * shuffle, and the output SET is identical to [[selfPairs]] over
+    * [[bandBuckets]] of the same signatures (spec-pinned on real
+    * corpora and on crafted cross-band-collision tables). The join
+    * still produces the same 626M intermediate rows, but they flow
+    * through the join stage's codegen pipeline and die at the filter
+    * instead of being shuffled. */
+  private[graft] def firstBandPairs(bucketArrs: DataFrame): DataFrame = {
+    val ex = bucketArrs.select(col("id"), col("barr"),
+      posexplode(col("barr")).as(Seq("band", "bucket")))
+    val a = ex.select(col("id").as("a_id"), col("barr").as("a_barr"),
+      col("band").as("a_band"), col("bucket"))
+    val b = ex.select(col("id").as("b_id"), col("barr").as("b_barr"),
+      col("band").as("b_band"), col("bucket"))
+    a.join(b, "bucket")
+      .where(col("a_id") < col("b_id") &&
+        graft.expressions.VectorExpressions.firstMatchingBand(
+          col("a_barr"), col("b_barr"), col("a_band"), col("b_band")))
+      .select("a_id", "b_id")
   }
 
   /** The original aggregate-form banding (explode + k min aggregates) —
@@ -759,13 +820,17 @@ object Dedup {
                       maxPairsPerBucket: Int = 0): DataFrame = {
     val sets = shingleHashSets(docs)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val buckets = bandBuckets(sets, k, bands)
     val verified =
-      if (spanning) spanningVerifiedPairs(buckets, sets, threshold)
+      if (spanning) spanningVerifiedPairs(bandBuckets(sets, k, bands), sets, threshold)
       else {
+        // report form: exactly-once first-band emission — no global
+        // DISTINCT over the re-found pairs ([[firstBandPairs]]); the
+        // capped form stays on the exploded (id, bucket) feed, whose
+        // per-bucket member sample the cap is defined over
         val cand =
-          if (maxPairsPerBucket > 0) selfPairsCapped(buckets, maxPairsPerBucket)
-          else selfPairs(buckets)
+          if (maxPairsPerBucket > 0)
+            selfPairsCapped(bandBuckets(sets, k, bands), maxPairsPerBucket)
+          else firstBandPairs(bandBucketArrays(sets, k, bands))
         jaccardVerify(cand, sets, threshold).localCheckpoint()
       }
     sets.unpersist(false)
@@ -1173,6 +1238,35 @@ object Dedup {
     connectedComponents(minhashNearDups(docs, threshold, spanning = true),
       docs, idCol)
 
+  /** In-JVM cache of [[nearDupClusters]] label tables, keyed by
+    * (application, docs plan, threshold, idCol) — the r15 cell-cache
+    * pattern ([[Similarity.cellAssignmentsCached]]) applied to the
+    * closure feed: a suite whose consumers all need the SAME corpus's
+    * closure (clusters, size profile, canonical keep, leakage-safe
+    * splits) re-ran shingle+banding+spanning+cc per query — ~150 s of
+    * the sf10 suite on one corpus's repeated feed. Labels are
+    * deterministic (hash-min component minima over a deterministic
+    * verified pair set), so serving the checkpointed table is
+    * value-identical to a rebuild (spec-pinned).
+    * CAVEAT (same contract as the cell cache): a hit assumes the corpus
+    * files are unchanged within the application; a pipeline that
+    * rewrites its corpus mid-app must [[clearNearDupLabelCache]]. */
+  private val nearDupLabelCache = new PlanCache()
+
+  private[graft] def clearNearDupLabelCache(): Unit = nearDupLabelCache.clear()
+
+  /** [[nearDupClusters]] served from [[nearDupLabelCache]] — one
+    * shingle+banding+spanning+closure pass per (application, corpus,
+    * threshold), every closure consumer rides the same checkpointed
+    * (id, cluster_id) table (corpus-sized rows of two longs; entries
+    * die with the application). Concurrent first callers block on a
+    * single build ([[PlanCache]]). */
+  def nearDupClustersCached(docs: DataFrame, threshold: Double = 0.8,
+                            idCol: String = "doc_id"): DataFrame =
+    nearDupLabelCache.getOrBuild(docs, s"ccLabels:$threshold:$idCol") {
+      nearDupClusters(docs, threshold, idCol).localCheckpoint()
+    }
+
   /** Near-dup cluster SIZE PROFILE — the report a curation run reads
     * before committing to a threshold: how many clusters of each size
     * the verified pair graph closes into, singletons included (size 1
@@ -1184,7 +1278,14 @@ object Dedup {
     * final count. Output (cluster_size, n_clusters, n_docs). */
   def clusterSizeProfile(docs: DataFrame, threshold: Double = 0.8,
                          idCol: String = "doc_id"): DataFrame =
-    nearDupClusters(docs, threshold, idCol)
+    clusterSizeProfileOf(nearDupClusters(docs, threshold, idCol))
+
+  /** [[clusterSizeProfile]]'s aggregation over an already-built label
+    * table ((id, cluster_id) — [[nearDupClusters]] /
+    * [[nearDupClustersCached]] / [[connectedComponents]]), so closure
+    * consumers sharing one cached closure don't rebuild it per report. */
+  def clusterSizeProfileOf(labels: DataFrame): DataFrame =
+    labels
       .groupBy("cluster_id").agg(count(lit(1)).as("cluster_size"))
       .groupBy("cluster_size").agg(count(lit(1)).as("n_clusters"))
       .withColumn("n_docs", col("cluster_size") * col("n_clusters"))

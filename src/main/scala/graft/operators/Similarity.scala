@@ -38,8 +38,7 @@ object Similarity {
     * CAVEAT (documented contract): a hit assumes the corpus FILES are
     * unchanged within the application's lifetime — a pipeline that
     * rewrites its embedding table mid-app must [[clearCellAssignCache]]. */
-  private val cellAssignCache = new java.util.concurrent.ConcurrentHashMap[
-    String, (org.apache.spark.sql.catalyst.plans.logical.LogicalPlan, DataFrame)]()
+  private val cellAssignCache = new PlanCache()
 
   private[graft] def clearCellAssignCache(): Unit = cellAssignCache.clear()
 
@@ -48,26 +47,20 @@ object Similarity {
     * [[cellAssignCache]] when this application already trained the same
     * (corpus, k, assign) — otherwise trained now (prepared vectors
     * cached for the train+assign loop's lifetime), checkpointed, and
-    * cached for the next consumer. */
+    * cached for the next consumer; concurrent first callers of one
+    * corpus block on a single train+assign pass ([[PlanCache]]'s
+    * computeIfAbsent). */
   def cellAssignmentsCached(emb: DataFrame, centroidsK: Int = 0,
-                            assign: Int = 2): DataFrame = {
-    val plan = emb.queryExecution.analyzed
-    val key = emb.sparkSession.sparkContext.applicationId +
-      s":${plan.semanticHash()}:$centroidsK:$assign"
-    val hit = cellAssignCache.get(key)
-    if (hit != null && hit._1.sameResult(plan)) return hit._2
-    val cached = prepared(emb)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val k = if (centroidsK > 0) centroidsK else autoCells(cached.count())
-    val centroids = trainIvfCentroids(cached, k)
-    val cells = cellAssignments(cached, centroids, assign).localCheckpoint()
-    cached.unpersist(false)
-    // blunt bound: entries are cheap to rebuild, so a runaway caller
-    // (many distinct corpora in one app) resets rather than grows
-    if (cellAssignCache.size > 16) cellAssignCache.clear()
-    cellAssignCache.put(key, (plan, cells))
-    cells
-  }
+                            assign: Int = 2): DataFrame =
+    cellAssignCache.getOrBuild(emb, s"cells:$centroidsK:$assign") {
+      val cached = prepared(emb)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val k = if (centroidsK > 0) centroidsK else autoCells(cached.count())
+      val centroids = trainIvfCentroids(cached, k)
+      val cells = cellAssignments(cached, centroids, assign).localCheckpoint()
+      cached.unpersist(false)
+      cells
+    }
 
   /** Brute-force cosine top-k for the query rows selected by `isQuery`.
     * Rank is over the 6-dp-rounded similarity with id tie-break, which

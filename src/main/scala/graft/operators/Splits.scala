@@ -63,9 +63,20 @@ object Splits {
     * projection of the representative id. */
   def leakageSafe(df: DataFrame, pairs: DataFrame, idCol: String,
                   fractions: Seq[(String, Double)] = Seq("train" -> 0.8, "val" -> 0.1),
-                  defaultLabel: String = "test"): DataFrame = {
-    val comps = Dedup.connectedComponents(pairs, df, idCol)
-      .withColumnRenamed("id", idCol)
+                  defaultLabel: String = "test"): DataFrame =
+    leakageSafeFromLabels(df,
+      Dedup.connectedComponents(pairs, df, idCol), idCol, fractions, defaultLabel)
+
+  /** [[leakageSafe]] over an already-closed label table ((id,
+    * cluster_id) — [[Dedup.nearDupClusters]] or its cached form), so a
+    * suite whose closure consumers share one cached closure
+    * ([[Dedup.nearDupClustersCached]]) doesn't re-close the pair graph
+    * per split. Assignment is identical to [[leakageSafe]] over the
+    * pair feed that produced the labels. */
+  def leakageSafeFromLabels(df: DataFrame, labels: DataFrame, idCol: String,
+                            fractions: Seq[(String, Double)] = Seq("train" -> 0.8, "val" -> 0.1),
+                            defaultLabel: String = "test"): DataFrame = {
+    val comps = labels.withColumnRenamed("id", idCol)
     df.join(comps, Seq(idCol))
       .withColumn("split", splitExpr(col("cluster_id"), fractions, defaultLabel))
   }

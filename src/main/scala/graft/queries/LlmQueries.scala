@@ -827,8 +827,8 @@ object LlmQueries {
     // star+residual feed is closure-equal to the full in-bucket join
     // (same oracle passes) at O(Σ occupancy) candidate volume.
     "split_leakage_safe" -> ((s, d) =>
-      Splits.leakageSafe(docs(s, d),
-          Dedup.minhashNearDups(docs(s, d), threshold = 0.8, spanning = true),
+      Splits.leakageSafeFromLabels(docs(s, d),
+          Dedup.nearDupClustersCached(docs(s, d), threshold = 0.8),
           "doc_id")
         .select("doc_id", "cluster_id", "split")
         .orderBy("doc_id")),
@@ -1164,8 +1164,12 @@ object LlmQueries {
     // jaccard pair set the dedup_jaccard oracle pins (LSH recall is
     // total at this threshold, so pair sets agree); component semantics
     // additionally spec-tested on known graphs in DedupSimilaritySpec
+    // CACHED closure labels (nearDupClustersCached): the whole closure
+    // family — this, the size profile, canonical keep, leakage-safe
+    // splits — rides ONE shingle+banding+spanning+cc pass per
+    // application instead of rebuilding the identical feed per query
     "dedup_clusters" -> ((s, d) =>
-      Dedup.nearDupClusters(docs(s, d), threshold = 0.8)
+      Dedup.nearDupClustersCached(docs(s, d), threshold = 0.8)
         .where(col("id") =!= col("cluster_id"))
         .orderBy("id")),
 
@@ -1173,7 +1177,8 @@ object LlmQueries {
     // pair graph closes into, singletons included — the threshold-
     // choosing report; two group-sized aggregations over the labels
     "dedup_cluster_sizes" -> ((s, d) =>
-      Dedup.clusterSizeProfile(docs(s, d), threshold = 0.8)
+      Dedup.clusterSizeProfileOf(
+          Dedup.nearDupClustersCached(docs(s, d), threshold = 0.8))
         .orderBy("cluster_size")),
 
     // Efraimidis-Spirakis exact-size WEIGHTED sample: inclusion odds
@@ -1201,7 +1206,7 @@ object LlmQueries {
     // keep the highest-quality member, not the arbitrary min-id one
     "dedup_canonical" -> ((s, d) =>
       Dedup.canonicalKeep(
-          Dedup.nearDupClusters(docs(s, d), threshold = 0.8),
+          Dedup.nearDupClustersCached(docs(s, d), threshold = 0.8),
           TextAnalysis.qualityScore(docs(s, d)))
         .orderBy("doc_id")),
 

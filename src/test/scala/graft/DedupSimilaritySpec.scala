@@ -268,6 +268,82 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(eFast.map(_._1) == Set(1L))
   }
 
+  test("FirstMatchingBand: canonical-emission gate semantics") {
+    import graft.expressions.VectorExpressions.firstMatchingBand
+    def gate(a: Seq[Int], b: Seq[Int], ab: Int, bb: Int): Boolean =
+      spark.range(1).select(firstMatchingBand(
+        typedLit(a), typedLit(b), lit(ab), lit(bb)).as("g")).head().getBoolean(0)
+    // first positional agreement (index 1) is the one canonical row
+    assert(gate(Seq(1, 2, 3, 4), Seq(9, 2, 8, 7), 1, 1))
+    // a LATER positional agreement is not canonical
+    assert(gate(Seq(1, 2, 3, 4), Seq(1, 9, 3, 7), 0, 0))
+    assert(!gate(Seq(1, 2, 3, 4), Seq(1, 9, 3, 7), 2, 2))
+    // cross-band witness rows of a positionally-agreeing pair: never
+    // canonical (the same-band row already emits the pair)
+    assert(!gate(Seq(40, 41, 42, 43), Seq(43, 41, 45, 40), 0, 3))
+    assert(!gate(Seq(40, 41, 42, 43), Seq(43, 41, 45, 40), 3, 0))
+    // cross-band-only collision: lexicographically-first (i, j) wins
+    assert(gate(Seq(20, 21, 22, 23), Seq(23, 24, 25, 26), 3, 0))
+    assert(gate(Seq(30, 31, 32, 33), Seq(33, 30, 35, 36), 0, 1))
+    assert(!gate(Seq(30, 31, 32, 33), Seq(33, 30, 35, 36), 3, 0))
+    // null input -> null (dropped by a WHERE, never a crash)
+    val n = spark.range(1).select(firstMatchingBand(
+      lit(null).cast("array<int>"), typedLit(Seq(1)), lit(0), lit(0)).as("g"))
+      .head()
+    assert(n.isNullAt(0))
+  }
+
+  test("firstBandPairs == distinct bucket self-join, exactly-once, planted cross-band collisions") {
+    // crafted band arrays: positional agreements, cross-band-ONLY
+    // collisions ((4,5) and (6,7) — the 2^-32 case the residual gate
+    // exists for), a pair with BOTH kinds, duplicate values within one
+    // doc's bands, and an unrelated doc
+    val arr = Seq(
+      (1L, Seq(1, 2, 3, 4)), (2L, Seq(9, 2, 8, 7)), (3L, Seq(1, 5, 6, 7)),
+      (4L, Seq(20, 21, 22, 23)), (5L, Seq(23, 24, 25, 26)),
+      (6L, Seq(30, 31, 32, 33)), (7L, Seq(33, 30, 35, 36)),
+      (8L, Seq(40, 41, 42, 43)), (9L, Seq(43, 41, 45, 40)),
+      (10L, Seq(50, 50, 51, 52)), (11L, Seq(50, 53, 54, 55)),
+      (12L, Seq(90, 91, 92, 93))
+    ).toDF("id", "barr")
+    val got = Dedup.firstBandPairs(arr).as[(Long, Long)].collect().toSeq
+    // exactly-once: no duplicate emission even for multi-band pairs
+    assert(got.size == got.toSet.size)
+    // reference: the distinct self-join over the exploded (id, bucket)
+    // form — exactly what selfPairs(bandBuckets) computes
+    val ex = arr.select(col("id"), posexplode(col("barr")).as(Seq("band", "bucket")))
+    val ref = ex.as("a").join(ex.as("b"),
+        col("a.bucket") === col("b.bucket") && col("a.id") < col("b.id"))
+      .select(col("a.id").as("a_id"), col("b.id").as("b_id")).distinct()
+      .as[(Long, Long)].collect().toSet
+    assert(got.toSet == ref)
+    // the cross-band-only pairs are genuinely in the truth set
+    assert(ref.contains((4L, 5L)) && ref.contains((6L, 7L)))
+    assert(!ref.exists(p => p._1 == 12L || p._2 == 12L))
+  }
+
+  test("minhashCandidates first-band feed == distinct self-join on a real corpus, no aggregate in plan") {
+    val docs = spark.read.parquet(s"${sf("sf0.01")}/documents.parquet")
+    val sets = Dedup.shingleHashSets(docs)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val feed = Dedup.firstBandPairs(Dedup.bandBucketArrays(sets))
+    // the point of the rewrite: the pair feed plans with NO aggregate —
+    // no global DISTINCT shuffle over the re-found pairs
+    assert(feed.queryExecution.optimizedPlan.collect {
+      case a: org.apache.spark.sql.catalyst.plans.logical.Aggregate => a
+    }.isEmpty, "first-band feed must not plan a distinct/aggregate")
+    val got = feed.as[(Long, Long)].collect().toSeq
+    assert(got.size == got.toSet.size, "pair emitted more than once")
+    val buckets = Dedup.bandBuckets(sets)
+    val ref = buckets.as("a").join(buckets.as("b"),
+        col("a.bucket") === col("b.bucket") && col("a.id") < col("b.id"))
+      .select(col("a.id").as("a_id"), col("b.id").as("b_id")).distinct()
+      .as[(Long, Long)].collect().toSet
+    assert(got.toSet == ref, s"got ${got.size} vs ref ${ref.size}")
+    assert(ref.nonEmpty)
+    sets.unpersist(false)
+  }
+
   test("embeddingCellForestEdges: forest closure == full cell-feed closure, both arms") {
     // the closure contract: the per-cell union-find forest must label
     // every vector exactly as the materialised full cell feed does —
@@ -342,6 +418,39 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(c4.collect().map(_.toString).sorted.toSeq ==
       c1.collect().map(_.toString).sorted.toSeq,
       "retrained assignment must be deterministic")
+  }
+
+  test("near-dup label cache: one closure per (corpus, threshold) per application") {
+    Dedup.clearNearDupLabelCache()
+    val docs = spark.read.parquet(s"$docsDir/documents.parquet")
+    val l1 = Dedup.nearDupClustersCached(docs)
+    // a SEPARATE read of the same corpus must hit (semanticHash +
+    // sameResult over analyzed plans) — what lets clusters, the size
+    // profile, canonical keep, and leakage-safe splits share one
+    // shingle+banding+spanning+cc pass
+    val l2 = Dedup.nearDupClustersCached(
+      spark.read.parquet(s"$docsDir/documents.parquet"))
+    assert(l1 eq l2, "re-read of the same corpus must reuse the cached labels")
+    val l3 = Dedup.nearDupClustersCached(docs, threshold = 0.9)
+    assert(!(l1 eq l3), "different threshold must be a different cache key")
+    Dedup.clearNearDupLabelCache()
+    val l4 = Dedup.nearDupClustersCached(docs)
+    assert(!(l1 eq l4), "clear must force a rebuild")
+    // labels are deterministic (hash-min component minima over a
+    // deterministic verified pair set): rebuild == cached, and both ==
+    // the uncached builder — the value contract of serving from cache
+    val asSet = (df: org.apache.spark.sql.DataFrame) =>
+      df.collect().map(_.toString).toSet
+    assert(asSet(l4) == asSet(l1))
+    assert(asSet(Dedup.nearDupClusters(docs)) == asSet(l1))
+    // leakageSafeFromLabels over the cached closure == leakageSafe over
+    // the pair feed that produced it
+    val viaLabels = Splits.leakageSafeFromLabels(docs, l1, "doc_id")
+      .select("doc_id", "cluster_id", "split")
+    val viaPairs = Splits.leakageSafe(docs,
+        Dedup.minhashNearDups(docs, threshold = 0.8, spanning = true), "doc_id")
+      .select("doc_id", "cluster_id", "split")
+    assert(asSet(viaLabels) == asSet(viaPairs))
   }
 
   test("bytes-based cell cap: a fat high-dim cell routes to the relational arm unchanged") {
