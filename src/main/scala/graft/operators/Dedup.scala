@@ -1485,10 +1485,17 @@ object Dedup {
     * corpus keeps the occupancy cap (nothing will be buffered anyway). */
   private def scanCapFor(vecs: DataFrame, scanCellCap: Int,
                          maxCellScanBytes: Long): Int = {
-    val first = vecs.select(size(col("v")).as("d")).head(1)
-    if (first.isEmpty) scanCellCap
+    // null-safe aggregate probe: max(size(v)) skips null vectors (a
+    // null FIRST row must not NPE the guard) and, on a mixed-dim
+    // corpus, sizes the byte cap from the WIDEST vector — the
+    // conservative choice, instead of whichever row a head(1) happens
+    // to return. One narrow aggregate over the column the consumer is
+    // about to scan anyway; empty/all-null keeps the occupancy cap
+    // (nothing will be buffered).
+    val d = vecs.agg(max(size(col("v")))).head()
+    if (d.isNullAt(0)) scanCellCap
     else {
-      val dim = math.max(1, first(0).getInt(0))
+      val dim = math.max(1, d.getInt(0))
       math.max(1L, math.min(scanCellCap.toLong,
         maxCellScanBytes / (8L * dim))).toInt
     }

@@ -400,6 +400,23 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(Dedup.jaccardVerify(p2, s2, 0.0001).count() == 0)
   }
 
+  test("sorted_intersect_count: null element yields NULL, nullable-element schema accepted") {
+    import graft.expressions.VectorExpressions.sortedIntersectCount
+    // parquet round-trips array<bigint> as containsNull=true — the
+    // expression must accept that SCHEMA (stored near-dup state depends
+    // on it) while an actual null ELEMENT must surface as SQL NULL,
+    // never be read as 0 and silently miscount
+    val ok = spark.range(1).select(sortedIntersectCount(
+      array(lit(1L), lit(3L), lit(7L)).cast("array<bigint>"),
+      array(lit(3L).cast("long"), lit(null).cast("long"), lit(9L))).as("c"))
+    assert(ok.schema("c").dataType == org.apache.spark.sql.types.IntegerType)
+    assert(ok.head().isNullAt(0), "null element must produce NULL")
+    val good = spark.range(1).select(sortedIntersectCount(
+      array(lit(1L), lit(3L), lit(7L)),
+      array(lit(3L), lit(7L), lit(9L))).as("c")).head().getInt(0)
+    assert(good == 2)
+  }
+
   test("cell-assignment cache: one train per (corpus, k, assign) per application") {
     Similarity.clearCellAssignCache()
     val emb = spark.read.parquet(s"$docsDir/embeddings.parquet")
