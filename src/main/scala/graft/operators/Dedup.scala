@@ -437,7 +437,15 @@ object Dedup {
       col("band").as("a_band"), col("bucket"))
     val b = ex.select(col("id").as("b_id"), col("barr").as("b_barr"),
       col("band").as("b_band"), col("bucket"))
-    a.join(b, "bucket")
+    // NEVER broadcast: each side is corpus x bands rows, and the band
+    // arrays are template-repetitive on a dup-heavy corpus, so AQE's
+    // compressed-bytes estimate can land UNDER the broadcast threshold
+    // while the deserialized build side is driver-heap-sized (measured:
+    // the r16 sf10 full-suite run OOM'd exactly here on a 16M-row
+    // "small" side that standalone runs sort-merge joined). The merge
+    // hint pins SMJ at every SF — pair-volume joins have no small side
+    // by construction.
+    a.hint("merge").join(b.hint("merge"), "bucket")
       .where(col("a_id") < col("b_id") &&
         graft.expressions.VectorExpressions.firstMatchingBand(
           col("a_barr"), col("b_barr"), col("a_band"), col("b_band")))

@@ -332,8 +332,36 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(feed.queryExecution.optimizedPlan.collect {
       case a: org.apache.spark.sql.catalyst.plans.logical.Aggregate => a
     }.isEmpty, "first-band feed must not plan a distinct/aggregate")
-    val got = feed.as[(Long, Long)].collect().toSeq
+    // collect() on feed ITSELF so its own QueryExecution runs and the
+    // adaptive plan is finalized before we inspect it below
+    val got = feed.collect().toSeq.map(r => (r.getLong(0), r.getLong(1)))
     assert(got.size == got.toSet.size, "pair emitted more than once")
+    // the bucket self-join must NEVER broadcast — each side is
+    // corpus x bands rows, and on a dup-heavy corpus the band arrays
+    // compress so well that AQE's bytes estimate lands under the
+    // broadcast threshold while the deserialized build side is
+    // driver-heap-sized (the r16 sf10 full-suite OOM). The merge hint
+    // pins sort-merge at EVERY corpus size, including this small one
+    // where AQE would otherwise legitimately broadcast — so this spec
+    // exercises exactly the conversion the hint forbids.
+    def flatten(p: org.apache.spark.sql.execution.SparkPlan):
+        Seq[org.apache.spark.sql.execution.SparkPlan] = {
+      val nested = p match {
+        case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+          flatten(a.executedPlan)
+        case q: org.apache.spark.sql.execution.adaptive.QueryStageExec =>
+          flatten(q.plan)
+        case _ => Seq.empty
+      }
+      (p +: p.children.flatMap(flatten)) ++ nested
+    }
+    val nodes = flatten(feed.queryExecution.executedPlan)
+    assert(!nodes.exists(
+      _.isInstanceOf[org.apache.spark.sql.execution.joins.BroadcastHashJoinExec]),
+      "pair self-join must not broadcast (no small side at scale)")
+    assert(nodes.exists(
+      _.isInstanceOf[org.apache.spark.sql.execution.joins.SortMergeJoinExec]),
+      "pair self-join must stay sort-merge")
     val buckets = Dedup.bandBuckets(sets)
     val ref = buckets.as("a").join(buckets.as("b"),
         col("a.bucket") === col("b.bucket") && col("a.id") < col("b.id"))
