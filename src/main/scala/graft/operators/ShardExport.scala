@@ -53,9 +53,16 @@ object ShardExport {
       .select(col(idCol), (col("seq_id") * budget + col("seq_offset"))
         .as("start_off"))
     // one corpus-sized projection: (global token position -> window,
-    // in-window position, token id); the groupBy below is THE shuffle
+    // in-window position, token id); the groupBy below is THE shuffle.
+    // `assigned` is DOC-level — corpus-scaled (billions of rows at
+    // 100 TB), so it must never broadcast: under suite heap pressure
+    // AQE's compressed-bytes estimate of its two-long rows lands under
+    // the broadcast threshold and the deserialized build OOMs the
+    // driver (measured, r16 sf10 full suite). Merge-hinted like the
+    // pair self-join; the ONLY broadcast here is the vocabulary, whose
+    // size BPE bounds by construction.
     encoded.select(col(idCol), posexplode(col("tokens")).as(Seq("pos", "token")))
-      .join(assigned, idCol)
+      .join(assigned.hint("merge"), idCol)
       .join(broadcast(vocab), "token")
       .withColumn("gpos", col("start_off") + col("pos"))
       .select(col(idCol), col("token_id"),
