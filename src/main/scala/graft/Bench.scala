@@ -16,6 +16,24 @@ object Bench {
   val oracleOnly: Set[String] =
     Set("dedup_embedding", "emb_clusters", "emb_triplets")
 
+  /** Cold-start accounting JSON (pure — spec'd directly): one entry per
+    * query whose FIRST run exceeded its recorded median by more than
+    * `floor` seconds — `cold_extra_s[q] = first − median`. This is the
+    * machine-readable home for one-time costs the median-of-3 policy
+    * correctly excludes from the per-query number but whose wall-clock
+    * the suite still pays (the shared closure-label cache's ~53 s
+    * one-per-(corpus, threshold) build at sf10 was previously only a
+    * SCALE.md footnote). `total` stays the sum of medians — the
+    * steady-state cost contract — and cold extras are reported beside
+    * it, never silently folded in or silently dropped. */
+  private[graft] def coldExtraJson(perQueryCold: Seq[(String, Double)],
+                                   floor: Double = 0.5): String = {
+    val entries = perQueryCold.collect {
+      case (k, c) if c > floor => f""""$k":$c%.3f"""
+    }.mkString("{", ",", "}")
+    s""""cold_extra_s":$entries,"""
+  }
+
   /** Warn-band JSON fields for the external-CPU guard (pure — spec'd
     * directly): `ext_cpu_warn` is true when any query's window saw more
     * than `warnLimit` external cores (default 1.0 — half the 2.0 flag
@@ -173,8 +191,8 @@ object Bench {
         (System.nanoTime() - t0) / 1e9
       }
       // (median time, external CPU cores, system iowait cores,
-      //  GC fraction, steal cores)
-      def measured(): (Double, Double, Double, Double, Double) = {
+      //  GC fraction, steal cores, cold extra = first − median)
+      def measured(): (Double, Double, Double, Double, Double, Double) = {
         val (b0, w0, s0, o0) = cpuJiffies()
         val g0 = gcSecNow()
         val t0 = System.nanoTime()
@@ -189,10 +207,14 @@ object Bench {
         val io = (w1 - w0) / 100.0 / math.max(elapsed, 1e-3)
         val st = (s1 - s0) / 100.0 / math.max(elapsed, 1e-3)
         val gc = (gcSecNow() - g0) / math.max(elapsed, 1e-3)
-        (t, ext, io, gc, st)
+        // first − median: the one-time cost the median policy excludes
+        // from the recorded number (cache builds, first-touch IO) —
+        // surfaced per query in cold_extra_s instead of living only in
+        // prose. 0 for single-run queries (first IS the number).
+        (t, ext, io, gc, st, math.max(0.0, first - t))
       }
       System.gc() // normalized heap at every window start (guard part a)
-      var (t, ext, io, gc, st) = measured()
+      var (t, ext, io, gc, st, cold) = measured()
       var flagged = false
       if (ext > extLimit || io > ioLimit) {
         // Contaminated window. The intruder is either a co-tenant
@@ -207,8 +229,8 @@ object Bench {
         for (wait <- Seq(5000L, 15000L, 30000L) if !clean) {
           Thread.sleep(wait)
           System.gc()
-          val (t2, ext2, io2, gc2, st2) = measured()
-          t = t2; ext = ext2; io = io2; gc = gc2; st = st2
+          val (t2, ext2, io2, gc2, st2, cold2) = measured()
+          t = t2; ext = ext2; io = io2; gc = gc2; st = st2; cold = cold2
           clean = ext2 <= extLimit && io2 <= ioLimit
         }
         flagged = !clean
@@ -220,7 +242,7 @@ object Bench {
         // re-measure; flag only when the samples also disagree — steady
         // allocation-bound cost is the query's own, not contamination
         System.gc()
-        val (t2, ext2, io2, gc2, st2) = measured()
+        val (t2, ext2, io2, gc2, st2, cold2) = measured()
         val unstable = math.max(t, t2) / math.max(math.min(t, t2), 1e-3) > 1.3
         if (gc2 > gcLimit && unstable) {
           flagged = true
@@ -237,37 +259,37 @@ object Bench {
             f"[bench] $name GC re-measure externally contaminated: ext $ext2%.1f / iowait $io2%.1f cores (limits $extLimit / $ioLimit) — flagged")
         }
         t = t2; ext = math.max(ext, ext2); io = math.max(io, io2)
-        gc = gc2; st = math.max(st, st2)
+        gc = gc2; st = math.max(st, st2); cold = cold2
       }
       extPeak = math.max(extPeak, ext)
       ioPeak = math.max(ioPeak, io)
       stealPeak = math.max(stealPeak, st)
-      (name, t, flagged, gc, ext, io, st)
+      (name, t, flagged, gc, ext, io, st, cold)
     }
     val loadEnd = osBean.getSystemLoadAverage
-    val qs = results.map { case (k, v, _, _, _, _, _) => "\"" + k + "\":" + v }
+    val qs = results.map { case (k, v, _, _, _, _, _, _) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     // Per-query GC fraction of the measurement window (guard part b):
     // lets a reader of two artifacts attribute any disagreement on an
     // allocation-heavy query to collection time instead of guessing.
-    val gcs = results.map { case (k, _, _, g, _, _, _) => f""""$k":$g%.3f""" }
+    val gcs = results.map { case (k, _, _, g, _, _, _, _) => f""""$k":$g%.3f""" }
       .mkString("{", ",", "}")
     // Per-query EXTERNAL-CPU and iowait core readings of the same
     // window (the guard computes them anyway): a pair of artifacts
     // disagreeing 1.9x on one query is now attributable query-by-query
     // — a sub-threshold host ripple shows up HERE even when the
     // run-level peak stays quiet.
-    val exts = results.map { case (k, _, _, _, e, _, _) => f""""$k":$e%.2f""" }
+    val exts = results.map { case (k, _, _, _, e, _, _, _) => f""""$k":$e%.2f""" }
       .mkString("{", ",", "}")
-    val ios = results.map { case (k, _, _, _, _, w, _) => f""""$k":$w%.2f""" }
+    val ios = results.map { case (k, _, _, _, _, w, _, _) => f""""$k":$w%.2f""" }
       .mkString("{", ",", "}")
     // Per-query steal cores: the share of ext_cpu that was hypervisor
     // contention rather than a co-tenant process. steal ~= ext on a
     // flagged query means the box was fine and the HOST was not.
-    val steals = results.map { case (k, _, _, _, _, _, s) => f""""$k":$s%.2f""" }
+    val steals = results.map { case (k, _, _, _, _, _, s, _) => f""""$k":$s%.2f""" }
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum
-    val flaggedNames = results.collect { case (k, _, true, _, _, _, _) => "\"" + k + "\"" }
+    val flaggedNames = results.collect { case (k, _, true, _, _, _, _, _) => "\"" + k + "\"" }
       .mkString("[", ",", "]")
     // WARN band under the flag line (r15 verdict: a run with ext_cpu
     // peak 1.97 passed as official while reading a uniform 1.26x over
@@ -277,8 +299,10 @@ object Bench {
     // a clean artifact instead of needing a judge diff to notice.
     val extWarnLimit = sys.env.get("SPARK_GRAFT_EXT_CPU_WARN")
       .map(_.toDouble).getOrElse(1.0)
+    val coldExtra = Bench.coldExtraJson(
+      results.map { case (k, _, _, _, _, _, _, c) => (k, c) })
     val extWarn = Bench.extCpuWarnJson(
-      results.map { case (k, _, _, _, e, _, _) => (k, e) }, extWarnLimit)
+      results.map { case (k, _, _, _, e, _, _, _) => (k, e) }, extWarnLimit)
     if (extPeak > extWarnLimit) System.err.println(
       f"[bench] WARN: ext_cpu_peak $extPeak%.2f cores exceeds the warn band ($extWarnLimit%.1f; flag at $extLimit%.1f) — compare per-query ext_cpu against a clean artifact before trusting cross-run deltas")
     val skippedNames = skipped.toSeq.sorted.map("\"" + _ + "\"")
@@ -294,7 +318,7 @@ object Bench {
       f""""steal_peak_cores":$stealPeak%.2f,""" +
       s""""gc_frac":$gcs,"ext_cpu":$exts,"iowait":$ios,"steal":$steals,""" +
       s""""load_flagged":$flaggedNames,"failed":$failedNames,""" +
-      extWarn +
+      extWarn + coldExtra +
       s""""official":${results.forall(!_._3) && failed.isEmpty},""" +
       s""""skipped_oracle_only":$skippedNames"""
     val full =
@@ -311,7 +335,7 @@ object Bench {
     java.nio.file.Files.write(outPath,
       (full + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
     val top5 = results.sortBy(-_._2).take(5)
-      .map { case (k, v, _, _, _, _, _) => "\"" + k + "\":" + f"$v%.3f" }
+      .map { case (k, v, _, _, _, _, _, _) => "\"" + k + "\":" + f"$v%.3f" }
       .mkString("{", ",", "}")
     val n = results.size
     println(

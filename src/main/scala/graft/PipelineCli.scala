@@ -15,8 +15,9 @@ import graft.pipeline.{GraftSettings, IdempotencyLedger, Pipeline, RunLedger}
   * (exactly what `spark-submit --class graft.PipelineCli` does on a
   * cluster) and serves `status`/`history` from the durable
   * [[graft.pipeline.RunLedger]] parquet table instead of a result
-  * backend — same queries, no extra service. Worker listing has no
-  * analogue (YARN/K8s owns executor inventory).
+  * backend — same queries, no extra service. `workers` (reference
+  * :265) maps the broker's worker inventory to the live session's
+  * executor inventory via the StatusTracker.
   *
   * Single-stage subcommands (reference cli/main.py:115 `ingest`, :147
   * `transform`, :180 `persist`): thin wrappers that run ONE stage of a
@@ -37,6 +38,7 @@ import graft.pipeline.{GraftSettings, IdempotencyLedger, Pipeline, RunLedger}
   *   PipelineCli health <spec.json>
   *   PipelineCli status <run_id> --ledger-dir DIR
   *   PipelineCli history <pipeline_name> --ledger-dir DIR [--limit N]
+  *   PipelineCli workers
   * }}}
   */
 object PipelineCli {
@@ -74,7 +76,8 @@ object PipelineCli {
           |       PipelineCli persist <spec.json> [--input PATH] [--input-format F] [--name NAME] [--ledger-dir DIR]
           |       PipelineCli health <spec.json>
           |       PipelineCli status <run_id> --ledger-dir DIR
-          |       PipelineCli history <pipeline_name> --ledger-dir DIR [--limit N]""".stripMargin)
+          |       PipelineCli history <pipeline_name> --ledger-dir DIR [--limit N]
+          |       PipelineCli workers""".stripMargin)
       2
     }
     parseArgs(args.toList) match {
@@ -93,6 +96,8 @@ object PipelineCli {
             statusCommand(spark, runId, f, settings)
           case (List("history", pipeline), f) =>
             historyCommand(spark, pipeline, f, settings)
+          case (List("workers"), _) =>
+            workersCommand(spark)
           case _ => usage()
         }
     }
@@ -349,6 +354,36 @@ object PipelineCli {
         0
       }
     }
+
+  /** `workers`: list the compute inventory serving this session — the
+    * Spark analog of the reference's worker listing (cli/main.py:265
+    * `workers_command`: worker count, per-worker active tasks, pool).
+    * The reference asks a Celery broker; a Spark app's "workers" are
+    * its executors, so the inventory comes from the live
+    * StatusTracker: one line per executor with host:port, running
+    * tasks, and storage-memory headroom, plus the pool shape
+    * (defaultParallelism). Exit 1 when the inventory is empty — same
+    * contract as the reference's "No workers found". */
+  private[graft] def workersCommand(spark: SparkSession): Int = {
+    val sc = spark.sparkContext
+    val infos = sc.statusTracker.getExecutorInfos
+    if (infos.isEmpty) {
+      Console.out.println("No workers found")
+      1
+    } else {
+      Console.out.println(
+        s"Found ${infos.length} executor(s) (pool: ${sc.master}, " +
+          s"parallelism ${sc.defaultParallelism}):\n")
+      infos.foreach { e =>
+        Console.out.println(s"Executor: ${e.host()}:${e.port()}")
+        Console.out.println(s"  Active tasks: ${e.numRunningTasks()}")
+        Console.out.println(
+          f"  Storage memory: ${e.usedOnHeapStorageMemory()}%d used / ${e.totalOnHeapStorageMemory()}%d total B")
+        Console.out.println()
+      }
+      0
+    }
+  }
 
   private def historyCommand(spark: SparkSession, pipeline: String,
                              flags: Map[String, String],

@@ -39,6 +39,32 @@ package object functions {
     if (df.rdd.getNumPartitions < target) df.repartition(target, key) else df
   }
 
+  // -------------------------------------------------- broadcast-roulette pin
+  /** Side-row bound under which [[mergePinned]] leaves the join strategy
+    * to AQE. The r16 failure class this guards: a join side whose rows
+    * COMPRESS far better than they deserialize (sequential longs,
+    * template-repetitive arrays) gets a compressed-bytes estimate under
+    * the 64 MB broadcast threshold while the deserialized build side is
+    * driver-heap-sized — two measured driver OOMs at sf10 (the band
+    * self-join and the shard export's doc-level assignment join), both
+    * on ~16M-row "small" sides. 512k rows caps the worst-case build at
+    * ~100 MB even for ~200 B rows — safe by ARITHMETIC, independent of
+    * compression ratio. */
+  val pinFreeSideRowLimit: Long = 512L * 1024L
+
+  /** Pin a corpus-scaled join side to sort-merge unless the caller
+    * PROVES it tiny: `provenRows` is the side's exact row count (or a
+    * trusted upper bound); -1 = unknown = pin. Attach to either side of
+    * a join — one merge hint pins the whole join's strategy. Use on any
+    * equi-join side that (a) scales with the corpus and (b) carries
+    * compression-deceptive rows; leave honest-sized sides (random-hash
+    * keys, wide float vectors) and construction-bounded sides
+    * (vocabulary, model, benchmark) to AQE. */
+  def mergePinned(side: org.apache.spark.sql.DataFrame,
+                  provenRows: Long = -1L): org.apache.spark.sql.DataFrame =
+    if (provenRows >= 0 && provenRows <= pinFreeSideRowLimit) side
+    else side.hint("merge")
+
   // ------------------------------------------------------------------- text
   /** Lowercase word tokens; `[^a-z0-9]+` keeps the tokenizer identical
     * across regex engines (Java here, RE2 in oracles). */

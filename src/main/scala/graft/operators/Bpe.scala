@@ -308,7 +308,10 @@ object Bpe {
     val words = docs.select(col(idCol), col(groupCol),
       size(regexp_extract_all(col(textCol), lit(TextAnalysis.bpeishPattern), lit(0)))
         .cast("long").as("n_words"))
-    words.join(perDoc, idCol)
+    // Broadcast-roulette pin (r17 audit): perDoc is one (id, 3 longs)
+    // row per doc — corpus-scaled, delta-compressible (the r16 OOM
+    // class). The corpus count is the proven dispatch number.
+    words.join(graft.functions.mergePinned(perDoc, docs.count()), idCol)
       .groupBy(groupCol)
       .agg(
         count(lit(1)).as("n_docs"),

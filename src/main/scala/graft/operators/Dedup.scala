@@ -153,8 +153,13 @@ object Dedup {
       .agg(
         count(lit(1)).as("n_spans"),
         sum(col("__rep")).as("n_repeated"))
+    // Broadcast-roulette pin (r17 audit): perDoc is one (id, long,
+    // long) row per document — corpus-scaled and delta-compressible,
+    // the r16 OOM class. The corpus row count (one count-star over the
+    // input) is the proven dispatch number: small corpora keep the
+    // broadcast, big ones pin merge.
     docs.select(col(idCol))
-      .join(perDoc, Seq(idCol), "left")
+      .join(graft.functions.mergePinned(perDoc, docs.count()), Seq(idCol), "left")
       .select(
         col(idCol),
         coalesce(col("n_spans"), lit(0L)).as("n_spans"),
@@ -208,7 +213,12 @@ object Dedup {
     val spark = docs.sparkSession
     import spark.implicits._
     val starts = mask.groupBy(idCol).agg(collect_list(col("pos")).as("__starts"))
-    docs.select(col(idCol), col(textCol)).join(starts, Seq(idCol), "left")
+    // Broadcast-roulette pin (r17 audit): starts is masked-doc-scaled
+    // (<= corpus rows) and its position ARRAYS are the template-
+    // repetitive shape AQE underestimates (the r16 OOM class). The
+    // corpus row count bounds it — proven dispatch, merge at scale.
+    docs.select(col(idCol), col(textCol))
+      .join(graft.functions.mergePinned(starts, docs.count()), Seq(idCol), "left")
       .select(col(idCol), col(textCol),
         coalesce(col("__starts"), typedlit(Array.empty[Long])).as("__starts"))
       .as[(Long, String, Array[Long])]
@@ -267,7 +277,11 @@ object Dedup {
     * low-jaccard bucket collisions (which the exact verify pass removes). */
   def minhashCandidates(docs: DataFrame, k: Int = 128, bands: Int = 32,
                         idCol: String = "doc_id", textCol: String = "text"): DataFrame =
-    firstBandPairs(bandBucketArrays(shingleHashSets(docs, 3, idCol, textCol), k, bands, idCol))
+    // docs.count() is one count-star job over the input relation (no
+    // shingling) — it buys [[firstBandPairs]] the EXACT side-row number
+    // its broadcast-vs-merge dispatch is proved against
+    firstBandPairs(bandBucketArrays(shingleHashSets(docs, 3, idCol, textCol), k, bands, idCol),
+      sideRows = docs.count() * bands)
 
   /** Exact n-gram Jaccard verification over candidate pairs
     * ((a_id, b_id) columns): joins the shingle-hash sets back and
@@ -430,27 +444,52 @@ object Dedup {
     * still produces the same 626M intermediate rows, but they flow
     * through the join stage's codegen pipeline and die at the filter
     * instead of being shuffled. */
-  private[graft] def firstBandPairs(bucketArrs: DataFrame): DataFrame = {
+  private[graft] def firstBandPairs(bucketArrs: DataFrame,
+                                    sideRows: Long = -1L): DataFrame = {
     val ex = bucketArrs.select(col("id"), col("barr"),
       posexplode(col("barr")).as(Seq("band", "bucket")))
     val a = ex.select(col("id").as("a_id"), col("barr").as("a_barr"),
       col("band").as("a_band"), col("bucket"))
     val b = ex.select(col("id").as("b_id"), col("barr").as("b_barr"),
       col("band").as("b_band"), col("bucket"))
-    // NEVER broadcast: each side is corpus x bands rows, and the band
-    // arrays are template-repetitive on a dup-heavy corpus, so AQE's
-    // compressed-bytes estimate can land UNDER the broadcast threshold
-    // while the deserialized build side is driver-heap-sized (measured:
-    // the r16 sf10 full-suite run OOM'd exactly here on a 16M-row
-    // "small" side that standalone runs sort-merge joined). The merge
-    // hint pins SMJ at every SF — pair-volume joins have no small side
-    // by construction.
-    a.hint("merge").join(b.hint("merge"), "bucket")
+    // Broadcast only when PROVABLY tiny, never on AQE's estimate: each
+    // side is corpus x bands rows, and the band arrays are template-
+    // repetitive on a dup-heavy corpus, so AQE's compressed-bytes
+    // estimate can land UNDER the broadcast threshold while the
+    // deserialized build side is driver-heap-sized (measured: the r16
+    // sf10 full-suite run OOM'd exactly here on a 16M-row "small" side
+    // that standalone runs sort-merge joined). But the unconditional
+    // merge pin cost the SMALL end real money (sf0.1 dedup_jaccard
+    // 0.59 -> 1.75 s, r15 -> r16 officials): two full sorts where a
+    // few-MB broadcast was the right plan. So SIZE-DISPATCH on the one
+    // number the caller knows exactly — `sideRows` = docs x bands, the
+    // posexploded row count of each side. Under [[pinFreeSideRowLimit]]
+    // the worst-case DESERIALIZED build side is bounded by arithmetic
+    // (rows x ~200 B at 32 bands — independent of how well it
+    // compresses), so AQE is free to pick broadcast; above it, or when
+    // the caller can't vouch (-1, the default), pin sort-merge — pair-
+    // volume joins have no small side by construction.
+    val (l, r) =
+      if (sideRows >= 0 && sideRows <= pinFreeSideRowLimit) (a, b)
+      else (a.hint("merge"), b.hint("merge"))
+    l.join(r, "bucket")
       .where(col("a_id") < col("b_id") &&
         graft.expressions.VectorExpressions.firstMatchingBand(
           col("a_barr"), col("b_barr"), col("a_band"), col("b_band")))
       .select("a_id", "b_id")
   }
+
+  /** Side-row bound under which [[firstBandPairs]] lets AQE choose the
+    * join strategy — the shared [[graft.functions.pinFreeSideRowLimit]]
+    * bound. A posexploded side row is (long id, int[bands] barr, int
+    * band, int bucket) — ~200 B deserialized at the default 32 bands —
+    * so 512k rows caps the worst-case broadcast build at ~100 MB,
+    * driver-safe by ARITHMETIC rather than by a compressed-bytes
+    * estimate (the r16 OOM class). sf0.1's 5k docs (160k side rows)
+    * dispatch free; sf1's 50k docs (1.6M) and everything above pin
+    * merge. */
+  private[graft] def pinFreeSideRowLimit: Long =
+    graft.functions.pinFreeSideRowLimit
 
   /** The original aggregate-form banding (explode + k min aggregates) —
     * retained as the equality REFERENCE for [[bandBuckets]]' tight-loop
@@ -677,18 +716,26 @@ object Dedup {
       lastSpanningStats = SpanningStats(0, 0, 0, 0, estFull, dispatchedFull = true)
       return verified
     }
+    // Broadcast-roulette pins (r17 audit): this branch only runs when
+    // estFull > fullFeedPairLimit — the corpus is big by construction,
+    // so merge costs nothing at the small end (dispatched to the full
+    // feed above) and removes AQE's freedom to broadcast a bucket/hub/
+    // pair table whose two-long rows compress deceptively (the r16
+    // sf10 OOM class: compressed estimate under the 64 MB threshold,
+    // deserialized build driver-heap-sized).
     val hubs = b.groupBy("bucket").agg(min("id").as("hub"))
-    val star = b.join(hubs, "bucket").where(col("id") =!= col("hub"))
+    val star = b.join(hubs.hint("merge"), "bucket")
+      .where(col("id") =!= col("hub"))
     // distinct folds the same (hub, member) edge re-found by other bands
     val starPairs = star.select(col("hub").as("a_id"), col("id").as("b_id"))
       .distinct().localCheckpoint()
     val starVerified = verifyPairs(starPairs, sets, sets, threshold)
       .localCheckpoint()
     val okPairs = starVerified.select(col("a_id").as("hub"), col("b_id").as("id"))
-    val residual = star.join(okPairs, Seq("hub", "id"), "left_anti")
+    val residual = star.join(okPairs.hint("merge"), Seq("hub", "id"), "left_anti")
       .select("bucket", "id")
     val resCand = residual.as("r")
-      .join(b.as("m"),
+      .join(b.as("m").hint("merge"),
         col("r.bucket") === col("m.bucket") && col("r.id") =!= col("m.id"))
       .select(least(col("r.id"), col("m.id")).as("a_id"),
         greatest(col("r.id"), col("m.id")).as("b_id"))
@@ -766,28 +813,43 @@ object Dedup {
     // state table — the big increment side is never aggregated. A
     // hot-template corpus state (occupancies in the 10³-10⁶ range —
     // the scenario this feed exists for) routes to the hub path.
-    val maxOcc = corpusB.groupBy("bucket").agg(count(lit(1)).as("g"))
-      .agg(coalesce(max("g"), lit(0L))).head().getLong(0)
+    val occRow = corpusB.groupBy("bucket").agg(count(lit(1)).as("g"))
+      .agg(coalesce(max("g"), lit(0L)), coalesce(sum("g"), lit(0L))).head()
+    val (maxOcc, corpusRows) = (occRow.getLong(0), occRow.getLong(1))
     if (maxOcc <= fullFeedMaxOccupancy) {
       lastWitnessStats = WitnessStats(0, 0, 0, 0, maxOcc, dispatchedFull = true)
       val cross = incB.join(corpusB, "bucket")
         .select("a_id", "b_id").distinct()
       return verify(cross).select("a_id").distinct()
     }
+    // Broadcast-roulette pins (r17 audit): hubs/bucket tables here are
+    // two-long-row relations whose compressed estimate can land under
+    // the broadcast threshold while deserializing driver-heap-sized
+    // (the r16 OOM class). The occupancy aggregate above already
+    // counted the corpus state's rows, so the pin dispatches for free:
+    // a state table under the arithmetic bound (hubs and corpusB are
+    // both <= corpusRows) stays AQE-free — a hot-template-but-small
+    // state (the sf0.1 shape) keeps its broadcasts — while a corpus-
+    // scaled state pins merge. The increment-bounded sides (hubCand,
+    // hubDropped) have no proven count and always pin.
+    import graft.functions.mergePinned
     val hubs = corpusB.groupBy("bucket").agg(min("b_id").as("hub"))
     // one candidate per (inc doc, colliding bucket): the hub edge.
     // Checkpointed — it feeds the verify AND the residual anti-join.
-    val hubCand = incB.join(hubs, "bucket")
+    val hubCand = incB.join(mergePinned(hubs, corpusRows), "bucket")
       .select(col("a_id"), col("hub").as("b_id")).distinct()
       .localCheckpoint()
     val hubDropped = verify(hubCand).select("a_id").distinct()
       .localCheckpoint()
     // fallback: undecided docs x their buckets' members, minus the
-    // already-decided hub edges (all of which FAILED for these docs)
-    val resCand = incB.join(hubDropped, Seq("a_id"), "left_anti")
-      .join(corpusB, "bucket")
+    // already-decided hub edges (all of which FAILED for these docs).
+    // hubDropped/hubCand are materialised checkpoints, so their counts
+    // are cheap and exact — proven dispatch numbers, not estimates.
+    val resCand = incB.join(mergePinned(hubDropped, hubDropped.count()),
+        Seq("a_id"), "left_anti")
+      .join(mergePinned(corpusB, corpusRows), "bucket")
       .select("a_id", "b_id").distinct()
-      .join(hubCand, Seq("a_id", "b_id"), "left_anti")
+      .join(mergePinned(hubCand, hubCand.count()), Seq("a_id", "b_id"), "left_anti")
       .localCheckpoint()
     val resDropped = verify(resCand).select("a_id").distinct()
       .localCheckpoint()
@@ -838,7 +900,11 @@ object Dedup {
         val cand =
           if (maxPairsPerBucket > 0)
             selfPairsCapped(bandBuckets(sets, k, bands), maxPairsPerBucket)
-          else firstBandPairs(bandBucketArrays(sets, k, bands))
+          // sets is persisted above, so this count materialises the
+          // cache the verify join needs anyway — the dispatch number
+          // (docs x bands side rows) is effectively free here
+          else firstBandPairs(bandBucketArrays(sets, k, bands),
+            sideRows = sets.count() * bands)
         jaccardVerify(cand, sets, threshold).localCheckpoint()
       }
     sets.unpersist(false)
@@ -1140,18 +1206,26 @@ object Dedup {
       // neighbours to m = min(neighbours ∪ self). Every undirected
       // edge is emitted exactly once (from its smaller endpoint's
       // neighbourhood), already canonical since m <= u < v.
+      // Broadcast-roulette pins (r17 audit): the per-node min tables
+      // are (id, id) rows — delta-compressible longs whose AQE estimate
+      // can undershoot while the deserialized build is heap-sized (the
+      // r16 OOM class). prevCnt (this round's edge count, already
+      // maintained for convergence) bounds both min tables at
+      // 2x edges, so the pin dispatches for free: small dup graphs
+      // keep their broadcasts, corpus-scaled ones pin merge.
+      val minBound = 2L * prevCnt
       val bidir = edges.select("u", "v")
         .union(edges.select(col("v").as("u"), col("u").as("v")))
       val mins = bidir.groupBy("u").agg(min("v").as("mn"))
         .select(col("u"), least(col("u"), col("mn")).as("m"))
       val afterLarge = bidir.where(col("v") > col("u"))
-        .join(mins, "u")
+        .join(graft.functions.mergePinned(mins, minBound), "u")
         .select(col("v").as("u"), col("m").as("v"))
         .where(col("u") =!= col("v")).distinct()
       // SMALL-STAR: on the canonical (larger endpoint first) edges,
       // fold each node's smaller neighbours + itself onto their min.
       val minsS = afterLarge.groupBy("u").agg(min("v").as("m"))
-      val next = afterLarge.join(minsS, "u")
+      val next = afterLarge.join(graft.functions.mergePinned(minsS, minBound), "u")
         .select(col("v").as("a"), col("m").as("b"))
         .union(minsS.select(col("u").as("a"), col("m").as("b")))
         .select(greatest(col("a"), col("b")).as("u"),
@@ -1199,15 +1273,24 @@ object Dedup {
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     var labels = paired
       .withColumn("cluster_id", col("id")).localCheckpoint()
+    // Broadcast-roulette pin dispatch (r17 audit): label tables are
+    // (id, cluster_id) rows — the compression-deceptive long-pair shape
+    // (the r16 OOM class). paired is persisted and its count bounds
+    // every label/nbr-min table in the loop, so the dispatch number is
+    // proven and costs one count over an already-needed cache: small
+    // dup graphs keep their broadcasts, corpus-scaled ones pin merge.
+    val nNodes = paired.count()
     var round = 0
     var converged = false
     val spark = pairs.sparkSession
     while (!converged && round < maxRounds) {
       val nbrMin = edges
-        .join(labels.withColumnRenamed("id", "dst"), "dst")
+        .join(graft.functions.mergePinned(
+          labels.withColumnRenamed("id", "dst"), nNodes), "dst")
         .groupBy("src").agg(min("cluster_id").as("nbr_min"))
         .withColumnRenamed("src", "id")
-      val stepped = labels.join(nbrMin, Seq("id"), "left")
+      val stepped = labels.join(graft.functions.mergePinned(nbrMin, nNodes),
+          Seq("id"), "left")
         .select(col("id"),
           least(col("cluster_id"), coalesce(col("nbr_min"), col("cluster_id")))
             .as("cluster_id"),
@@ -1588,7 +1671,13 @@ object Dedup {
       }
       .toDF("vec_id")
     val bigMembers = cells.join(broadcast(bigCells), "cell")
-    val candBig = bigMembers.as("x")
+    // Broadcast-roulette pin (r17 audit): this fallback arm only runs
+    // for over-cap cells, so each side is hot-cell-membership-sized —
+    // (vec_id, cell) long pairs with NO small side by construction;
+    // merge is the only safe strategy (the r16 OOM class), and the
+    // arm's small-corpus cost is nil because small cells take the
+    // scan arm.
+    val candBig = bigMembers.as("x").hint("merge")
       .join(bigMembers.as("y"),
         col("x.cell") === col("y.cell") && col("x.vec_id") < col("y.vec_id"))
       .select(col("x.vec_id").as("a_id"), col("y.vec_id").as("b_id"))
@@ -1687,7 +1776,13 @@ object Dedup {
       }
       .toDF("a_id", "b_id")
     val bigMembers = cells.join(broadcast(bigCells), "cell")
-    val candBig = bigMembers.as("x")
+    // Broadcast-roulette pin (r17 audit): this fallback arm only runs
+    // for over-cap cells, so each side is hot-cell-membership-sized —
+    // (vec_id, cell) long pairs with NO small side by construction;
+    // merge is the only safe strategy (the r16 OOM class), and the
+    // arm's small-corpus cost is nil because small cells take the
+    // scan arm.
+    val candBig = bigMembers.as("x").hint("merge")
       .join(bigMembers.as("y"),
         col("x.cell") === col("y.cell") && col("x.vec_id") < col("y.vec_id"))
       .select(col("x.vec_id").as("a_id"), col("y.vec_id").as("b_id"))

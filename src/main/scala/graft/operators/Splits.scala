@@ -77,7 +77,13 @@ object Splits {
                             fractions: Seq[(String, Double)] = Seq("train" -> 0.8, "val" -> 0.1),
                             defaultLabel: String = "test"): DataFrame = {
     val comps = labels.withColumnRenamed("id", idCol)
-    df.join(comps, Seq(idCol))
+    // Broadcast-roulette pin (r17 audit): the label table is one
+    // (id, cluster_id) row per corpus doc — delta-compressible long
+    // pairs whose AQE estimate can undershoot while the deserialized
+    // build is heap-sized (the r16 OOM class). The corpus row count
+    // bounds it exactly (one count-star over the input): small corpora
+    // keep the broadcast, big ones pin merge.
+    df.join(graft.functions.mergePinned(comps, df.count()), Seq(idCol))
       .withColumn("split", splitExpr(col("cluster_id"), fractions, defaultLabel))
   }
 

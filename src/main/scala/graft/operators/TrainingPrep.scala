@@ -196,7 +196,14 @@ object TrainingPrep {
         // join here)
         val packed = Packing.packSequences(r.select("doc_id", "text"), budget)
           .withColumnRenamed("n_tokens", "pack_tokens") // quality adds n_tokens
-        r = r.join(packed, "doc_id")
+        // Broadcast-roulette pin (r17 audit): packed is one row of
+        // near-sequential longs per surviving doc — byte-identical in
+        // shape to the shard export's doc-level assignment side that
+        // OOM'd the r16 sf10 campaign. No cheap proven count exists
+        // here (r is a filter chain; counting it would re-execute the
+        // chain), so pin unconditionally — the flagship's last join
+        // must never be the roulette one.
+        r = r.join(packed.hint("merge"), "doc_id")
       case _ =>
     }
 

@@ -24,4 +24,24 @@ class BenchGuardSpec extends AnyFunSuite {
     val edge = Bench.extCpuWarnJson(Seq("q1" -> 1.0), 1.0)
     assert(edge.contains(""""ext_cpu_warn":false"""))
   }
+
+  test("cold-extra accounting: reports first-run excess over median, floored") {
+    // the closure-label cache's one-time build (~53 s at sf10) is paid
+    // by the FIRST run of the first consumer and correctly excluded
+    // from its median — cold_extra_s makes that cost machine-readable
+    // instead of a SCALE.md footnote
+    val json = Bench.coldExtraJson(Seq(
+      "dedup_clusters" -> 53.2,   // the cache build
+      "q1" -> 0.3,                // sub-floor jitter: not reported
+      "q2" -> 0.0,                // warm from run one
+      "text_tfidf" -> 1.75))
+    assert(json.contains(""""dedup_clusters":53.200"""))
+    assert(json.contains(""""text_tfidf":1.750"""))
+    assert(!json.contains("q1") && !json.contains("q2"),
+      "sub-floor cold extras must not clutter the artifact")
+    // boundary: exactly the floor is not reported (strictly >)
+    assert(!Bench.coldExtraJson(Seq("q" -> 0.5)).contains("\"q\""))
+    // empty map renders as valid JSON
+    assert(Bench.coldExtraJson(Nil) == """"cold_extra_s":{},""")
+  }
 }

@@ -61,6 +61,38 @@ class BpeSpec extends SparkSpec {
     assert(again == man)
   }
 
+  test("shard export: window-assignment join never broadcasts the doc-level side") {
+    // the r16 sf10 OOM class: `assigned` is one row per DOC — corpus-
+    // scaled, two-long rows that compress so well AQE's bytes estimate
+    // can land under the broadcast threshold while the deserialized
+    // build is driver-heap-sized (BENCH_SF10_R16 failed: corpus_shards).
+    // The merge pin (ShardExport.windows) must hold on the EXECUTED
+    // adaptive plan even at this tiny SF, where AQE would otherwise
+    // legitimately broadcast — exactly the conversion the pin forbids.
+    // The vocabulary broadcast (join on `token`) is expected: BPE
+    // bounds its size by construction.
+    val model = Bpe.train(docs, numMerges = 150)
+    val enc = Bpe.encode(model, docs)
+    val wins = ShardExport.windows(enc, ShardExport.vocabulary(enc),
+      budget = 64, windowsPerShard = 8)
+    wins.collect() // finalize the adaptive plan before inspecting it
+    val nodes = executedNodes(wins.queryExecution.executedPlan)
+    val bhjKeys = nodes.collect {
+      case j: org.apache.spark.sql.execution.joins.BroadcastHashJoinExec =>
+        j.leftKeys.flatMap(_.references.map(_.name.toLowerCase))
+    }
+    assert(!bhjKeys.exists(_.contains("doc_id")),
+      s"doc-level assignment join must not broadcast (keys: $bhjKeys)")
+    val smjKeys = nodes.collect {
+      case j: org.apache.spark.sql.execution.joins.SortMergeJoinExec =>
+        j.leftKeys.flatMap(_.references.map(_.name.toLowerCase))
+    }
+    assert(smjKeys.exists(_.contains("doc_id")),
+      s"doc-level assignment join must stay sort-merge (SMJ keys: $smjKeys)")
+    assert(bhjKeys.exists(_.contains("token")),
+      s"vocabulary join should broadcast (BHJ keys: $bhjKeys)")
+  }
+
   test("bpe train: deterministic, valid contiguous ranks, count-ordered") {
     val m1 = Bpe.train(docs, numMerges = 100)
     val m2 = Bpe.train(docs, numMerges = 100)

@@ -336,26 +336,16 @@ class DedupSimilaritySpec extends SparkSpec {
     // adaptive plan is finalized before we inspect it below
     val got = feed.collect().toSeq.map(r => (r.getLong(0), r.getLong(1)))
     assert(got.size == got.toSet.size, "pair emitted more than once")
-    // the bucket self-join must NEVER broadcast — each side is
-    // corpus x bands rows, and on a dup-heavy corpus the band arrays
-    // compress so well that AQE's bytes estimate lands under the
-    // broadcast threshold while the deserialized build side is
-    // driver-heap-sized (the r16 sf10 full-suite OOM). The merge hint
-    // pins sort-merge at EVERY corpus size, including this small one
-    // where AQE would otherwise legitimately broadcast — so this spec
-    // exercises exactly the conversion the hint forbids.
-    def flatten(p: org.apache.spark.sql.execution.SparkPlan):
-        Seq[org.apache.spark.sql.execution.SparkPlan] = {
-      val nested = p match {
-        case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
-          flatten(a.executedPlan)
-        case q: org.apache.spark.sql.execution.adaptive.QueryStageExec =>
-          flatten(q.plan)
-        case _ => Seq.empty
-      }
-      (p +: p.children.flatMap(flatten)) ++ nested
-    }
-    val nodes = flatten(feed.queryExecution.executedPlan)
+    // the bucket self-join must NEVER broadcast unless the caller
+    // PROVED the side small — each side is corpus x bands rows, and on
+    // a dup-heavy corpus the band arrays compress so well that AQE's
+    // bytes estimate lands under the broadcast threshold while the
+    // deserialized build side is driver-heap-sized (the r16 sf10
+    // full-suite OOM). The default sideRows = -1 (no proof) pins
+    // sort-merge at EVERY corpus size, including this small one where
+    // AQE would otherwise legitimately broadcast — so this spec
+    // exercises exactly the conversion the pin forbids.
+    val nodes = executedNodes(feed.queryExecution.executedPlan)
     assert(!nodes.exists(
       _.isInstanceOf[org.apache.spark.sql.execution.joins.BroadcastHashJoinExec]),
       "pair self-join must not broadcast (no small side at scale)")
@@ -369,6 +359,40 @@ class DedupSimilaritySpec extends SparkSpec {
       .as[(Long, Long)].collect().toSet
     assert(got.toSet == ref, s"got ${got.size} vs ref ${ref.size}")
     assert(ref.nonEmpty)
+    sets.unpersist(false)
+  }
+
+  test("firstBandPairs size dispatch: proven-tiny side frees AQE, output set unchanged") {
+    // the sf0.1 lesson (r16): the unconditional merge pin bought sf10
+    // OOM-safety but charged the small end two full sorts where a
+    // few-MB broadcast was the right plan (dedup_jaccard 0.59->1.75 s).
+    // The dispatch takes a caller-PROVEN side-row count: under the
+    // arithmetic bound AQE may broadcast, above it (or unproven, -1)
+    // the pin holds. Both arms must emit the identical pair set.
+    val docs = spark.read.parquet(s"${sf("sf0.01")}/documents.parquet")
+    val sets = Dedup.shingleHashSets(docs)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val arrs = Dedup.bandBucketArrays(sets)
+    val n = sets.count()
+    val free = Dedup.firstBandPairs(arrs, sideRows = n * 32)
+    val freeRows = free.collect().toSeq.map(r => (r.getLong(0), r.getLong(1)))
+    // sf0.01 is 500 docs x 32 bands = 16k side rows — far under the
+    // 512k dispatch bound, so the executed plan must show AQE took the
+    // broadcast it was freed to take (the conversion the pin forbids)
+    val freeNodes = executedNodes(free.queryExecution.executedPlan)
+    assert(freeNodes.exists(
+      _.isInstanceOf[org.apache.spark.sql.execution.joins.BroadcastHashJoinExec]),
+      "proven-tiny side should let AQE broadcast the bucket self-join")
+    val pinned = Dedup.firstBandPairs(arrs)
+      .collect().toSeq.map(r => (r.getLong(0), r.getLong(1)))
+    assert(freeRows.toSet == pinned.toSet, "dispatch arms must agree")
+    assert(freeRows.size == freeRows.toSet.size, "still exactly-once")
+    // above the bound the pin must hold even when the count is proven
+    val big = Dedup.firstBandPairs(arrs, sideRows = Dedup.pinFreeSideRowLimit + 1)
+    big.collect()
+    assert(!executedNodes(big.queryExecution.executedPlan).exists(
+      _.isInstanceOf[org.apache.spark.sql.execution.joins.BroadcastHashJoinExec]),
+      "above the bound the merge pin must hold")
     sets.unpersist(false)
   }
 

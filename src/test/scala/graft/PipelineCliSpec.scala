@@ -305,6 +305,20 @@ class PipelineCliSpec extends SparkSpec {
     assert(!jOut.contains("sekret"), jOut)
   }
 
+  test("workers subcommand lists the live executor inventory") {
+    // reference cli/main.py:265 workers_command: count + per-worker
+    // active tasks + pool; Spark analog reads the StatusTracker. In
+    // local mode the inventory is exactly the driver executor.
+    val (code, out) = cli("workers")
+    assert(code == 0, out)
+    assert(out.contains("Found 1 executor(s)"), out)
+    assert(out.contains(s"pool: ${spark.sparkContext.master}"), out)
+    assert(out.contains("Active tasks:"), out)
+    assert(out.contains("Storage memory:"), out)
+    // flags are tolerated but ignored; extra positionals are a usage error
+    assert(cli("workers", "extra")._1 == 2)
+  }
+
   test("GraftSettings: malformed env values fail loudly, never default silently") {
     val bad = Map("GRAFT_IDEMPOTENCY_TTL_DAYS" -> "soon")
     val (code, _) = cliEnv(bad)("history", "whatever")

@@ -9,6 +9,23 @@ import org.scalatest.funsuite.AnyFunSuite
 trait SparkSpec extends AnyFunSuite with BeforeAndAfterAll {
   lazy val spark: SparkSession = SparkSpec.session
   def sf(dir: String = "sf0.001"): String = s"/root/testdata/$dir"
+
+  /** Every node of an EXECUTED adaptive plan, recursing through
+    * AdaptiveSparkPlanExec/QueryStageExec wrappers — what the
+    * broadcast-pin plan-shape assertions inspect, since AQE hides
+    * finalized stages behind wrapper nodes. Collect AFTER an action on
+    * the DataFrame itself so the adaptive plan is final. */
+  def executedNodes(p: org.apache.spark.sql.execution.SparkPlan):
+      Seq[org.apache.spark.sql.execution.SparkPlan] = {
+    val nested = p match {
+      case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+        executedNodes(a.executedPlan)
+      case q: org.apache.spark.sql.execution.adaptive.QueryStageExec =>
+        executedNodes(q.plan)
+      case _ => Seq.empty
+    }
+    (p +: p.children.flatMap(executedNodes)) ++ nested
+  }
 }
 
 object SparkSpec {
