@@ -49,6 +49,16 @@ object Pipeline {
     // Run id minted up front so every structured log line carries it
     // (the ledger row and the result reuse the same id).
     val runId = java.util.UUID.randomUUID().toString
+    // Correlation id (reference logging.py:179-199): reuse the one a
+    // request-scoped caller already put in context, else this run's id
+    // — every StageLog line inside the scope then carries it, and the
+    // Spark local property stamps it onto this run's jobs so executor/
+    // event-log records are attributable to the same request.
+    val cid = StageLog.correlationId.getOrElse(runId)
+    StageLog.withCorrelationId(cid) {
+    val prevProp = spark.sparkContext.getLocalProperty("graft.correlation.id")
+    spark.sparkContext.setLocalProperty("graft.correlation.id", cid)
+    try {
     val t0 = System.nanoTime()
     // Idempotent-run gate (reference tasks.py consults IdempotencyManager
     // before executing; key = SHA-256 of the full spec payload).
@@ -236,6 +246,8 @@ object Pipeline {
       "rows_written" -> writeStats.map(_.rowsWritten).getOrElse(-1L),
       "duration_ms" -> (System.nanoTime() - t0) / 1000000)
     RunResult(transformed, stats, writeStats, runId = runId)
+    } finally spark.sparkContext.setLocalProperty("graft.correlation.id", prevProp)
+    }
   }
 
   /** Shared registry for `{"type":"code","name":...}` stages; callers

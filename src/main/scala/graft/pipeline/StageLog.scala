@@ -20,6 +20,29 @@ object StageLog {
 
   @volatile var sink: String => Unit = s => logger.info(s)
 
+  /** Correlation-id CONTEXT — the reference's contextvar-based
+    * correlation id (logging.py:179-199: `get/set_correlation_id`, the
+    * StructuredFormatter stamps it on every record) re-expressed as an
+    * inheritable thread-local: once set, EVERY line [[emit]] produces
+    * carries `correlation_id` without callers threading it by hand,
+    * and child threads (Spark's driver-side action threads) inherit
+    * it. A caller that spans several pipeline runs (a scheduler
+    * submitting a request) sets one id around the batch; [[Pipeline]]
+    * installs the run id as the correlation id only when none is
+    * already in context, so request-scoped ids survive nesting. */
+  private val correlation = new InheritableThreadLocal[String]
+
+  /** The correlation id currently in context, if any. */
+  def correlationId: Option[String] = Option(correlation.get())
+
+  /** Run `body` with `id` as the context correlation id, restoring the
+    * previous context on exit (exception- and early-return-safe). */
+  def withCorrelationId[T](id: String)(body: => T): T = {
+    val prev = correlation.get()
+    correlation.set(id)
+    try body finally correlation.set(prev)
+  }
+
   /** Compact single-line JSON with full string escaping (same rules as
     * Verify's dump: a stray newline/quote in a path or an error message
     * must never split or corrupt a log line). Longs/doubles/booleans
@@ -50,6 +73,12 @@ object StageLog {
       .mkString("{", ", ", "}")
   }
 
-  def emit(event: String, fields: (String, Any)*): Unit =
-    sink(line(event, fields: _*))
+  def emit(event: String, fields: (String, Any)*): Unit = {
+    val withCid = correlationId match {
+      case Some(cid) if !fields.exists(_._1 == "correlation_id") =>
+        fields :+ ("correlation_id" -> (cid: Any))
+      case _ => fields
+    }
+    sink(line(event, withCid: _*))
+  }
 }

@@ -134,6 +134,44 @@ class PipelineCliSpec extends SparkSpec {
     // escaping: hostile strings survive as one parseable line
     val hostile = StageLog.line("x", "msg" -> "a\"b\\c\nd\tef")
     assert((JsonMethods.parse(hostile) \ "msg") == JString("a\"b\\c\nd\tef"))
+    // correlation id (reference logging.py contextvar): with no outer
+    // context, every run line carries correlation_id == run_id
+    val cids = parsed.take(5).map(j => (j \ "correlation_id") match { case JString(s) => s; case _ => "?" })
+    assert(cids.distinct == List(runIds.head), cids)
+  }
+
+  test("correlation id: request-scoped context survives into every run's lines") {
+    import graft.pipeline.{Pipeline, StageLog}
+    import org.json4s._
+    import org.json4s.jackson.JsonMethods
+    val dir = tmp("graft_cid")
+    val in = s"$dir/in"
+    (1L to 10L).map(i => (i, i)).toDF("id", "v").write.parquet(in)
+    val spec =
+      s"""{"ingestion": {"path": "$in", "format": "parquet"},
+         | "transformation": [{"type": "config", "config": {}}],
+         | "persistence": {"path": "$dir/out", "strategy": "overwrite"}}""".stripMargin
+    val buf = scala.collection.mutable.ArrayBuffer.empty[String]
+    val prev = StageLog.sink
+    val (r1, r2) = try {
+      StageLog.sink = s => buf.synchronized { buf += s }
+      // a scheduler submitting one REQUEST that spans two runs sets one
+      // id around the batch: both runs' lines must carry it, while
+      // their run_ids stay distinct
+      StageLog.withCorrelationId("req-42") {
+        (Pipeline.runJson(spark, spec, pipelineName = "cid_a"),
+         Pipeline.runJson(spark, spec, pipelineName = "cid_b"))
+      }
+    } finally StageLog.sink = prev
+    assert(r1.runId != r2.runId)
+    val parsed = buf.toList.map(JsonMethods.parse(_))
+    assert(parsed.nonEmpty)
+    assert(parsed.forall(j => (j \ "correlation_id") == JString("req-42")),
+      buf.mkString("\n"))
+    // context restored after the scope: a fresh emit has no stale id
+    assert(StageLog.correlationId.isEmpty)
+    val bare = StageLog.line("x", "k" -> 1L)
+    assert(!bare.contains("correlation_id"))
   }
 
   test("runnable example specs work from the repo root") {
