@@ -16,8 +16,20 @@ import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
   * caller tag (parameters). On a hash hit the stored plan is re-checked
   * with `sameResult`, so a semanticHash collision degrades to a miss —
   * never a wrong table. Entries hold localCheckpoint-backed DataFrames
-  * and die with the application (appId in the key); a blunt size bound
-  * resets a runaway caller (entries are rebuildable by construction).
+  * and die with the application (appId in the key).
+  *
+  * EVICTION (the bound, spelled out): `maxEntries` (default 16) is a
+  * runaway-caller backstop, not an LRU — when the map exceeds it, the
+  * WHOLE cache clears and every consumer rebuilds cold. That is a
+  * deliberate blunt policy: entries are rebuildable by construction
+  * (eviction is a performance event, never a correctness one), a
+  * legitimate suite touches a handful of (corpus, params) keys — 16 is
+  * far above any real working set — and the evicted DataFrames'
+  * checkpoint blocks are freed by the ContextCleaner once unreferenced,
+  * so a clear cannot leak storage. If a deployment ever legitimately
+  * exceeds the bound (dozens of live corpora in one app), raise
+  * `maxEntries` rather than adding LRU machinery the workload shape
+  * doesn't need.
   *
   * Build-once under concurrency: `computeIfAbsent`, so two consumers of
   * one corpus racing on a cold key BLOCK on a single build instead of

@@ -362,6 +362,34 @@ class DedupSimilaritySpec extends SparkSpec {
     sets.unpersist(false)
   }
 
+  test("firstBandPairs under adversarial band counts: exactly-once, set-equal to the distinct form") {
+    // the posexploded self-join's fanout is corpus x bands PER SIDE —
+    // linear in bands, never quadratic — and the exactly-once gate must
+    // hold at BOTH extremes of the banding space: one row per band
+    // (bands == k: maximal fanout, every band a 1-hash bucket, maximal
+    // cross-band collision surface) and one band total (bands == 1: the
+    // gate's first-agreeing-band arithmetic degenerates to band 0).
+    val docs = spark.read.parquet(s"${sf("sf0.001")}/documents.parquet")
+    val sets = Dedup.shingleHashSets(docs)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    for (bands <- Seq(1, 64, 128)) {
+      val feed = Dedup.firstBandPairs(Dedup.bandBucketArrays(sets, k = 128, bands = bands))
+      val got = feed.collect().toSeq.map(r => (r.getLong(0), r.getLong(1)))
+      assert(got.size == got.toSet.size, s"duplicate emission at bands=$bands")
+      val ex = Dedup.bandBuckets(sets, k = 128, bands = bands)
+      val ref = ex.as("a").join(ex.as("b"),
+          col("a.bucket") === col("b.bucket") && col("a.id") < col("b.id"))
+        .select(col("a.id").as("a_id"), col("b.id").as("b_id")).distinct()
+        .as[(Long, Long)].collect().toSet
+      assert(got.toSet == ref,
+        s"bands=$bands: got ${got.size} pairs vs ref ${ref.size}")
+      // fanout sanity: the exploded side is docs x bands rows exactly
+      assert(Dedup.bandBucketArrays(sets, k = 128, bands = bands)
+        .select(explode(col("barr"))).count() == docs.count() * bands)
+    }
+    sets.unpersist(false)
+  }
+
   test("firstBandPairs size dispatch: proven-tiny side frees AQE, output set unchanged") {
     // the sf0.1 lesson (r16): the unconditional merge pin bought sf10
     // OOM-safety but charged the small end two full sorts where a
