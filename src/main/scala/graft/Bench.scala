@@ -230,7 +230,13 @@ object Bench {
           Thread.sleep(wait)
           System.gc()
           val (t2, ext2, io2, gc2, st2, cold2) = measured()
-          t = t2; ext = ext2; io = io2; gc = gc2; st = st2; cold = cold2
+          // cold carries FORWARD, never resets: the re-measure window's
+          // first run is already warm from the original measurement, so
+          // its first-minus-median reads ~0 even when the true first run
+          // paid a large one-time cache build. The original window's
+          // first run still bounds that one-time cost (r17 ADVICE).
+          t = t2; ext = ext2; io = io2; gc = gc2; st = st2
+          cold = math.max(cold, cold2)
           clean = ext2 <= extLimit && io2 <= ioLimit
         }
         flagged = !clean
@@ -259,7 +265,10 @@ object Bench {
             f"[bench] $name GC re-measure externally contaminated: ext $ext2%.1f / iowait $io2%.1f cores (limits $extLimit / $ioLimit) — flagged")
         }
         t = t2; ext = math.max(ext, ext2); io = math.max(io, io2)
-        gc = gc2; st = math.max(st, st2); cold = cold2
+        gc = gc2; st = math.max(st, st2)
+        // same carry-forward as the contamination path: the GC
+        // re-measure is warm, so its cold reading underestimates
+        cold = math.max(cold, cold2)
       }
       extPeak = math.max(extPeak, ext)
       ioPeak = math.max(ioPeak, io)

@@ -65,6 +65,45 @@ package object functions {
     if (provenRows >= 0 && provenRows <= pinFreeSideRowLimit) side
     else side.hint("merge")
 
+  /** Byte bound the row bound above encodes at its documented ~200 B/row:
+    * joins whose row width VARIES with a config knob (the band self-join
+    * carries the full band array in every exploded row, so width grows
+    * 4 B per band) dispatch against this instead of the fixed row limit
+    * — at bands=128 a "proven tiny" 512k-row side would deserialize to
+    * 3-4x the row bound's worst case, which is exactly the arithmetic
+    * the mechanism exists to make safe (r17 ADVICE). */
+  val pinFreeSideByteLimit: Long = pinFreeSideRowLimit * 200L
+
+  /** Sentinel for builder `provenRows` parameters: resolve the dispatch
+    * count automatically via [[cheapRows]]. Distinct from -1 (= unknown
+    * = pin) so callers can still force the conservative plan. */
+  val autoRows: Long = Long.MinValue
+
+  /** Row count of `df` when counting is PLAN-CHEAP — the optimized plan
+    * is a bare relation (file scan, cached table, local rows), possibly
+    * projected — else -1 (= unknown, which [[mergePinned]] pins). Lazy
+    * builders resolve their broadcast-vs-merge dispatch numbers through
+    * this: on a raw scan the count-star is an empty-schema metadata
+    * pass, but on an uncached mid-pipeline transformation chain it
+    * would re-execute the whole upstream chain once per BUILD — firing
+    * even if the returned frame is never executed (r17 ADVICE). Callers
+    * that know their input's exact row count pass it explicitly. */
+  def cheapRows(df: org.apache.spark.sql.DataFrame): Long = {
+    import org.apache.spark.sql.catalyst.plans.logical.{LeafNode, LogicalPlan, Project}
+    def bare(p: LogicalPlan): Boolean = p match {
+      case _: LeafNode   => true
+      case Project(_, c) => bare(c)
+      case _             => false
+    }
+    if (bare(df.queryExecution.optimizedPlan)) df.count() else -1L
+  }
+
+  /** Resolve a builder's `provenRows` parameter: [[autoRows]] (the
+    * default) counts only when [[cheapRows]] says the plan makes the
+    * count metadata-cheap; any other value is the caller's word. */
+  def resolveRows(df: org.apache.spark.sql.DataFrame, provenRows: Long): Long =
+    if (provenRows == autoRows) cheapRows(df) else provenRows
+
   // ------------------------------------------------------------------- text
   /** Lowercase word tokens; `[^a-z0-9]+` keeps the tokenizer identical
     * across regex engines (Java here, RE2 in oracles). */

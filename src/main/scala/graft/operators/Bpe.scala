@@ -295,7 +295,8 @@ object Bpe {
   def tokenizerCoverage(model: BpeModel, docs: DataFrame,
                         groupCol: String = "lang",
                         idCol: String = "doc_id",
-                        textCol: String = "text"): DataFrame = {
+                        textCol: String = "text",
+                        provenRows: Long = graft.functions.autoRows): DataFrame = {
     val symCount = (t: Column) =>
       length(t) - when(t.endsWith(EndOfWord), lit(EndOfWord.length)).otherwise(0)
     val perDoc = encode(model, docs, idCol, textCol)
@@ -310,8 +311,10 @@ object Bpe {
         .cast("long").as("n_words"))
     // Broadcast-roulette pin (r17 audit): perDoc is one (id, 3 longs)
     // row per doc — corpus-scaled, delta-compressible (the r16 OOM
-    // class). The corpus count is the proven dispatch number.
-    words.join(graft.functions.mergePinned(perDoc, docs.count()), idCol)
+    // class). The corpus count is the proven dispatch number, resolved
+    // lazily (caller-provided or bare-relation count-star, r17 ADVICE).
+    words.join(graft.functions.mergePinned(perDoc,
+        graft.functions.resolveRows(docs, provenRows)), idCol)
       .groupBy(groupCol)
       .agg(
         count(lit(1)).as("n_docs"),

@@ -118,7 +118,8 @@ object Dedup {
     * table, no join-back, and the tokenize pass runs exactly once.
     * Output: per-doc span totals, repeated counts, fraction, flag. */
   def repeatedSpans(docs: DataFrame, n: Int = 8, idCol: String = "doc_id",
-                    textCol: String = "text"): DataFrame = {
+                    textCol: String = "text",
+                    provenRows: Long = graft.functions.autoRows): DataFrame = {
     val spark = docs.sparkSession
     import spark.implicits._
     val spans = spanOccurrences(docs, n, idCol, textCol).select(col(idCol), col("h"))
@@ -155,11 +156,15 @@ object Dedup {
         sum(col("__rep")).as("n_repeated"))
     // Broadcast-roulette pin (r17 audit): perDoc is one (id, long,
     // long) row per document — corpus-scaled and delta-compressible,
-    // the r16 OOM class. The corpus row count (one count-star over the
-    // input) is the proven dispatch number: small corpora keep the
-    // broadcast, big ones pin merge.
+    // the r16 OOM class. The dispatch number is the corpus row count,
+    // resolved lazily: caller-provided, or a count-star only when the
+    // input is a bare relation (counting an uncached mid-pipeline
+    // chain would re-execute it at BUILD time — r17 ADVICE); unknown
+    // pins merge, so small raw corpora keep the broadcast, big or
+    // unproven ones pin.
     docs.select(col(idCol))
-      .join(graft.functions.mergePinned(perDoc, docs.count()), Seq(idCol), "left")
+      .join(graft.functions.mergePinned(perDoc,
+        graft.functions.resolveRows(docs, provenRows)), Seq(idCol), "left")
       .select(
         col(idCol),
         coalesce(col("n_spans"), lit(0L)).as("n_spans"),
@@ -209,16 +214,19 @@ object Dedup {
     * equi-join back to the corpus, one typed rebuild pass — no window,
     * no self-join, and the rebuild is embarrassingly parallel. */
   def applySpanMask(docs: DataFrame, mask: DataFrame, n: Int = 8,
-                    idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+                    idCol: String = "doc_id", textCol: String = "text",
+                    provenRows: Long = graft.functions.autoRows): DataFrame = {
     val spark = docs.sparkSession
     import spark.implicits._
     val starts = mask.groupBy(idCol).agg(collect_list(col("pos")).as("__starts"))
     // Broadcast-roulette pin (r17 audit): starts is masked-doc-scaled
     // (<= corpus rows) and its position ARRAYS are the template-
     // repetitive shape AQE underestimates (the r16 OOM class). The
-    // corpus row count bounds it — proven dispatch, merge at scale.
+    // corpus row count bounds it — resolved lazily (caller-provided or
+    // bare-relation count-star only, r17 ADVICE); unknown pins merge.
     docs.select(col(idCol), col(textCol))
-      .join(graft.functions.mergePinned(starts, docs.count()), Seq(idCol), "left")
+      .join(graft.functions.mergePinned(starts,
+        graft.functions.resolveRows(docs, provenRows)), Seq(idCol), "left")
       .select(col(idCol), col(textCol),
         coalesce(col("__starts"), typedlit(Array.empty[Long])).as("__starts"))
       .as[(Long, String, Array[Long])]
@@ -276,12 +284,17 @@ object Dedup {
     * candidates for any ≥0.8 verification threshold, at the cost of more
     * low-jaccard bucket collisions (which the exact verify pass removes). */
   def minhashCandidates(docs: DataFrame, k: Int = 128, bands: Int = 32,
-                        idCol: String = "doc_id", textCol: String = "text"): DataFrame =
-    // docs.count() is one count-star job over the input relation (no
-    // shingling) — it buys [[firstBandPairs]] the EXACT side-row number
-    // its broadcast-vs-merge dispatch is proved against
+                        idCol: String = "doc_id", textCol: String = "text",
+                        provenRows: Long = graft.functions.autoRows): DataFrame = {
+    // the dispatch count buys [[firstBandPairs]] the EXACT side-row
+    // number its broadcast-vs-merge dispatch is proved against — but it
+    // is resolved lazily (caller-provided, or a count-star only when
+    // docs is a bare relation; r17 ADVICE): counting an uncached
+    // mid-pipeline chain would re-execute it once at BUILD time
+    val dr = graft.functions.resolveRows(docs, provenRows)
     firstBandPairs(bandBucketArrays(shingleHashSets(docs, 3, idCol, textCol), k, bands, idCol),
-      sideRows = docs.count() * bands)
+      sideRows = if (dr < 0) -1L else dr * bands, bands = bands)
+  }
 
   /** Exact n-gram Jaccard verification over candidate pairs
     * ((a_id, b_id) columns): joins the shingle-hash sets back and
@@ -445,7 +458,8 @@ object Dedup {
     * through the join stage's codegen pipeline and die at the filter
     * instead of being shuffled. */
   private[graft] def firstBandPairs(bucketArrs: DataFrame,
-                                    sideRows: Long = -1L): DataFrame = {
+                                    sideRows: Long = -1L,
+                                    bands: Int = 32): DataFrame = {
     val ex = bucketArrs.select(col("id"), col("barr"),
       posexplode(col("barr")).as(Seq("band", "bucket")))
     val a = ex.select(col("id").as("a_id"), col("barr").as("a_barr"),
@@ -463,14 +477,22 @@ object Dedup {
     // 0.59 -> 1.75 s, r15 -> r16 officials): two full sorts where a
     // few-MB broadcast was the right plan. So SIZE-DISPATCH on the one
     // number the caller knows exactly — `sideRows` = docs x bands, the
-    // posexploded row count of each side. Under [[pinFreeSideRowLimit]]
-    // the worst-case DESERIALIZED build side is bounded by arithmetic
-    // (rows x ~200 B at 32 bands — independent of how well it
-    // compresses), so AQE is free to pick broadcast; above it, or when
-    // the caller can't vouch (-1, the default), pin sort-merge — pair-
-    // volume joins have no small side by construction.
+    // posexploded row count of each side. The bound is BYTES, not rows
+    // (r17 ADVICE): every exploded row carries the full int[bands]
+    // band array, so row width grows 4 B per band — 72 B of fixed
+    // fields + 4 x bands, which at the default 32 bands is the same
+    // ~200 B/row x 512k-row arithmetic as [[pinFreeSideRowLimit]], but
+    // at bands=128 correctly shrinks the free region ~3x instead of
+    // waving through a build side 3-4x the proven worst case. Under
+    // the byte bound the worst-case DESERIALIZED build side is bounded
+    // by arithmetic — independent of how well it compresses — so AQE
+    // is free to pick broadcast; above it, or when the caller can't
+    // vouch (-1, the default), pin sort-merge — pair-volume joins have
+    // no small side by construction.
     val (l, r) =
-      if (sideRows >= 0 && sideRows <= pinFreeSideRowLimit) (a, b)
+      if (sideRows >= 0 &&
+          sideRows * (72L + 4L * bands) <= graft.functions.pinFreeSideByteLimit)
+        (a, b)
       else (a.hint("merge"), b.hint("merge"))
     l.join(r, "bucket")
       .where(col("a_id") < col("b_id") &&
@@ -887,7 +909,8 @@ object Dedup {
   def minhashNearDups(docs: DataFrame, threshold: Double = 0.8,
                       k: Int = 128, bands: Int = 32,
                       spanning: Boolean = false,
-                      maxPairsPerBucket: Int = 0): DataFrame = {
+                      maxPairsPerBucket: Int = 0,
+                      provenRows: Long = graft.functions.autoRows): DataFrame = {
     val sets = shingleHashSets(docs)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val verified =
@@ -900,14 +923,18 @@ object Dedup {
         val cand =
           if (maxPairsPerBucket > 0)
             selfPairsCapped(bandBuckets(sets, k, bands), maxPairsPerBucket)
-          // dispatch count from DOCS (count-star, no shingling), NOT
-          // from the persisted sets: counting sets forces the columnar
-          // cache build in its own pass plus an extra decompression
-          // read for the banding consumer — measured +15 s on sf10
-          // dedup_jaccard when this briefly used sets.count(). The row
-          // counts are identical (one set row per doc).
-          else firstBandPairs(bandBucketArrays(sets, k, bands),
-            sideRows = docs.count() * bands)
+          // dispatch count from DOCS (lazily resolved: caller-provided
+          // or bare-relation count-star, r17 ADVICE), NOT from the
+          // persisted sets: counting sets forces the columnar cache
+          // build in its own pass plus an extra decompression read for
+          // the banding consumer — measured +15 s on sf10 dedup_jaccard
+          // when this briefly used sets.count(). The row counts are
+          // identical (one set row per doc).
+          else {
+            val dr = graft.functions.resolveRows(docs, provenRows)
+            firstBandPairs(bandBucketArrays(sets, k, bands),
+              sideRows = if (dr < 0) -1L else dr * bands, bands = bands)
+          }
         jaccardVerify(cand, sets, threshold).localCheckpoint()
       }
     sets.unpersist(false)

@@ -63,9 +63,11 @@ object Splits {
     * projection of the representative id. */
   def leakageSafe(df: DataFrame, pairs: DataFrame, idCol: String,
                   fractions: Seq[(String, Double)] = Seq("train" -> 0.8, "val" -> 0.1),
-                  defaultLabel: String = "test"): DataFrame =
+                  defaultLabel: String = "test",
+                  provenRows: Long = graft.functions.autoRows): DataFrame =
     leakageSafeFromLabels(df,
-      Dedup.connectedComponents(pairs, df, idCol), idCol, fractions, defaultLabel)
+      Dedup.connectedComponents(pairs, df, idCol), idCol, fractions, defaultLabel,
+      provenRows)
 
   /** [[leakageSafe]] over an already-closed label table ((id,
     * cluster_id) — [[Dedup.nearDupClusters]] or its cached form), so a
@@ -75,15 +77,18 @@ object Splits {
     * pair feed that produced the labels. */
   def leakageSafeFromLabels(df: DataFrame, labels: DataFrame, idCol: String,
                             fractions: Seq[(String, Double)] = Seq("train" -> 0.8, "val" -> 0.1),
-                            defaultLabel: String = "test"): DataFrame = {
+                            defaultLabel: String = "test",
+                            provenRows: Long = graft.functions.autoRows): DataFrame = {
     val comps = labels.withColumnRenamed("id", idCol)
     // Broadcast-roulette pin (r17 audit): the label table is one
     // (id, cluster_id) row per corpus doc — delta-compressible long
     // pairs whose AQE estimate can undershoot while the deserialized
     // build is heap-sized (the r16 OOM class). The corpus row count
-    // bounds it exactly (one count-star over the input): small corpora
-    // keep the broadcast, big ones pin merge.
-    df.join(graft.functions.mergePinned(comps, df.count()), Seq(idCol))
+    // bounds it exactly, resolved lazily (caller-provided or a
+    // bare-relation count-star only — r17 ADVICE): small raw corpora
+    // keep the broadcast, big or unproven ones pin merge.
+    df.join(graft.functions.mergePinned(comps,
+        graft.functions.resolveRows(df, provenRows)), Seq(idCol))
       .withColumn("split", splitExpr(col("cluster_id"), fractions, defaultLabel))
   }
 

@@ -29,7 +29,23 @@ object StageLog {
     * it. A caller that spans several pipeline runs (a scheduler
     * submitting a request) sets one id around the batch; [[Pipeline]]
     * installs the run id as the correlation id only when none is
-    * already in context, so request-scoped ids survive nesting. */
+    * already in context, so request-scoped ids survive nesting.
+    *
+    * LIMIT (r17 ADVICE) — inheritance is CREATION-time-only, unlike
+    * the reference's contextvars which propagate per logical context:
+    * a long-lived pooled thread captures whatever id was in scope when
+    * the pool first spawned it and keeps it until reset, so an [[emit]]
+    * from a REUSED shared-pool thread (a streaming listener, a cached
+    * ForkJoinPool worker) can stamp a later run's lines with an earlier
+    * run's id. Emit sites that run on shared pools must therefore
+    * either pass `correlation_id` explicitly in `fields` (explicit
+    * fields always win over the context — [[emit]] checks) or re-enter
+    * [[withCorrelationId]] on the pool thread. [[Pipeline]] itself
+    * always emits on the thread that called `run`, inside its own
+    * `withCorrelationId` span, so pipeline lines are never stale; and
+    * job-level attribution rides the `graft.correlation.id` Spark
+    * local property ([[Pipeline]] sets it around each run)
+    * independently of this context. */
   private val correlation = new InheritableThreadLocal[String]
 
   /** The correlation id currently in context, if any. */

@@ -1515,4 +1515,101 @@ class DedupSimilaritySpec extends SparkSpec {
       .select("doc_id").as[Long].collect().sorted.toSeq
     assert(probed.nonEmpty && probed == inflight)
   }
+
+  test("lazy builders fire zero jobs over an uncached chain (r17 ADVICE); dispatch count resolves cheap plans only") {
+    // cheapRows: bare relations (local rows, raw scans, projections of
+    // them) count; a transformation chain returns -1 = unknown = pin —
+    // so the builder never re-executes an upstream chain at BUILD time.
+    val docs = Seq((1L, "a b c d"), (2L, "e f g h")).toDF("doc_id", "text")
+    assert(graft.functions.cheapRows(docs) == 2L)
+    assert(graft.functions.cheapRows(docs.select("doc_id", "text")) == 2L)
+    val scan = spark.read.parquet(s"$docsDir/documents.parquet")
+    assert(graft.functions.cheapRows(scan) >= 0L)
+    val chain = scan.withColumn("text", upper(col("text")))
+      .where(length(col("text")) > 0)
+    assert(graft.functions.cheapRows(chain) == -1L)
+    // resolveRows: explicit counts win; autoRows defers to cheapRows
+    assert(graft.functions.resolveRows(chain, 7L) == 7L)
+    assert(graft.functions.resolveRows(chain, -1L) == -1L)
+    assert(graft.functions.resolveRows(chain, graft.functions.autoRows) == -1L)
+    // constructing the lazy builders over the chain must fire ZERO
+    // Spark jobs (minhashNearDups is excluded: its localCheckpoint is
+    // eager by contract). A sentinel job flushes the async listener
+    // bus: events are delivered in order, so once the sentinel's start
+    // event arrives any earlier construction-time job would have too.
+    val jobs = new java.util.concurrent.atomic.AtomicInteger(0)
+    val listener = new org.apache.spark.scheduler.SparkListener {
+      override def onJobStart(
+          js: org.apache.spark.scheduler.SparkListenerJobStart): Unit =
+        jobs.incrementAndGet()
+    }
+    spark.sparkContext.addSparkListener(listener)
+    try {
+      // the listener bus is async and delivers IN ORDER, so straggler
+      // events from the cheapRows counts above may still arrive after
+      // attach. Sentinel 1 + a settle loop drains everything up to it;
+      // any event counted after the drained baseline must then be a
+      // construction-time job or sentinel 2.
+      def settle(): Int = {
+        var last = -1
+        while (jobs.get() != last) { last = jobs.get(); Thread.sleep(250) }
+        last
+      }
+      // sentinels are RDD counts: exactly ONE job each (a DataFrame
+      // count under AQE materializes the shuffle stage as its own job)
+      spark.sparkContext.parallelize(Seq(1)).count() // sentinel 1
+      val n0 = settle()
+      Dedup.repeatedSpans(chain, n = 8)
+      Dedup.applySpanMask(chain, Dedup.repeatedSpanMask(chain, n = 8), n = 8)
+      Dedup.minhashCandidates(chain)
+      Splits.leakageSafeFromLabels(chain,
+        Seq((1L, 1L)).toDF("id", "cluster_id"), "doc_id")
+      spark.sparkContext.parallelize(Seq(1)).count() // sentinel 2
+      val deadline = System.nanoTime() + 10L * 1000 * 1000 * 1000
+      while (jobs.get() < n0 + 1 && System.nanoTime() < deadline) Thread.sleep(20)
+      assert(settle() == n0 + 1,
+        "a builder ran a Spark job at construction time over an uncached chain")
+    } finally spark.sparkContext.removeSparkListener(listener)
+    // and the chain-built feed still verifies correctly when executed
+    // (pinned plan, same rows as the bare-scan build)
+    val viaChain = Dedup.minhashCandidates(scan.where(col("doc_id") >= 0))
+      .orderBy("a_id", "b_id").as[(Long, Long)].collect().toSeq
+    val viaScan = Dedup.minhashCandidates(scan)
+      .orderBy("a_id", "b_id").as[(Long, Long)].collect().toSeq
+    assert(viaChain == viaScan)
+  }
+
+  test("firstBandPairs dispatch bound is bytes-based: high band counts shrink the free region (r17 ADVICE)") {
+    // at the default 32 bands the byte bound reproduces the 512k-row
+    // arithmetic exactly; at bands=128 each exploded row carries a
+    // 128-int band array, so the same row count must PIN.
+    val rows32 = graft.functions.pinFreeSideRowLimit
+    assert(rows32 * (72L + 4L * 32) <= graft.functions.pinFreeSideByteLimit)
+    assert((rows32 + 1) * (72L + 4L * 32) > graft.functions.pinFreeSideByteLimit)
+    assert(rows32 * (72L + 4L * 128) > graft.functions.pinFreeSideByteLimit,
+      "a 512k-row side at 128 bands deserializes ~3x the proven bound and must pin")
+    // executed-plan check: the SAME declared sideRows (300k — between
+    // the 32-band free bound and the 128-band pin bound) frees AQE at
+    // 32 bands and pins sort-merge at 128, because only the row WIDTH
+    // changed. The underlying corpus is spec-scale either way; dispatch
+    // rides the declared arithmetic, exactly as at sf10.
+    val docs = spark.read.parquet(s"$docsDir/documents.parquet")
+    val claimed = 300000L
+    assert(claimed * (72L + 4L * 32) <= graft.functions.pinFreeSideByteLimit)
+    assert(claimed * (72L + 4L * 128) > graft.functions.pinFreeSideByteLimit)
+    def feed(bands: Int) =
+      Dedup.firstBandPairs(
+        Dedup.bandBucketArrays(Dedup.shingleHashSets(docs), 128, bands),
+        sideRows = claimed, bands = bands)
+    val free = feed(32)
+    free.collect()
+    assert(executedNodes(free.queryExecution.executedPlan).exists(
+      _.isInstanceOf[org.apache.spark.sql.execution.joins.BroadcastHashJoinExec]),
+      "a side under the byte bound at 32 bands should free AQE to broadcast")
+    val pinned = feed(128)
+    pinned.collect()
+    assert(executedNodes(pinned.queryExecution.executedPlan).exists(
+      _.isInstanceOf[org.apache.spark.sql.execution.joins.SortMergeJoinExec]),
+      "the same side row count at 128 bands exceeds the byte bound and must pin sort-merge")
+  }
 }
