@@ -363,9 +363,20 @@ object PipelineCli {
     * StatusTracker: one line per executor with host:port, running
     * tasks, and storage-memory headroom, plus the pool shape
     * (defaultParallelism). Exit 1 when the inventory is empty — same
-    * contract as the reference's "No workers found". */
+    * contract as the reference's "No workers found".
+    *
+    * Below the inventory, the HEALTH view (reference api/main.py:441
+    * `get_workers_health`: per-worker failure/heartbeat detail): one
+    * line per executor id with lifetime succeeded/failed task counts,
+    * the last task-finish time (the heartbeat analog), removal reason
+    * if gone, and an UNHEALTHY flag per
+    * [[graft.pipeline.WorkerHealth.ExecutorHealth.unhealthy]]. Counts
+    * come from the [[graft.pipeline.WorkerHealth]] listener that
+    * [[Sessions.tune]] installs at session setup; the defensive
+    * install here only matters for sessions graft never tuned. */
   private[graft] def workersCommand(spark: SparkSession): Int = {
     val sc = spark.sparkContext
+    pipeline.WorkerHealth.install(sc)
     val infos = sc.statusTracker.getExecutorInfos
     if (infos.isEmpty) {
       Console.out.println("No workers found")
@@ -380,6 +391,21 @@ object PipelineCli {
         Console.out.println(
           f"  Storage memory: ${e.usedOnHeapStorageMemory()}%d used / ${e.totalOnHeapStorageMemory()}%d total B")
         Console.out.println()
+      }
+      val health = pipeline.WorkerHealth.snapshot
+      if (health.nonEmpty) {
+        Console.out.println("Health (task outcomes since session start):")
+        health.toSeq.sortBy(_._1).foreach { case (id, h) =>
+          val flag = if (h.unhealthy) "UNHEALTHY" else "healthy"
+          val last =
+            if (h.lastTaskMs > 0)
+              new java.sql.Timestamp(h.lastTaskMs).toString
+            else "never"
+          val gone = if (h.removed) s"  removed: ${h.removeReason}" else ""
+          Console.out.println(
+            s"  Executor $id: ${h.succeeded} succeeded, ${h.failed} failed, " +
+              s"last task $last  [$flag]$gone")
+        }
       }
       0
     }

@@ -43,9 +43,12 @@ object Sessions {
     "spark.sql.session.timeZone" -> "UTC",
   )
 
-  /** Apply graft's runtime tuning to an existing session. Idempotent. */
+  /** Apply graft's runtime tuning to an existing session. Idempotent.
+    * Also installs the worker-health listener (once per application) so
+    * the CLI `workers` view has lifetime task-failure counts. */
   def tune(spark: SparkSession): SparkSession = {
     tuning.foreach { case (k, v) => spark.conf.set(k, v) }
+    graft.pipeline.WorkerHealth.install(spark.sparkContext)
     spark
   }
 

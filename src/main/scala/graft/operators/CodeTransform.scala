@@ -53,4 +53,75 @@ class CodeTransform {
       .getOrElse(throw new NoSuchElementException(s"no transform $name v$v"))
     fn(df)
   }
+
+  // ---- load-from-path (reference code_transformer.py:164
+  //      `_load_function_from_path`, :209 `_load_function_from_module`) ----
+  /** Resolve a transform implementation from the session CLASSPATH by
+    * fully-qualified name — the JVM analog of the reference's dynamic
+    * function loading, which lets a JSON pipeline spec name a transform
+    * the launching program never registered. The class must implement
+    * `DataFrame => DataFrame` (Scala `Function1`); both plain classes
+    * (no-arg constructor) and Scala `object`s (resolved via `MODULE$`)
+    * work, and the trailing-`$` object form is tried automatically.
+    * Resolution happens EAGERLY so a typo'd class name fails at
+    * registration, not mid-pipeline; the apply itself stays a lazy plan
+    * builder like every registered transform. */
+  def loadClass(className: String): Fn = {
+    // context classloader first: that is where Spark puts `--jars`
+    // user code (and where an embedding application's classes live
+    // when this library sits in a parent loader); fall back to our own.
+    val loader = Option(Thread.currentThread().getContextClassLoader)
+      .getOrElse(getClass.getClassLoader)
+    def resolve(cn: String) = Class.forName(cn, true, loader)
+    val cls =
+      try resolve(className)
+      catch {
+        case _: ClassNotFoundException =>
+          try resolve(className + "$")
+          catch {
+            case _: ClassNotFoundException => throw new IllegalArgumentException(
+              s"transform class not found on the session classpath: $className")
+          }
+      }
+    // a Scala `object Foo` compiles to BOTH Foo (static forwarders, no
+    // constructor) and Foo$ (the MODULE$ singleton) — so try the
+    // singleton on the resolved class, then on its `$` twin, and only
+    // then a no-arg constructor
+    def singleton(c: Class[_]): Option[Any] =
+      try Some(c.getField("MODULE$").get(null))
+      catch { case _: NoSuchFieldException => None }
+    val inst = singleton(cls)
+      .orElse {
+        try singleton(resolve(cls.getName + "$"))
+        catch { case _: ClassNotFoundException => None }
+      }
+      .getOrElse {
+        try cls.getDeclaredConstructor().newInstance()
+        catch {
+          case _: NoSuchMethodException => throw new IllegalArgumentException(
+            s"$className has neither a no-arg constructor nor a MODULE$$ singleton")
+        }
+      }
+    inst match {
+      case fn: Function1[_, _] =>
+        df => fn.asInstanceOf[Fn](df)
+      case _ => throw new IllegalArgumentException(
+        s"$className does not implement DataFrame => DataFrame (Function1)")
+    }
+  }
+
+  /** Register a classpath-resolved transform under the versioned
+    * registry (the reference's loaded functions enter the same registry
+    * as programmatic ones). */
+  def registerClass(name: String, version: Int, className: String): Unit =
+    register(name, version, loadClass(className), s"class:$className")
+
+  /** Idempotent spec-driven form: a `{"type":"code","class":...}`
+    * pipeline stage resolves and registers the class once per registry
+    * (version 1), then every later run reuses the registration — so
+    * repeated pipeline runs don't grow the version history. */
+  def registerClassIfAbsent(name: String, className: String): Unit =
+    synchronized {
+      if (latestVersion(name).isEmpty) registerClass(name, 1, className)
+    }
 }

@@ -187,8 +187,24 @@ object Pipeline {
           case JString("config") =>
             new ConfigTransform(step \ "config").apply(df)
           case JString("code") =>
-            val JString(name) = (step \ "name"): @unchecked
-            Pipeline.codeRegistry.transformNamed(df, name)
+            // two forms (reference code_transformer.py:164,209): a
+            // pre-registered name, or `"class"` — a DataFrame=>DataFrame
+            // implementation resolved from the session classpath, so a
+            // spec can name a transform the launching program never
+            // registered. With both present, `name` keys the registry
+            // entry the class is registered under.
+            step \ "class" match {
+              case JString(cn) =>
+                val name = step \ "name" match {
+                  case JString(n) => n
+                  case _          => cn
+                }
+                Pipeline.codeRegistry.registerClassIfAbsent(name, cn)
+                Pipeline.codeRegistry.transformNamed(df, name)
+              case _ =>
+                val JString(name) = (step \ "name"): @unchecked
+                Pipeline.codeRegistry.transformNamed(df, name)
+            }
           case JString("training_prep") =>
             // the corpus-prep DSL as a pipeline stage: quality/repetition/
             // language/decontaminate/dedup/mixture/redact/split/pack

@@ -157,6 +157,21 @@ object LlmQueries {
     dir
   }
 
+  /** Stored near-dup CLOSURE labels for a corpus dir — the persisted,
+    * cross-application form of the in-JVM label cache; builds on first
+    * use, fingerprint-keyed. `meta` is written LAST by the build, so
+    * its presence implies complete state. */
+  private def closureStateFor(s: SparkSession, d: String): String = {
+    val key = d.replaceAll("[^A-Za-z0-9._-]", "_")
+    val fp = contentKey(docs(s, d), Seq("doc_id", "text"))
+    val dir =
+      s"${System.getProperty("java.io.tmpdir")}/graft_closure_v1_t08_k128_b32/${key}_$fp"
+    val done = new org.apache.hadoop.fs.Path(s"$dir/meta")
+    val fs = done.getFileSystem(s.sparkContext.hadoopConfiguration)
+    if (!fs.exists(done)) Dedup.buildClosureState(docs(s, d), dir, threshold = 0.8)
+    dir
+  }
+
   /** Stored DSIR log-ratio model for a corpus dir (target = src0);
     * trains on first use, fingerprint-keyed. Parquet's `_SUCCESS`
     * marker (committed last) is the completeness check for this
@@ -1173,6 +1188,16 @@ object LlmQueries {
         .where(col("id") =!= col("cluster_id"))
         .orderBy("id")),
 
+    // stored-closure probe: the persisted label table served as a plain
+    // parquet scan (built once per corpus, meta-pinned at threshold) —
+    // the cross-APPLICATION form of nearDupClustersCached, so a new app
+    // never re-pays the shingle+banding+closure build. Labels are
+    // deterministic, so the same recursive-CTE oracle applies verbatim.
+    "dedup_clusters_stored" -> ((s, d) =>
+      Dedup.closureFromStored(s, closureStateFor(s, d), expectThreshold = 0.8)
+        .where(col("id") =!= col("cluster_id"))
+        .orderBy("id")),
+
     // cluster-size profile: how many clusters of each size the verified
     // pair graph closes into, singletons included — the threshold-
     // choosing report; two group-sized aggregations over the labels
@@ -1360,6 +1385,29 @@ object LlmQueries {
     // component minima label themselves and are filtered like the Spark
     // side's id != cluster_id
     "dedup_clusters" ->
+      """WITH RECURSIVE
+        | t AS (SELECT doc_id,
+        |   [x for x in regexp_split_to_array(lower(text), '[^a-z0-9]+') if x <> ''] AS w
+        |  FROM documents),
+        | g AS (SELECT doc_id,
+        |   list_distinct([w[i] || ' ' || w[i+1] || ' ' || w[i+2] for i in range(1, len(w) - 1)]) AS s
+        |  FROM t WHERE len(w) >= 3),
+        | p AS (SELECT a.doc_id AS a_id, b.doc_id AS b_id
+        |  FROM g a, g b WHERE a.doc_id < b.doc_id
+        |   AND CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
+        |       / len(list_distinct(list_concat(a.s, b.s))) >= 0.8),
+        | e AS (SELECT a_id AS src, b_id AS dst FROM p
+        |       UNION SELECT b_id, a_id FROM p),
+        | reach(id, r) AS (
+        |   SELECT src, src FROM e
+        |   UNION
+        |   SELECT reach.id, e.dst FROM reach JOIN e ON reach.r = e.src)
+        |SELECT id, MIN(r) AS cluster_id FROM reach GROUP BY id
+        |HAVING id <> MIN(r) ORDER BY id""".stripMargin,
+
+    // the stored-closure probe serves the SAME deterministic label
+    // table dedup_clusters computes fresh, so the oracle is identical
+    "dedup_clusters_stored" ->
       """WITH RECURSIVE
         | t AS (SELECT doc_id,
         |   [x for x in regexp_split_to_array(lower(text), '[^a-z0-9]+') if x <> ''] AS w

@@ -1516,6 +1516,29 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(probed.nonEmpty && probed == inflight)
   }
 
+  test("stored closure state: persisted labels byte-identical to the fresh closure, meta-pinned") {
+    // the cross-application form of nearDupClustersCached: labels are
+    // deterministic component minima, so the persisted table must agree
+    // byte-for-byte with a fresh rebuild — the certificate that lets
+    // dedup_clusters_stored inherit dedup_clusters' recursive-CTE oracle
+    val docs = spark.read.parquet(s"${sf("sf0.01")}/documents.parquet")
+    val dir = java.nio.file.Files.createTempDirectory("graft_closure_state").toString
+    Dedup.buildClosureState(docs, dir, threshold = 0.8)
+    val meta = spark.read.parquet(s"$dir/meta")
+      .select("threshold", "k", "bands", "n_docs").head()
+    assert(meta.getDouble(0) == 0.8 && meta.getInt(1) == 128
+      && meta.getInt(2) == 32 && meta.getLong(3) == docs.count())
+    val stored = Dedup.closureFromStored(spark, dir, expectThreshold = 0.8)
+      .orderBy("id").as[(Long, Long)].collect().toSeq
+    val fresh = Dedup.nearDupClusters(docs, 0.8)
+      .orderBy("id").as[(Long, Long)].collect().toSeq
+    assert(stored.nonEmpty && stored == fresh)
+    // a consumer pinned to a different threshold must refuse the state
+    intercept[IllegalArgumentException] {
+      Dedup.closureFromStored(spark, dir, expectThreshold = 0.7)
+    }
+  }
+
   test("lazy builders fire zero jobs over an uncached chain (r17 ADVICE); dispatch count resolves cheap plans only") {
     // cheapRows: bare relations (local rows, raw scans, projections of
     // them) count; a transformation chain returns -1 = unknown = pin —

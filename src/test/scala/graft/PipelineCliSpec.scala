@@ -64,6 +64,44 @@ class PipelineCliSpec extends SparkSpec {
     assert(sOut.contains("6 rows")) // the write stage's recorded volume
   }
 
+  test("run drives a spec-named code transform class (load-from-path parity)") {
+    // reference code_transformer.py:164/:209: the spec names a
+    // DataFrame=>DataFrame implementation the launching program never
+    // registered; the stage resolves it from the session classpath.
+    val dir = tmp("graft_cli_code")
+    val in = s"$dir/in"
+    (1L to 4L).map(i => (i, i)).toDF("id", "v").write.parquet(in)
+    val spec =
+      s"""{
+         | "ingestion": {"path": "$in", "format": "parquet"},
+         | "transformation": [
+         |   {"type": "code", "class": "graft.DoubleVTransform", "name": "double_v"}
+         | ],
+         | "persistence": {"path": "$dir/out", "strategy": "append"}
+         |}""".stripMargin
+    val p = Paths.get(dir, "spec.json")
+    Files.write(p, spec.getBytes(StandardCharsets.UTF_8))
+    val (code, out) = cli("run", p.toString, "--name", "codecls",
+      "--ledger-dir", s"$dir/ledger")
+    assert(code == 0, out)
+    assert(spark.read.parquet(s"$dir/out").select("v")
+      .as[Long].collect().sorted.toSeq == Seq(2L, 4L, 6L, 8L))
+    // a re-run reuses the idempotent registration and still succeeds
+    val (code2, out2) = cli("run", p.toString, "--name", "codecls",
+      "--ledger-dir", s"$dir/ledger")
+    assert(code2 == 0, out2)
+    assert(spark.read.parquet(s"$dir/out").count() == 8)
+    // a typo'd class fails the run loudly, not silently (fresh registry
+    // name — reusing "double_v" would hit the idempotent registration)
+    val bad = spec.replace("graft.DoubleVTransform", "graft.NoSuchTransform")
+      .replace("\"double_v\"", "\"double_v_bad\"")
+    val pb = Paths.get(dir, "bad.json")
+    Files.write(pb, bad.getBytes(StandardCharsets.UTF_8))
+    val (codeB, _) = cli("run", pb.toString, "--name", "codecls-bad",
+      "--ledger-dir", s"$dir/ledger")
+    assert(codeB == 1, "a typo'd transform class must fail the run")
+  }
+
   test("status on an unknown run id fails; missing --ledger-dir is a usage error") {
     val dir = tmp("graft_cli_status")
     // empty-but-existing ledger so the parquet read itself succeeds
@@ -211,6 +249,38 @@ class PipelineCliSpec extends SparkSpec {
     assert(spark.read.parquet(s"$dir/out").count() == 6) // written once
   }
 
+  test("README retry/idempotency walkthrough: SKIP on re-run, flaky source retried") {
+    // examples/README.md §5, exercised verbatim so it cannot rot
+    // (reference examples/retry_idempotency_example.py)
+    val idem = tmp("graft_cli_idem_example")
+    val (c1, o1) = cli("run", "examples/pipeline_spec.json",
+      "--name", "example-idem", "--ledger-dir", "examples/out/ledger",
+      "--idempotency-dir", idem)
+    assert(c1 == 0 && o1.contains("example-idem: OK"), o1)
+    val (c2, o2) = cli("run", "examples/pipeline_spec.json",
+      "--name", "example-idem", "--ledger-dir", "examples/out/ledger",
+      "--idempotency-dir", idem)
+    assert(c2 == 0 && o2.contains("SKIPPED (idempotency key already claimed)"), o2)
+    // the README's flaky-source snippet (short delays for test speed)
+    var attempts = 0
+    val df = graft.pipeline.Retry.withBackoff(maxAttempts = 3, baseDelayMs = 1) {
+      attempts += 1
+      if (attempts < 3) throw new java.io.IOException("connection reset")
+      spark.read.parquet("examples/out/pipeline_result")
+    }
+    assert(attempts == 3 && df.count() == 11)
+    // the retryOn filter: a non-matching failure rethrows on attempt 1
+    var tries = 0
+    intercept[IllegalStateException] {
+      graft.pipeline.Retry.withBackoff(maxAttempts = 3, baseDelayMs = 1,
+        retryOn = { case _: java.io.IOException => true; case _ => false }) {
+        tries += 1
+        throw new IllegalStateException("not retryable")
+      }
+    }
+    assert(tries == 1)
+  }
+
   test("GraftSettings: env alone configures the run; flags override env") {
     // reference settings.py:1-185 — every deployment knob is an env
     // variable with a default. The CLI must be fully drivable from
@@ -355,6 +425,38 @@ class PipelineCliSpec extends SparkSpec {
     assert(out.contains("Storage memory:"), out)
     // flags are tolerated but ignored; extra positionals are a usage error
     assert(cli("workers", "extra")._1 == 2)
+  }
+
+  test("workers health view: per-executor failed-task counts and unhealthy flag") {
+    // reference api/main.py:441 get_workers_health: failure detail on
+    // top of the inventory. Provoke exactly one task failure (local
+    // mode has maxFailures=1, so one single-partition job = one failed
+    // task), then the health section must show it against "driver".
+    intercept[org.apache.spark.SparkException] {
+      spark.sparkContext.parallelize(Seq(1), 1)
+        .foreach(_ => throw new RuntimeException("boom"))
+    }
+    // the listener bus is async — wait for the failure to land
+    val deadline = System.nanoTime() + 10L * 1000 * 1000 * 1000
+    while (graft.pipeline.WorkerHealth.snapshot.get("driver")
+             .forall(_.failed < 1) && System.nanoTime() < deadline)
+      Thread.sleep(20)
+    val (code, out) = cli("workers")
+    assert(code == 0, out)
+    assert(out.contains("Health (task outcomes since session start):"), out)
+    val driverLine = out.linesIterator
+      .find(_.trim.startsWith("Executor driver:")).getOrElse(fail(out))
+    val failed = "(\\d+) failed".r.findFirstMatchIn(driverLine)
+      .map(_.group(1).toLong).getOrElse(fail(driverLine))
+    assert(failed >= 1L, driverLine)
+    assert(driverLine.contains("[healthy]") || driverLine.contains("[UNHEALTHY]"))
+    // the unhealthy rule itself, pinned: removal or failures >= successes
+    import graft.pipeline.WorkerHealth.ExecutorHealth
+    assert(!ExecutorHealth().unhealthy)                      // idle executor
+    assert(!ExecutorHealth(failed = 1, succeeded = 100).unhealthy) // one flake
+    assert(ExecutorHealth(failed = 3, succeeded = 2).unhealthy)
+    assert(ExecutorHealth(failed = 1, succeeded = 0).unhealthy)
+    assert(ExecutorHealth(removed = true, removeReason = "lost").unhealthy)
   }
 
   test("GraftSettings: malformed env values fail loudly, never default silently") {

@@ -34,6 +34,34 @@ class TransformSurfaceSpec extends SparkSpec {
     assert(ct.transformationHistory("f") == Seq((1, "v1")))
   }
 
+  test("code transform loads implementations from the classpath by name") {
+    // reference code_transformer.py:164/:209 parity: a spec can name a
+    // DataFrame=>DataFrame class the launching program never registered
+    val ct = new CodeTransform
+    val in = Seq((1L, 3L), (2L, 4L)).toDF("id", "v")
+    // plain class (no-arg constructor)
+    ct.registerClass("double_v", 1, "graft.DoubleVTransform")
+    assert(ct.transformNamed(in, "double_v").select("v")
+      .as[Long].collect().sorted.toSeq == Seq(6L, 8L))
+    assert(ct.transformationHistory("double_v")
+      == Seq((1, "class:graft.DoubleVTransform")))
+    // Scala object (MODULE$ singleton), trailing-$ tried automatically
+    ct.registerClass("tag", 1, "graft.TagSourceTransform")
+    assert(ct.transformNamed(in, "tag").columns.contains("tagged"))
+    // idempotent spec-driven form never grows the version history
+    ct.registerClassIfAbsent("double_v", "graft.DoubleVTransform")
+    assert(ct.latestVersion("double_v").contains(1))
+    // failures are EAGER and descriptive: unknown class, wrong shape
+    val missing = intercept[IllegalArgumentException] {
+      ct.loadClass("graft.NoSuchTransform")
+    }
+    assert(missing.getMessage.contains("not found"))
+    val wrongShape = intercept[IllegalArgumentException] {
+      ct.loadClass("graft.NotATransform")
+    }
+    assert(wrongShape.getMessage.contains("Function1"))
+  }
+
   test("config transform loads from a JSON file") {
     val p = Files.createTempFile("graft_cfg", ".json")
     Files.writeString(p, """{"select": ["id"]}""")
