@@ -91,14 +91,36 @@ object Sketches {
       .sortWithinPartitions(gcols :+ col("__v"): _*)
       .rdd
     // pass 2: per-(partition, group) counts — group runs are contiguous
-    // in the sorted partitions, so a running counter suffices
+    // in the sorted partitions, so a compare-to-previous RUN-LENGTH
+    // counter suffices: no per-row key allocation, no per-row hashing.
+    // The r18 stage probe caught the old Seq[Any]-keyed LinkedHashMap
+    // costing 30 of the query's 53 s at sf10 (body A/B in SCALE.md:
+    // seq_linkedmap 39.0 s vs runlength 8.3 s over the same sorted
+    // feed); key Seqs are now built once per RUN, not per row.
     val cntRows = sortedRdd.mapPartitionsWithIndex { (pid, it) =>
-      val buf = scala.collection.mutable.LinkedHashMap[Seq[Any], Long]()
+      val out = scala.collection.mutable.ArrayBuffer[(Int, Seq[Any], Long)]()
+      val cur = new Array[Any](nGroup)
+      var n = 0L
+      var any = false
+      def flush(): Unit = if (any) out += ((pid, cur.toVector, n))
       it.foreach { r =>
-        val gk = (0 until nGroup).map(r.get)
-        buf(gk) = buf.getOrElse(gk, 0L) + 1L
+        var same = any
+        var i = 0
+        while (same && i < nGroup) {
+          if (r.get(i) != cur(i)) same = false
+          i += 1
+        }
+        if (!same) {
+          flush()
+          i = 0
+          while (i < nGroup) { cur(i) = r.get(i); i += 1 }
+          n = 0L
+          any = true
+        }
+        n += 1L
       }
-      buf.iterator.map { case (gk, c) => (pid, gk, c) }
+      flush()
+      out.iterator
     }.collect()
     val byGroup = cntRows.groupBy(_._2)
     val offsets: Map[(Int, Seq[Any]), Long] = byGroup.flatMap { case (gk, rows) =>
@@ -124,32 +146,54 @@ object Sketches {
       }
     val bc = spark.sparkContext.broadcast((offsets, targets))
     // pass 3: narrow streaming extraction — rank = partition offset +
-    // local index within the (contiguous, sorted) group run
+    // local index within the (contiguous, sorted) group run. Same
+    // allocation discipline as pass 2 (r18 probe): the group key is
+    // field-compared against a reusable array per row and materialized
+    // once per RUN; the per-row boxed rank-map lookup is replaced by a
+    // sorted rank array + monotone cursor (idx only grows within a
+    // run), so the steady-state row cost is two long compares.
     val exRdd = sortedRdd.mapPartitions { it =>
       val pid = org.apache.spark.TaskContext.getPartitionId()
       val (offs, tgts) = bc.value
+      val cur = new Array[Any](nGroup)
       var curKey: Seq[Any] = null
       var idx = 0L
       var off = 0L
       var rmap: Map[Long, Seq[(Int, Int, Double)]] = Map.empty
+      var ranks: Array[Long] = Array.emptyLongArray
+      var rpos = 0
       it.flatMap { r =>
-        val gk = (0 until nGroup).map(r.get)
-        if (gk != curKey) {
-          curKey = gk; idx = 0L
+        var same = curKey != null
+        var i = 0
+        while (same && i < nGroup) {
+          if (r.get(i) != cur(i)) same = false
+          i += 1
+        }
+        if (!same) {
+          i = 0
+          while (i < nGroup) { cur(i) = r.get(i); i += 1 }
+          curKey = cur.toVector
+          idx = 0L
           // passes 2 and 3 must observe the SAME shuffle output: a bare
           // map apply would surface a broken reuse as an opaque
           // NoSuchElementException deep in a task — fail diagnosably
-          off = offs.getOrElse((pid, gk), throw new IllegalStateException(
-            s"percentiles rank pass saw unseen partition/group $pid/$gk — " +
+          off = offs.getOrElse((pid, curKey), throw new IllegalStateException(
+            s"percentiles rank pass saw unseen partition/group $pid/$curKey — " +
               "sorted-shuffle reuse between count and extract passes is broken"))
-          rmap = tgts(gk)
+          rmap = tgts(curKey)
+          ranks = rmap.keysIterator.toArray.sorted
+          rpos = 0
         }
         idx += 1
-        rmap.getOrElse(off + idx, Nil).map { case (i, role, frac) =>
-          // Seq[Any]: a bare Seq(i, role, frac, v) would infer
-          // Seq[Double] and silently widen the Int fields
-          Row.fromSeq(gk ++ Seq[Any](i, role, frac, r.getDouble(nGroup)))
-        }
+        val rank = off + idx
+        while (rpos < ranks.length && ranks(rpos) < rank) rpos += 1
+        if (rpos < ranks.length && ranks(rpos) == rank)
+          rmap(rank).map { case (i2, role, frac) =>
+            // Seq[Any]: a bare Seq(i2, role, frac, v) would infer
+            // Seq[Double] and silently widen the Int fields
+            Row.fromSeq(curKey ++ Seq[Any](i2, role, frac, r.getDouble(nGroup)))
+          }
+        else Nil
       }
     }
     val exSchema = StructType(

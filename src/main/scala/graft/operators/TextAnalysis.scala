@@ -290,16 +290,28 @@ object TextAnalysis {
     * the top-k cut is identical across engines.
     *
     * Shape at scale: tokenize+explode (one pass), tf aggregate (shuffle
-    * on doc+term), df aggregate FROM tf (shuffle on term — tf is already
-    * one row per doc-term, so df never re-reads the corpus), corpus size
-    * as a broadcast single-row aggregate (no driver action), top-k as a
-    * per-doc window. No step is driver-side and nothing is quadratic. */
+    * on doc+term), tf MATERIALIZED once (eager localCheckpoint, the
+    * [[graft.operators.Dedup.minhashNearDups]] idiom), df aggregate
+    * from the checkpoint (partial-combined and skew-immune — a
+    * stopword's df never concentrates in one task, unlike a
+    * count-over-term-window formulation), corpus size as a broadcast
+    * single-row aggregate (no driver action), top-k as a per-doc
+    * window. No step is driver-side and nothing is quadratic.
+    *
+    * The checkpoint is LOAD-BEARING (r18 stage probe, SCALE.md): as two
+    * lazy branches of one plan, the df branch is column-pruned into a
+    * structurally different distinct-aggregate, so exchange reuse does
+    * NOT apply and the corpus was tokenized + shuffled TWICE — and the
+    * doubled subtree under the top-k window read 45 s at sf10 where the
+    * checkpointed form reads ~10 s (4.5x). "df from tf" is only true
+    * with the materialization barrier. */
   def tfidf(docs: DataFrame, textCol: String = "text", topK: Int = 10)
       : DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val toks = docs.select(col("doc_id"),
       explode(wordTokens(col(textCol))).as("term"))
     val tf = toks.groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+      .localCheckpoint()
     val dfreq = tf.groupBy("term").agg(count(lit(1)).as("df"))
     val nDocs = docs.agg(count(lit(1)).as("n_docs"))
     val scored = tf.join(dfreq, "term")
