@@ -142,8 +142,15 @@ object Selection {
            budget: Int, buckets: Int = 4096, alpha: Double = 1.0,
            seed: String = "dsir-v1", textCol: String = "text",
            idCol: String = "doc_id"): DataFrame = {
-    val toks = tokenBuckets(docs.withColumn("__t", isTarget),
-      buckets, textCol, idCol)
+    // ONE tokenize: the ratio table and the pool weights both consume
+    // the token-bucket relation, and as two differently-pruned lazy
+    // branches they re-scanned + re-tokenized the corpus each (r18
+    // ScanCountProbe: 2 FileScans — the tfidf/bigram defect class).
+    // The checkpoint barrier is DOC-sized (one int array per doc),
+    // never token-stream-sized.
+    val arr = bucketArrays(docs.withColumn("__t", isTarget),
+      buckets, textCol, idCol).localCheckpoint()
+    val toks = arr.select(col(idCol), col("__t"), explode(col("barr")).as("b"))
     selectWeighted(toks.where(!col("__t")),
       ratioTable(toks, buckets, alpha), budget, seed, idCol)
   }
@@ -176,16 +183,27 @@ object Selection {
       broadcast(ratio), budget, seed, idCol)
   }
 
-  /** (idCol, [__t,] term, b): lowercase word tokens bucketed by the
-    * md5 hashing trick — engine-stable, no vocabulary anywhere. */
-  private def tokenBuckets(docs: DataFrame, buckets: Int,
+  /** (idCol, [__t,] barr): per-doc ARRAYS of lowercase word tokens
+    * bucketed by the md5 hashing trick — engine-stable, no vocabulary
+    * anywhere. Array form so [[dsir]] can checkpoint ONE doc-sized
+    * relation and explode it per consumer. */
+  private def bucketArrays(docs: DataFrame, buckets: Int,
                            textCol: String, idCol: String): DataFrame = {
     import graft.functions._
     val keep = docs.columns.filter(_ == "__t").map(col).toSeq
     docs.select((col(idCol) +: keep :+
-        explode(wordTokens(col(textCol))).as("term")): _*)
-      .withColumn("b",
-        conv(substring(md5(col("term")), 1, 6), 16, 10).cast("long") % buckets)
+      transform(wordTokens(col(textCol)),
+        t => conv(substring(md5(t), 1, 6), 16, 10).cast("long") % buckets)
+        .as("barr")): _*)
+  }
+
+  /** (idCol, [__t,] b): the exploded form of [[bucketArrays]] — values
+    * identical to the original per-token expression by construction. */
+  private def tokenBuckets(docs: DataFrame, buckets: Int,
+                           textCol: String, idCol: String): DataFrame = {
+    val arr = bucketArrays(docs, buckets, textCol, idCol)
+    val keep = arr.columns.filter(_ == "__t").map(col).toSeq
+    arr.select((col(idCol) +: keep :+ explode(col("barr")).as("b")): _*)
   }
 
   /** Add-α-smoothed per-bucket log(p_target/p_raw) from a two-sided

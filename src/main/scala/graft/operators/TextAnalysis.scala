@@ -463,16 +463,20 @@ object TextAnalysis {
     * unigram distribution. Gibberish and rare-token spam score far below
     * fluent text; the filter needs no external model.
     *
-    * Shape at 100 TB: tokenize+explode once; the vocabulary is an
-    * aggregate OF THE TOKEN RELATION (never a second corpus scan); the
-    * corpus token total is a broadcast single-row aggregate; scoring is
-    * one equi-join on term (AQE broadcasts the vocab when it fits).
-    * Per-token ln(p) terms are fixed to exact decimals BEFORE the
-    * per-doc sum, so the mean is associative — identical on any engine,
-    * any partitioning. */
+    * Shape at 100 TB: tokenize once into per-doc token ARRAYS and
+    * materialize them (eager localCheckpoint — doc-sized rows, the
+    * same load-bearing barrier as [[tfidf]]'s: the vocab branch and the
+    * scoring branch are pruned into structurally different explode
+    * subtrees, so exchange reuse does NOT dedupe them and the corpus
+    * was re-scanned+re-tokenized per consumer); the vocabulary is an
+    * aggregate of the token relation, the corpus token total a
+    * broadcast single-row aggregate, scoring one equi-join on term
+    * (AQE broadcasts the vocab when it fits). Per-token ln(p) terms
+    * are fixed to exact decimals BEFORE the per-doc sum, so the mean
+    * is associative — identical on any engine, any partitioning. */
   def unigramLogProb(docs: DataFrame, textCol: String = "text"): DataFrame = {
-    val toks = docs.select(col("doc_id"),
-      explode(wordTokens(col(textCol))).as("term"))
+    val w = tokenArrays(docs, textCol).localCheckpoint()
+    val toks = w.select(col("doc_id"), explode(col("w")).as("term"))
     val vocab = toks.groupBy("term").agg(count(lit(1)).as("c"))
     // corpus total from the vocab relation, NOT a second token scan
     val total = vocab.agg(sum("c").as("total"))
@@ -482,7 +486,7 @@ object TextAnalysis {
     val agg = scored.groupBy("doc_id").agg(
       count(lit(1)).as("n_toks"),
       round(sum(col("lp")).cast("double") / count(lit(1)), 6).as("avg_logprob"))
-    docs.select("doc_id").join(agg, Seq("doc_id"), "left")
+    w.select("doc_id").join(agg, Seq("doc_id"), "left")
       .withColumn("n_toks", coalesce(col("n_toks"), lit(0L)))
   }
 
@@ -495,27 +499,29 @@ object TextAnalysis {
     * rather than backoff so unseen corpus bigrams still get mass and no
     * per-history normalizer table is needed.
     *
-    * Scale shape mirrors the unigram scorer: the corpus contributes one
+    * Scale shape mirrors the unigram scorer: the per-doc token arrays
+    * are tokenized ONCE and materialized (eager localCheckpoint — the
+    * r18 probe caught the executed plan carrying SIX FileScans: the
+    * unigram-count, bigram-count, and scoring-pair subtrees are pruned
+    * differently, so exchange reuse dedupes none of them and the
+    * corpus was re-scanned+re-tokenized per consumer; 21-28 s → ~8 s
+    * at sf10 with the barrier). The corpus then contributes one
     * unigram and one bigram count shuffle (both vocabulary-sized, both
     * map-side combined), scoring is equi-joins on the count relations
     * (AQE broadcasts them when they fit), and the corpus total comes
-    * from the unigram relation — never a second token scan. The
-    * unigram relation feeds three consumers (history join, continuation
-    * join, total); physical exchange reuse dedupes the identical
-    * aggregate subtrees at runtime (measured: ReusedExchange nodes in
-    * the executed adaptive plan), so the diamond costs no extra corpus
-    * pass. Per-bigram ln(p) terms are fixed to exact decimals BEFORE
-    * the per-doc sum, so the mean is associative — identical on any
+    * from the unigram relation — never a second token scan. Per-bigram
+    * ln(p) terms are fixed to exact decimals BEFORE the per-doc sum,
+    * so the mean is associative — identical on any
     * engine/partitioning. Docs with fewer than two tokens keep
     * n_bigrams=0, null score. */
   def bigramLogProb(docs: DataFrame, textCol: String = "text",
                     lambda: Double = 0.75): DataFrame = {
-    val w = tokenArrays(docs, textCol)
+    val w = tokenArrays(docs, textCol).localCheckpoint()
     val toks = w.select(col("doc_id"), explode(col("w")).as("a"))
     val uni = toks.groupBy("a").agg(count(lit(1)).as("ca"))
     val total = uni.agg(sum("ca").as("total"))
     val bi = bigramPairs(w).groupBy("a", "b").agg(count(lit(1)).as("cab"))
-    scoreBigramsWith(docs, textCol, uni, bi, total, lambda)
+    scoreBigramsFromArrays(w, uni, bi, total, lambda)
   }
 
   private def tokenArrays(docs: DataFrame, textCol: String) =
@@ -539,8 +545,16 @@ object TextAnalysis {
     * bit-identical to the inner-join form). */
   private def scoreBigramsWith(docs: DataFrame, textCol: String,
                                uni: DataFrame, bi: DataFrame,
-                               total: DataFrame, lambda: Double): DataFrame = {
-    val pairs = bigramPairs(tokenArrays(docs, textCol))
+                               total: DataFrame, lambda: Double): DataFrame =
+    scoreBigramsFromArrays(tokenArrays(docs, textCol), uni, bi, total, lambda)
+
+  /** [[scoreBigramsWith]] over an already-tokenized (and, on the
+    * in-flight path, checkpointed) per-doc token-array relation, so the
+    * scoring pass and the count passes share ONE tokenize. */
+  private def scoreBigramsFromArrays(w: DataFrame,
+                                     uni: DataFrame, bi: DataFrame,
+                                     total: DataFrame, lambda: Double): DataFrame = {
+    val pairs = bigramPairs(w)
     val scored = pairs
       .join(bi, Seq("a", "b"), "left")
       .join(uni, Seq("a"), "left")
@@ -554,7 +568,7 @@ object TextAnalysis {
     val agg = scored.groupBy("doc_id").agg(
       count(lit(1)).as("n_bigrams"),
       round(sum(col("lp")).cast("double") / count(lit(1)), 6).as("avg_logprob"))
-    docs.select("doc_id").join(agg, Seq("doc_id"), "left")
+    w.select("doc_id").join(agg, Seq("doc_id"), "left")
       .withColumn("n_bigrams", coalesce(col("n_bigrams"), lit(0L)))
   }
 
