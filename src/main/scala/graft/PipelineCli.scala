@@ -392,7 +392,7 @@ object PipelineCli {
           f"  Storage memory: ${e.usedOnHeapStorageMemory()}%d used / ${e.totalOnHeapStorageMemory()}%d total B")
         Console.out.println()
       }
-      val health = pipeline.WorkerHealth.snapshot
+      val health = pipeline.WorkerHealth.snapshot(sc)
       if (health.nonEmpty) {
         Console.out.println("Health (task outcomes since session start):")
         health.toSeq.sortBy(_._1).foreach { case (id, h) =>

@@ -104,6 +104,36 @@ class CodeTransform {
       }
     inst match {
       case fn: Function1[_, _] =>
+        // Type erasure makes the pattern above match ANY Function1 —
+        // a `String => String` class would pass registration and only
+        // fail mid-pipeline with an opaque ClassCastException,
+        // breaking the fails-at-registration contract. So verify the
+        // concrete apply signature reflectively where one is visible:
+        // Scala compiles a class that directly implements
+        // `DataFrame => DataFrame` with a typed apply(Dataset):Dataset
+        // beside the erased bridge, so a typed apply that cannot
+        // accept a Dataset (or cannot return one) is proof of a wrong
+        // specialization — rejected HERE, eagerly. A class whose only
+        // apply is the erased (Object)Object form (generic
+        // indirection, e.g. `class Base[A] extends (A => A)`) is
+        // statically undecidable and stays accepted.
+        val ds = classOf[org.apache.spark.sql.Dataset[_]]
+        val typedApplies = inst.getClass.getMethods.toSeq.filter(m =>
+          m.getName == "apply" && m.getParameterCount == 1 && !m.isBridge &&
+            !(m.getParameterTypes()(0) == classOf[Object] &&
+              m.getReturnType == classOf[Object]))
+        val compatible = typedApplies.exists(m =>
+          m.getParameterTypes()(0).isAssignableFrom(ds) &&
+            (ds.isAssignableFrom(m.getReturnType) ||
+              m.getReturnType == classOf[Object]))
+        if (typedApplies.nonEmpty && !compatible) {
+          val sig = typedApplies.map(m =>
+            s"(${m.getParameterTypes()(0).getSimpleName}) => " +
+              m.getReturnType.getSimpleName).mkString(", ")
+          throw new IllegalArgumentException(
+            s"$className is a Function1 but not DataFrame => DataFrame: " +
+              s"apply signature is $sig")
+        }
         df => fn.asInstanceOf[Fn](df)
       case _ => throw new IllegalArgumentException(
         s"$className does not implement DataFrame => DataFrame (Function1)")
@@ -117,11 +147,27 @@ class CodeTransform {
     register(name, version, loadClass(className), s"class:$className")
 
   /** Idempotent spec-driven form: a `{"type":"code","class":...}`
-    * pipeline stage resolves and registers the class once per registry
-    * (version 1), then every later run reuses the registration — so
-    * repeated pipeline runs don't grow the version history. */
+    * pipeline stage resolves and registers the class once per registry,
+    * then every later run with the SAME class reuses the registration —
+    * so repeated pipeline runs don't grow the version history. A spec
+    * declaring a DIFFERENT class under an already-taken name must never
+    * silently run the old implementation (the spec says class X; class Y
+    * executing is a correctness defect with no error anywhere), so a
+    * mismatch against the latest registration's recorded `class:<fqcn>`
+    * docstring registers the spec's class as a NEW version — what the
+    * spec names is what runs, and the version history records the
+    * change. This also covers a programmatic registration shadowed by a
+    * class-declaring spec: the explicit class wins under a new version. */
   def registerClassIfAbsent(name: String, className: String): Unit =
     synchronized {
-      if (latestVersion(name).isEmpty) registerClass(name, 1, className)
+      latestVersion(name) match {
+        case None => registerClass(name, 1, className)
+        case Some(v) =>
+          val desc = history.collectFirst {
+            case (n, ver, d) if n == name && ver == v => d
+          }
+          if (!desc.contains(s"class:$className"))
+            registerClass(name, v + 1, className)
+      }
     }
 }

@@ -137,7 +137,11 @@ object Selection {
     * the final rank window runs over the budget-sized result only.
     *
     * Output: (doc_id, n_feats, log_weight, gumbel_key, rk) for the
-    * `budget` selected docs, rk in (gumbel_key DESC, doc_id) order. */
+    * `budget` selected docs, rk in (gumbel_key DESC, doc_id) order.
+    * Carries an eager executor-local barrier on the token-bucket
+    * relation — see [[TextAnalysis]]'s class-level ''Materialization
+    * barriers'' contract (construction executes; blocks are not
+    * recomputable after executor loss). */
   def dsir(docs: DataFrame, isTarget: org.apache.spark.sql.Column,
            budget: Int, buckets: Int = 4096, alpha: Double = 1.0,
            seed: String = "dsir-v1", textCol: String = "text",

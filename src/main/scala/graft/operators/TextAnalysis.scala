@@ -13,6 +13,32 @@ import graft.functions._
   * Regex patterns restrict themselves to syntax with identical semantics
   * in Java regex (Spark) and RE2 (the DuckDB oracle): character classes,
   * alternation of same-length-class alternatives, `\b` boundaries.
+  *
+  * ==Materialization barriers (public API contract)==
+  * [[tfidf]], [[unigramLogProb]], [[bigramLogProb]], [[qualityBlend]]
+  * (and [[Selection.dsir]]) place an EAGER `localCheckpoint()` barrier
+  * on their shared tokenize/tf relation — load-bearing, not an
+  * optimization knob: Catalyst prunes the relation's consumers into
+  * structurally different subtrees, exchange reuse then does NOT apply,
+  * and without the barrier the corpus is re-scanned and re-TOKENIZED
+  * once per consumer (measured 2-6 FileScans, 2-4.5x the query cost at
+  * sf10 — SCALE.md r18). Two consequences callers must know:
+  *
+  *  1. '''Construction executes.''' Merely CALLING these builders runs
+  *     the tokenize pass (eager checkpoint) — the returned frame is lazy
+  *     only above the barrier. Don't build one speculatively on a hot
+  *     path and drop it unused.
+  *  2. '''Checkpoint blocks are executor-local and NOT recomputable.'''
+  *     `localCheckpoint` truncates lineage; losing an executor that
+  *     holds blocks fails the job instead of recomputing. On static
+  *     clusters (and the local bench) this is free; under dynamic
+  *     allocation / spot decommissioning, run these operators with
+  *     `spark.dynamicAllocation.shuffleTracking.enabled` executor
+  *     retention, or swap the barrier for reliable `checkpoint()` on a
+  *     cluster checkpoint dir — same plan shape, fault-tolerant blocks,
+  *     one extra write. The blocks are doc-sized (token arrays / tf
+  *     rows), freed by the ContextCleaner when the returned frame is
+  *     dropped.
   */
 object TextAnalysis {
 
@@ -304,7 +330,8 @@ object TextAnalysis {
     * NOT apply and the corpus was tokenized + shuffled TWICE — and the
     * doubled subtree under the top-k window read 45 s at sf10 where the
     * checkpointed form reads ~10 s (4.5x). "df from tf" is only true
-    * with the materialization barrier. */
+    * with the materialization barrier. Eager + executor-local — see the
+    * class-level ''Materialization barriers'' contract. */
   def tfidf(docs: DataFrame, textCol: String = "text", topK: Int = 10)
       : DataFrame = {
     import org.apache.spark.sql.expressions.Window
@@ -473,7 +500,9 @@ object TextAnalysis {
     * broadcast single-row aggregate, scoring one equi-join on term
     * (AQE broadcasts the vocab when it fits). Per-token ln(p) terms
     * are fixed to exact decimals BEFORE the per-doc sum, so the mean
-    * is associative — identical on any engine, any partitioning. */
+    * is associative — identical on any engine, any partitioning.
+    * The barrier is eager + executor-local — see the class-level
+    * ''Materialization barriers'' contract. */
   def unigramLogProb(docs: DataFrame, textCol: String = "text"): DataFrame = {
     val w = tokenArrays(docs, textCol).localCheckpoint()
     val toks = w.select(col("doc_id"), explode(col("w")).as("term"))
@@ -513,7 +542,8 @@ object TextAnalysis {
     * ln(p) terms are fixed to exact decimals BEFORE the per-doc sum,
     * so the mean is associative — identical on any
     * engine/partitioning. Docs with fewer than two tokens keep
-    * n_bigrams=0, null score. */
+    * n_bigrams=0, null score. The barrier is eager + executor-local —
+    * see the class-level ''Materialization barriers'' contract. */
   def bigramLogProb(docs: DataFrame, textCol: String = "text",
                     lambda: Double = 0.75): DataFrame = {
     val w = tokenArrays(docs, textCol).localCheckpoint()
@@ -616,7 +646,9 @@ object TextAnalysis {
     * Rank-normalization uses [[Sketches.percentRank]]'s two-level
     * bucketed form: no global single-task window anywhere, each signal
     * costs one bucket count table + one per-bucket window. Output
-    * percent-ranks and the blend are 6dp, engine-exact. */
+    * percent-ranks and the blend are 6dp, engine-exact. Carries an
+    * eager executor-local barrier — see the class-level
+    * ''Materialization barriers'' contract. */
   def qualityBlend(docs: DataFrame, textCol: String = "text"): DataFrame = {
     val q = qualityScore(docs, textCol).select(col("doc_id"), col("quality_score"))
     val lm = unigramLogProb(docs, textCol).select(col("doc_id"),

@@ -34,24 +34,31 @@ object WorkerHealth {
       removed || (failed > 0 && failed >= math.max(succeeded, 1L))
   }
 
-  private val counts = TrieMap[String, ExecutorHealth]()
+  /** Keyed by (applicationId, executorId): a JVM that creates a second
+    * SparkContext (tests, long-lived drivers) must not mix the prior
+    * app's entries — executor ids like "driver" and "0" collide across
+    * applications — into the new app's health view. */
+  private val counts = TrieMap[(String, String), ExecutorHealth]()
   private val installedApps = TrieMap[String, Boolean]()
 
   /** Single-threaded by the listener bus contract (one dispatch thread
-    * per listener), so read-modify-write on the map is safe. */
-  private final class Listener extends SparkListener {
+    * per listener), so read-modify-write on the map is safe. The
+    * listener captures its application id at install time — listener
+    * instances are per-app, so each writes only its own namespace. */
+  private final class Listener(appId: String) extends SparkListener {
     override def onTaskEnd(e: SparkListenerTaskEnd): Unit = {
       val ok = e.reason == org.apache.spark.Success
-      val id = e.taskInfo.executorId
-      val prev = counts.getOrElse(id, ExecutorHealth())
-      counts(id) = prev.copy(
+      val key = (appId, e.taskInfo.executorId)
+      val prev = counts.getOrElse(key, ExecutorHealth())
+      counts(key) = prev.copy(
         failed = prev.failed + (if (ok) 0L else 1L),
         succeeded = prev.succeeded + (if (ok) 1L else 0L),
         lastTaskMs = math.max(prev.lastTaskMs, e.taskInfo.finishTime))
     }
     override def onExecutorRemoved(e: SparkListenerExecutorRemoved): Unit = {
-      val prev = counts.getOrElse(e.executorId, ExecutorHealth())
-      counts(e.executorId) = prev.copy(removed = true, removeReason = e.reason)
+      val key = (appId, e.executorId)
+      val prev = counts.getOrElse(key, ExecutorHealth())
+      counts(key) = prev.copy(removed = true, removeReason = e.reason)
     }
   }
 
@@ -59,9 +66,12 @@ object WorkerHealth {
     * many [[graft.Sessions.tune]] call sites). */
   def install(sc: SparkContext): Unit =
     if (installedApps.putIfAbsent(sc.applicationId, true).isEmpty)
-      sc.addSparkListener(new Listener)
+      sc.addSparkListener(new Listener(sc.applicationId))
 
-  /** Current per-executor health, keyed by executor id ("driver" in
-    * local mode). */
-  def snapshot: Map[String, ExecutorHealth] = counts.toMap
+  /** Current per-executor health OF THE GIVEN APPLICATION, keyed by
+    * executor id ("driver" in local mode). */
+  def snapshot(sc: SparkContext): Map[String, ExecutorHealth] = {
+    val app = sc.applicationId
+    counts.collect { case ((a, e), h) if a == app => e -> h }.toMap
+  }
 }

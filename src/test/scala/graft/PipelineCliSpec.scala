@@ -438,7 +438,7 @@ class PipelineCliSpec extends SparkSpec {
     }
     // the listener bus is async — wait for the failure to land
     val deadline = System.nanoTime() + 10L * 1000 * 1000 * 1000
-    while (graft.pipeline.WorkerHealth.snapshot.get("driver")
+    while (graft.pipeline.WorkerHealth.snapshot(spark.sparkContext).get("driver")
              .forall(_.failed < 1) && System.nanoTime() < deadline)
       Thread.sleep(20)
     val (code, out) = cli("workers")

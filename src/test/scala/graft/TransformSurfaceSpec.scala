@@ -60,6 +60,42 @@ class TransformSurfaceSpec extends SparkSpec {
       ct.loadClass("graft.NotATransform")
     }
     assert(wrongShape.getMessage.contains("Function1"))
+    // erasure does NOT smuggle a wrong specialization through: a
+    // String => String class fails AT REGISTRATION with the signature
+    // in the message, not mid-pipeline with a ClassCastException
+    val wrongType = intercept[IllegalArgumentException] {
+      ct.loadClass("graft.WrongTypedTransform")
+    }
+    assert(wrongType.getMessage.contains("String"))
+    // …while a generic-indirection class whose only visible apply is
+    // the erased (Object)Object form stays accepted (undecidable)
+    assert(ct.loadClass("graft.GenericIdentityTransform")(in)
+      .count() == 2)
+  }
+
+  test("registerClassIfAbsent: same class reuses, different class registers a new version") {
+    import org.apache.spark.sql.DataFrame
+    val ct = new CodeTransform
+    val in = Seq((1L, 3L)).toDF("id", "v")
+    ct.registerClassIfAbsent("scale_v", "graft.DoubleVTransform")
+    ct.registerClassIfAbsent("scale_v", "graft.DoubleVTransform")
+    assert(ct.latestVersion("scale_v").contains(1)) // idempotent re-runs
+    // a spec naming a DIFFERENT class under the taken name must run ITS
+    // class (new version), never silently execute the old one
+    ct.registerClassIfAbsent("scale_v", "graft.TripleVTransform")
+    assert(ct.latestVersion("scale_v").contains(2))
+    assert(ct.transformNamed(in, "scale_v").select("v")
+      .as[Long].collect().toSeq == Seq(9L))
+    // version 1 remains addressable — history, not replacement
+    assert(ct.transformNamed(in, "scale_v", Some(1)).select("v")
+      .as[Long].collect().toSeq == Seq(6L))
+    // a programmatic registration shadowed by a class-declaring spec:
+    // the explicitly named class wins under a new version
+    val ct2 = new CodeTransform
+    ct2.register("prog", 1, (df: DataFrame) => df.limit(0), "programmatic")
+    ct2.registerClassIfAbsent("prog", "graft.DoubleVTransform")
+    assert(ct2.latestVersion("prog").contains(2))
+    assert(ct2.transformNamed(in, "prog").count() == 1)
   }
 
   test("config transform loads from a JSON file") {
