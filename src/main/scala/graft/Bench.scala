@@ -169,6 +169,19 @@ object Bench {
     var extPeak = 0.0
     var ioPeak = 0.0
     var stealPeak = 0.0
+    // Block-manager storage residency (MB, on+off heap, all executors)
+    // read AFTER each query's window: the suite's localCheckpoint
+    // barriers and shared plan caches live in storage until the
+    // ContextCleaner reclaims unreferenced blocks, and r18's two
+    // official campaigns disagreed 1.86x on one untouched query with
+    // every existing guard clean — residency is the one suite-order-
+    // dependent condition no guard recorded. Per query in the artifact,
+    // so a cross-run disagreement can be checked against what the
+    // PRECEDING queries left resident.
+    def storageMb(): Long =
+      spark.sparkContext.statusTracker.getExecutorInfos
+        .map(e => e.usedOnHeapStorageMemory() + e.usedOffHeapStorageMemory())
+        .sum / (1024L * 1024L)
     // Failed queries must be LOUD: a swallowed exception records a
     // near-zero "time" that silently shrinks the total (r9 lost its 15
     // event-table queries exactly this way when the testdata's ts type
@@ -273,32 +286,40 @@ object Bench {
       extPeak = math.max(extPeak, ext)
       ioPeak = math.max(ioPeak, io)
       stealPeak = math.max(stealPeak, st)
-      (name, t, flagged, gc, ext, io, st, cold)
+      (name, t, flagged, gc, ext, io, st, cold, storageMb())
     }
     val loadEnd = osBean.getSystemLoadAverage
-    val qs = results.map { case (k, v, _, _, _, _, _, _) => "\"" + k + "\":" + v }
+    val qs = results.map { case (k, v, _, _, _, _, _, _, _) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     // Per-query GC fraction of the measurement window (guard part b):
     // lets a reader of two artifacts attribute any disagreement on an
     // allocation-heavy query to collection time instead of guessing.
-    val gcs = results.map { case (k, _, _, g, _, _, _, _) => f""""$k":$g%.3f""" }
+    val gcs = results.map { case (k, _, _, g, _, _, _, _, _) => f""""$k":$g%.3f""" }
       .mkString("{", ",", "}")
     // Per-query EXTERNAL-CPU and iowait core readings of the same
     // window (the guard computes them anyway): a pair of artifacts
     // disagreeing 1.9x on one query is now attributable query-by-query
     // — a sub-threshold host ripple shows up HERE even when the
     // run-level peak stays quiet.
-    val exts = results.map { case (k, _, _, _, e, _, _, _) => f""""$k":$e%.2f""" }
+    val exts = results.map { case (k, _, _, _, e, _, _, _, _) => f""""$k":$e%.2f""" }
       .mkString("{", ",", "}")
-    val ios = results.map { case (k, _, _, _, _, w, _, _) => f""""$k":$w%.2f""" }
+    val ios = results.map { case (k, _, _, _, _, w, _, _, _) => f""""$k":$w%.2f""" }
       .mkString("{", ",", "}")
     // Per-query steal cores: the share of ext_cpu that was hypervisor
     // contention rather than a co-tenant process. steal ~= ext on a
     // flagged query means the box was fine and the HOST was not.
-    val steals = results.map { case (k, _, _, _, _, _, s, _) => f""""$k":$s%.2f""" }
+    val steals = results.map { case (k, _, _, _, _, _, s, _, _) => f""""$k":$s%.2f""" }
+      .mkString("{", ",", "}")
+    // Per-query block-manager storage residency (MB) at window end —
+    // the suite-order-dependent condition behind the r18 cross-campaign
+    // dedup_jaccard disagreement: checkpoint blocks from earlier
+    // queries occupy the unified memory region until the cleaner
+    // reclaims them, and that pressure is invisible to every other
+    // guard. Recorded, not enforced.
+    val stors = results.map { case (k, _, _, _, _, _, _, _, mb) => s""""$k":$mb""" }
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum
-    val flaggedNames = results.collect { case (k, _, true, _, _, _, _, _) => "\"" + k + "\"" }
+    val flaggedNames = results.collect { case (k, _, true, _, _, _, _, _, _) => "\"" + k + "\"" }
       .mkString("[", ",", "]")
     // WARN band under the flag line (r15 verdict: a run with ext_cpu
     // peak 1.97 passed as official while reading a uniform 1.26x over
@@ -309,9 +330,9 @@ object Bench {
     val extWarnLimit = sys.env.get("SPARK_GRAFT_EXT_CPU_WARN")
       .map(_.toDouble).getOrElse(1.0)
     val coldExtra = Bench.coldExtraJson(
-      results.map { case (k, _, _, _, _, _, _, c) => (k, c) })
+      results.map { case (k, _, _, _, _, _, _, c, _) => (k, c) })
     val extWarn = Bench.extCpuWarnJson(
-      results.map { case (k, _, _, _, e, _, _, _) => (k, e) }, extWarnLimit)
+      results.map { case (k, _, _, _, e, _, _, _, _) => (k, e) }, extWarnLimit)
     if (extPeak > extWarnLimit) System.err.println(
       f"[bench] WARN: ext_cpu_peak $extPeak%.2f cores exceeds the warn band ($extWarnLimit%.1f; flag at $extLimit%.1f) — compare per-query ext_cpu against a clean artifact before trusting cross-run deltas")
     val skippedNames = skipped.toSeq.sorted.map("\"" + _ + "\"")
@@ -326,6 +347,7 @@ object Bench {
       f""""ext_cpu_peak_cores":$extPeak%.2f,"iowait_peak_cores":$ioPeak%.2f,""" +
       f""""steal_peak_cores":$stealPeak%.2f,""" +
       s""""gc_frac":$gcs,"ext_cpu":$exts,"iowait":$ios,"steal":$steals,""" +
+      s""""storage_mb":$stors,""" +
       s""""load_flagged":$flaggedNames,"failed":$failedNames,""" +
       extWarn + coldExtra +
       s""""official":${results.forall(!_._3) && failed.isEmpty},""" +
@@ -344,7 +366,7 @@ object Bench {
     java.nio.file.Files.write(outPath,
       (full + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
     val top5 = results.sortBy(-_._2).take(5)
-      .map { case (k, v, _, _, _, _, _, _) => "\"" + k + "\":" + f"$v%.3f" }
+      .map { case (k, v, _, _, _, _, _, _, _) => "\"" + k + "\":" + f"$v%.3f" }
       .mkString("{", ",", "}")
     val n = results.size
     println(

@@ -333,6 +333,11 @@ case class FirstMatchingBand(first: Expression, second: Expression,
 
   override def prettyName: String = "first_matching_band"
 
+  /** Array elements may be NULL: the governed (capped) feed NULLs a
+    * doc's capped-out bands in the rebuilt arrays so the gate never
+    * matches them — a null position agrees with nothing (not even
+    * another null). The full feed's arrays carry no nulls, and the
+    * guards cost one bitset probe per compared position. */
   override def nullSafeEval(a: Any, b: Any, c: Any, d: Any): Any = {
     val x = a.asInstanceOf[ArrayData]
     val y = b.asInstanceOf[ArrayData]
@@ -341,7 +346,7 @@ case class FirstMatchingBand(first: Expression, second: Expression,
     val n = math.min(x.numElements(), y.numElements())
     var i = 0
     while (i < n) {
-      if (x.getInt(i) == y.getInt(i)) {
+      if (!x.isNullAt(i) && !y.isNullAt(i) && x.getInt(i) == y.getInt(i)) {
         // first positional agreement decides: canonical iff it is this
         // row's (same-band) position
         return aBand == bBand && i == aBand
@@ -353,11 +358,13 @@ case class FirstMatchingBand(first: Expression, second: Expression,
     val na = x.numElements(); val nb = y.numElements()
     i = 0
     while (i < na) {
-      var j = 0
-      while (j < nb) {
-        if (i != j && x.getInt(i) == y.getInt(j))
-          return i == aBand && j == bBand
-        j += 1
+      if (!x.isNullAt(i)) {
+        var j = 0
+        while (j < nb) {
+          if (i != j && !y.isNullAt(j) && x.getInt(i) == y.getInt(j))
+            return i == aBand && j == bBand
+          j += 1
+        }
       }
       i += 1
     }
@@ -377,15 +384,17 @@ case class FirstMatchingBand(first: Expression, second: Expression,
          |int $n = java.lang.Math.min($na, $nb);
          |int $pos = -1;
          |for (int $i = 0; $i < $n; $i++) {
-         |  if ($a.getInt($i) == $b.getInt($i)) { $pos = $i; break; }
+         |  if (!$a.isNullAt($i) && !$b.isNullAt($i) &&
+         |      $a.getInt($i) == $b.getInt($i)) { $pos = $i; break; }
          |}
          |if ($pos >= 0) {
          |  ${ev.value} = ($c == $d && $pos == $c);
          |} else if ($c != $d) {
          |  $outer:
          |  for (int $i = 0; $i < $na; $i++) {
+         |    if ($a.isNullAt($i)) continue;
          |    for (int $j = 0; $j < $nb; $j++) {
-         |      if ($i != $j && $a.getInt($i) == $b.getInt($j)) {
+         |      if ($i != $j && !$b.isNullAt($j) && $a.getInt($i) == $b.getInt($j)) {
          |        ${ev.value} = ($i == $c && $j == $d);
          |        break $outer;
          |      }

@@ -460,8 +460,13 @@ object Dedup {
   private[graft] def firstBandPairs(bucketArrs: DataFrame,
                                     sideRows: Long = -1L,
                                     bands: Int = 32): DataFrame = {
+    // capped arrays NULL a doc's capped-out bands ([[firstBandPairsCapped]]);
+    // a null bucket can never match, so drop those rows before the
+    // exchange instead of shuffling them into the join (no-op predicate
+    // on the full feed, whose arrays carry no nulls)
     val ex = bucketArrs.select(col("id"), col("barr"),
       posexplode(col("barr")).as(Seq("band", "bucket")))
+      .where(col("bucket").isNotNull)
     val a = ex.select(col("id").as("a_id"), col("barr").as("a_barr"),
       col("band").as("a_band"), col("bucket"))
     val b = ex.select(col("id").as("b_id"), col("barr").as("b_barr"),
@@ -601,11 +606,120 @@ object Dedup {
     * [[lastPairEmissionStats]] records capped-bucket and dropped-pair
     * counts, and [[bucketOccupancyProfile]] tells a run what the cap
     * will do before it emits anything. */
-  private def selfPairsCapped(buckets: DataFrame,
-                              maxPairsPerBucket: Int): DataFrame = {
+  private[graft] def selfPairsCapped(buckets: DataFrame,
+                                     maxPairsPerBucket: Int): DataFrame = {
     val (kept, st) = cappedMembers(buckets, "id", "bucket", maxPairsPerBucket)
     lastPairEmissionStats = st
     selfPairs(kept)
+  }
+
+  /** Capped exactly-once pair emission — the GOVERNED twin of
+    * [[firstBandPairs]], with [[selfPairsCapped]]'s output set and drop
+    * ledger (spec-pinned equal) at the full report's economics.
+    *
+    * The r18 campaigns measured the governed report costing MORE than
+    * the ungoverned one (sf10: 25.9 s capped vs 16.4 s full) because the
+    * cap path still paid the pre-r16 costs the full path had shed: a
+    * SECOND banding pass (the drop ledger re-derived the bucket table —
+    * and the minhash signature mapPartitions under it — from the shingle
+    * cache) plus [[selfPairs]]' pair-volume-sized DISTINCT. A governed
+    * run must never cost more than the ungoverned one it exists to
+    * protect, so this form re-unifies the economics:
+    *
+    *  1. ONE banding pass and ONE bucket-keyed shuffle: the band-array
+    *     table is posexploded, repartitioned on bucket, sorted within
+    *     partitions by (bucket, hash(id), id) and materialized once
+    *     (doc×bands rows — corpus-linear, never pair-volume). The drop
+    *     ledger and the cap are then NARROW run-length passes over the
+    *     sorted runs — O(1) state, hot buckets stream through.
+    *  2. The per-bucket cap keeps [[cappedMembers]]' exact member
+    *     sample (largest m with C(m,2) ≤ cap, first m in the same
+    *     deterministic (hash(id), id) order — spec-pinned identical).
+    *  3. Per-doc band arrays are REBUILT from the kept rows with
+    *     capped-out bands NULLed (one corpus-keyed regroup), so
+    *     [[graft.expressions.FirstMatchingBand]] — null positions never
+    *     match — emits each surviving pair exactly once: no global
+    *     DISTINCT, no pair-volume shuffle, identical economics to the
+    *     full report's gate.
+    *
+    * Output-set equality with [[selfPairsCapped]] is structural: both
+    * keep exactly the same per-bucket member sample, and a pair is
+    * emitted iff some bucket keeps both members — the gate only changes
+    * HOW MANY TIMES the join re-finds it (then keeps one row locally)
+    * versus collapsing re-finds with a distinct. Ledger arithmetic is
+    * the same formulas over the same pre-cap bucket table. */
+  private[graft] def firstBandPairsCapped(bucketArrs: DataFrame,
+                                          maxPairsPerBucket: Int,
+                                          bands: Int,
+                                          sideRows: Long = -1L): DataFrame = {
+    val spark = bucketArrs.sparkSession
+    import spark.implicits._
+    val m = ((1 + math.sqrt(1.0 + 8.0 * maxPairsPerBucket)) / 2).toInt
+    // ONE bucket-keyed shuffle serves both the cap and the ledger: the
+    // exploded rows are hash-repartitioned on bucket, sorted within
+    // partitions by (bucket, hash(id), id) — exactly [[cappedMembers]]'
+    // window order, so the kept member sample is identical — and
+    // materialized once. The drop ledger and the rank filter are then
+    // NARROW run-length passes over the sorted checkpoint (compare-to-
+    // previous over contiguous bucket runs, O(1) state — hot buckets
+    // stream through like WindowGroupLimit, nothing buffers). The first
+    // cut of this method paid a near-full-cardinality groupBy(bucket)
+    // hash-agg for the ledger PLUS a separate window shuffle; both were
+    // corpus×bands-row passes over the same key.
+    val exSorted = bucketArrs
+      .select(col("id"), posexplode(col("barr")).as(Seq("band", "bucket")))
+      .withColumn("__h", hash(col("id")))
+      .repartition(col("bucket"))
+      .sortWithinPartitions(col("bucket"), col("__h"), col("id"))
+      .select(col("id"), col("band"), col("bucket"))
+      .localCheckpoint()
+    val typed = exSorted.as[(Long, Int, Int)]
+    // drop ledger over the PRE-cap bucket runs — same arithmetic as
+    // [[cappedMembers]], same eager publication contract; one partial
+    // row per partition, summed on the driver
+    val partials = typed.mapPartitions { it =>
+      var b = 0L; var capped = 0L; var emitted = 0L; var dropped = 0L
+      var cur = 0; var has = false; var g = 0L
+      def pairs(x: Long) = x * (x - 1) / 2
+      def close(): Unit = if (has) {
+        b += 1
+        if (g > m) capped += 1
+        val keptG = math.min(g, m.toLong)
+        emitted += pairs(keptG); dropped += pairs(g) - pairs(keptG)
+      }
+      it.foreach { case (_, _, bucket) =>
+        if (!has || bucket != cur) { close(); cur = bucket; has = true; g = 1L }
+        else g += 1
+      }
+      close()
+      Iterator.single((b, capped, emitted, dropped))
+    }.toDF("b", "capped", "emitted", "dropped")
+      .agg(coalesce(sum("b"), lit(0L)), coalesce(sum("capped"), lit(0L)),
+        coalesce(sum("emitted"), lit(0L)), coalesce(sum("dropped"), lit(0L)))
+      .head()
+    lastPairEmissionStats = PairEmissionStats(partials.getLong(0),
+      partials.getLong(1), partials.getLong(2), partials.getLong(3))
+    // rank filter over the same sorted runs: keep the first m members
+    // of each bucket (deterministic-hash sample, identical to the
+    // window form's row_number <= m)
+    val kept = typed.mapPartitions { it =>
+      var cur = 0; var has = false; var rk = 0
+      it.flatMap { case (id, band, bucket) =>
+        if (!has || bucket != cur) { cur = bucket; has = true; rk = 1 }
+        else rk += 1
+        if (rk <= m) Iterator.single((id, band, bucket)) else Iterator.empty
+      }
+    }.toDF("id", "band", "bucket")
+    // rebuild per-doc band arrays with capped-out bands NULLed: 32
+    // codegen'd max-if aggregates (map-side combined), not a
+    // collect_list/map regroup — element i of the array is the doc's
+    // band-i bucket where kept, NULL where capped out
+    val aggs = (0 until bands).map(i =>
+      max(when(col("band") === i, col("bucket"))).as(s"__b$i"))
+    val rebuilt = kept.groupBy("id").agg(aggs.head, aggs.tail: _*)
+      .select(col("id"),
+        array((0 until bands).map(i => col(s"__b$i")): _*).as("barr"))
+    firstBandPairs(rebuilt, sideRows, bands)
   }
 
   /** Shared core of the capped pair-emission family (minhash buckets AND
@@ -918,23 +1032,26 @@ object Dedup {
       else {
         // report form: exactly-once first-band emission — no global
         // DISTINCT over the re-found pairs ([[firstBandPairs]]); the
-        // capped form stays on the exploded (id, bucket) feed, whose
-        // per-bucket member sample the cap is defined over
+        // capped form runs the SAME gate over the per-bucket member
+        // sample ([[firstBandPairsCapped]]) — a governed run must never
+        // cost more than the ungoverned one it protects (the r18
+        // inversion: 25.9 s capped vs 16.4 s full at sf10).
+        // Dispatch count from DOCS (lazily resolved: caller-provided
+        // or bare-relation count-star, r17 ADVICE), NOT from the
+        // persisted sets: counting sets forces the columnar cache
+        // build in its own pass plus an extra decompression read for
+        // the banding consumer — measured +15 s on sf10 dedup_jaccard
+        // when this briefly used sets.count(). The row counts are
+        // identical (one set row per doc).
+        val dr = graft.functions.resolveRows(docs, provenRows)
+        val sideRows = if (dr < 0) -1L else dr * bands
         val cand =
           if (maxPairsPerBucket > 0)
-            selfPairsCapped(bandBuckets(sets, k, bands), maxPairsPerBucket)
-          // dispatch count from DOCS (lazily resolved: caller-provided
-          // or bare-relation count-star, r17 ADVICE), NOT from the
-          // persisted sets: counting sets forces the columnar cache
-          // build in its own pass plus an extra decompression read for
-          // the banding consumer — measured +15 s on sf10 dedup_jaccard
-          // when this briefly used sets.count(). The row counts are
-          // identical (one set row per doc).
-          else {
-            val dr = graft.functions.resolveRows(docs, provenRows)
+            firstBandPairsCapped(bandBucketArrays(sets, k, bands),
+              maxPairsPerBucket, bands, sideRows)
+          else
             firstBandPairs(bandBucketArrays(sets, k, bands),
-              sideRows = if (dr < 0) -1L else dr * bands, bands = bands)
-          }
+              sideRows = sideRows, bands = bands)
         jaccardVerify(cand, sets, threshold).localCheckpoint()
       }
     sets.unpersist(false)

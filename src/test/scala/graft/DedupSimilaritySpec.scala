@@ -291,6 +291,23 @@ class DedupSimilaritySpec extends SparkSpec {
       lit(null).cast("array<int>"), typedLit(Seq(1)), lit(0), lit(0)).as("g"))
       .head()
     assert(n.isNullAt(0))
+    // null ELEMENTS never match — the capped feed NULLs capped-out
+    // bands; null==null is NOT an agreement, positionally or cross-band
+    def gateN(a: Seq[Any], b: Seq[Any], ab: Int, bb: Int): Boolean =
+      spark.range(1).select(firstMatchingBand(
+        typedLit(a.map(Option(_).map(_.asInstanceOf[Int]))),
+        typedLit(b.map(Option(_).map(_.asInstanceOf[Int]))),
+        lit(ab), lit(bb)).as("g")).head().getBoolean(0)
+    // first NON-NULL positional agreement decides (index 2, not the
+    // null-null position 1)
+    assert(gateN(Seq(1, null, 3, 4), Seq(9, null, 3, 7), 2, 2))
+    assert(!gateN(Seq(1, null, 3, 4), Seq(9, null, 3, 7), 1, 1))
+    // a value agreeing with a capped-out (null) slot is no agreement:
+    // positional scan skips it, pair emits at the later live agreement
+    assert(gateN(Seq(5, 6, 7, 8), Seq(null, 6, 7, 9), 1, 1))
+    assert(!gateN(Seq(5, 6, 7, 8), Seq(null, 6, 7, 9), 0, 0))
+    // cross-band arm skips null slots on either side
+    assert(gateN(Seq(20, null, 22, 23), Seq(23, 24, null, 26), 3, 0))
   }
 
   test("firstBandPairs == distinct bucket self-join, exactly-once, planted cross-band collisions") {
@@ -1366,6 +1383,29 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(st.candidatePairs == occ.map(g => pairsOf(math.min(g, m))).sum)
     assert(st.droppedPairs == occ.map(g => pairsOf(g) - pairsOf(math.min(g, m))).sum)
     assert(st.candidatePairs + st.droppedPairs == occ.map(pairsOf).sum)
+  }
+
+  test("firstBandPairsCapped == selfPairsCapped: same output set and ledger under binding and loose caps") {
+    // the governed gate must be a pure economics change: the kept
+    // member sample, the emitted pair SET and the drop ledger all
+    // bit-match the distinct-form reference, cap binding or not
+    val docs = spark.read.parquet(s"${sf("sf0.01")}/documents.parquet")
+    val sets = Dedup.shingleHashSets(docs)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    for (cap <- Seq(1, 100, 1000000)) {
+      val gated = Dedup.firstBandPairsCapped(
+          Dedup.bandBucketArrays(sets), cap, bands = 32)
+        .as[(Long, Long)].collect().toSet
+      val stGated = Dedup.lastPairEmissionStats
+      val ref = Dedup.selfPairsCapped(Dedup.bandBuckets(sets), cap)
+        .as[(Long, Long)].collect().toSet
+      val stRef = Dedup.lastPairEmissionStats
+      assert(gated == ref, s"pair-set mismatch at cap=$cap")
+      assert(stGated == stRef, s"ledger mismatch at cap=$cap")
+      if (cap == 1) assert(stGated.droppedPairs > 0,
+        "cap=1 must bind on this corpus or the test is vacuous")
+    }
+    sets.unpersist()
   }
 
   test("embedding cell report cap + occupancy profile: subset, exact ledger, profile arithmetic") {

@@ -281,6 +281,65 @@ class PipelineCliSpec extends SparkSpec {
     assert(tries == 1)
   }
 
+  test("README logging walkthrough: correlation span across two runs, swappable sink, custom fields") {
+    // examples/README.md §6, exercised verbatim so it cannot rot
+    // (reference examples/logging_example.py)
+    import graft.pipeline.{Pipeline, StageLog}
+    val lines = scala.collection.mutable.ArrayBuffer[String]()
+    val prev = StageLog.sink
+    StageLog.sink = s => lines.synchronized { lines += s }
+    try {
+      val spec = java.nio.file.Files.readString(
+        java.nio.file.Paths.get("examples/pipeline_spec.json"))
+      StageLog.withCorrelationId("req-batch-42") {
+        Pipeline.runJson(spark, spec, pipelineName = "log-example-a")
+        Pipeline.runJson(spark, spec, pipelineName = "log-example-b")
+      }
+      // each run: pipeline_start, stage_complete x3 (ingestion/
+      // transformation/persistence), pipeline_complete — one line per
+      // STAGE, and every line carries the request-scoped id
+      val captured = lines.synchronized(lines.toVector)
+      assert(captured.size == 10, captured.mkString("\n"))
+      assert(captured.forall(_.contains("\"correlation_id\": \"req-batch-42\"")),
+        captured.mkString("\n"))
+      def of(p: String) = captured.filter(_.contains(s""""pipeline": "$p""""))
+      for (p <- Seq("log-example-a", "log-example-b")) {
+        val ls = of(p)
+        assert(ls.count(_.contains("\"event\": \"pipeline_start\"")) == 1, ls)
+        assert(ls.count(_.contains("\"event\": \"stage_complete\"")) == 3, ls)
+        assert(ls.count(_.contains("\"event\": \"pipeline_complete\"")) == 1, ls)
+        assert(ls.exists(l => l.contains("\"stage\": \"persistence\"")
+          && l.contains("\"rows\": 11")), ls)
+      }
+      // run_ids distinct across the two runs, same correlation id
+      val rid = "\"run_id\": \"([0-9a-f-]+)\"".r
+      val rids = captured.flatMap(l => rid.findFirstMatchIn(l).map(_.group(1))).toSet
+      assert(rids.size == 2, rids)
+      // custom events with custom fields pick up the context id and
+      // JSON-typed scalars
+      val n0 = captured.size
+      StageLog.withCorrelationId("req-batch-42") {
+        StageLog.emit("batch_scored",
+          "batch" -> 1, "rows_in" -> 1000L, "rows_out" -> 950L,
+          "duration_ms" -> 1234L)
+      }
+      val custom = lines.synchronized(lines.last)
+      assert(lines.size == n0 + 1 &&
+        custom.contains("\"event\": \"batch_scored\"") &&
+        custom.contains("\"rows_in\": 1000") &&
+        custom.contains("\"correlation_id\": \"req-batch-42\""), custom)
+      // explicit correlation_id in fields WINS over the context (the
+      // shared-pool emit-site guidance in §6)
+      StageLog.withCorrelationId("stale-ctx") {
+        StageLog.emit("pool_event", "correlation_id" -> "req-fresh")
+      }
+      assert(lines.synchronized(lines.last).contains("\"correlation_id\": \"req-fresh\""))
+      // outside any span, no correlation id is stamped on ad-hoc emits
+      StageLog.emit("bare_event")
+      assert(!lines.synchronized(lines.last).contains("correlation_id"))
+    } finally StageLog.sink = prev
+  }
+
   test("GraftSettings: env alone configures the run; flags override env") {
     // reference settings.py:1-185 — every deployment knob is an env
     // variable with a default. The CLI must be fully drivable from

@@ -194,6 +194,30 @@ class PlanShapeSpec extends SparkSpec {
       "one scan of documents, not one per enrichment\n" + planStr)
   }
 
+  test("swept text operators: at most ONE FileScan of documents in the executed plan") {
+    // Regression pin for the r18 multi-scan defect class: divergent
+    // Catalyst pruning defeats exchange reuse, so without the
+    // tokenize-once checkpoint barrier these queries re-scan and
+    // re-TOKENIZE the corpus once per consumer (text_bigram_lp carried
+    // SIX FileScans while its doc-comment claimed one — the class
+    // already rotted back once undetected). With the barrier the final
+    // adaptive plan reads the checkpoint (0 scans) or the corpus once
+    // (tfidf's n_docs branch); >=2 scans of documents = the barrier
+    // rotted again. Same counting method as graft.ScanCountProbe.
+    val swept = Seq("text_tfidf", "text_bigram_lp", "text_unigram_lp",
+      "corpus_dsir", "text_quality_blend")
+    swept.foreach { q =>
+      val df = SparkEntry.queries(q)(spark, sf("sf0.001"))
+      df.write.format("noop").mode("overwrite").save()
+      val plan = df.queryExecution.executedPlan.toString
+        .split("== Initial Plan ==")(0)
+      val docScans = plan.linesIterator.count(l =>
+        l.contains("FileScan parquet") && l.contains("documents"))
+      assert(docScans <= 1,
+        s"$q: $docScans FileScans of documents — the tokenize-once barrier rotted:\n$plan")
+    }
+  }
+
   test("seq_pack: every window is partitioned (no global-order single-task scan)") {
     val df = SparkEntry.queries("seq_pack")(spark, sf("sf0.001"))
     df.collect()
