@@ -455,7 +455,17 @@ object Sketches {
     *
     * `terms` is a one-row-per-occurrence relation; output (term, n, rk)
     * = the exact counts of the top `topK` candidates, ranked by
-    * (n DESC, term) for a deterministic, engine-stable order. */
+    * (n DESC, term) for a deterministic, engine-stable order.
+    *
+    * '''The feed is consumed TWICE''' (sketch pass + exact-count pass),
+    * and Catalyst prunes the two consumers into different subtrees, so
+    * an expensive lazy feed (tokenize-from-corpus) executes once per
+    * pass (r19 sf10 ScanCountProbe: 2 FileScans). Derive the feed by
+    * exploding a materialized doc-sized token-array relation (eager
+    * `localCheckpoint` — see [[TextAnalysis]]'s ''Materialization
+    * barriers'' contract), as the heavy-hitter queries do; never
+    * checkpoint the exploded token stream itself. Same contract for
+    * [[groupedHeavyHitters]]. */
   def heavyHitters(terms: DataFrame, termCol: String, k: Int = 4096,
                    topK: Int = 20): DataFrame = {
     import org.apache.spark.sql.expressions.Window

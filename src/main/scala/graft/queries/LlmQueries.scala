@@ -790,9 +790,18 @@ object LlmQueries {
     // provable-exactness condition (min top count > N/(k+1)) holds at
     // every tested SF and is asserted in SketchProfileSpec.
     "text_heavy_hitters" -> ((s, d) => {
-      val terms = docs(s, d).select(
-        explode(filter(split(lower(col("text")), "[^a-z0-9]+"),
-          x => x =!= "")).as("term"))
+      // tokenize ONCE: heavyHitters consumes its term feed twice (the
+      // MG sketch pass and the exact-count pass), and without a barrier
+      // each consumer re-scans AND re-splits the corpus (r19 sf10
+      // ScanCountProbe: 2 FileScans of documents). Checkpoint the
+      // doc-sized token ARRAYS — the same barrier class as
+      // unigram/bigram (TextAnalysis ''Materialization barriers'') —
+      // and let both consumers explode from it.
+      val arrs = docs(s, d).select(
+        filter(split(lower(col("text")), "[^a-z0-9]+"),
+          x => x =!= "").as("__toks"))
+        .localCheckpoint()
+      val terms = arrs.select(explode(col("__toks")).as("term"))
       Sketches.heavyHitters(terms, "term", k = 4096, topK = 20)
         .select("term", "n", "rk").orderBy("rk")
     }),
@@ -803,9 +812,15 @@ object LlmQueries {
     // Oracle-exact under the same provable-exactness condition as the
     // global form (asserted per group in SketchProfileSpec).
     "text_heavy_hitters_grouped" -> ((s, d) => {
-      val terms = docs(s, d).select(col("lang"),
-        explode(filter(split(lower(col("text")), "[^a-z0-9]+"),
-          x => x =!= "")).as("term"))
+      // same tokenize-once barrier as the global form: the grouped
+      // sketch also consumes its feed twice (per-group MG partials +
+      // exact pass)
+      val arrs = docs(s, d).select(col("lang"),
+        filter(split(lower(col("text")), "[^a-z0-9]+"),
+          x => x =!= "").as("__toks"))
+        .localCheckpoint()
+      val terms = arrs.select(col("lang"),
+        explode(col("__toks")).as("term"))
       Sketches.groupedHeavyHitters(terms, "lang", "term", k = 4096, topK = 10)
         .orderBy("grp", "rk")
     }),

@@ -205,7 +205,9 @@ class PlanShapeSpec extends SparkSpec {
     // (tfidf's n_docs branch); >=2 scans of documents = the barrier
     // rotted again. Same counting method as graft.ScanCountProbe.
     val swept = Seq("text_tfidf", "text_bigram_lp", "text_unigram_lp",
-      "corpus_dsir", "text_quality_blend")
+      "corpus_dsir", "text_quality_blend",
+      // r19: the heavy-hitter sketches' two-pass feed joined the class
+      "text_heavy_hitters", "text_heavy_hitters_grouped")
     swept.foreach { q =>
       val df = SparkEntry.queries(q)(spark, sf("sf0.001"))
       df.write.format("noop").mode("overwrite").save()
