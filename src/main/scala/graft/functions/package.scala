@@ -105,10 +105,16 @@ package object functions {
     if (provenRows == autoRows) cheapRows(df) else provenRows
 
   // ------------------------------------------------------------------- text
-  /** Lowercase word tokens; `[^a-z0-9]+` keeps the tokenizer identical
-    * across regex engines (Java here, RE2 in oracles). */
+  /** Lowercase word tokens; the `[^a-z0-9]+` grammar keeps the tokenizer
+    * identical across regex engines (Java here, RE2 in oracles). Runs as
+    * ONE codegen'd byte scan ([[graft.expressions.WordTokensExpr]]) —
+    * the composed `filter(split(lower(c), ...), _ != "")` form is a
+    * higher-order `filter` (CodegenFallback, kills whole-stage codegen
+    * for the whole corpus scan stage) plus a lowered copy and two array
+    * materialisations per document; equivalence is spec-pinned
+    * (TokenScanSpec) and oracle-certified by every consumer. */
   def wordTokens(c: Column): Column =
-    filter(split(lower(c), "[^a-z0-9]+"), w => w =!= "")
+    graft.expressions.TokenExpressions.wordTokens(c)
 
   /** Distinct word n-gram shingles ("a b c") from a token array. */
   def shingles(tokens: Column, n: Int): Column = {

@@ -62,7 +62,7 @@ object Bpe {
     * vocabulary-sized per task. */
   def wordHistogram(docs: DataFrame, textCol: String = "text"): DataFrame =
     docs.select(explode(
-        regexp_extract_all(col(textCol), lit(TextAnalysis.bpeishPattern), lit(0)))
+        graft.expressions.TokenExpressions.bpeishTokens(col(textCol)))
         .as("word"))
       .groupBy("word").agg(count(lit(1)).as("cnt"))
 
@@ -219,18 +219,16 @@ object Bpe {
     val spark = docs.sparkSession
     import spark.implicits._
     val bRanks = spark.sparkContext.broadcast(model.ranks)
-    val pattern = TextAnalysis.bpeishPattern
     docs.select(col(idCol).cast("long"), col(textCol))
       .as[(Long, String)]
       .mapPartitions { it =>
         val ranks = bRanks.value
-        val re = java.util.regex.Pattern.compile(pattern)
         val memo = mutable.HashMap.empty[String, Array[String]]
         it.map { case (id, text) =>
           val toks = mutable.ArrayBuffer.empty[String]
-          val m = re.matcher(if (text == null) "" else text)
-          while (m.find()) {
-            val w = m.group()
+          // byte-class scan pre-tokenizer — match-identical to the
+          // bpeishPattern regex (TokenScanSpec) without the Matcher
+          graft.expressions.TokenScan.bpeishEach(text) { w =>
             val enc = memo.getOrElse(w, {
               val e = encodeWord(w, ranks)
               if (memo.size < memoBound) memo(w) = e
@@ -260,18 +258,66 @@ object Bpe {
     * in-flight and stored paths can never diverge on the stats. */
   def tokenStatsWith(model: BpeModel, docs: DataFrame,
                      idCol: String = "doc_id",
-                     textCol: String = "text"): DataFrame = {
-    encode(model, docs, idCol, textCol)
-      .select(col(idCol),
-        aggregate(col("tokens"), lit(0L),
-          (acc, t) => acc + length(t) -
-            when(t.endsWith(EndOfWord), lit(EndOfWord.length)).otherwise(0L))
-          .as("n_base_symbols"),
-        size(col("tokens")).cast("long").as("n_bpe_tokens"))
+                     textCol: String = "text"): DataFrame =
+    encodeStats(model, docs, idCol, textCol)
+      .select(col(idCol), col("n_base_symbols"), col("n_bpe_tokens"))
       .withColumn("compression", round(
         when(col("n_bpe_tokens") > 0,
           col("n_base_symbols").cast("double") / col("n_bpe_tokens"))
           .otherwise(lit(1.0)), 6))
+
+  /** Per-doc encode STATISTICS in one map-side pass, never materialising
+    * a token array: (id, n_words, n_bpe_tokens, n_base_symbols,
+    * n_unmerged). The stats-only consumers ([[tokenStatsWith]],
+    * [[tokenizerCoverage]]) previously ran [[encode]] and then reduced
+    * each doc's token ARRAY with interpreted `aggregate`/`filter`
+    * higher-order lambdas — every token was built, copied into the
+    * row, interpreted over, and thrown away. Here the per-word stats
+    * are memoised as three ints (vs the token array), so the Zipfian
+    * word soup amortises the encode exactly as before while the per-doc
+    * output is four longs. Per-word identities (spec-pinned in BpeSpec
+    * against the array path):
+    *  - n_base_symbols(word) = word.length — merges concatenate, never
+    *    create or drop base symbols, and the `</w>` marker is excluded
+    *    exactly as the array form's `endsWith` adjustment did;
+    *  - n_unmerged(word) = tokens whose symbol count (length minus the
+    *    marker suffix) is 1 — single base symbols the vocab never
+    *    merged. */
+  def encodeStats(model: BpeModel, docs: DataFrame,
+                  idCol: String = "doc_id", textCol: String = "text",
+                  memoBound: Int = 1 << 16): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val bRanks = spark.sparkContext.broadcast(model.ranks)
+    docs.select(col(idCol).cast("long"), col(textCol))
+      .as[(Long, String)]
+      .mapPartitions { it =>
+        val ranks = bRanks.value
+        val memo = mutable.HashMap.empty[String, (Int, Int)]
+        it.map { case (id, text) =>
+          var words = 0L; var toks = 0L; var base = 0L; var unmerged = 0L
+          graft.expressions.TokenScan.bpeishEach(text) { w =>
+            val (nTok, nUnm) = memo.getOrElse(w, {
+              val enc = encodeWord(w, ranks)
+              var u = 0
+              var i = 0
+              while (i < enc.length) {
+                val t = enc(i)
+                val sym =
+                  if (t.endsWith(EndOfWord)) t.length - EndOfWord.length
+                  else t.length
+                if (sym <= 1) u += 1
+                i += 1
+              }
+              val e = (enc.length, u)
+              if (memo.size < memoBound) memo(w) = e
+              e
+            })
+            words += 1; toks += nTok; base += w.length; unmerged += nUnm
+          }
+          (id, words, toks, base, unmerged)
+        }
+      }.toDF(idCol, "n_words", "n_bpe_tokens", "n_base_symbols", "n_unmerged")
   }
 
   /** Tokenizer-fit audit per group (language / source / domain): encode
@@ -297,23 +343,20 @@ object Bpe {
                         idCol: String = "doc_id",
                         textCol: String = "text",
                         provenRows: Long = graft.functions.autoRows): DataFrame = {
-    val symCount = (t: Column) =>
-      length(t) - when(t.endsWith(EndOfWord), lit(EndOfWord.length)).otherwise(0)
-    val perDoc = encode(model, docs, idCol, textCol)
-      .select(col(idCol),
-        size(col("tokens")).cast("long").as("n_tokens"),
-        aggregate(col("tokens"), lit(0L), (acc, t) => acc + symCount(t))
-          .as("n_base_symbols"),
-        size(filter(col("tokens"), t => symCount(t) <= 1)).cast("long")
-          .as("n_unmerged"))
-    val words = docs.select(col(idCol), col(groupCol),
-      size(regexp_extract_all(col(textCol), lit(TextAnalysis.bpeishPattern), lit(0)))
-        .cast("long").as("n_words"))
-    // Broadcast-roulette pin (r17 audit): perDoc is one (id, 3 longs)
+    // One stats pass supplies n_words alongside the encode counters
+    // (r19: the old shape ran a SECOND full-text scan just to count
+    // pre-tokenizer words and joined it back; the encode pass iterates
+    // exactly those words anyway, so the second scan was pure waste —
+    // what remains of the join reads only (id, group), a pruned
+    // two-column scan).
+    val perDoc = encodeStats(model, docs, idCol, textCol)
+      .withColumnRenamed("n_bpe_tokens", "n_tokens")
+    val groups = docs.select(col(idCol), col(groupCol))
+    // Broadcast-roulette pin (r17 audit): perDoc is one (id, 4 longs)
     // row per doc — corpus-scaled, delta-compressible (the r16 OOM
     // class). The corpus count is the proven dispatch number, resolved
     // lazily (caller-provided or bare-relation count-star, r17 ADVICE).
-    words.join(graft.functions.mergePinned(perDoc,
+    groups.join(graft.functions.mergePinned(perDoc,
         graft.functions.resolveRows(docs, provenRows)), idCol)
       .groupBy(groupCol)
       .agg(

@@ -47,9 +47,10 @@ object Contamination {
     * dedup raw grams, hash. */
   private def distinctGrams(text: String, n: Int,
                             md: java.security.MessageDigest): Array[Long] = {
-    // null text shingles as empty (no grams), matching Bpe.encode's guard
-    val toks = (if (text == null) "" else text).toLowerCase(java.util.Locale.ROOT)
-      .split("[^a-z0-9]+").filter(_.nonEmpty)
+    // null text shingles as empty (no grams), matching Bpe.encode's
+    // guard; byte-class tokenizer spec-pinned to the legacy
+    // toLowerCase+split+filter form (TokenScanSpec)
+    val toks = graft.expressions.TokenScan.lowerAlnum(text)
     val seen = new scala.collection.mutable.HashSet[String]
     var i = 0
     while (i + n <= toks.length) {

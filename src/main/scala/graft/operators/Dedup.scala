@@ -70,10 +70,9 @@ object Dedup {
     spread(docs, col(idCol)).select(col(idCol), col(textCol)).as[(Long, String)]
       .mapPartitions { it =>
         it.map { case (id, text) =>
-          // null text tokenizes as empty, matching Bpe.encode's guard
-          val toks = (if (text == null) "" else text)
-            .toLowerCase(java.util.Locale.ROOT)
-            .split("[^a-z0-9]+").filter(_.nonEmpty)
+          // null-safe byte-class tokenizer (TokenScanSpec pins it to the
+          // legacy toLowerCase+split+filter form this pass used)
+          val toks = graft.expressions.TokenScan.lowerAlnum(text)
           val set = new scala.collection.mutable.HashSet[Long]
           var i = 0
           while (i + n <= toks.length) { set += fnv1a(toks, i, n); i += 1 }
@@ -93,9 +92,7 @@ object Dedup {
     spread(docs, col(idCol)).select(col(idCol), col(textCol)).as[(Long, String)]
       .mapPartitions { it =>
         it.flatMap { case (id, text) =>
-          val toks = (if (text == null) "" else text)
-            .toLowerCase(java.util.Locale.ROOT)
-            .split("[^a-z0-9]+").filter(_.nonEmpty)
+          val toks = graft.expressions.TokenScan.lowerAlnum(text)
           (0 to toks.length - n).iterator.map(i => (id, i.toLong, fnv1a(toks, i, n)))
         }
       }.toDF(idCol, "pos", "h")
@@ -231,9 +228,7 @@ object Dedup {
         coalesce(col("__starts"), typedlit(Array.empty[Long])).as("__starts"))
       .as[(Long, String, Array[Long])]
       .map { case (id, text, st) =>
-        val toks = (if (text == null) "" else text)
-          .toLowerCase(java.util.Locale.ROOT)
-          .split("[^a-z0-9]+").filter(_.nonEmpty)
+        val toks = graft.expressions.TokenScan.lowerAlnum(text)
         val covered = new Array[Boolean](toks.length)
         st.foreach { p =>
           var i = p.toInt

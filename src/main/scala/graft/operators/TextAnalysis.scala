@@ -46,11 +46,17 @@ object TextAnalysis {
     * single digits, single punctuation — the GPT-2 pre-tokenizer shape). */
   val bpeishPattern = "[A-Za-z]+|[0-9]|[^A-Za-z0-9\\s]"
 
-  def tokenCounts(docs: DataFrame, textCol: String = "text"): DataFrame =
-    docs.withColumn("ws_tokens", wsTokenCount(col(textCol)))
-      .withColumn("bpe_tokens",
-        size(regexp_extract_all(col(textCol), lit(bpeishPattern), lit(0))).cast("long"))
-      .withColumn("n_chars_calc", length(col(textCol)).cast("long"))
+  def tokenCounts(docs: DataFrame, textCol: String = "text"): DataFrame = {
+    // one codegen'd sweep for all three counts (TokenScanSpec pins the
+    // per-field replicas; was: wsTokenCount + a size(regexp_extract_all)
+    // that materialised the full match array per doc just to count it)
+    val tc = graft.expressions.TokenExpressions.tokenCounts(col(textCol))
+    docs.withColumn("__tc", tc)
+      .withColumn("ws_tokens", col("__tc").getField("ws_tokens"))
+      .withColumn("bpe_tokens", col("__tc").getField("bpe_tokens"))
+      .withColumn("n_chars_calc", col("__tc").getField("n_chars"))
+      .drop("__tc")
+  }
 
   val enStopwords = "\\b(the|and|of|to|a|in|is|it|that|for)\\b"
 
@@ -396,8 +402,11 @@ object TextAnalysis {
     }.toDF("query_id", "term")
     val termSet = qterms.select("term").distinct()
     val doclen = docs.select(col("doc_id"),
-      size(regexp_extract_all(lower(col(textCol)), lit("[a-z0-9]+"), lit(0)))
-        .cast("long").as("dl"))
+      // word-run count from the fused counts sweep — same value as
+      // size(regexp_extract_all(lower(text), "[a-z0-9]+")) (the oracle's
+      // form) without lowering or materialising the match array
+      graft.expressions.TokenExpressions.tokenCounts(col(textCol))
+        .getField("word_tokens").as("dl"))
     val stats = doclen.agg(count(lit(1)).as("n_docs"), sum("dl").as("total_dl"))
     val tf = docs
       .select(col("doc_id"), explode(wordTokens(col(textCol))).as("term"))
@@ -448,8 +457,7 @@ object TextAnalysis {
       .select(col("doc_id"), col(textCol)).as[(Long, String)]
       .mapPartitions { it =>
         it.map { case (id, text) =>
-          val toks = text.toLowerCase(java.util.Locale.ROOT)
-            .split("[^a-z0-9]+").filter(_.nonEmpty)
+          val toks = graft.expressions.TokenScan.lowerAlnum(text)
           val n = toks.length
           val uniqWords = new scala.collection.mutable.HashSet[String]
           toks.foreach(uniqWords.add)
@@ -760,8 +768,7 @@ object TextAnalysis {
         }
         it.map { case (id, text) =>
           val contentMd5 = md5Hex(text)
-          val toks = text.toLowerCase(java.util.Locale.ROOT)
-            .split("[^a-z0-9]+").filter(_.nonEmpty)
+          val toks = graft.expressions.TokenScan.lowerAlnum(text)
           val n = 5
           val seen = new scala.collection.mutable.HashSet[String]
           var minSig: String = null

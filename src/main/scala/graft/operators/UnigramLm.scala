@@ -299,19 +299,17 @@ object UnigramLm {
     import spark.implicits._
     val bPieces = spark.sparkContext.broadcast(model.pieces)
     val maxLen = model.maxPieceLen
-    val pattern = TextAnalysis.bpeishPattern
     docs.select(col(idCol).cast("long"), col(textCol))
       .as[(Long, String)]
       .mapPartitions { it =>
         val pieces = bPieces.value
-        val re = java.util.regex.Pattern.compile(pattern)
         val memo = mutable.HashMap.empty[String, (Array[String], Double)]
         it.map { case (id, text) =>
           val toks = mutable.ArrayBuffer.empty[String]
           var lp = 0.0
-          val m = re.matcher(if (text == null) "" else text)
-          while (m.find()) {
-            val w = m.group()
+          // byte-class scan pre-tokenizer — match-identical to the
+          // bpeishPattern regex (TokenScanSpec) without the Matcher
+          graft.expressions.TokenScan.bpeishEach(text) { w =>
             val enc = memo.getOrElse(w, {
               val e = viterbi(w, pieces, maxLen)
               if (memo.size < memoBound) memo(w) = e
@@ -332,16 +330,51 @@ object UnigramLm {
   def tokenStatsWith(model: UnigramModel, docs: DataFrame,
                      idCol: String = "doc_id",
                      textCol: String = "text"): DataFrame =
-    encode(model, docs, idCol, textCol)
-      .select(col(idCol),
-        aggregate(col("tokens"), lit(0L), (acc, t) => acc + length(t))
-          .as("n_chars"),
-        size(col("tokens")).cast("long").as("n_pieces"),
-        col("logprob"))
+    encodeStats(model, docs, idCol, textCol)
       .withColumn("compression", round(
         when(col("n_pieces") > 0,
           col("n_chars").cast("double") / col("n_pieces"))
           .otherwise(lit(1.0)), 6))
+
+  /** Per-doc encode STATISTICS in one map-side pass, never materialising
+    * the piece array: (id, n_chars, n_pieces, logprob). The stats-only
+    * consumer ([[tokenStatsWith]]) previously ran [[encode]] and reduced
+    * each doc's piece ARRAY with an interpreted `aggregate` lambda —
+    * every piece was built, copied into the row, interpreted over, and
+    * thrown away. Per-word stats memoise as two ints + a double (the
+    * Viterbi segmentation covers the word's characters exactly, so
+    * n_chars(word) = sum of piece lengths — spec-pinned in UnigramLmSpec
+    * against the array path). */
+  def encodeStats(model: UnigramModel, docs: DataFrame,
+                  idCol: String = "doc_id", textCol: String = "text",
+                  memoBound: Int = 1 << 16): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val bPieces = spark.sparkContext.broadcast(model.pieces)
+    val maxLen = model.maxPieceLen
+    docs.select(col(idCol).cast("long"), col(textCol))
+      .as[(Long, String)]
+      .mapPartitions { it =>
+        val pieces = bPieces.value
+        val memo = mutable.HashMap.empty[String, (Int, Int, Double)]
+        it.map { case (id, text) =>
+          var chars = 0L; var nPieces = 0L; var lp = 0.0
+          graft.expressions.TokenScan.bpeishEach(text) { w =>
+            val (nc, np, wlp) = memo.getOrElse(w, {
+              val (enc, elp) = viterbi(w, pieces, maxLen)
+              var c = 0
+              var i = 0
+              while (i < enc.length) { c += enc(i).length; i += 1 }
+              val e = (c, enc.length, elp)
+              if (memo.size < memoBound) memo(w) = e
+              e
+            })
+            chars += nc; nPieces += np; lp += wlp
+          }
+          (id, chars, nPieces, math.rint(lp * 1e6) / 1e6)
+        }
+      }.toDF(idCol, "n_chars", "n_pieces", "logprob")
+  }
 
   def tokenStats(docs: DataFrame, vocabSize: Int = 400,
                  idCol: String = "doc_id",

@@ -233,4 +233,27 @@ class BpeSpec extends SparkSpec {
       .as[(Long, Long, Long, Double)].collect().toSeq
     assert(stored == inflight)
   }
+
+  test("encodeStats === the token-array reduction (stats never drift from encode)") {
+    val model = Bpe.train(docs, numMerges = 150)
+    val symLen = (t: String) =>
+      if (t.endsWith(Bpe.EndOfWord)) t.length - Bpe.EndOfWord.length else t.length
+    val fromArrays = Bpe.encode(model, docs).orderBy("doc_id")
+      .as[(Long, Seq[String])].collect()
+      .map { case (id, toks) =>
+        (id, toks.size.toLong, toks.map(t => symLen(t).toLong).sum,
+          toks.count(t => symLen(t) <= 1).toLong)
+      }.toSeq
+    val fast = Bpe.encodeStats(model, docs).orderBy("doc_id")
+      .select("doc_id", "n_bpe_tokens", "n_base_symbols", "n_unmerged")
+      .as[(Long, Long, Long, Long)].collect().toSeq
+    assert(fast == fromArrays)
+    // and n_words matches the pre-tokenizer count
+    val words = docs.select(col("doc_id"),
+        size(graft.expressions.TokenExpressions.bpeishTokens(col("text"))).cast("long"))
+      .orderBy("doc_id").as[(Long, Long)].collect().toSeq
+    val fastWords = Bpe.encodeStats(model, docs).orderBy("doc_id")
+      .select("doc_id", "n_words").as[(Long, Long)].collect().toSeq
+    assert(fastWords == words)
+  }
 }

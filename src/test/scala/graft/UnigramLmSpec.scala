@@ -122,4 +122,17 @@ class UnigramLmSpec extends SparkSpec {
       assert(math.abs(f._4 - s._4) < 1e-3, s"logprob drift: ${f._4} vs ${s._4}")
     }
   }
+
+  test("encodeStats === the piece-array reduction (stats never drift from encode)") {
+    val docs = spark.read.parquet(s"${sf()}/documents.parquet")
+    val model = UnigramLm.train(docs, vocabSize = 300)
+    val fromArrays = UnigramLm.encode(model, docs).orderBy("doc_id")
+      .as[(Long, Seq[String], Double)].collect()
+      .map { case (id, toks, lp) =>
+        (id, toks.map(_.length.toLong).sum, toks.size.toLong, lp)
+      }.toSeq
+    val fast = UnigramLm.encodeStats(model, docs).orderBy("doc_id")
+      .as[(Long, Long, Long, Double)].collect().toSeq
+    assert(fast == fromArrays)
+  }
 }
