@@ -22,45 +22,73 @@ import graft.functions._
   */
 object Contamination {
 
-  /** First 8 bytes of the gram's MD5 as a big-endian Long — the gram
-    * IDENTITY the whole family joins, blooms and aggregates on. It was
-    * a 32-char hex string through r12; the r13 sf10 stage profile
-    * showed the dominant cost of the join-shaped queries was exactly
-    * the string key (shuffle bytes + hash/equality per probe):
-    * re-keying the `corpus_attribution` join+count stage on longs cut
-    * it 89.5 -> 32-40 s with identical output. 64 bits is enough
-    * identity: a birthday collision needs ~2^32 DISTINCT grams to be
-    * even odds-of-one, so at oracle SFs (<1M grams) collision odds are
-    * ~1e-7 per RUN, and even a 100 TB corpus (~10^10 grams) sees a few
-    * collisions total — each inflating one overlap count by one, the
-    * same failure class the md5-of-string form already accepted. */
-  private def md5Long(md: java.security.MessageDigest, s: String): Long = {
-    val bytes = md.digest(s.getBytes(java.nio.charset.StandardCharsets.UTF_8))
-    var out = 0L
-    var i = 0
-    while (i < 8) { out = (out << 8) | (bytes(i) & 0xffL); i += 1 }
-    out
-  }
+  /** Gram-identity lineage: the gram key the whole family joins, blooms
+    * and aggregates on was a 32-char MD5 hex string through r12; the
+    * r13 sf10 stage profile showed the dominant cost of the join-shaped
+    * queries was exactly the string key (shuffle bytes + hash/equality
+    * per probe), so r13 re-keyed on the MD5's first 8 bytes as a long
+    * (`corpus_attribution`'s join+count stage 89.5 -> 32-40 s, output
+    * identical). r19 replaces the MD5 digest itself with the FNV-1a
+    * composition in [[distinctGrams]] — the per-gram MD5 plus the gram
+    * STRING it digested (StringBuilder + HashSet dedup re-hash per
+    * window) were the remaining per-window allocations. 64 bits is
+    * enough identity either way: a birthday collision needs ~2^32
+    * DISTINCT grams to be even odds-of-one, so at oracle SFs (<1M
+    * grams) collision odds are ~1e-7 per RUN, and even a 100 TB corpus
+    * (~10^10 grams) sees a few collisions total — each inflating one
+    * overlap count by one, the same failure class the md5-of-string
+    * form already accepted. */
 
   /** One document's distinct hashed word n-grams — the tight loop both
     * the join path and the bloom prefilter run: tokenize, slide,
     * dedup raw grams, hash. */
-  private def distinctGrams(text: String, n: Int,
-                            md: java.security.MessageDigest): Array[Long] = {
+  private[operators] def distinctGrams(text: String, n: Int): Array[Long] = {
     // null text shingles as empty (no grams), matching Bpe.encode's
     // guard; byte-class tokenizer spec-pinned to the legacy
     // toLowerCase+split+filter form (TokenScanSpec)
     val toks = graft.expressions.TokenScan.lowerAlnum(text)
-    val seen = new scala.collection.mutable.HashSet[String]
-    var i = 0
-    while (i + n <= toks.length) {
-      val sb = new java.lang.StringBuilder(toks(i))
-      var j = i + 1
-      while (j < i + n) { sb.append(' ').append(toks(j)); j += 1 }
-      seen.add(sb.toString)
-      i += 1
+    if (toks.length < n) return Array.emptyLongArray
+    // r19 kernel: hash each token ONCE (FNV-1a over its chars + a
+    // separator byte, the Dedup.fnv1a recipe), then a gram's identity
+    // is FNV-1a over its n token hashes — 8 long-mixes per window
+    // instead of a StringBuilder + String + HashSet re-hash + MD5
+    // digest per window. Within-doc dedup runs on the sorted long
+    // array. Same 64-bit-identity collision class the md5Long form
+    // documented and accepted; both sides of every join/bloom use this
+    // one function, and the stored-index format check (GramKeyFormat)
+    // makes an old index unreadable rather than silently empty.
+    val th = new Array[Long](toks.length)
+    var t = 0
+    while (t < toks.length) {
+      var h = -3750763034362895579L // FNV-1a 64 offset basis
+      val s = toks(t)
+      var i = 0
+      while (i < s.length) { h = (h ^ s.charAt(i)) * 1099511628211L; i += 1 }
+      th(t) = (h ^ 0x1f) * 1099511628211L // token separator
+      t += 1
     }
-    seen.iterator.map(md5Long(md, _)).toArray
+    val grams = new Array[Long](toks.length - n + 1)
+    var w = 0
+    while (w < grams.length) {
+      var h = -3750763034362895579L
+      var j = w
+      while (j < w + n) {
+        var k = 0
+        val v = th(j)
+        while (k < 8) { h = (h ^ ((v >>> (k * 8)) & 0xffL)) * 1099511628211L; k += 1 }
+        j += 1
+      }
+      grams(w) = h
+      w += 1
+    }
+    java.util.Arrays.sort(grams)
+    var out = 0
+    var r = 0
+    while (r < grams.length) {
+      if (r == 0 || grams(r) != grams(r - 1)) { grams(out) = grams(r); out += 1 }
+      r += 1
+    }
+    if (out == grams.length) grams else java.util.Arrays.copyOf(grams, out)
   }
 
   /** Distinct hashed word n-grams per doc: (idCol, gram: long). One tight loop
@@ -72,9 +100,8 @@ object Contamination {
     import spark.implicits._
     spread(docs, col(idCol)).select(col(idCol), col(textCol)).as[(Long, String)]
       .mapPartitions { it =>
-        val md = java.security.MessageDigest.getInstance("MD5")
         it.flatMap { case (id, text) =>
-          distinctGrams(text, n, md).iterator.map(g => (id, g))
+          distinctGrams(text, n).iterator.map(g => (id, g))
         }
       }.toDF(idCol, "gram")
   }
@@ -155,10 +182,9 @@ object Contamination {
     spread(corpus, col(idCol))
       .select(col(idCol), col(textCol)).as[(Long, String)]
       .mapPartitions { it =>
-        val md = java.security.MessageDigest.getInstance("MD5")
         val b = bloomBc.value
         it.filter { case (_, text) =>
-          distinctGrams(text, n, md).exists(b.mightContainLong)
+          distinctGrams(text, n).exists(b.mightContainLong)
         }.map(_._1)
       }.toDF(idCol)
   }
@@ -258,10 +284,11 @@ object Contamination {
     try bloom.writeTo(out) finally out.close()
     // meta LAST: its presence implies a complete index even if an
     // earlier build attempt crashed between writes. `fmt` pins the gram
-    // KEY ENCODING (2 = xxhash64 longs; 1 was md5 hex strings): a probe
-    // against an index written by older code must FAIL LOUDLY, never
-    // silently return zero matches from a long-vs-string join/bloom
-    // mismatch — silent emptiness here means contaminated docs pass.
+    // KEY ENCODING (3 = FNV-1a token-hash composition; 2 was md5-prefix
+    // longs; 1 was md5 hex strings): a probe against an index written
+    // by older code must FAIL LOUDLY, never silently return zero
+    // matches from a key mismatch — silent emptiness here means
+    // contaminated docs pass.
     Seq((n, fpp, GramKeyFormat)).toDF("n", "fpp", "fmt").coalesce(1)
       .write.mode("overwrite").parquet(s"$dir/meta")
   }
@@ -269,7 +296,7 @@ object Contamination {
   /** Gram-key encoding version written into every index's `meta` and
     * required by every probe. Bump whenever [[ngramHashes]]' key type or
     * hash changes. */
-  val GramKeyFormat: Int = 2
+  val GramKeyFormat: Int = 3
 
   /** [[flagOverlap]] against a stored index ([[buildBenchmarkIndex]]):
     * bloom loads driver-side (~MBs), broadcasts, prefilters; suspects

@@ -61,8 +61,18 @@ object ShardExport {
     // driver (measured, r16 sf10 full suite). Merge-hinted like the
     // pair self-join; the ONLY broadcast here is the vocabulary, whose
     // size BPE bounds by construction.
-    encoded.select(col(idCol), posexplode(col("tokens")).as(Seq("pos", "token")))
+    //
+    // Join BEFORE posexplode (guide: never explode into a join): the
+    // doc-level merge join moves one token ARRAY per doc instead of one
+    // (id, pos, token, start_off) row per TOKEN — the r18 plan sorted
+    // and shuffled the token-level relation by doc_id (budget-sized
+    // rows x corpus tokens) just to attach a doc-level long. Exploding
+    // after the join yields the identical (pos, token, start_off)
+    // stream at doc-level shuffle cost.
+    encoded.select(col(idCol), col("tokens"))
       .join(assigned.hint("merge"), idCol)
+      .select(col(idCol), col("start_off"),
+        posexplode(col("tokens")).as(Seq("pos", "token")))
       .join(broadcast(vocab), "token")
       .withColumn("gpos", col("start_off") + col("pos"))
       .select(col(idCol), col("token_id"),
@@ -105,7 +115,14 @@ object ShardExport {
     * merges, and the manifest is the deterministic receipt. */
   def shardManifest(docs: DataFrame, model: Bpe.BpeModel, budget: Long = 256,
                     windowsPerShard: Long = 64): DataFrame = {
-    val enc = Bpe.encode(model, docs)
+    // Materialization barrier (the TextAnalysis tokenArrays contract:
+    // eager, executor-local, doc-sized blocks freed by the
+    // ContextCleaner): the encoded relation has FOUR consumers —
+    // packSequences' min/max and bucket-total collects, the vocabulary,
+    // and the window projection — and without the barrier each one
+    // re-ran the full BPE encode pass over the corpus (3 executed
+    // encode subtrees in the r18 plan; ScanCountProbe class).
+    val enc = Bpe.encode(model, docs).localCheckpoint()
     manifest(windows(enc, vocabulary(enc), budget, windowsPerShard))
   }
 }
