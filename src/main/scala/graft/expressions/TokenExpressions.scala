@@ -119,6 +119,71 @@ case class TokenCountsExpr(child: Expression) extends UnaryExpression {
     copy(child = newChild)
 }
 
+/** Adjacent-pair stream of a token array as ONE pass — replaces
+  * `transform(sequence(0, size-2), i => struct(element_at(w, i+1),
+  * element_at(w, i+2)))`, a doubly-higher-order CodegenFallback chain
+  * that boxed an index sequence and interpreted two `element_at` calls
+  * per bigram. Output elements alias the input's UTF8Strings (no
+  * copies). Arrays shorter than 2 yield an empty array (the legacy
+  * callers filtered those rows; `explode` drops them either way). */
+case class BigramsExpr(child: Expression) extends UnaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(StringType, _) => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires an array<string> input, got ${t.simpleString(10)}")
+  }
+
+  override def dataType: DataType = ArrayType(
+    StructType(Seq(
+      StructField("a", StringType, nullable = true),
+      StructField("b", StringType, nullable = true))),
+    containsNull = false)
+
+  override def prettyName: String = "token_bigrams"
+
+  override def nullSafeEval(input: Any): Any =
+    TokenScan.bigrams(input.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.expressions.TokenScan.bigrams($c)")
+
+  override protected def withNewChildInternal(newChild: Expression): BigramsExpr =
+    copy(child = newChild)
+}
+
+/** Per-doc array of hashed token buckets in one codegen'd pass:
+  * `transform(wordTokens(text), t => conv(substring(md5(t), 1, 6), 16,
+  * 10) % buckets)` — the engine-stable DSIR bucket trick whose md5/conv
+  * arithmetic is part of the ORACLE contract and must not change — ran
+  * as an interpreted higher-order transform building a hex string and
+  * parsing it back per token. This computes the identical value from
+  * the digest's first 3 bytes directly (first 6 hex chars == first 3
+  * bytes, `conv(_, 16, 10)` == the uint24 they encode). */
+case class WordBucketsExpr(child: Expression, buckets: Int)
+    extends UnaryExpression {
+  require(buckets > 0, "buckets must be positive")
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires a string input, got ${t.simpleString(10)}")
+  }
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+
+  override def prettyName: String = "word_buckets"
+
+  override def nullSafeEval(input: Any): Any =
+    TokenScan.wordBuckets(input.asInstanceOf[UTF8String], buckets)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.expressions.TokenScan.wordBuckets($c, $buckets)")
+
+  override protected def withNewChildInternal(newChild: Expression): WordBucketsExpr =
+    copy(child = newChild)
+}
+
 /** Static byte-scan kernels the generated code calls, plus the
   * `String`-based twins the typed (mapPartitions) operators use so the
   * Column path and the tight-loop path can never drift apart. */
@@ -279,6 +344,43 @@ object TokenScan {
       Array[Any](ws, bpe, chars, words))
   }
 
+  def bigrams(arr: org.apache.spark.sql.catalyst.util.ArrayData): GenericArrayData = {
+    val n = arr.numElements()
+    if (n < 2) return new GenericArrayData(Array.empty[AnyRef])
+    val out = new Array[AnyRef](n - 1)
+    var prev = arr.getUTF8String(0)
+    var i = 1
+    while (i < n) {
+      val cur = arr.getUTF8String(i)
+      out(i - 1) = new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+        Array[Any](prev, cur))
+      prev = cur
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  private val md5Local = new ThreadLocal[java.security.MessageDigest] {
+    override def initialValue(): java.security.MessageDigest =
+      java.security.MessageDigest.getInstance("MD5")
+  }
+
+  def wordBuckets(u: UTF8String, buckets: Int): GenericArrayData = {
+    val toks = wordTokens(u)
+    val md = md5Local.get()
+    val n = toks.numElements()
+    val out = new Array[Long](n)
+    var i = 0
+    while (i < n) {
+      md.reset()
+      val d = md.digest(toks.getUTF8String(i).getBytes)
+      val v = ((d(0) & 0xffL) << 16) | ((d(1) & 0xffL) << 8) | (d(2) & 0xffL)
+      out(i) = v % buckets
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
+
   // ------------------------------------------------- String-based twins
   /** Replica of `text.toLowerCase(Locale.ROOT).split("[^a-z0-9]+")
     * .filter(_.nonEmpty)` for the typed operator passes. Null-safe:
@@ -346,7 +448,15 @@ object TokenExpressions {
     CatalystBridge.column(BpeishTokensExpr(CatalystBridge.expression(c)))
 
   /** Column-API surface for [[TokenCountsExpr]] — a struct of
-    * (ws_tokens, bpe_tokens, n_chars). */
+    * (ws_tokens, bpe_tokens, n_chars, word_tokens). */
   def tokenCounts(c: Column): Column =
     CatalystBridge.column(TokenCountsExpr(CatalystBridge.expression(c)))
+
+  /** Column-API surface for [[BigramsExpr]] — array<struct<a,b>>. */
+  def bigrams(c: Column): Column =
+    CatalystBridge.column(BigramsExpr(CatalystBridge.expression(c)))
+
+  /** Column-API surface for [[WordBucketsExpr]] — array<long>. */
+  def wordBuckets(c: Column, buckets: Int): Column =
+    CatalystBridge.column(WordBucketsExpr(CatalystBridge.expression(c), buckets))
 }

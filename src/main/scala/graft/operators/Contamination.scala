@@ -10,10 +10,11 @@ import graft.functions._
   * check every serious LLM data pipeline runs (GPT-3 used 13-gram
   * overlap, PaLM 8-gram; 8 is the default here).
   *
-  * Shape at 100 TB: each side is shingled into distinct md5'd n-grams in
+  * Shape at 100 TB: each side is shingled into distinct hashed n-grams
+  * (64-bit FNV-1a composition — see the gram-identity lineage note) in
   * ONE typed mapPartitions pass per side (the [[TextAnalysis.fingerprints]]
   * fast path — no interpreted higher-order functions, no shuffle to
-  * build shingles), then a single equi-join on the fixed-width 32-char
+  * build shingles), then a single equi-join on the fixed-width long
   * gram key. The benchmark side is normally tiny relative to the corpus
   * (a few eval suites vs the training set), so AQE broadcasts it and the
   * corpus side never shuffles; when it is genuinely large the join
@@ -72,12 +73,9 @@ object Contamination {
     while (w < grams.length) {
       var h = -3750763034362895579L
       var j = w
-      while (j < w + n) {
-        var k = 0
-        val v = th(j)
-        while (k < 8) { h = (h ^ ((v >>> (k * 8)) & 0xffL)) * 1099511628211L; k += 1 }
-        j += 1
-      }
+      // one xor-multiply per TOKEN hash (the hashes are already mixed;
+      // a byte-wise FNV over them would cost 8x for no extra identity)
+      while (j < w + n) { h = (h ^ th(j)) * 1099511628211L; j += 1 }
       grams(w) = h
       w += 1
     }
@@ -284,7 +282,7 @@ object Contamination {
     try bloom.writeTo(out) finally out.close()
     // meta LAST: its presence implies a complete index even if an
     // earlier build attempt crashed between writes. `fmt` pins the gram
-    // KEY ENCODING (3 = FNV-1a token-hash composition; 2 was md5-prefix
+    // KEY ENCODING (4 = FNV-1a token-hash composition; 2 was md5-prefix
     // longs; 1 was md5 hex strings): a probe against an index written
     // by older code must FAIL LOUDLY, never silently return zero
     // matches from a key mismatch — silent emptiness here means
@@ -296,7 +294,7 @@ object Contamination {
   /** Gram-key encoding version written into every index's `meta` and
     * required by every probe. Bump whenever [[ngramHashes]]' key type or
     * hash changes. */
-  val GramKeyFormat: Int = 3
+  val GramKeyFormat: Int = 4
 
   /** [[flagOverlap]] against a stored index ([[buildBenchmarkIndex]]):
     * bloom loads driver-side (~MBs), broadcasts, prefilters; suspects

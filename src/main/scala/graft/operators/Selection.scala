@@ -195,9 +195,11 @@ object Selection {
                            textCol: String, idCol: String): DataFrame = {
     import graft.functions._
     val keep = docs.columns.filter(_ == "__t").map(col).toSeq
+    // fused tokenize+md5-bucket expression (r19): same md5/conv value
+    // the oracle computes, without the interpreted higher-order
+    // transform or the hex-string round-trip per token
     docs.select((col(idCol) +: keep :+
-      transform(wordTokens(col(textCol)),
-        t => conv(substring(md5(t), 1, 6), 16, 10).cast("long") % buckets)
+      graft.expressions.TokenExpressions.wordBuckets(col(textCol), buckets)
         .as("barr")): _*)
   }
 

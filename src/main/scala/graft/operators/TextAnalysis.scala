@@ -566,10 +566,10 @@ object TextAnalysis {
     docs.select(col("doc_id"), wordTokens(col(textCol)).as("w"))
 
   private def bigramPairs(w: DataFrame) =
+    // one-pass adjacent-pair expression (r19) — the transform(sequence,
+    // element_at) chain was a CodegenFallback interpreter per bigram
     w.where(size(col("w")) >= 2).select(col("doc_id"),
-      explode(transform(sequence(lit(0), size(col("w")) - 2),
-        i => struct(element_at(col("w"), i + 1).as("a"),
-          element_at(col("w"), i + 2).as("b")))).as("p"))
+      explode(graft.expressions.TokenExpressions.bigrams(col("w"))).as("p"))
       .select(col("doc_id"), col("p.a").as("a"), col("p.b").as("b"))
 
   /** Shared scoring tail for the in-flight and stored bigram-LM paths

@@ -114,7 +114,7 @@ object LlmQueries {
     val dir =
       // v3: meta gained the gram-key format column (fmt) — older cached
       // dirs lack it and the versioned probe now refuses them by design
-      s"${System.getProperty("java.io.tmpdir")}/graft_benchidx_v4_n8/${key}_$fp"
+      s"${System.getProperty("java.io.tmpdir")}/graft_benchidx_v5_n8/${key}_$fp"
     val done = new org.apache.hadoop.fs.Path(s"$dir/meta")
     val fs = done.getFileSystem(s.sparkContext.hadoopConfiguration)
     if (!fs.exists(done))

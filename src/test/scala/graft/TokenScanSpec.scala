@@ -98,6 +98,40 @@ class TokenScanSpec extends SparkSpec {
     }
   }
 
+  test("BigramsExpr === transform(sequence, element_at) adjacent pairs") {
+    val legacyPairs = (w: org.apache.spark.sql.Column) =>
+      transform(sequence(lit(0), size(w) - 2),
+        i => struct(element_at(w, i + 1).as("a"), element_at(w, i + 2).as("b")))
+    val df = all.toDF("text")
+      .select(TokenExpressions.wordTokens(col("text")).as("w"))
+      .where(size(col("w")) >= 2)
+    val rows = df.select(
+      TokenExpressions.bigrams(col("w")).as("fast"),
+      legacyPairs(col("w")).as("legacy")).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getSeq[org.apache.spark.sql.Row](0) == r.getSeq[org.apache.spark.sql.Row](1))
+    }
+  }
+
+  test("WordBucketsExpr === transform(wordTokens, md5/conv bucket) for several bucket counts") {
+    for (buckets <- Seq(7, 256, 4096)) {
+      val df = all.toDF("text")
+      val rows = df.select(
+        TokenExpressions.wordBuckets(col("text"), buckets).as("fast"),
+        transform(TokenExpressions.wordTokens(col("text")),
+          t => conv(substring(md5(t), 1, 6), 16, 10).cast("long") % buckets)
+          .as("legacy"),
+        col("text")).collect()
+      rows.foreach { r =>
+        assert(r.isNullAt(0) == r.isNullAt(1), s"null mismatch on ${r.get(2)}")
+        if (!r.isNullAt(0))
+          assert(r.getSeq[Long](0) == r.getSeq[Long](1),
+            s"bucket mismatch (buckets=$buckets) on '${r.get(2)}'")
+      }
+    }
+  }
+
   test("TokenScan.lowerAlnum === toLowerCase(ROOT).split.filter on adversarial + fuzz") {
     all.foreach { s =>
       val legacy = (if (s == null) "" else s)
