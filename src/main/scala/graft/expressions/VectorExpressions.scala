@@ -411,7 +411,180 @@ case class FirstMatchingBand(first: Expression, second: Expression,
       third = newThird, fourth = newFourth)
 }
 
+/** 63-bit SimHash of a shingle-hash array as ONE expression — the
+  * per-bit majority vote is a pure per-document function of the doc's
+  * own (distinct) shingle hashes, so computing it as 63 conditional SUM
+  * aggregates over the EXPLODED shingle relation (the pre-r19 shape)
+  * paid an explode of every shingle row plus a 63-column aggregation
+  * exchange for what one array pass produces in place. Semantics
+  * replicated exactly: vote over bits 0..62 of each element (+1 set,
+  * -1 clear), bit set in the result when its vote is >= 0 (ties set,
+  * matching the aggregate form's `bit_b >= 0`). Callers must filter
+  * empty shingle sets first — the aggregate form DROPPED such docs (no
+  * exploded rows), while an expression row would survive. */
+case class Simhash64(child: Expression) extends
+    org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(LongType, _) => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires an array<long> input, got ${t.simpleString(10)}")
+  }
+
+  override def dataType: DataType = LongType
+
+  override def prettyName: String = "simhash64"
+
+  override def nullSafeEval(input: Any): Any =
+    VectorExpressions.simhashEval(input.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c =>
+      s"graft.expressions.VectorExpressions.simhashEval($c)")
+
+  override protected def withNewChildInternal(newChild: Expression): Simhash64 =
+    copy(child = newChild)
+}
+
+/** Nearest-centroid scoring of one vector against the WHOLE (tiny,
+  * label-sorted) centroid matrix as one kernel call: struct(pred_idx,
+  * pred_cos, margin). The composed form evaluated L separate
+  * `round(dot(cast(v), lit(c_l)) / (norm * cn), 6)` expression trees —
+  * each appearing again inside `greatest`, the tie-breaking coalesce
+  * chain AND the margin's array_sort, with the array<float>→
+  * array<double> cast re-materialised per appearance. Semantics
+  * replicated exactly (spec-pinned in DedupSimilaritySpec):
+  *  - cosines in ascending-label order, each rounded with Spark
+  *    `round(_, 6)` double semantics (BigDecimal.valueOf + HALF_UP);
+  *  - zero centroid norm or zero vector norm scores 0.0;
+  *  - pred_idx = FIRST index attaining the max (ascending label order
+  *    == smaller label wins ties, the oracle's ORDER BY cos DESC,
+  *    label);
+  *  - margin = round(max − second-max, 6) over the rounded cosines
+  *    (duplicates kept, so a two-way tie at the top gives 0.0); null
+  *    when there is only one centroid. */
+case class CentroidScores(child: Expression,
+                          mat: Array[Array[Double]],
+                          norms: Array[Double])
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+  require(mat.nonEmpty && mat.length == norms.length,
+    "centroid matrix and norms must be non-empty and aligned")
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(DoubleType, _) | ArrayType(org.apache.spark.sql.types.FloatType, _) =>
+      TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires an array<float|double> input, got ${t.simpleString(10)}")
+  }
+
+  private val floatInput: Boolean = child.dataType match {
+    case ArrayType(org.apache.spark.sql.types.FloatType, _) => true
+    case _ => false
+  }
+
+  override def dataType: DataType = CentroidScores.schema
+
+  override def prettyName: String = "centroid_scores"
+
+  override def nullSafeEval(input: Any): Any =
+    VectorExpressions.centroidScores(
+      input.asInstanceOf[ArrayData], floatInput, mat, norms)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val matRef = ctx.addReferenceObj("centMat", mat, "double[][]")
+    val normsRef = ctx.addReferenceObj("centNorms", norms, "double[]")
+    defineCodeGen(ctx, ev, c =>
+      s"graft.expressions.VectorExpressions.centroidScores($c, $floatInput, $matRef, $normsRef)")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): CentroidScores =
+    copy(child = newChild)
+}
+
+object CentroidScores {
+  import org.apache.spark.sql.types.{IntegerType, StructField, StructType}
+  val schema: StructType = StructType(Seq(
+    StructField("pred_idx", IntegerType, nullable = false),
+    StructField("pred_cos", DoubleType, nullable = false),
+    StructField("margin", DoubleType, nullable = true)))
+}
+
 object VectorExpressions {
+
+  /** Spark `round(x, 6)` double semantics. */
+  @inline private def round6(x: Double): Double =
+    if (x.isNaN || x.isInfinite) x
+    else java.math.BigDecimal.valueOf(x)
+      .setScale(6, java.math.RoundingMode.HALF_UP).doubleValue()
+
+  def centroidScores(arr: ArrayData, floatInput: Boolean,
+                     mat: Array[Array[Double]],
+                     norms: Array[Double]): org.apache.spark.sql.catalyst.InternalRow = {
+    val n = arr.numElements()
+    val v = new Array[Double](n)
+    var i = 0
+    if (floatInput) while (i < n) { v(i) = arr.getFloat(i); i += 1 }
+    else while (i < n) { v(i) = arr.getDouble(i); i += 1 }
+    var vv = 0.0
+    i = 0
+    while (i < n) { vv += v(i) * v(i); i += 1 }
+    val vnorm = math.sqrt(vv)
+    val L = mat.length
+    var best = Double.NegativeInfinity
+    var second = Double.NegativeInfinity
+    var bestIdx = 0
+    var l = 0
+    while (l < L) {
+      val c = mat(l)
+      val cos =
+        if (norms(l) == 0.0 || vnorm == 0.0) 0.0
+        else {
+          val d = math.min(n, c.length)
+          var s = 0.0
+          var j = 0
+          while (j < d) { s += v(j) * c(j); j += 1 }
+          round6(s / (vnorm * norms(l)))
+        }
+      if (cos > best) { second = best; best = cos; bestIdx = l }
+      else if (cos > second) second = cos
+      l += 1
+    }
+    val margin: Any = if (L < 2) null else round6(best - second)
+    new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+      Array[Any](bestIdx, best, margin))
+  }
+
+  /** Column-API surface for [[CentroidScores]]. */
+  def centroidScores(c: Column, mat: Array[Array[Double]],
+                     norms: Array[Double]): Column =
+    CatalystBridge.column(CentroidScores(CatalystBridge.expression(c), mat, norms))
+
+  def simhashEval(arr: ArrayData): Long = {
+    val votes = new Array[Int](63)
+    val n = arr.numElements()
+    var i = 0
+    while (i < n) {
+      val h = arr.getLong(i)
+      var b = 0
+      while (b < 63) {
+        if (((h >>> b) & 1L) == 1L) votes(b) += 1 else votes(b) -= 1
+        b += 1
+      }
+      i += 1
+    }
+    var out = 0L
+    var b = 0
+    while (b < 63) {
+      if (votes(b) >= 0) out |= 1L << b
+      b += 1
+    }
+    out
+  }
+
+  /** Column-API surface for [[Simhash64]]. */
+  def simhash(c: Column): Column =
+    CatalystBridge.column(Simhash64(CatalystBridge.expression(c)))
+
   /** Column-API surface for [[DoubleDotProduct]]. Inputs must already be
     * array<double> (cast with [[graft.functions.vecD]]). */
   def dotD(a: Column, b: Column): Column =

@@ -397,7 +397,14 @@ object Dedup {
               val h = sh(i) & 0x7FFFFFFFL
               var j = 0
               while (j < k) {
-                val v = (h * a(j) + b(j)) % minhashPrime
+                // x mod (2^31-1) via Mersenne folding — exact for the
+                // x < 2^62 range (h < 2^31, a,b < p), value-identical
+                // to `%`, and the k*|set| inner loop loses its 64-bit
+                // division (the dominant op of the signature pass)
+                val x = h * a(j) + b(j)
+                var v = (x & minhashPrime) + (x >>> 31)
+                v = (v & minhashPrime) + (v >>> 31)
+                if (v >= minhashPrime) v -= minhashPrime
                 if (v < mins(j)) mins(j) = v
                 j += 1
               }
@@ -1078,19 +1085,17 @@ object Dedup {
     * in a single projection. Full 64-bit element hashes (unlike the
     * 31-bit minhash base): the vote samples bits 0..62. */
   def simhashed(docs: DataFrame, idCol: String = "doc_id",
-                textCol: String = "text"): DataFrame = {
-    val hashed = shingleRows(docs, 3, idCol, textCol)
-      .select(col(idCol), col("h64").as("h"))
-    val votes = (0 until 63).map { b =>
-      sum(when(shiftright(col("h"), b).bitwiseAND(lit(1L)) === 1L, 1L).otherwise(-1L))
-        .as(s"bit_$b")
-    }
-    val fold = (0 until 63).map { b =>
-      when(col(s"bit_$b") >= 0, lit(1L << b)).otherwise(lit(0L))
-    }.reduce(_ + _)
-    hashed.groupBy(idCol).agg(votes.head, votes.tail: _*)
-      .select(col(idCol), fold.as("simhash"))
-  }
+                textCol: String = "text"): DataFrame =
+    // One expression over the per-doc shingle-hash array (r19): the
+    // vote is a pure per-doc function, so the explode + 63 conditional
+    // SUMs + aggregation exchange of the aggregate form were pure
+    // overhead. The empty-set filter replicates that form's semantics
+    // (docs with no shingles produced no exploded rows and were
+    // dropped). Equivalence spec-pinned (DedupSimilaritySpec).
+    shingleHashSets(docs, 3, idCol, textCol)
+      .where(size(col("shash")) > 0)
+      .select(col(idCol),
+        graft.expressions.VectorExpressions.simhash(col("shash")).as("simhash"))
 
   /** Hamming-distance near-dup pairs over ANY 64-bit fingerprint
     * column: 4 blocks of 16 bits; a pair differing in ≤ maxHamming ≤ 3

@@ -1237,26 +1237,26 @@ object Similarity {
         case n: Number => (0, n.doubleValue, "")
         case other     => (1, 0.0, String.valueOf(other))
       })
-    val v = vecD(col(vecCol))
-    val vnorm = sqrt(dotProduct(v, v))
-    val cosCols = model.map { case (_, c, cn) =>
-      if (cn == 0.0) lit(0.0)
-      else when(vnorm === 0, lit(0.0))
-        .otherwise(round(dotProduct(v, typedLit(c)) / (vnorm * lit(cn)), 6))
-    }
-    val best = if (cosCols.size == 1) cosCols.head else greatest(cosCols: _*)
-    // coalesce of per-label "am I the max" in ascending label order ==
-    // the smaller label wins ties (the oracle's ORDER BY cos DESC, label)
-    val pred = coalesce(model.map(_._1).zip(cosCols).map {
-      case (lb, c) => when(c === best, lit(lb))
+    // One fused kernel over the (tiny, label-sorted) centroid matrix
+    // (r19): the composed form evaluated L rounded-cosine expression
+    // trees, each re-appearing inside greatest, the tie-break coalesce
+    // AND the margin's array_sort, with the array<float>->array<double>
+    // cast re-materialised per appearance. CentroidScores replicates
+    // the exact semantics (6-dp rounds, zero-norm zeros, first-max =
+    // smaller label on ties, duplicate-keeping margin) — spec-pinned
+    // against this retained composed form in DedupSimilaritySpec.
+    val mat = model.map(_._2.toArray).toArray
+    val norms = model.map(_._3).toArray
+    val sc = graft.expressions.VectorExpressions
+      .centroidScores(vecD(col(vecCol)), mat, norms)
+    val labels = model.map(_._1)
+    val predFromIdx = (idx: Column) => coalesce(labels.zipWithIndex.map {
+      case (lb, i) => when(idx === i, lit(lb))
     }: _*)
-    val margin =
-      if (cosCols.size < 2) lit(null).cast("double")
-      else {
-        val sorted = array_sort(array(cosCols: _*))
-        round(element_at(sorted, -1) - element_at(sorted, -2), 6)
-      }
-    emb.select(col(idCol), col(labelCol), trainPred.as("in_train"),
-      pred.as("pred_label"), best.as("pred_cos"), margin.as("margin"))
+    emb.select(col(idCol), col(labelCol), trainPred.as("in_train"), sc.as("__sc"))
+      .select(col(idCol), col(labelCol), col("in_train"),
+        predFromIdx(col("__sc.pred_idx")).as("pred_label"),
+        col("__sc.pred_cos").as("pred_cos"),
+        col("__sc.margin").as("margin"))
   }
 }

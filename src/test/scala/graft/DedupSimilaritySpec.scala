@@ -1675,4 +1675,48 @@ class DedupSimilaritySpec extends SparkSpec {
       _.isInstanceOf[org.apache.spark.sql.execution.joins.SortMergeJoinExec]),
       "the same side row count at 128 bands exceeds the byte bound and must pin sort-merge")
   }
+
+  test("Mersenne fold in the signature pass === % (exact over the full operand range)") {
+    val p31 = graft.functions.minhashPrime
+    val rnd = new scala.util.Random(19L)
+    var t = 0
+    while (t < 200000) {
+      val h = rnd.nextLong() & 0x7FFFFFFFL
+      val a = (rnd.nextLong() & 0x7FFFFFFFL) % p31
+      val b = (rnd.nextLong() & 0x7FFFFFFFL) % p31
+      val x = h * a + b
+      var v = (x & p31) + (x >>> 31)
+      v = (v & p31) + (v >>> 31)
+      if (v >= p31) v -= p31
+      assert(v == x % p31, s"fold mismatch for x=$x")
+      t += 1
+    }
+    // boundary cases
+    for (x <- Seq(0L, 1L, p31 - 1, p31, p31 + 1, 2 * p31, (1L << 62) - 1)) {
+      var v = (x & p31) + (x >>> 31)
+      v = (v & p31) + (v >>> 31)
+      if (v >= p31) v -= p31
+      assert(v == x % p31, s"fold mismatch for boundary x=$x")
+    }
+  }
+
+  test("Simhash64 expression === the 63-sum aggregate vote (legacy simhashed)") {
+    import org.apache.spark.sql.functions._
+    val docs = spark.read.parquet(s"${sf()}/documents.parquet")
+    val hashed = Dedup.shingleHashSets(docs, 3)
+      .select(col("doc_id"), explode(col("shash")).as("h"))
+    val votes = (0 until 63).map { b =>
+      sum(when(shiftright(col("h"), b).bitwiseAND(lit(1L)) === 1L, 1L).otherwise(-1L))
+        .as(s"bit_$b")
+    }
+    val fold = (0 until 63).map { b =>
+      when(col(s"bit_$b") >= 0, lit(1L << b)).otherwise(lit(0L))
+    }.reduce(_ + _)
+    val legacy = hashed.groupBy("doc_id").agg(votes.head, votes.tail: _*)
+      .select(col("doc_id"), fold.as("simhash"))
+      .orderBy("doc_id").as[(Long, Long)].collect().toSeq
+    val fast = Dedup.simhashed(docs)
+      .orderBy("doc_id").as[(Long, Long)].collect().toSeq
+    assert(fast == legacy)
+  }
 }
