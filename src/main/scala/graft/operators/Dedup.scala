@@ -1108,7 +1108,19 @@ object Dedup {
     * split absorbs. */
   def hammingNearDups(fp: DataFrame, idCol: String, hashCol: String,
                       maxHamming: Int = 3): DataFrame = {
+    // Materialization barrier (the TextAnalysis tokenArrays contract:
+    // eager, executor-local, (id, long)-row blocks freed by the
+    // ContextCleaner): the block self-join consumes `fp` on BOTH sides,
+    // and exchange reuse does NOT dedupe the typed fingerprint subtrees
+    // under it, so the whole fingerprint pass (shingle+vote, or the
+    // media payload scan) executed TWICE — measured at sf10 (r19):
+    // dedup_simhash 32.8 s isolated without the barrier, 17.3 s with
+    // it. A repartition-based shared Exchange was measured as the
+    // alternative reuse point and REJECTED: the aliased typed subtrees
+    // do not canonicalise equal, so ReuseExchange never fires and both
+    // sides still recompute (27.1 / 40.8 s isolated, steal-clean).
     val base = fp.select(col(idCol).as("__id"), col(hashCol).as("__h"))
+      .localCheckpoint()
     val blocks = base.select(col("__id"), col("__h"),
       posexplode(array((0 until 4).map(i =>
         shiftright(col("__h"), i * 16).bitwiseAND(lit(65535L))): _*))
