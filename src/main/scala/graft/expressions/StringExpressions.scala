@@ -164,30 +164,117 @@ object PiiScan {
     n
   }
 
+  /** Fused count + replace in ONE matcher pass — legal only when the
+    * count's text and the replacement's text are the same String (no
+    * earlier pattern replaced anything), which the caller guarantees
+    * by reference equality. Returns the count; the replaced text (or
+    * the input reference when nothing matched) lands in `outRef`. */
+  private def countReplaceAll(p: java.util.regex.Pattern, s: String,
+                              repl: String): (Long, String) = {
+    val m = p.matcher(s)
+    if (!m.find()) (0L, s)
+    else {
+      val sb = new java.lang.StringBuilder(s.length)
+      var n = 0L
+      var last = 0
+      do {
+        n += 1
+        sb.append(s, last, m.start()).append(repl)
+        last = m.end()
+      } while (m.find())
+      sb.append(s, last, s.length)
+      (n, sb.toString)
+    }
+  }
+
+  /** Byte-level prescan: NECESSARY conditions for each pattern, checked
+    * in one pass over the raw UTF-8 payload so the overwhelmingly
+    * common no-PII document never constructs a String or runs a regex
+    * engine at all. Soundness (a false skip is impossible):
+    *  - email requires a literal '@' (single byte 0x40 in UTF-8 —
+    *    multi-byte sequences only use bytes >= 0x80);
+    *  - ip requires `[0-9]{1,3}\.` somewhere, i.e. a '.' immediately
+    *    preceded by an ASCII digit;
+    *  - phone requires a first digit and a final digit separated by
+    *    8..15 characters ALL in `[0-9()\- ]` — every class char is
+    *    single-byte ASCII, so inside such a run byte distance equals
+    *    char distance, and any match implies a class run whose first
+    *    and last digits are >= 8 bytes apart.
+    * Bits: 1 = email possible, 2 = ip possible, 4 = phone possible. */
+  private def prescan(u: UTF8String): Int = {
+    val n = u.numBytes()
+    var flags = 0
+    var runFirstDigit = -1
+    var prevDigit = false
+    var i = 0
+    while (i < n && flags != 7) {
+      val c = u.getByte(i)
+      val digit = c >= '0' && c <= '9'
+      if (c == '@') flags |= 1
+      if (c == '.' && prevDigit) flags |= 2
+      if (digit || c == '(' || c == ')' || c == '-' || c == ' ') {
+        if (digit) {
+          if (runFirstDigit < 0) runFirstDigit = i
+          else if (i - runFirstDigit >= 8) flags |= 4
+        }
+      } else runFirstDigit = -1
+      prevDigit = digit
+      i += 1
+    }
+    flags
+  }
+
   /** Counts on the ORIGINAL text; replacement nests email -> ip -> phone
     * (a number inside an already-redacted span is not re-redacted) —
-    * the exact contract of the regex-chain form. */
+    * the exact contract of the regex-chain form. A byte prescan skips
+    * each matcher whose necessary trigger bytes are absent ([[prescan]]
+    * — exact, never a false skip), and count+replace fuse into one
+    * matcher pass whenever the earlier patterns replaced nothing
+    * (reference equality: the counted text IS the replaced text). */
   def scan(u: UTF8String): org.apache.spark.sql.catalyst.InternalRow = {
+    val flags = prescan(u)
+    if (flags == 0)
+      return new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+        Array[Any](u, 0L, 0L, 0L))
     val s = u.toString
     var nEmails = 0L
     // email count + replace share the original text: one fused pass
-    val m = email.matcher(s)
     val afterEmail =
-      if (!m.find()) s
+      if ((flags & 1) == 0) s
       else {
-        val sb = new java.lang.StringBuilder(s.length)
-        var last = 0
-        do {
-          nEmails += 1
-          sb.append(s, last, m.start()).append("<EMAIL>")
-          last = m.end()
-        } while (m.find())
-        sb.append(s, last, s.length).toString
+        val m = email.matcher(s)
+        if (!m.find()) s
+        else {
+          val sb = new java.lang.StringBuilder(s.length)
+          var last = 0
+          do {
+            nEmails += 1
+            sb.append(s, last, m.start()).append("<EMAIL>")
+            last = m.end()
+          } while (m.find())
+          sb.append(s, last, s.length).toString
+        }
       }
-    val nIps = countAll(ip, s)
-    val afterIp = replaceAll(ip, afterEmail, "<IP>")
-    val nPhones = countAll(phone, s)
-    val out = replaceAll(phone, afterIp, "<PHONE>")
+    var nIps = 0L
+    val afterIp =
+      if ((flags & 2) == 0) afterEmail
+      else if (afterEmail eq s) {
+        val (n, out) = countReplaceAll(ip, s, "<IP>")
+        nIps = n; out
+      } else {
+        nIps = countAll(ip, s)
+        replaceAll(ip, afterEmail, "<IP>")
+      }
+    var nPhones = 0L
+    val out =
+      if ((flags & 4) == 0) afterIp
+      else if (afterIp eq s) {
+        val (n, o) = countReplaceAll(phone, s, "<PHONE>")
+        nPhones = n; o
+      } else {
+        nPhones = countAll(phone, s)
+        replaceAll(phone, afterIp, "<PHONE>")
+      }
     new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
       Array[Any](
         if (out eq s) u else UTF8String.fromString(out),

@@ -128,16 +128,26 @@ object Contamination {
     * [[flagOverlap]] plus one per-doc window top-1. */
   def attributeOverlap(corpus: DataFrame, benchmark: DataFrame, n: Int = 8,
                        idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     val corpusGrams = ngramHashes(corpus, n, idCol, textCol)
     val benchGrams = ngramHashes(benchmark, n, idCol, textCol)
       .select(col(idCol).as("bench_id"), col("gram")).distinct()
     val pairCounts = corpusGrams.join(benchGrams, "gram")
       .groupBy(idCol, "bench_id").agg(count(lit(1)).as("shared_ngrams"))
-    val w = Window.partitionBy(idCol)
-      .orderBy(col("shared_ngrams").desc, col("bench_id"))
-    pairCounts.withColumn("__rk", row_number().over(w))
-      .where(col("__rk") === 1).drop("__rk")
+    // r20 (guide §2.4): the top-1 was a row_number window — a second
+    // full shuffle of the (doc, bench) pair relation plus a per-doc
+    // SORT, for a verdict that is a per-doc argmax. A struct MAX is
+    // partial-aggregable (map-side combine before the exchange) and
+    // needs no sort; the negated bench_id replicates the window's
+    // tie-break exactly (max shared_ngrams, then MIN bench_id), and
+    // the third struct field just carries the id back out (never
+    // consulted: -bench_id determines it). Output rows identical —
+    // DuckDB-oracle-certified.
+    pairCounts
+      .groupBy(idCol)
+      .agg(max(struct(col("shared_ngrams"), (-col("bench_id")).as("nb"),
+        col("bench_id"))).as("__top"))
+      .select(col(idCol), col("__top.bench_id").as("bench_id"),
+        col("__top.shared_ngrams").as("shared_ngrams"))
   }
 
   /** The filtering form: corpus minus every contaminated doc — one
@@ -364,21 +374,21 @@ object Contamination {
       else Similarity.autoCells(union.count())
     val dim = c.select(size(col("v"))).head.getInt(0)
     val centroids = Similarity.trainIvfCentroids(union, k, dim = dim)
-    val cand = Similarity.cellAssignments(c, centroids, assign).as("c")
-      .join(Similarity.cellAssignments(b, centroids, assign).as("b"),
-        col("c.cell") === col("b.cell"))
-      .select(col("c.vec_id").as("a_id"), col("b.vec_id").as("b_id"))
+    // r20: per-cell cross scan kernel (guide §2.4/§3.3) — the former
+    // cell-join candidate relation was DISTINCTed and then shipped both
+    // vectors through a two-sided pair join; the kernel scores every
+    // (corpus, benchmark) cell-mate pair in-task and only the VERIFIED
+    // rows reach a shuffle. distinct-before-count is preserved (the
+    // kernel emits once per shared cell; cosine is deterministic, so
+    // distinct on (a_id, b_id, cosine) == the old candidate distinct).
+    val matches = graft.operators.Dedup.cellCrossVerifiedPairs(
+        Similarity.cellAssignments(c, centroids, assign),
+        Similarity.cellAssignments(b, centroids, assign),
+        c, b, threshold)
       .distinct()
-    val matches = cand
-      .join(c.select(col("vec_id").as("a_id"), col("v").as("av"),
-        col("norm").as("anorm")), "a_id")
-      .join(b.select(col("vec_id").as("b_id"), col("v").as("bv"),
-        col("norm").as("bnorm")), "b_id")
-      .withColumn("cos", round(cosineWithNorms(
-        dotProduct(col("av"), col("bv")), col("anorm"), col("bnorm")), 6))
-      .where(col("cos") >= threshold)
       .groupBy(col("a_id").as("vec_id"))
-      .agg(count(lit(1)).as("n_benchmark_matches"), max(col("cos")).as("max_cos"))
+      .agg(count(lit(1)).as("n_benchmark_matches"),
+        max(col("cosine")).as("max_cos"))
       .localCheckpoint() // contamination-sized; lets the caches release
     c.unpersist(false); b.unpersist(false)
     corpus.select(col("vec_id"))

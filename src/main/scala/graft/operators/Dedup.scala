@@ -1221,12 +1221,13 @@ object Dedup {
           lastCellPairEmissionStats = st
           kept
         } else cells
-      val cand = members.as("x").join(members.as("y"),
-          col("x.cell") === col("y.cell") &&
-            col("x.vec_id") < col("y.vec_id"))
-        .select(col("x.vec_id").as("a_id"), col("y.vec_id").as("b_id"))
-        .distinct()
-      scored(cand.join(aSide, "a_id").join(bSide, "b_id"))
+      // r20: per-cell scan kernel (guide §2.4/§3.3 — the r14 relational
+      // feed materialised + DISTINCTed 45.6M candidate rows, then
+      // shipped both vectors into a two-sided join, 38.2 s of
+      // dedup_embedding_lsh's 40.5 s at sf10; the kernel ships each
+      // vector once per assigned cell and the only pair-sized shuffle
+      // left is the verified-report distinct)
+      cellVerifiedPairs(members, e, threshold)
     } else {
       // Spanning form for closure consumers — the embedding twin of
       // [[spanningVerifiedPairs]], with exact cosine as the verifier:
@@ -1719,12 +1720,172 @@ object Dedup {
     * oracle; spec-pinned. */
   @inline private def cosineDropDecision(dot: Double, na: Double, nb: Double,
                                          threshold: Double): Boolean = {
-    val c = dot / (na * nb)
-    val r =
-      if (c.isNaN || c.isInfinite) c
-      else java.math.BigDecimal.valueOf(c)
-        .setScale(6, java.math.RoundingMode.HALF_UP).doubleValue
+    val r = roundedCosine(dot, na, nb)
     r >= threshold || r.isNaN
+  }
+
+  /** dot/(na*nb) rounded exactly as Spark's `round(col, 6)` rounds a
+    * double (HALF_UP via BigDecimal.valueOf; NaN/Infinity passed
+    * through) — the VALUE half of [[cosineDropDecision]], for kernels
+    * whose output carries the cosine itself. */
+  @inline private def roundedCosine(dot: Double, na: Double, nb: Double): Double = {
+    val c = dot / (na * nb)
+    if (c.isNaN || c.isInfinite) c
+    else java.math.BigDecimal.valueOf(c)
+      .setScale(6, java.math.RoundingMode.HALF_UP).doubleValue
+  }
+
+  /** VERIFIED in-cell pair REPORT as a per-cell scan — the pair-emitting
+    * sibling of [[embeddingSelfDroppedIds]] (same member join, same
+    * single (cell → members) exchange, same mega-cell guard), for
+    * consumers whose output IS the verified (a_id, b_id, cosine) set.
+    * The r14 relational feed this replaces materialised and DISTINCTed
+    * the full C(g,2) candidate relation, then shuffled BOTH vectors
+    * into a two-sided pair join — at sf10 the 45.6M-candidate
+    * distinct+join was 38.2 s of dedup_embedding_lsh's 40.5 s where
+    * the in-task dots are ~3 G multiply-adds. Per-pair decisions and
+    * values are the exact scalar twin of the relational verify
+    * ([[roundedCosine]] — NaN emitted, matching Spark's NaN-is-largest
+    * `>=`), so the output rows are bit-identical; a pair sharing
+    * several cells is emitted once per shared cell and the final
+    * distinct folds it — over VERIFIED rows only, orders smaller than
+    * the candidate relation. Over-cap cells route to the r14
+    * relational arm unchanged (their verified pairs union in before
+    * the distinct, so overlap between arms is also folded).
+    * Set-equality with the relational feed is spec-pinned. */
+  private[graft] def cellVerifiedPairs(members: DataFrame, vecs: DataFrame,
+                                       threshold: Double,
+                                       scanCellCap: Int = 8192,
+                                       maxCellScanBytes: Long = 64L << 20)
+      : DataFrame = {
+    val spark = members.sparkSession
+    import spark.implicits._
+    val cap = scanCapFor(vecs, scanCellCap, maxCellScanBytes)
+    val bigCells = members.groupBy("cell").agg(count(lit(1)).as("g"))
+      .where(col("g") > cap).select("cell")
+    val withVecs = members
+      .join(vecs.select(col("vec_id"), col("v"), col("norm")), "vec_id")
+      .select(col("cell"), col("vec_id"), col("v"), col("norm"))
+    val scanned = withVecs
+      .join(broadcast(bigCells), Seq("cell"), "left_anti")
+      .as[(Int, Long, Array[Double], Double)]
+      .groupByKey(_._1)
+      .flatMapGroups { (_, itm) =>
+        val ms = itm.toArray.sortInPlaceBy(_._2)
+        val out = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Double)]
+        var i = 1
+        while (i < ms.length) {
+          val (_, idB, vb, nb) = ms(i)
+          var j = 0
+          while (j < i) {
+            val (_, idA, va, na) = ms(j)
+            var s = 0.0
+            var d = 0
+            while (d < vb.length) { s += va(d) * vb(d); d += 1 }
+            val r = roundedCosine(s, na, nb)
+            if (r >= threshold || r.isNaN) out += ((idA, idB, r))
+            j += 1
+          }
+          i += 1
+        }
+        out
+      }
+      .toDF("a_id", "b_id", "cosine")
+    val bigMembers = members.join(broadcast(bigCells), "cell")
+    // Broadcast-roulette pin (r17 audit): over-cap cells only — no
+    // small side by construction, merge is the only safe strategy.
+    val candBig = bigMembers.as("x").hint("merge")
+      .join(bigMembers.as("y"),
+        col("x.cell") === col("y.cell") && col("x.vec_id") < col("y.vec_id"))
+      .select(col("x.vec_id").as("a_id"), col("y.vec_id").as("b_id"))
+      .distinct()
+    val verifiedBig = candBig
+      .join(vecs.select(col("vec_id").as("a_id"), col("v").as("av"),
+        col("norm").as("anorm")), "a_id")
+      .join(vecs.select(col("vec_id").as("b_id"), col("v").as("bv"),
+        col("norm").as("bnorm")), "b_id")
+      .select(col("a_id"), col("b_id"),
+        round(cosineWithNorms(dotProduct(col("av"), col("bv")),
+          col("anorm"), col("bnorm")), 6).as("cosine"))
+      .where(col("cosine") >= threshold)
+    scanned.unionByName(verifiedBig).distinct()
+  }
+
+  /** Two-sided (corpus x benchmark) verified pair report as a per-cell
+    * scan — the cross twin of [[cellVerifiedPairs]], for semantic
+    * decontamination: within each shared cell every (a-side, b-side)
+    * member pair is scored in-task instead of materialising the
+    * cell-join candidate relation and shipping both vectors through a
+    * two-sided join. `aMembers`/`bMembers` are (vec_id, cell) tables
+    * assigned against the SAME centroids; `aVecs`/`bVecs` the prepared
+    * vector tables the ids resolve against. Emits one row per shared
+    * cell per verified pair; callers fold with distinct (values are
+    * deterministic, so distinct on (a_id, b_id, cosine) == distinct on
+    * the pair). Over-cap cells (by COMBINED occupancy) route to the
+    * relational arm. */
+  private[graft] def cellCrossVerifiedPairs(aMembers: DataFrame,
+                                            bMembers: DataFrame,
+                                            aVecs: DataFrame,
+                                            bVecs: DataFrame,
+                                            threshold: Double,
+                                            scanCellCap: Int = 8192,
+                                            maxCellScanBytes: Long = 64L << 20)
+      : DataFrame = {
+    val spark = aMembers.sparkSession
+    import spark.implicits._
+    val cap = scanCapFor(aVecs, scanCellCap, maxCellScanBytes)
+    val occ = aMembers.groupBy("cell").agg(count(lit(1)).as("ga"))
+      .join(bMembers.groupBy("cell").agg(count(lit(1)).as("gb")), "cell")
+    val bigCells = occ.where(col("ga") + col("gb") > cap).select("cell")
+    def sideRows(m: DataFrame, vecs: DataFrame, tag: Int): DataFrame =
+      m.join(vecs.select(col("vec_id"), col("v"), col("norm")), "vec_id")
+        .select(col("cell"), lit(tag).as("side"), col("vec_id"),
+          col("v"), col("norm"))
+    val withVecs = sideRows(aMembers, aVecs, 0)
+      .unionByName(sideRows(bMembers, bVecs, 1))
+    val scanned = withVecs
+      .join(broadcast(bigCells), Seq("cell"), "left_anti")
+      .as[(Int, Int, Long, Array[Double], Double)]
+      .groupByKey(_._1)
+      .flatMapGroups { (_, itm) =>
+        val all = itm.toArray
+        val as = all.filter(_._2 == 0)
+        val bs = all.filter(_._2 == 1)
+        val out = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Double)]
+        var i = 0
+        while (i < as.length) {
+          val (_, _, idA, va, na) = as(i)
+          var j = 0
+          while (j < bs.length) {
+            val (_, _, idB, vb, nb) = bs(j)
+            var s = 0.0
+            var d = 0
+            while (d < vb.length) { s += va(d) * vb(d); d += 1 }
+            val r = roundedCosine(s, na, nb)
+            if (r >= threshold || r.isNaN) out += ((idA, idB, r))
+            j += 1
+          }
+          i += 1
+        }
+        out
+      }
+      .toDF("a_id", "b_id", "cosine")
+    val bigA = aMembers.join(broadcast(bigCells), "cell")
+    val bigB = bMembers.join(broadcast(bigCells), "cell")
+    val candBig = bigA.as("x").hint("merge")
+      .join(bigB.as("y"), col("x.cell") === col("y.cell"))
+      .select(col("x.vec_id").as("a_id"), col("y.vec_id").as("b_id"))
+      .distinct()
+    val verifiedBig = candBig
+      .join(aVecs.select(col("vec_id").as("a_id"), col("v").as("av"),
+        col("norm").as("anorm")), "a_id")
+      .join(bVecs.select(col("vec_id").as("b_id"), col("v").as("bv"),
+        col("norm").as("bnorm")), "b_id")
+      .select(col("a_id"), col("b_id"),
+        round(cosineWithNorms(dotProduct(col("av"), col("bv")),
+          col("anorm"), col("bnorm")), 6).as("cosine"))
+      .where(col("cosine") >= threshold)
+    scanned.unionByName(verifiedBig)
   }
 
   /** Effective per-cell occupancy cap for the single-task cell kernels:

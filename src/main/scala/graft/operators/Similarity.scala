@@ -240,6 +240,46 @@ object Similarity {
     math.max(16L, math.min(4096L, math.min(n / 64, bySqrt))).toInt
   }
 
+  /** All k centroid dot products of one row into `dots` — processed in
+    * blocks of four centroids so four independent accumulator chains
+    * run per pass over the vector (the scalar loop's serial FP-add
+    * dependency is the throughput wall: one add per ~4 cycles; four
+    * chains fill the pipeline, and the four centroid rows stream
+    * together cache-friendly). EACH dot is still accumulated strictly
+    * left-to-right in its own accumulator, so every value is
+    * bit-identical to the one-centroid-at-a-time loop — blocking only
+    * reorders work BETWEEN independent dots, never within one.
+    * Shared by the Lloyd assignment, [[cellAssignments]] and
+    * [[assignToCentroid]]; equivalence spec-pinned. */
+  private[graft] def dotsBlocked(v: Array[Double],
+                                 cents: Array[Array[Double]],
+                                 dots: Array[Double]): Unit = {
+    val k = cents.length
+    val n = v.length
+    var ci = 0
+    while (ci + 4 <= k) {
+      val c0 = cents(ci); val c1 = cents(ci + 1)
+      val c2 = cents(ci + 2); val c3 = cents(ci + 3)
+      var s0 = 0.0; var s1 = 0.0; var s2 = 0.0; var s3 = 0.0
+      var d = 0
+      while (d < n) {
+        val x = v(d)
+        s0 += x * c0(d); s1 += x * c1(d); s2 += x * c2(d); s3 += x * c3(d)
+        d += 1
+      }
+      dots(ci) = s0; dots(ci + 1) = s1; dots(ci + 2) = s2; dots(ci + 3) = s3
+      ci += 4
+    }
+    while (ci < k) {
+      val c = cents(ci)
+      var s = 0.0
+      var d = 0
+      while (d < n) { s += v(d) * c(d); d += 1 }
+      dots(ci) = s
+      ci += 1
+    }
+  }
+
   def trainIvfCentroids(e: DataFrame, k: Int = 16, iterations: Int = 3,
                         dim: Int = 64): Seq[Array[Double]] = {
     import e.sparkSession.implicits._
@@ -274,16 +314,18 @@ object Similarity {
         // higher centroid id, matching [[assignToCentroid]].
         val assigned: org.apache.spark.sql.Dataset[(Int, Array[Double])] = {
             val bc = cached.sparkSession.sparkContext.broadcast(centroids.toArray)
-            cached.select(col("v")).as[Array[Double]].map { v =>
+            cached.select(col("v")).as[Array[Double]].mapPartitions { it =>
               val cents = bc.value
-              var best = 0; var bestS = Double.NegativeInfinity; var ci = 0
-              while (ci < cents.length) {
-                val c = cents(ci); var s = 0.0; var d = 0
-                while (d < v.length) { s += v(d) * c(d); d += 1 }
-                if (s >= bestS) { bestS = s; best = ci }
-                ci += 1
+              val dots = new Array[Double](cents.length)
+              it.map { v =>
+                dotsBlocked(v, cents, dots)
+                var best = 0; var bestS = Double.NegativeInfinity; var ci = 0
+                while (ci < cents.length) {
+                  if (dots(ci) >= bestS) { bestS = dots(ci); best = ci }
+                  ci += 1
+                }
+                (best, v)
               }
-              (best, v)
             }
           }
         // Lloyd update as per-partition accumulation: each task folds its
@@ -348,18 +390,18 @@ object Similarity {
     val enc = org.apache.spark.sql.Encoders.row(outSchema)
     e.mapPartitions { it =>
       val cents = bc.value
+      val dots = new Array[Double](cents.length)
       it.map { row =>
         val vSeq = row.getSeq[Double](vIdx)
         val v = new Array[Double](vSeq.length)
         var d = 0
         while (d < v.length) { v(d) = vSeq(d); d += 1 }
+        dotsBlocked(v, cents, dots)
         var best = 0
         var bestS = Double.NegativeInfinity
         var ci = 0
         while (ci < cents.length) {
-          val c = cents(ci); var s = 0.0; d = 0
-          while (d < v.length) { s += v(d) * c(d); d += 1 }
-          if (s >= bestS) { bestS = s; best = ci }
+          if (dots(ci) >= bestS) { bestS = dots(ci); best = ci }
           ci += 1
         }
         org.apache.spark.sql.Row.fromSeq(row.toSeq :+ best)
@@ -385,6 +427,7 @@ object Similarity {
       .mapPartitions { it =>
         val cents = bc.value
         val a = math.min(assign, cents.length)
+        val dots = new Array[Double](cents.length)
         // top-`assign` insertion into two primitive arrays instead of
         // materialising + sorting k boxed (score, id) tuples per row:
         // the tuple form measured 79.7 s for ONE assignment pass at
@@ -392,15 +435,17 @@ object Similarity {
         // did a full Lloyd round in ~10 s — all of it allocation, not
         // arithmetic. Order kept identical to sortBy(-s, -ci): a later
         // equal-score centroid (higher ci) ranks ABOVE an earlier one.
+        // Dots come from the blocked kernel ([[dotsBlocked]] — values
+        // bit-identical, 4 accumulator chains per pass).
         it.map { case (id, v) =>
+          dotsBlocked(v, cents, dots)
           val bestS = new Array[Double](a)
           val bestC = new Array[Int](a)
           java.util.Arrays.fill(bestS, Double.NegativeInfinity)
           java.util.Arrays.fill(bestC, -1)
           var ci = 0
           while (ci < cents.length) {
-            val c = cents(ci); var s = 0.0; var d = 0
-            while (d < v.length) { s += v(d) * c(d); d += 1 }
+            val s = dots(ci)
             var pos = a
             while (pos > 0 && (s > bestS(pos - 1) ||
               (s == bestS(pos - 1) && ci > bestC(pos - 1)))) pos -= 1

@@ -457,26 +457,80 @@ object TextAnalysis {
       .select(col("doc_id"), col(textCol)).as[(Long, String)]
       .mapPartitions { it =>
         it.map { case (id, text) =>
+          // r20 kernel: intern each token to a dense int id by EXACT
+          // string identity (one HashMap probe per token — no hash-only
+          // identity, so the collision class is unchanged), then count
+          // bigrams/trigrams as packed-long sort+run-scan instead of
+          // building a concatenated String + boxed HashMap entry per
+          // position. Identity is preserved exactly: tokens are
+          // [a-z0-9]+ (never contain the old separator space), so
+          // "a b" string equality == (idA, idB) equality. Equivalence
+          // vs the string-keyed form is spec-pinned
+          // (TextMultimodalSpec).
           val toks = graft.expressions.TokenScan.lowerAlnum(text)
           val n = toks.length
-          val uniqWords = new scala.collection.mutable.HashSet[String]
-          toks.foreach(uniqWords.add)
-          val bigrams = new scala.collection.mutable.HashMap[String, Int]
+          val intern = new java.util.HashMap[String, Integer](
+            math.max(8, n * 2))
+          val ids = new Array[Int](n)
+          var nUniq = 0
           var i = 0
-          while (i + 2 <= n) {
-            val g = toks(i) + " " + toks(i + 1)
-            bigrams.update(g, bigrams.getOrElse(g, 0) + 1)
+          while (i < n) {
+            val prev = intern.putIfAbsent(toks(i), nUniq)
+            if (prev == null) { ids(i) = nUniq; nUniq += 1 }
+            else ids(i) = prev.intValue()
             i += 1
           }
-          val topBigram = if (bigrams.isEmpty) 0 else bigrams.valuesIterator.max
-          val trigrams = new scala.collection.mutable.HashSet[String]
-          i = 0
-          while (i + 3 <= n) {
-            trigrams.add(toks(i) + " " + toks(i + 1) + " " + toks(i + 2))
-            i += 1
+          // bigram identity = (a << 32) | b (ids are doc-local, always
+          // < 2^31); top count = longest run of the sorted key array
+          var topBigram = 0L
+          if (n >= 2) {
+            val bg = new Array[Long](n - 1)
+            i = 0
+            while (i + 2 <= n) {
+              bg(i) = (ids(i).toLong << 32) | (ids(i + 1).toLong & 0xFFFFFFFFL)
+              i += 1
+            }
+            java.util.Arrays.sort(bg)
+            var run = 1L
+            i = 1
+            topBigram = 1L
+            while (i < bg.length) {
+              if (bg(i) == bg(i - 1)) run += 1 else run = 1
+              if (run > topBigram) topBigram = run
+              i += 1
+            }
           }
-          (id, n.toLong, uniqWords.size.toLong, math.max(n - 1, 0).toLong,
-            topBigram.toLong, math.max(n - 2, 0).toLong, trigrams.size.toLong)
+          // trigram identity packs 3 x 21-bit ids into one long — exact
+          // while nUniq < 2^21 (a single doc with >= 2M DISTINCT tokens
+          // is >= 4 MB of text; the string path below covers that tail)
+          var nUniqTrigrams = 0L
+          if (n >= 3) {
+            if (nUniq < (1 << 21)) {
+              val tg = new Array[Long](n - 2)
+              i = 0
+              while (i + 3 <= n) {
+                tg(i) = (ids(i).toLong << 42) | (ids(i + 1).toLong << 21) |
+                  ids(i + 2).toLong
+                i += 1
+              }
+              java.util.Arrays.sort(tg)
+              i = 0
+              while (i < tg.length) {
+                if (i == 0 || tg(i) != tg(i - 1)) nUniqTrigrams += 1
+                i += 1
+              }
+            } else {
+              val trigrams = new scala.collection.mutable.HashSet[String]
+              i = 0
+              while (i + 3 <= n) {
+                trigrams.add(toks(i) + " " + toks(i + 1) + " " + toks(i + 2))
+                i += 1
+              }
+              nUniqTrigrams = trigrams.size.toLong
+            }
+          }
+          (id, n.toLong, nUniq.toLong, math.max(n - 1, 0).toLong,
+            topBigram, math.max(n - 2, 0).toLong, nUniqTrigrams)
         }
       }.toDF("doc_id", "n_words", "n_uniq_words", "n_bigrams",
         "top_bigram_n", "n_trigrams", "n_uniq_trigrams")

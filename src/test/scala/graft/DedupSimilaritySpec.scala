@@ -1719,4 +1719,101 @@ class DedupSimilaritySpec extends SparkSpec {
       .orderBy("doc_id").as[(Long, Long)].collect().toSeq
     assert(fast == legacy)
   }
+
+  test("blocked centroid dots are bit-identical to the scalar loop") {
+    // r20: dotsBlocked runs 4 independent accumulator chains; each dot
+    // must still be the exact left-to-right sum of the scalar loop —
+    // pinned over random matrices at k not divisible by 4, k < 4, and
+    // adversarial magnitudes where FP reassociation WOULD show.
+    val rnd = new scala.util.Random(7)
+    for (k <- Seq(1, 2, 3, 4, 5, 7, 8, 64, 129); dim <- Seq(1, 3, 64)) {
+      val v = Array.fill(dim)(
+        (rnd.nextGaussian() * math.pow(10, rnd.nextInt(13) - 6)))
+      val cents = Array.fill(k)(Array.fill(dim)(
+        rnd.nextGaussian() * math.pow(10, rnd.nextInt(13) - 6)))
+      val dots = new Array[Double](k)
+      Similarity.dotsBlocked(v, cents, dots)
+      cents.zipWithIndex.foreach { case (c, ci) =>
+        var s = 0.0; var d = 0
+        while (d < dim) { s += v(d) * c(d); d += 1 }
+        assert(java.lang.Double.doubleToRawLongBits(dots(ci)) ==
+          java.lang.Double.doubleToRawLongBits(s),
+          s"k=$k dim=$dim ci=$ci: ${dots(ci)} vs $s")
+      }
+    }
+  }
+
+  test("cell pair-report scan kernel === the relational cell feed (both arms)") {
+    // r20: the per-cell scan kernel replaces the candidate
+    // distinct+two-sided-join feed of dedup_embedding_lsh/_capped;
+    // this pins exact (a_id, b_id, cosine) set equality on the real
+    // corpus against the retained relational form, on the scan arm AND
+    // with a tiny occupancy cap that routes every cell through the
+    // relational fallback arm.
+    import org.apache.spark.sql.DataFrame
+    val emb = spark.read.parquet(s"${sf("sf0.01")}/embeddings.parquet")
+    val e = Similarity.prepared(emb)
+    val cells = Similarity.cellAssignmentsCached(emb)
+    def relational(members: DataFrame): Set[(Long, Long, Double)] = {
+      val cand = members.as("x").join(members.as("y"),
+          col("x.cell") === col("y.cell") &&
+            col("x.vec_id") < col("y.vec_id"))
+        .select(col("x.vec_id").as("a_id"), col("y.vec_id").as("b_id"))
+        .distinct()
+      cand
+        .join(e.select(col("vec_id").as("a_id"), col("v").as("av"),
+          col("norm").as("anorm")), "a_id")
+        .join(e.select(col("vec_id").as("b_id"), col("v").as("bv"),
+          col("norm").as("bnorm")), "b_id")
+        .select(col("a_id"), col("b_id"),
+          round(graft.functions.cosineWithNorms(
+            graft.functions.dotProduct(col("av"), col("bv")),
+            col("anorm"), col("bnorm")), 6).as("cosine"))
+        .where(col("cosine") >= 0.45)
+        .as[(Long, Long, Double)].collect().toSet
+    }
+    val ref = relational(cells)
+    assert(ref.nonEmpty, "oracle SF must produce verified pairs")
+    val fast = Dedup.cellVerifiedPairs(cells, e, 0.45)
+      .as[(Long, Long, Double)].collect().toSet
+    assert(fast == ref)
+    val viaFallback = Dedup.cellVerifiedPairs(cells, e, 0.45, scanCellCap = 4)
+      .as[(Long, Long, Double)].collect().toSet
+    assert(viaFallback == ref)
+  }
+
+  test("cross-cell scan kernel === the relational cross feed (semantic decon)") {
+    import org.apache.spark.sql.DataFrame
+    val all = spark.read.parquet(s"${sf("sf0.01")}/embeddings.parquet")
+    val corpus = all.where(col("vec_id") % 11 =!= 0)
+    val bench = all.where(col("vec_id") % 11 === 0)
+    val c = Similarity.prepared(corpus)
+    val b = Similarity.prepared(bench)
+    val k = Similarity.autoCells(all.count())
+    val centroids = Similarity.trainIvfCentroids(
+      c.unionByName(b), k, dim = 64)
+    val cm = Similarity.cellAssignments(c, centroids, 2)
+    val bm = Similarity.cellAssignments(b, centroids, 2)
+    val ref = cm.as("c").join(bm.as("b"), col("c.cell") === col("b.cell"))
+      .select(col("c.vec_id").as("a_id"), col("b.vec_id").as("b_id"))
+      .distinct()
+      .join(c.select(col("vec_id").as("a_id"), col("v").as("av"),
+        col("norm").as("anorm")), "a_id")
+      .join(b.select(col("vec_id").as("b_id"), col("v").as("bv"),
+        col("norm").as("bnorm")), "b_id")
+      .select(col("a_id"), col("b_id"),
+        round(graft.functions.cosineWithNorms(
+          graft.functions.dotProduct(col("av"), col("bv")),
+          col("anorm"), col("bnorm")), 6).as("cosine"))
+      .where(col("cosine") >= 0.45)
+      .as[(Long, Long, Double)].collect().toSet
+    assert(ref.nonEmpty)
+    val fast = Dedup.cellCrossVerifiedPairs(cm, bm, c, b, 0.45)
+      .distinct().as[(Long, Long, Double)].collect().toSet
+    assert(fast == ref)
+    val viaFallback = Dedup.cellCrossVerifiedPairs(cm, bm, c, b, 0.45,
+        scanCellCap = 4)
+      .distinct().as[(Long, Long, Double)].collect().toSet
+    assert(viaFallback == ref)
+  }
 }

@@ -144,6 +144,44 @@ class PrepOperatorsSpec extends SparkSpec {
     assert(out(2) == ((3L, 0L, 0L, 0.0, 0.0, 0.0, false)))
   }
 
+  test("repetition packed-id kernel === string-keyed reference on the real corpus") {
+    // r20: bigrams/trigrams count via interned ids packed into longs;
+    // this pins the kernel to the original concat-string identity on
+    // every doc of the oracle SF plus crafted edge docs.
+    val real = spark.read.parquet(s"${sf()}/documents.parquet")
+      .select("doc_id", "text")
+    val edge = Seq(
+      (900001L, "x y x y x y x"),        // alternating bigram tie
+      (900002L, "a b c a b c a b c"),    // repeated trigram loop
+      (900003L, "one two"),              // below trigram length
+      (900004L, "solo"),                 // single word
+      (900005L, "a1 b2 a1 b2 c3 a1")     // digit tokens
+    ).toDF("doc_id", "text")
+    val docs = real.unionByName(edge)
+    val out = TextAnalysis.repetitionSignals(docs)
+      .select("doc_id", "n_words", "n_uniq_words", "n_bigrams",
+        "top_bigram_n", "n_trigrams", "n_uniq_trigrams")
+      .as[(Long, Long, Long, Long, Long, Long, Long)].collect()
+      .map(r => r._1 -> r).toMap
+    val ref = docs.select("doc_id", "text").as[(Long, String)].collect()
+      .map { case (id, text) =>
+        val toks = graft.expressions.TokenScan.lowerAlnum(text)
+        val n = toks.length
+        val uniq = toks.toSet.size
+        val bigrams = toks.sliding(2).filter(_.length == 2)
+          .map(_.mkString(" ")).toSeq
+        val top = if (bigrams.isEmpty) 0L
+          else bigrams.groupBy(identity).values.map(_.size).max.toLong
+        val trigrams = toks.sliding(3).filter(_.length == 3)
+          .map(_.mkString(" ")).toSeq
+        id -> ((id, n.toLong, uniq.toLong, math.max(n - 1, 0).toLong,
+          top, math.max(n - 2, 0).toLong, trigrams.distinct.size.toLong))
+      }.toMap
+    ref.foreach { case (id, expect) =>
+      assert(out(id) == expect, s"doc $id: ${out(id)} vs $expect")
+    }
+  }
+
   // -------------------------------------------------------- decontamination
   test("decontamination flags 8-gram overlap with the benchmark") {
     val shared = "alpha beta gamma delta epsilon zeta eta theta"
@@ -254,6 +292,17 @@ class PrepOperatorsSpec extends SparkSpec {
     assert(out.length == 1)
     assert(out.head._1 == 1L && out.head._2 == 100L)
     assert(out.head._3 > 1L)
+    // tie-break: equal shared counts resolve to the SMALLEST bench id
+    // (r20 pins the struct-max argmax to the old window's ordering)
+    val benchTie = Seq(
+      (300L, s"$g2 padding tokens"),
+      (100L, s"$g2 other padding"))
+      .toDF("doc_id", "text")
+    val corpusTie = Seq((1L, s"exact copy of $g2 once")).toDF("doc_id", "text")
+    val tied = Contamination.attributeOverlap(corpusTie, benchTie, n = 8)
+      .select("doc_id", "bench_id", "shared_ngrams")
+      .as[(Long, Long, Long)].collect().toSeq
+    assert(tied == Seq((1L, 100L, 1L)), s"tie must pick min bench_id: $tied")
   }
 
   test("curriculum phases tier by the score's own quantiles") {

@@ -390,7 +390,20 @@ class TextMultimodalSpec extends SparkSpec {
       "@@@ 999.999.999.999 ",    // octet values are NOT range-checked (1-3 digits)
       "",                              // empty doc
       "+123456789012345678",           // phone pattern upper-bound overrun
-      "a@b.cd1.2.3.4e@f.gh")           // replacement butts two match sites together
+      "a@b.cd1.2.3.4e@f.gh",           // replacement butts two match sites together
+      // prescan boundary cases (the byte-level necessary-condition
+      // skip added in r20 must never produce a false skip):
+      "123456789",                     // minimal phone: digit gap exactly 8
+      "12345678",                      // one short of a phone: gap 7, no match
+      "1        2",                    // gap-8 run of spaces IS a phone
+      "1                    2",        // gap > 15: prescan fires, regex rejects
+      "1(23) 4-5 67",                  // parens/dash/space class run
+      "123é45678 9",              // multibyte char breaks the class run
+      "a.1 b.2 c.3",                   // dot BEFORE digit only: ip impossible
+      "1. 2. 3. 4.",                   // digit-dot present, no full ip
+      "1@b.co.2.3.4.5",                // email replacement seam next to an ip
+      "+123456789",                    // phone needing the optional plus
+      "no pii at all here")            // fully clean: prescan skips everything
       .zipWithIndex.map { case (s, i) => (i.toLong, s) }
     val docs = cases.toDF("doc_id", "text")
     val cols = Seq("doc_id", "n_emails", "n_ips", "n_phones", "redacted_text")
