@@ -126,28 +126,126 @@ object Contamination {
     * smallest benchmark id). The audit trail reviewers ask for before
     * dropping documents — "contaminated by what?". Same join shape as
     * [[flagOverlap]] plus one per-doc window top-1. */
+  /** Bench-gram row bound under which [[attributeOverlap]] dispatches
+    * to the broadcast-postings kernel: 8M (gram, bench_id) entries is
+    * ~128 MB of primitive arrays on the driver and in the broadcast —
+    * comfortably inside the 8g driver heap, and far under the scale at
+    * which a benchmark suite stops being "the small side". Above it the
+    * distributed join form runs unchanged. */
+  private[graft] val attributionKernelGramLimit: Long = 8L * 1024 * 1024
+
   def attributeOverlap(corpus: DataFrame, benchmark: DataFrame, n: Int = 8,
                        idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
-    val corpusGrams = ngramHashes(corpus, n, idCol, textCol)
+    val spark = corpus.sparkSession
+    import spark.implicits._
     val benchGrams = ngramHashes(benchmark, n, idCol, textCol)
       .select(col(idCol).as("bench_id"), col("gram")).distinct()
-    val pairCounts = corpusGrams.join(benchGrams, "gram")
-      .groupBy(idCol, "bench_id").agg(count(lit(1)).as("shared_ngrams"))
-    // r20 (guide §2.4): the top-1 was a row_number window — a second
-    // full shuffle of the (doc, bench) pair relation plus a per-doc
-    // SORT, for a verdict that is a per-doc argmax. A struct MAX is
-    // partial-aggregable (map-side combine before the exchange) and
-    // needs no sort; the negated bench_id replicates the window's
-    // tie-break exactly (max shared_ngrams, then MIN bench_id), and
-    // the third struct field just carries the id back out (never
-    // consulted: -bench_id determines it). Output rows identical —
-    // DuckDB-oracle-certified.
-    pairCounts
-      .groupBy(idCol)
-      .agg(max(struct(col("shared_ngrams"), (-col("bench_id")).as("nb"),
-        col("bench_id"))).as("__top"))
-      .select(col(idCol), col("__top.bench_id").as("bench_id"),
-        col("__top.shared_ngrams").as("shared_ngrams"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val nBenchGrams = benchGrams.count()
+    if (nBenchGrams <= attributionKernelGramLimit) {
+      // r20 (guide §3.1/§2.4 + the per-cell-kernel pattern): the r19
+      // form joined the full corpus gram relation against the bench
+      // grams BY GRAM and aggregated (doc, bench) counts across the
+      // gram partitioning — at sf10 that one fused stage burned 580
+      // CPU-s and exchanged 150M partially-aggregated pair rows for a
+      // verdict that is DOC-LOCAL (each doc's top-1 depends only on its
+      // own grams). The bench grams are the provably small side (3.5M
+      // rows at sf10, counted above, dispatch-guarded), so: collect
+      // them once into gram-sorted postings arrays, broadcast, and
+      // compute each doc's per-bench counts + argmax inside the
+      // existing gram scan — no gram rows materialised, no pair
+      // exchange, output rows identical (the sorted-run scan makes the
+      // max-count / min-bench_id tie-break positional).
+      val collected = benchGrams.select("gram", "bench_id").as[(Long, Long)]
+        .collect()
+      benchGrams.unpersist(false)
+      val rows = collected.sorted
+      val m = rows.length
+      var ng = 0
+      var i = 0
+      while (i < m) {
+        if (i == 0 || rows(i)._1 != rows(i - 1)._1) ng += 1
+        i += 1
+      }
+      val keys = new Array[Long](ng)
+      val offs = new Array[Int](ng + 1)
+      val ids = new Array[Long](m)
+      var g = -1
+      i = 0
+      while (i < m) {
+        if (i == 0 || rows(i)._1 != rows(i - 1)._1) {
+          g += 1; keys(g) = rows(i)._1; offs(g) = i
+        }
+        ids(i) = rows(i)._2
+        i += 1
+      }
+      offs(ng) = m
+      val bc = spark.sparkContext.broadcast((keys, offs, ids))
+      spread(corpus, col(idCol)).select(col(idCol), col(textCol))
+        .as[(Long, String)]
+        .mapPartitions { it =>
+          val (keys, offs, ids) = bc.value
+          it.flatMap { case (id, text) =>
+            val grams = distinctGrams(text, n)
+            var matches = new Array[Long](16)
+            var nm = 0
+            var i = 0
+            while (i < grams.length) {
+              val p = java.util.Arrays.binarySearch(keys, grams(i))
+              if (p >= 0) {
+                var j = offs(p)
+                while (j < offs(p + 1)) {
+                  if (nm == matches.length)
+                    matches = java.util.Arrays.copyOf(matches, nm * 2)
+                  matches(nm) = ids(j); nm += 1; j += 1
+                }
+              }
+              i += 1
+            }
+            if (nm == 0) Iterator.empty
+            else {
+              java.util.Arrays.sort(matches, 0, nm)
+              // longest run wins; ascending order makes ties (equal
+              // run lengths) resolve to the SMALLEST bench_id — the
+              // join form's max(shared_ngrams) / min(bench_id) contract
+              var bestId = matches(0); var bestLen = 0
+              var runId = matches(0); var runLen = 0
+              var k = 0
+              while (k < nm) {
+                if (matches(k) == runId) runLen += 1
+                else { runId = matches(k); runLen = 1 }
+                if (runLen > bestLen) { bestLen = runLen; bestId = runId }
+                k += 1
+              }
+              Iterator.single((id, bestId, bestLen.toLong))
+            }
+          }
+        }.toDF(idCol, "bench_id", "shared_ngrams")
+        // eager: the kernel's output now sits directly under consumers'
+        // orderBy, and a range sort SAMPLES its child to pick bounds —
+        // without a barrier that re-executes the whole text scan +
+        // kernel per sampling pass (measured: two extra 5.5 s corpus
+        // scans at sf10). The checkpoint is top-1-report-sized (one
+        // short row per contaminated doc, the same class of table
+        // [[reportFromSuspects]] already checkpoints).
+        .localCheckpoint()
+    } else {
+      // distributed fallback (benchmark too big to hold): the r19 join
+      // + partial-aggregable struct-max form, unchanged. The dispatch
+      // count's gram pass is re-paid here (the cache is released so it
+      // cannot leak into the caller's session) — one extra bench-side
+      // scan at the scale where the corpus side dominates by 7x+.
+      benchGrams.unpersist(false)
+      val corpusGrams = ngramHashes(corpus, n, idCol, textCol)
+      val pairCounts = corpusGrams.join(benchGrams, "gram")
+        .groupBy(idCol, "bench_id").agg(count(lit(1)).as("shared_ngrams"))
+      pairCounts
+        .groupBy(idCol)
+        .agg(max(struct(col("shared_ngrams"), (-col("bench_id")).as("nb"),
+          col("bench_id"))).as("__top"))
+        .select(col(idCol), col("__top.bench_id").as("bench_id"),
+          col("__top.shared_ngrams").as("shared_ngrams"))
+    }
   }
 
   /** The filtering form: corpus minus every contaminated doc — one

@@ -818,7 +818,8 @@ object Dedup {
     * forces spanning (specs exercising the star/residual machinery). */
   private[graft] def spanningVerifiedPairs(buckets: DataFrame, sets: DataFrame,
                                            threshold: Double,
-                                           fullFeedPairLimit: Long = 2000000L)
+                                           fullFeedPairLimit: Long = 2000000L,
+                                           materialized: Boolean = false)
       : DataFrame = {
     // ONE banding materialisation serves the volume estimate AND the
     // chosen branch. r13 used persist() here and the estimate's pass
@@ -832,7 +833,10 @@ object Dedup {
     // A caller that already persisted its bucket table
     // (nearDupStateStep) lends its cache instead — never re-checkpoint
     // or unpersist it (the caller's state outputs still read it).
-    val borrowed =
+    // `materialized` lets a caller vouch for an ALREADY-checkpointed
+    // bucket table (Dataset.storageLevel only sees the CacheManager, so
+    // a localCheckpoint-backed frame reads as NONE and would be copied)
+    val borrowed = materialized ||
       buckets.storageLevel != org.apache.spark.storage.StorageLevel.NONE
     // Checkpoint lifecycle: localCheckpoint blocks (this one and the
     // pair tables below) have no public eager-release API — they are
@@ -854,32 +858,56 @@ object Dedup {
       lastSpanningStats = SpanningStats(0, 0, 0, 0, estFull, dispatchedFull = true)
       return verified
     }
-    // Broadcast-roulette pins (r17 audit): this branch only runs when
-    // estFull > fullFeedPairLimit — the corpus is big by construction,
-    // so merge costs nothing at the small end (dispatched to the full
-    // feed above) and removes AQE's freedom to broadcast a bucket/hub/
-    // pair table whose two-long rows compress deceptively (the r16
-    // sf10 OOM class: compressed estimate under the 64 MB threshold,
-    // deserialized build driver-heap-sized).
-    val hubs = b.groupBy("bucket").agg(min("id").as("hub"))
-    val star = b.join(hubs.hint("merge"), "bucket")
+    // Hub per bucket as a WINDOW min over the checkpointed bucket rows
+    // (one bucket-keyed exchange + sort) instead of the r13-r19
+    // groupBy(bucket) + merge self-join, which exchanged b twice and
+    // sorted both join inputs (r20 sf10 sub-stage probe: 5.0 s, and the
+    // lazy residual consumer re-ran the whole join for another 5.0 s).
+    // star is checkpointed because BOTH downstream consumers (the pair
+    // distinct and the failed-edge semi join) read it; the r20 probe
+    // put the recompute above the materialisation cost.
+    val star = b.withColumn("hub",
+        min("id").over(org.apache.spark.sql.expressions.Window
+          .partitionBy("bucket")))
       .where(col("id") =!= col("hub"))
+      .localCheckpoint()
     // distinct folds the same (hub, member) edge re-found by other bands
     val starPairs = star.select(col("hub").as("a_id"), col("id").as("b_id"))
       .distinct().localCheckpoint()
     val starVerified = verifyPairs(starPairs, sets, sets, threshold)
       .localCheckpoint()
-    val okPairs = starVerified.select(col("a_id").as("hub"), col("b_id").as("id"))
-    val residual = star.join(okPairs.hint("merge"), Seq("hub", "id"), "left_anti")
+    // Residual = star rows whose hub edge FAILED verification. The set
+    // of failed (hub, id) edges is the LSH-false-positive sliver
+    // (measured sf10: 2 809 of 933 487 star edges), so deriving it
+    // first (tiny anti join of the two checkpointed pair tables) and
+    // SEMI-joining star against it replaces r19's left_anti merge join
+    // of the full star relation against the near-equal verified set —
+    // same rows by construction: star edges partition into verified
+    // and failed, so (star anti verified) == (star semi failed).
+    val failed = starPairs
+      .join(starVerified.select("a_id", "b_id"), Seq("a_id", "b_id"), "left_anti")
+      .select(col("a_id").as("hub"), col("b_id").as("id"))
+      .localCheckpoint()
+    val nFailed = failed.count()
+    import graft.functions.mergePinned
+    // free sides carry PROVEN counts from materialised checkpoints
+    // (broadcast-roulette pins, r17 audit): failed is nFailed rows,
+    // residual is at most nFailed x bands rows (one per shared band).
+    val residual = star.join(mergePinned(failed, nFailed), Seq("hub", "id"),
+        "left_semi")
       .select("bucket", "id")
-    val resCand = residual.as("r")
-      .join(b.as("m").hint("merge"),
+    // one residual star row per band the failed pair shares; 64 = 2x
+    // the repo-wide bands default (32), so the bound overcounts — and
+    // overcounting is the SAFE direction (it only pins merge earlier)
+    val resBound = nFailed * 64L
+    val resCand = mergePinned(residual.as("r"), resBound)
+      .join(b.as("m"),
         col("r.bucket") === col("m.bucket") && col("r.id") =!= col("m.id"))
       .select(least(col("r.id"), col("m.id")).as("a_id"),
         greatest(col("r.id"), col("m.id")).as("b_id"))
       .distinct()
       // star pairs are already decided (verified or failed) — never redo
-      .join(starPairs, Seq("a_id", "b_id"), "left_anti")
+      .join(starPairs.hint("merge"), Seq("a_id", "b_id"), "left_anti")
       .localCheckpoint()
     val resVerified = verifyPairs(resCand, sets, sets, threshold)
       .localCheckpoint()
@@ -1652,8 +1680,14 @@ object Dedup {
       : (DataFrame, DataFrame, DataFrame) = {
     val setsIn = shingleHashSets(incoming)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val bIn = bandBuckets(setsIn, k, bands)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // row-level eager checkpoint, not columnar persist: the bucket table
+    // is read by FOUR bucket-keyed consumers (witness hub join, witness
+    // residual join, spanning hub window, spanning residual join) and
+    // the columnar InMemoryRelation paid its per-batch compression BUILD
+    // plus per-consumer decompression on every one of them — the same
+    // +15-24% the r13 spanning-internal measurement documented, now
+    // applied at the caller that owns the cache
+    val bIn = bandBuckets(setsIn, k, bands).localCheckpoint()
     // cross-side verdict is existential (drop iff ONE corpus witness),
     // so the feed is witness-bounded: hub edges first, member fallback
     // only for undecided docs ([[witnessDroppedIds]] — verdict-equal to
@@ -1671,7 +1705,8 @@ object Dedup {
     // history at sf10), and its hot-template buckets paid C(g,2) pairs;
     // the witness-bounded cross feed alone moved 101.7 s only to
     // 80.6 s because the self feed dominated.
-    val selfDropped = spanningVerifiedPairs(bIn, setsIn, threshold)
+    val selfDropped = spanningVerifiedPairs(bIn, setsIn, threshold,
+        materialized = true)
       .select(col("b_id").as("doc_id"))
     val dropped = crossDropped.select(col("a_id").as("doc_id"))
       .unionByName(selfDropped)
@@ -1691,7 +1726,9 @@ object Dedup {
       if (materializeState) b.localCheckpoint() else b
     }
     setsIn.unpersist(false)
-    bIn.unpersist(false)
+    // bIn is a localCheckpoint now — its blocks are reclaimed by the
+    // ContextCleaner when the backing RDD is GC'd (the documented
+    // checkpoint lifecycle above), not by an explicit unpersist
     (survivors, survivorSets, survivorBuckets)
   }
 

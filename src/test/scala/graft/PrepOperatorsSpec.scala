@@ -305,6 +305,32 @@ class PrepOperatorsSpec extends SparkSpec {
     assert(tied == Seq((1L, 100L, 1L)), s"tie must pick min bench_id: $tied")
   }
 
+  test("attribution kernel equals the gram-join reference on a real slice") {
+    // r20: attributeOverlap dispatches small bench sides to a
+    // broadcast-postings scan kernel. Pin its output against the r19
+    // join + struct-max form, spelled out here as the reference, on a
+    // real testdata slice (the %7 split the declared query uses).
+    val all = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val corpus = all.where(col("doc_id") % 7 =!= 0)
+    val bench = all.where(col("doc_id") % 7 === 0)
+    val kernel = Contamination.attributeOverlap(corpus, bench, n = 8)
+      .select("doc_id", "bench_id", "shared_ngrams")
+      .as[(Long, Long, Long)].collect().toSeq.sorted
+    val corpusGrams = Contamination.ngramHashes(corpus, 8)
+    val benchGrams = Contamination.ngramHashes(bench, 8)
+      .select(col("doc_id").as("bench_id"), col("gram")).distinct()
+    val reference = corpusGrams.join(benchGrams, "gram")
+      .groupBy("doc_id", "bench_id").agg(count(lit(1)).as("shared_ngrams"))
+      .groupBy("doc_id")
+      .agg(max(struct(col("shared_ngrams"), (-col("bench_id")).as("nb"),
+        col("bench_id"))).as("__top"))
+      .select(col("doc_id"), col("__top.bench_id").as("bench_id"),
+        col("__top.shared_ngrams").as("shared_ngrams"))
+      .as[(Long, Long, Long)].collect().toSeq.sorted
+    assert(kernel.nonEmpty, "slice produced no contaminated docs")
+    assert(kernel == reference)
+  }
+
   test("curriculum phases tier by the score's own quantiles") {
     val df = (1 to 9).map(i => (i.toLong, i.toDouble)).toDF("id", "score")
     val out = Splits.curriculumPhases(df, "score", phases = 3)
