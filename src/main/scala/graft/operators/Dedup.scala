@@ -280,15 +280,20 @@ object Dedup {
     * low-jaccard bucket collisions (which the exact verify pass removes). */
   def minhashCandidates(docs: DataFrame, k: Int = 128, bands: Int = 32,
                         idCol: String = "doc_id", textCol: String = "text",
-                        provenRows: Long = graft.functions.autoRows): DataFrame = {
+                        provenRows: Long = graft.functions.autoRows,
+                        materialize: Boolean = false): DataFrame = {
     // the dispatch count buys [[firstBandPairs]] the EXACT side-row
     // number its broadcast-vs-merge dispatch is proved against — but it
     // is resolved lazily (caller-provided, or a count-star only when
     // docs is a bare relation; r17 ADVICE): counting an uncached
-    // mid-pipeline chain would re-execute it once at BUILD time
+    // mid-pipeline chain would re-execute it once at BUILD time.
+    // `materialize` opts the band-array barrier in (one signature pass
+    // instead of two — see [[firstBandPairs]]) for paths that execute
+    // the feed anyway; the default keeps the builder job-free.
     val dr = graft.functions.resolveRows(docs, provenRows)
     firstBandPairs(bandBucketArrays(shingleHashSets(docs, 3, idCol, textCol), k, bands, idCol),
-      sideRows = if (dr < 0) -1L else dr * bands, bands = bands)
+      sideRows = if (dr < 0) -1L else dr * bands, bands = bands,
+      materializeArrays = materialize)
   }
 
   /** Exact n-gram Jaccard verification over candidate pairs
@@ -314,10 +319,36 @@ object Dedup {
     * VALUE is bit-identical to the retained array_intersect/array_union
     * form ([[verifyPairsBuiltin]], spec-pinned on real corpora) and the
     * DuckDB oracle transfers unchanged. */
+  /** Deserialized-bytes bound under which [[verifyPairs]] BROADCASTS
+    * the shingle-set sides instead of leaving the strategy to AQE: the
+    * two builds (a_id- and b_id-keyed over the same table) are alive
+    * together, so the worst case is ~2x this plus hash-relation
+    * overhead — ~3 GB against the 8g driver/executor heap. The
+    * alternative plan is brutal: a pair-keyed sort-merge ships every
+    * surviving pair's FIRST array through the second join's exchange
+    * (measured sf10, 25.4M pairs: 860 CPU-s across the two joins vs
+    * 382 CPU-s for the whole broadcast-verify stage). Dispatch is on a
+    * MEASURED byte count, never an AQE estimate (r16 OOM class). */
+  private val verifyBroadcastSetBytesLimit: Long = 1500L * 1000 * 1000
+
+  /** Exact deserialized payload of a shingle-set table: 8 B per hash
+    * plus ~48 B of per-row object/offset overhead. One cheap aggregate
+    * (callers hold `sets` cached when they ask). */
+  private def setPayloadBytes(sets: DataFrame): Long = {
+    val r = sets.agg(
+      coalesce(sum(size(col("shash")).cast("long")), lit(0L)),
+      count(lit(1))).head()
+    r.getLong(0) * 8L + r.getLong(1) * 48L
+  }
+
   private def verifyPairs(candidates: DataFrame, aSets: DataFrame,
-                          bSets: DataFrame, threshold: Double): DataFrame = {
-    val sa = aSets.select(col("doc_id").as("a_id"), col("shash").as("sh_a"))
-    val sb = bSets.select(col("doc_id").as("b_id"), col("shash").as("sh_b"))
+                          bSets: DataFrame, threshold: Double,
+                          provenSetBytes: Long = -1L): DataFrame = {
+    val bcast = provenSetBytes >= 0 &&
+      provenSetBytes <= verifyBroadcastSetBytesLimit
+    def side(s: DataFrame) = if (bcast) broadcast(s) else s
+    val sa = side(aSets.select(col("doc_id").as("a_id"), col("shash").as("sh_a")))
+    val sb = side(bSets.select(col("doc_id").as("b_id"), col("shash").as("sh_b")))
     val inter =
       graft.expressions.VectorExpressions.sortedIntersectCount(
         col("sh_a"), col("sh_b"))
@@ -461,12 +492,28 @@ object Dedup {
     * instead of being shuffled. */
   private[graft] def firstBandPairs(bucketArrs: DataFrame,
                                     sideRows: Long = -1L,
-                                    bands: Int = 32): DataFrame = {
+                                    bands: Int = 32,
+                                    materializeArrays: Boolean = false): DataFrame = {
+    // r20: with `materializeArrays` the band-array relation is
+    // checkpointed ONCE before being aliased into the self-join's two
+    // sides — the sides' exchanges differ only in column names, which
+    // defeats exchange reuse, so the WHOLE upstream (shingle pass +
+    // 128-coefficient signature loop, the dominant CPU of the
+    // pair-report family) executed twice (sf10 stage probe: two 10 s /
+    // ~45 CPU-s stages each producing the same 16M exploded rows). The
+    // checkpoint is doc-count-sized — one (id, int[bands]) row per doc,
+    // ~70 MB at sf10. It stays OFF by default because the barrier is
+    // eager (even a lazy Dataset.localCheckpoint materialises AQE
+    // stages through toRdd) and builders must fire zero jobs at
+    // construction (r17 ADVICE, spec-pinned); executed paths — the
+    // declared queries — opt in.
+    val arr = if (materializeArrays) bucketArrs.localCheckpoint()
+              else bucketArrs
     // capped arrays NULL a doc's capped-out bands ([[firstBandPairsCapped]]);
     // a null bucket can never match, so drop those rows before the
     // exchange instead of shuffling them into the join (no-op predicate
     // on the full feed, whose arrays carry no nulls)
-    val ex = bucketArrs.select(col("id"), col("barr"),
+    val ex = arr.select(col("id"), col("barr"),
       posexplode(col("barr")).as(Seq("band", "bucket")))
       .where(col("bucket").isNotNull)
     val a = ex.select(col("id").as("a_id"), col("barr").as("a_barr"),
@@ -1081,8 +1128,11 @@ object Dedup {
               maxPairsPerBucket, bands, sideRows)
           else
             firstBandPairs(bandBucketArrays(sets, k, bands),
-              sideRows = sideRows, bands = bands)
-        jaccardVerify(cand, sets, threshold).localCheckpoint()
+              sideRows = sideRows, bands = bands, materializeArrays = true)
+        // measured payload drives the verify join's broadcast-vs-merge
+        // dispatch (this aggregate is also what fills the sets cache)
+        verifyPairs(cand, sets, sets, threshold,
+          provenSetBytes = setPayloadBytes(sets)).localCheckpoint()
       }
     sets.unpersist(false)
     verified

@@ -349,7 +349,8 @@ object LlmQueries {
 
     // rows-only: murmur/xxhash bucket keys aren't reproducible in SQL
     "dedup_minhash" -> ((s, d) =>
-      Dedup.minhashCandidates(docs(s, d)).orderBy("a_id", "b_id")),
+      Dedup.minhashCandidates(docs(s, d), materialize = true)
+        .orderBy("a_id", "b_id")),
 
     // pre-flight emission report for the pair-REPORT family: band-bucket
     // occupancy histogram + estimated per-occupancy candidate-pair
