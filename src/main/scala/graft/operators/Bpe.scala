@@ -279,7 +279,14 @@ object Bpe {
     * against the array path):
     *  - n_base_symbols(word) = word.length — merges concatenate, never
     *    create or drop base symbols, and the `</w>` marker is excluded
-    *    exactly as the array form's `endsWith` adjustment did;
+    *    exactly as the array form's `endsWith` adjustment did. Unit of
+    *    count: UTF-16 units, matching [[baseSymbols]]' per-Java-char
+    *    alphabet (a supplementary-plane character is TWO base symbols).
+    *    The legacy array reduction summed Spark `length(token)` — CODE
+    *    POINTS — which agrees everywhere except a token whose merges
+    *    joined a high+low surrogate into one code point (legacy 1, here
+    *    2). BpeSpec pins this path's value on a surrogate-pair corpus
+    *    so the unit contract is explicit;
     *  - n_unmerged(word) = tokens whose symbol count (length minus the
     *    marker suffix) is 1 — single base symbols the vocab never
     *    merged. */

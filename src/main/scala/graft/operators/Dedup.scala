@@ -1736,8 +1736,16 @@ object Dedup {
     // the columnar InMemoryRelation paid its per-batch compression BUILD
     // plus per-consumer decompression on every one of them — the same
     // +15-24% the r13 spanning-internal measurement documented, now
-    // applied at the caller that owns the cache
-    val bIn = bandBuckets(setsIn, k, bands).localCheckpoint()
+    // applied at the caller that owns the cache. The barrier holds the
+    // ARRAY form — one (id, int[bands]) row per doc, 32x fewer rows
+    // than the exploded (id, bucket) table the consumers want — and
+    // each consumer re-explodes from the checkpoint (a posexplode over
+    // ~70 MB at sf10 vs materialising and re-reading 16M rows).
+    // bandBuckets == explode(bandBucketArrays) by construction (shared
+    // bandHashCols, spec-pinned), so bucket VALUES are unchanged and
+    // stored band_buckets tables stay probe-compatible.
+    val bArr = bandBucketArrays(setsIn, k, bands).localCheckpoint()
+    val bIn = bArr.select(col("id"), explode(col("barr")).as("bucket"))
     // cross-side verdict is existential (drop iff ONE corpus witness),
     // so the feed is witness-bounded: hub edges first, member fallback
     // only for undecided docs ([[witnessDroppedIds]] — verdict-equal to

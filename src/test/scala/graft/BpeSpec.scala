@@ -255,5 +255,24 @@ class BpeSpec extends SparkSpec {
     val fastWords = Bpe.encodeStats(model, docs).orderBy("doc_id")
       .select("doc_id", "n_words").as[(Long, Long)].collect().toSeq
     assert(fastWords == words)
+    // surrogate pairs: the unit contract is UTF-16 units (baseSymbols'
+    // per-Java-char alphabet) — a supplementary-plane character is TWO
+    // base symbols on both the stats and the array-reduction path
+    val clef = new String(Character.toChars(0x1D11E)) // MUSICAL SYMBOL G CLEF
+    val sDocs = Seq((1L, s"$clef$clef a $clef"), (2L, s"ab$clef ba"))
+      .toDF("doc_id", "text")
+    val sModel = Bpe.train(sDocs, numMerges = 10)
+    val sFast = Bpe.encodeStats(sModel, sDocs).orderBy("doc_id")
+      .select("doc_id", "n_bpe_tokens", "n_base_symbols", "n_unmerged")
+      .as[(Long, Long, Long, Long)].collect().toSeq
+    val sRef = Bpe.encode(sModel, sDocs).orderBy("doc_id")
+      .as[(Long, Seq[String])].collect()
+      .map { case (id, toks) =>
+        (id, toks.size.toLong, toks.map(t => symLen(t).toLong).sum,
+          toks.count(t => symLen(t) <= 1).toLong)
+      }.toSeq
+    assert(sFast == sRef)
+    assert(sFast.head._3 >= 4L, // doc 1's clefs alone contribute 2 units each
+      s"supplementary char must count 2 UTF-16 base symbols: $sFast")
   }
 }
