@@ -94,15 +94,35 @@ class BroadcastPinSpec extends SparkSpec {
       }
       import scala.jdk.CollectionConverters._
       val nodes = plans.asScala.toSeq.flatMap(executedNodes)
+      // r20 contract: the hub is a WINDOW over the checkpointed bucket
+      // rows (no join at all — the strongest form of the pin), and the
+      // only bucket-keyed join left (residual x members) may broadcast
+      // ONLY a side with a PROVEN row bound (mergePinned on the failed-
+      // edge count). Enforced by checking every bucket-keyed broadcast
+      // build's MEASURED numOutputRows against the proven-free bound —
+      // a corpus-scaled side can never slip through on a compressed-
+      // bytes estimate (the r16 OOM class).
+      assert(nodes.exists(
+        _.isInstanceOf[org.apache.spark.sql.execution.window.WindowExec]),
+        "spanning branch must build hubs with a window, not a join")
       val bucketBhj = bhj(nodes).collect {
         case j: org.apache.spark.sql.execution.joins.BroadcastHashJoinExec
             if (j.leftKeys ++ j.rightKeys).exists(_.references.exists(
               _.name.toLowerCase.contains("bucket"))) => j
       }
-      assert(bucketBhj.isEmpty,
-        "star/residual bucket joins must not broadcast at any corpus size")
-      assert(smj(nodes).nonEmpty,
-        "spanning branch must sort-merge its bucket joins")
+      val oversized = bucketBhj.flatMap { j =>
+        val build = j.buildSide match {
+          case org.apache.spark.sql.catalyst.optimizer.BuildLeft => j.left
+          case org.apache.spark.sql.catalyst.optimizer.BuildRight => j.right
+        }
+        val rows = build.collect {
+          case p if p.metrics.contains("numOutputRows") =>
+            p.metrics("numOutputRows").value
+        }
+        rows.headOption.filter(_ > graft.functions.pinFreeSideRowLimit)
+      }
+      assert(oversized.isEmpty,
+        s"a bucket-keyed broadcast build exceeded the proven-free row bound: $oversized")
     } finally spark.listenerManager.unregister(listener)
   }
 }
