@@ -479,9 +479,13 @@ object Contamination {
     // rows reach a shuffle. distinct-before-count is preserved (the
     // kernel emits once per shared cell; cosine is deterministic, so
     // distinct on (a_id, b_id, cosine) == the old candidate distinct).
+    // assignments checkpointed: the kernel's occupancy/dispatch
+    // aggregate and each join arm otherwise re-run the centroid-dot
+    // assignment pass per consumer (the tables are (vec_id, cell) ×
+    // assign rows — tiny)
     val matches = graft.operators.Dedup.cellCrossVerifiedPairs(
-        Similarity.cellAssignments(c, centroids, assign),
-        Similarity.cellAssignments(b, centroids, assign),
+        Similarity.cellAssignments(c, centroids, assign).localCheckpoint(),
+        Similarity.cellAssignments(b, centroids, assign).localCheckpoint(),
         c, b, threshold)
       .distinct()
       .groupBy(col("a_id").as("vec_id"))

@@ -1848,6 +1848,13 @@ object Dedup {
     * relational arm unchanged (their verified pairs union in before
     * the distinct, so overlap between arms is also folded).
     * Set-equality with the relational feed is spec-pinned. */
+  /** Candidate-pair volume at or under which the cell kernels dispatch
+    * to the r19 relational feed: ~2M two-sided cosine verifies is a
+    * couple of seconds at 32 cores — cheaper than the kernel's fixed
+    * occupancy-split + vector-union + groupByKey machinery — mirroring
+    * [[spanningVerifiedPairs]]' `fullFeedPairLimit` economics. */
+  private[graft] val cellKernelPairLimit: Long = 2000000L
+
   private[graft] def cellVerifiedPairs(members: DataFrame, vecs: DataFrame,
                                        threshold: Double,
                                        scanCellCap: Int = 8192,
@@ -1855,9 +1862,38 @@ object Dedup {
       : DataFrame = {
     val spark = members.sparkSession
     import spark.implicits._
+    // SIZE DISPATCH (r20): the kernel's machinery (occupancy split,
+    // vector-carrying union, groupByKey exchange, relational over-cap
+    // arm) is ~2.8 s of fixed plan cost at sf0.1 where the whole query
+    // was 1.8 s — the same small-end inversion every dispatched feed in
+    // this file guards against. When the EXACT candidate volume
+    // (Σ C(g,2) over the cell occupancies — one aggregate over the
+    // caller-cached assignment table) is at most ~2M pairs, the r19
+    // relational feed (cell self-join + distinct + two-sided verify) is
+    // strictly cheaper and spec-pinned output-identical; the kernel is
+    // reserved for the volumes it was built for (45.6M at sf10).
+    val occ = members.groupBy("cell").agg(count(lit(1)).as("g"))
+    val estPairs = occ.agg(coalesce(
+        sum((col("g") * (col("g") - 1) / 2).cast("long")), lit(0L)))
+      .head().getLong(0)
+    if (estPairs <= cellKernelPairLimit) {
+      val cand = members.as("x").join(members.as("y"),
+          col("x.cell") === col("y.cell") &&
+            col("x.vec_id") < col("y.vec_id"))
+        .select(col("x.vec_id").as("a_id"), col("y.vec_id").as("b_id"))
+        .distinct()
+      return cand
+        .join(vecs.select(col("vec_id").as("a_id"), col("v").as("av"),
+          col("norm").as("anorm")), "a_id")
+        .join(vecs.select(col("vec_id").as("b_id"), col("v").as("bv"),
+          col("norm").as("bnorm")), "b_id")
+        .select(col("a_id"), col("b_id"),
+          round(cosineWithNorms(dotProduct(col("av"), col("bv")),
+            col("anorm"), col("bnorm")), 6).as("cosine"))
+        .where(col("cosine") >= threshold)
+    }
     val cap = scanCapFor(vecs, scanCellCap, maxCellScanBytes)
-    val bigCells = members.groupBy("cell").agg(count(lit(1)).as("g"))
-      .where(col("g") > cap).select("cell")
+    val bigCells = occ.where(col("g") > cap).select("cell")
     val withVecs = members
       .join(vecs.select(col("vec_id"), col("v"), col("norm")), "vec_id")
       .select(col("cell"), col("vec_id"), col("v"), col("norm"))
@@ -1928,9 +1964,33 @@ object Dedup {
       : DataFrame = {
     val spark = aMembers.sparkSession
     import spark.implicits._
-    val cap = scanCapFor(aVecs, scanCellCap, maxCellScanBytes)
+    // SIZE DISPATCH (r20) — the cross twin of [[cellVerifiedPairs]]'
+    // dispatch: exact candidate volume is Σ ga·gb over shared cells
+    // (one aggregate over the caller-checkpointed assignment tables);
+    // at ≤ ~2M pairs the r19 relational feed wins (measured: the
+    // kernel cost corpus_decontaminate_semantic 4.26 → 7.09 s at
+    // sf0.1, same-day A/B, while improving sf10).
     val occ = aMembers.groupBy("cell").agg(count(lit(1)).as("ga"))
       .join(bMembers.groupBy("cell").agg(count(lit(1)).as("gb")), "cell")
+    val estPairs = occ.agg(coalesce(
+        sum((col("ga") * col("gb")).cast("long")), lit(0L)))
+      .head().getLong(0)
+    if (estPairs <= cellKernelPairLimit) {
+      val cand = aMembers.as("x").join(bMembers.as("y"),
+          col("x.cell") === col("y.cell"))
+        .select(col("x.vec_id").as("a_id"), col("y.vec_id").as("b_id"))
+        .distinct()
+      return cand
+        .join(aVecs.select(col("vec_id").as("a_id"), col("v").as("av"),
+          col("norm").as("anorm")), "a_id")
+        .join(bVecs.select(col("vec_id").as("b_id"), col("v").as("bv"),
+          col("norm").as("bnorm")), "b_id")
+        .select(col("a_id"), col("b_id"),
+          round(cosineWithNorms(dotProduct(col("av"), col("bv")),
+            col("anorm"), col("bnorm")), 6).as("cosine"))
+        .where(col("cosine") >= threshold)
+    }
+    val cap = scanCapFor(aVecs, scanCellCap, maxCellScanBytes)
     val bigCells = occ.where(col("ga") + col("gb") > cap).select("cell")
     def sideRows(m: DataFrame, vecs: DataFrame, tag: Int): DataFrame =
       m.join(vecs.select(col("vec_id"), col("v"), col("norm")), "vec_id")
